@@ -1,0 +1,82 @@
+"""Text-analysis expressions (LLM-pipeline extension, SURVEY.md §2.12):
+tokenization, quality scoring, language-ID heuristic, content fingerprint.
+
+All built-in expressions (split / higher-order array fns / hash) — these run
+inside whole-stage codegen and need no shuffle, so they stream over 100 TB of
+documents at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small function-word lists per language for the n-gram/marker heuristic.
+# Real deployments would swap in a trained model (fastText etc.) behind the
+# same column signature; the heuristic keeps everything JVM-side.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "y", "los", "es", "un", "una", "que"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+# Generic stopword list used by the quality score (matches the fixture vocab
+# closely enough to exercise the ratio math).
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (dask.bag ``str.split`` demos)."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def avg_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, w: acc + F.length(w))
+    return total / F.size(toks)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(col), F.lit(1))
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set. Two documents with the same bag of words collide — the classic
+    cheap near-dup prefilter before MinHash."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.md5(canon)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-word hit count per candidate language."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda w, m=markers: w.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column | str) -> Column:
+    """Argmax of marker-word hits; deterministic tie-break by language code
+    (max over structs compares score first, then lang lexicographically)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
+    )
+    return F.array_max(pairs)["lang"]

@@ -1,0 +1,27 @@
+"""Custom DataFrame-level operators the reference surface (or the LLM-pipeline
+extension set) needs but Spark lacks as single built-ins. All are library-level
+compositions of DataFrame ops — no custom Catalyst rules (SURVEY.md §4: the
+reference's optimizer is strictly weaker than Catalyst, so the physical
+strategy is Catalyst's job; ours is expressing the logical plan well).
+"""
+
+from .asof import asof_join
+from .dedup import (
+    exact_dedup_stats,
+    keep_first_by_hash,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import brute_knn, lsh_knn
+
+__all__ = [
+    "asof_join",
+    "exact_dedup_stats",
+    "keep_first_by_hash",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "simhash",
+    "brute_knn",
+    "lsh_knn",
+]

@@ -1,0 +1,203 @@
+"""Deduplication family (LLM-pipeline extension, SURVEY.md §2.12).
+
+Four tiers, cheapest first — a 100 TB corpus dedup pipeline composes them in
+this order so each tier shrinks the candidate set for the next:
+
+1. exact        — hash-groupBy on a content hash (one shuffle on the hash)
+2. fingerprint  — md5 of the sorted token set (order-insensitive exact)
+3. n-gram Jaccard — exact set similarity via shingle inverted index
+                    (self-join on shingle; only docs sharing a shingle pair up)
+4. MinHash LSH  — sub-quadratic approximate Jaccard via pyspark.ml
+5. SimHash      — 64-bit near-dup signature; Hamming-band self-join
+
+Reference surface being generalized: ``drop_duplicates()`` (dask §2.2); tiers
+2-5 are extensions mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_first_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per distinct text (hash key).
+
+    One shuffle on the 128-bit content hash; group state is two scalars, so
+    skew (a billion copies of one boilerplate doc) cannot blow memory."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-level dedup summary: total docs, distinct texts, redundant docs."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(text_col).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(text_col)).alias("n_redundant"),
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (id, shingle). JVM-side:
+    split + sequence + transform + explode, no Python boundary."""
+    toks = F.split(F.col(text_col), r"\s+")
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Inverted-index self-join: docs pair up only where they share a shingle,
+    so cost is Σ (docs-per-shingle)², not |docs|². At scale, hot shingles
+    (boilerplate) must be capped — we drop shingles appearing in more than
+    ``max_df`` docs, which only *lowers* recall for near-universal shingles
+    (standard practice; MinHash LSH is the recall-safe tier)."""
+    sh = word_shingles(df, text_col, id_col, n)
+    # document frequency cap against boilerplate-shingle quadratic blowup
+    max_df = 1000
+    hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
+    sh = sh.join(hot, "shingle", "left_anti")
+
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hash_tables: int = 5,
+    max_jaccard_distance: float = 0.7,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash LSH (shingle → minhash → band →
+    bucket join). Sub-quadratic: candidate pairs only form inside LSH buckets.
+    Returns (id_a, id_b, jaccard_dist estimate).
+
+    Deterministic for a fixed seed. 100 TB notes: ``numHashTables`` trades
+    recall for shuffle volume; shingle vectors are sparse (HashingTF binary),
+    so the signature computation is a narrow map."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("toks")
+    )
+    ngrams = NGram(n=n, inputCol="toks", outputCol="shingles").transform(toks)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    ).transform(ngrams)
+    tf = tf.filter(F.size("shingles") > 0)
+
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash signature per document, fully JVM-side.
+
+    Each token votes its xxhash64 bit pattern (+1/-1 per bit); the signature
+    sign-aggregates the votes. Near-dups differ in few bits (small Hamming
+    distance). Narrow map per doc — no shuffle; banding for the pair search
+    is the caller's choice (split the 64 bits into 4 bands of 16, group on
+    band value)."""
+    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # votes[i] = Σ over tokens of (bit i set ? +1 : -1)
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), i).cast("long")) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1), i).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash64"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs via 4-band Hamming LSH: any pair within Hamming
+    distance <=16/band-width shares at least one exact 16-bit band (pigeonhole
+    for distance < 4 bands). One shuffle per band, unioned."""
+    sigs = simhash(df, text_col, id_col).cache()
+    bands = sigs.select(
+        "id",
+        "simhash64",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("simhash64", 16 * b).bitwiseAND(F.lit(0xFFFF).cast("long")).alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash64", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash64").alias("sig_a"),
+            F.col("b.simhash64").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,77 @@
+"""SparkSession factory with scale-sane defaults.
+
+The reference training's "scheduler choice" knob (sync / threads / processes /
+distributed — SURVEY.md §1.1) collapses in Spark to the master URL; everything
+else here is the config we would ship to a 1000-executor cluster, with local
+fallbacks for the test harness:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+- Arrow on (every Python-boundary op is batched, never row-at-a-time),
+- session timezone pinned to UTC (fixtures are tz-naive; keeps ltz/ntz
+  conversions identity),
+- ``spark.sql.legacy.parquet.nanosAsLong`` — the driver fixtures write
+  ``events.ts`` as INT64 TIMESTAMP(NANOS) which Spark's reader otherwise
+  rejects; see sources.parquet for the conversion back to a timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on an externally-provided
+# session at runtime — applied by sources.load_table too, so the engine
+# behaves the same under the driver's own SparkSession.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "savio_training_dask_2019_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 4).
+    ``shuffle_partitions`` defaults to 2x the local cores — at cluster scale
+    this must instead be sized so post-shuffle partitions land near 128 MB
+    (AQE coalescing makes the exact number forgiving).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable confs this engine relies on.
+
+    Idempotent; called by the source loaders so queries behave identically
+    under a session we did not create (the correctness driver's session).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — loader falls back gracefully
+    return spark

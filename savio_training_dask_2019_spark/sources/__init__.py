@@ -1,0 +1,24 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+Dask surface being matched: ``dd.read_parquet`` / ``dd.read_csv`` (multi-file
+glob) / ``db.read_text`` + ``json.loads`` / ``dd.from_pandas`` /
+``df.to_parquet`` / ``df.to_csv``. Policy: explicit schemas everywhere at
+scale; Parquet footers are the only trusted inference path.
+"""
+
+from .parquet import FIXTURE_TABLES, load_table, load_tables
+from .text_json import read_csv, read_json_lines, read_text
+from .pandas_io import from_pandas
+from .sinks import write_csv, write_parquet
+
+__all__ = [
+    "FIXTURE_TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json_lines",
+    "read_text",
+    "from_pandas",
+    "write_parquet",
+    "write_csv",
+]
