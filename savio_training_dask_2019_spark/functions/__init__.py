@@ -11,6 +11,7 @@ from .text import (
     doc_fingerprint,
     lang_scores,
     predict_lang,
+    punct_ratio,
     stopword_ratio,
     token_count,
     tokens,
@@ -26,6 +27,7 @@ __all__ = [
     "token_count",
     "avg_word_len",
     "stopword_ratio",
+    "punct_ratio",
     "doc_fingerprint",
     "lang_scores",
     "predict_lang",

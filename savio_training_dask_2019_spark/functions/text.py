@@ -28,8 +28,14 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "an", "and", "or", "of", "to", "is", "
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization → array<string> (dask.bag ``str.split`` demos)."""
-    return F.split(text, r"\s+")
+    """Whitespace tokenization → array<string> (dask.bag ``str.split`` demos).
+
+    Trims first and drops empty tokens so ``""`` → ``[]`` (plain
+    ``split('', '\\s+')`` yields ``['']`` and leading whitespace yields a
+    leading empty token, which would skew counts, fingerprints, and simhash
+    signatures downstream)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
 
 
 def token_count(text: Column | str) -> Column:

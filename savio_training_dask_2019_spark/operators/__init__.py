@@ -12,16 +12,21 @@ from .dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
+    word_shingles,
 )
-from .similarity import brute_knn, lsh_knn
+from .similarity import brute_knn, brute_knn_join, lsh_knn
 
 __all__ = [
     "asof_join",
     "exact_dedup_stats",
     "keep_first_by_hash",
+    "word_shingles",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
     "simhash",
+    "simhash_near_dup_pairs",
     "brute_knn",
+    "brute_knn_join",
     "lsh_knn",
 ]

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens as _tokens
+
 
 def keep_first_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per distinct text (hash key).
@@ -45,11 +47,14 @@ def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc → (id, shingle). JVM-side:
     split + sequence + transform + explode, no Python boundary."""
-    toks = F.split(F.col(text_col), r"\s+")
-    shingle_arr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    toks = _tokens(F.col(text_col))
+    # Explicit empty-array guard: sequence(0, stop) with stop < 0 defaults to
+    # step -1 and yields [0, -1], and slice() then throws on index 0 — so docs
+    # shorter than n tokens must short-circuit to [] instead.
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle_arr = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
     )
@@ -112,9 +117,7 @@ def minhash_near_dup_pairs(
     so the signature computation is a narrow map."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram
 
-    toks = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), r"\s+").alias("toks")
-    )
+    toks = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
     ngrams = NGram(n=n, inputCol="toks", outputCol="shingles").transform(toks)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
@@ -142,22 +145,34 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distance). Narrow map per doc — no shuffle; banding for the pair search
     is the caller's choice (split the 64 bits into 4 bands of 16, group on
     band value)."""
-    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    toks = F.array_distinct(_tokens(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # votes[i] = Σ over tokens of (bit i set ? +1 : -1)
+    # votes[i] = Σ over tokens of (bit i set ? +1 : -1).
+    # Bit test via LONG shift: Java masks the shift count to 6 bits for long
+    # operands (vs 5 for int), so bits 32-63 are real. Shifting an INT base
+    # (the round-1 bug) wrapped counts 32-63 onto 0-31 and zeroed the upper
+    # half of every signature.
+    # F.call_function: the plain pyspark wrappers type the shift count as a
+    # Python int, but here it is the lambda-bound Column ``i``.
+    one_l = F.lit(1).cast("long")
     votes = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), i).cast("long")) != 0, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftrightunsigned", h, i).bitwiseAND(one_l) != 0, 1
+            ).otherwise(-1),
         ),
     )
     sig = F.aggregate(
         F.zip_with(
             votes,
             F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1), i).cast("long")).otherwise(F.lit(0).cast("long")),
+            lambda v, i: F.when(v > 0, F.call_function("shiftleft", one_l, i)).otherwise(
+                F.lit(0).cast("long")
+            ),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),

@@ -49,17 +49,26 @@ def brute_knn_join(
     vec_col: str,
     id_col: str,
     k: int = 10,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact k-NN for every query row: broadcast the (small) query side,
     score corpus partitions locally, keep top-k per query via window.
-    One shuffle (the per-query top-k), no corpus replication."""
+    One shuffle (the per-query top-k), no corpus replication.
+
+    ``exclude_self=True`` drops corpus rows whose id equals the query id —
+    only meaningful when the queries are drawn from the corpus (same id
+    space). Default False: with independent id spaces an id collision is
+    coincidental and the neighbor must be kept."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
     c = corpus.select(F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec"))
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id")).select(
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("corpus_id"))
+    scored = pairs.select(
         "query_id",
         "corpus_id",
         F.round(cosine_similarity(F.col("cvec"), F.col("qvec")), 5).alias("cosine"),
