@@ -69,13 +69,17 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.md5(canon)
 
 
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    # real closure, NOT a default-arg lambda: a 2-param lambda would be read
+    # by F.filter as (element, index) and the marker tuple would get bound to
+    # the index Column.
+    return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Marker-word hit count per candidate language."""
     toks = tokens(text)
-    return {
-        lang: F.size(F.filter(toks, lambda w, m=markers: w.isin(*m)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
 
 
 def predict_lang(text: Column | str) -> Column:

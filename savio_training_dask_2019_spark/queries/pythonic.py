@@ -1,0 +1,222 @@
+"""Python-boundary queries (SURVEY.md §2.11, §3.2): the dask ``apply`` /
+``map_partitions`` / custom-``Aggregation`` / delayed-fan-out surfaces, each
+expressed through Spark's Arrow-batched bridges (pandas_udf, applyInPandas,
+mapInPandas, mapInArrow) — never row-at-a-time Python UDFs.
+
+These are deliberately oracle-checked: each Python computation reproduces a
+SQL-expressible result so the Arrow plumbing itself is what gets verified.
+The multimodal query exercises BinaryType payload plumbing end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources import load_table
+
+
+def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Series→Series, Arrow-vectorized): token counts
+    summed per language. pandas ``str.split()`` with no args drops empty
+    tokens — identical semantics to functions.text.tokens."""
+
+    @pandas_udf("int")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.str.split().str.len().astype("int32")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(tok_count("text")).cast("bigint").alias("total_tokens")
+    )
+
+
+_PANDAS_UDF_TOKENS_SQL = r"""
+SELECT lang,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf — the dd.Aggregation(chunk/agg/finalize)
+    equivalent: geometric mean of order totals per priority."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 2).alias("geo_total")
+    )
+
+
+_GROUPED_AGG_PANDAS_SQL = """
+SELECT o_orderpriority, round(exp(avg(ln(o_totalprice))), 2) AS geo_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (dask groupby().apply): per-priority OLS
+    slope of order total vs order date (in days). Oracle: regr_slope."""
+    import numpy as np
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_orderdate"].astype("int64").to_numpy(dtype="float64") / (86400 * 1e9)
+        y = pdf["o_totalprice"].to_numpy(dtype="float64")
+        xc = x - x.mean()
+        s = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {"o_orderpriority": [pdf["o_orderpriority"].iloc[0]], "slope": [round(s, 6)]}
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        slope, "o_orderpriority string, slope double"
+    )
+
+
+_APPLY_IN_PANDAS_SQL = """
+SELECT o_orderpriority,
+       round(regr_slope(o_totalprice, epoch(o_orderdate) / 86400.0), 6) AS slope
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_partitions: per-batch filter + derive in pandas (Arrow batches,
+    1→N row contract)."""
+
+    def high_value(batches):
+        for pdf in batches:
+            out = pdf[pdf["o_totalprice"] > 300000][["o_orderkey", "o_totalprice"]]
+            # raw IEEE division — identical bits in pandas and the oracle
+            out = out.assign(price_k=out["o_totalprice"] / 1000)
+            yield out[["o_orderkey", "price_k"]]
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.mapInPandas(high_value, "o_orderkey long, price_k double")
+
+
+_MAP_IN_PANDAS_SQL = """
+SELECT o_orderkey, o_totalprice / 1000 AS price_k
+FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_blocks: numpy-per-batch via mapInArrow — L2 norms of embeddings
+    computed in float64 numpy (the dask.array block-math surface)."""
+
+    def norms(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            # fixture vectors are fixed-length; reshape is the fast path
+            if len(widths) and (widths == widths[0]).all():
+                mat = flat.reshape(len(widths), widths[0])
+                out = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            else:  # ragged fallback
+                out = np.array(
+                    [np.sqrt((flat[s:e] ** 2).sum()) for s, e in zip(offsets, offsets[1:])]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(np.round(out, 5), type=pa.float64())],
+                names=["vec_id", "l2"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInArrow(norms, "vec_id long, l2 double")
+
+
+_MAP_IN_ARROW_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2
+FROM embeddings
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing end-to-end: pack text into a BinaryType
+    payload column (standing in for image/audio bytes), then extract typed
+    metadata (byte length, sha256) in a mapInPandas pass — the exact shape a
+    real decode/feature-extract UDF takes. Real codec work is stubbed per
+    operators.multimodal (no image/audio libs in this container)."""
+
+    def extract_meta(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "sha": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return packed.mapInPandas(extract_meta, "doc_id long, byte_len long, sha string")
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+def q_fanout_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask.delayed / futures fan-out (SURVEY.md §3.2): embarrassingly
+    parallel parameter sweep as a single no-shuffle stage over spark.range —
+    deterministic integer math so the oracle is exact."""
+    r = spark.range(0, 10000)
+    return r.select(((F.col("id") * F.col("id")) % 97).alias("g")).agg(
+        F.sum("g").alias("total"), F.count(F.lit(1)).alias("n_tasks")
+    )
+
+
+_FANOUT_COMPUTE_SQL = """
+SELECT CAST(sum((i * i) % 97) AS BIGINT) AS total, count(*) AS n_tasks
+FROM generate_series(0, 9999) t(i)
+"""
+
+
+QUERIES = {
+    "pandas_udf_tokens": q_pandas_udf_tokens,
+    "grouped_agg_pandas": q_grouped_agg_pandas,
+    "apply_in_pandas": q_apply_in_pandas,
+    "map_in_pandas": q_map_in_pandas,
+    "map_in_arrow": q_map_in_arrow,
+    "multimodal_meta": q_multimodal_meta,
+    "fanout_compute": q_fanout_compute,
+}
+
+ORACLE = {
+    "pandas_udf_tokens": _PANDAS_UDF_TOKENS_SQL,
+    "grouped_agg_pandas": _GROUPED_AGG_PANDAS_SQL,
+    "apply_in_pandas": _APPLY_IN_PANDAS_SQL,
+    "map_in_pandas": _MAP_IN_PANDAS_SQL,
+    "map_in_arrow": _MAP_IN_ARROW_SQL,
+    "multimodal_meta": _MULTIMODAL_META_SQL,
+    "fanout_compute": _FANOUT_COMPUTE_SQL,
+}

@@ -1,0 +1,683 @@
+"""Relational core queries (SURVEY.md §2.1–2.7): scan/filter/project, joins of
+every flavor, the full aggregation surface, windows, sort/limit/top-k, set ops.
+
+Reference surface being matched: dask.dataframe's pandas-style ops
+(``df[mask]``, ``groupby().agg``, ``merge``, ``nlargest``, ``rolling`` —
+SURVEY.md §2.2–2.6), re-expressed as Catalyst-optimizable DataFrame plans.
+Scale notes are per-query; the common ones: filters/projections sit directly
+on the parquet scan (pushdown), aggregations are partial+final hash aggs, and
+every small dimension side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+# --- scans / filter / projection -------------------------------------------
+
+
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped filter + groupBy + 5 aggregates.
+
+    Plan shape at scale: parquet scan with shipdate predicate pushed down →
+    partial hash agg (map-side, 6 groups) → single shuffle of 6 rows →
+    final agg. The shuffle payload is O(groups), not O(rows)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_AGG_GROUPBY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 4)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_select_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + compound boolean mask (dask ``df[(m1) & (m2)][cols]``).
+    Both the predicate and the 4-column projection reach the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+_SELECT_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+
+
+def q_derived_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withColumn / assign: arithmetic + conditional derivations, narrow map."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # no rounding: both engines compute the identical IEEE double product,
+        # and rounding per-row values only introduces half-way disagreements
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.when(F.col("l_quantity") >= 30, F.lit("bulk"))
+        .when(F.col("l_quantity") >= 10, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("qty_band"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+_DERIVED_COLUMN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       CASE WHEN l_quantity >= 30 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'mid'
+            ELSE 'small' END AS qty_band,
+       CAST(l_quantity AS INTEGER) AS qty_int
+FROM lineitem
+WHERE l_orderkey < 2000
+"""
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna/fillna/isna surface: nullif → count(col) vs count(*) → coalesce."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "disc_n", F.nullif(F.col("l_discount"), F.lit(0.0))
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("disc_n").alias("n_discounted"),
+        F.round(F.avg("disc_n"), 4).alias("avg_disc_nonzero"),
+        F.round(F.sum(F.coalesce(F.col("disc_n"), F.lit(0.0))), 2).alias("disc_total"),
+    )
+
+
+_NULL_HANDLING_SQL = """
+SELECT l_returnflag,
+       count(*)                                        AS n_rows,
+       count(NULLIF(l_discount, 0.0))                  AS n_discounted,
+       round(avg(NULLIF(l_discount, 0.0)), 4)          AS avg_disc_nonzero,
+       round(sum(coalesce(NULLIF(l_discount, 0.0), 0.0)), 2) AS disc_total
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (`df.sample` surface made oracle-checkable
+    via key-modulo instead of RNG): every 10th order key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_SAMPLE_MOD_SQL = """
+SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+
+# --- sort / limit / top-k / set ops ----------------------------------------
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nlargest: Catalyst plans TakeOrderedAndProject — per-partition heaps +
+    driver merge of k rows, never a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort + limit (set_index/sort_values surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+_SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates on a column subset."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.value_counts()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_VALUE_COUNTS_SQL = (
+    "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority"
+)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except in one query: symmetric difference between
+    the BUILDING segment and high-balance customers."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    return a.union(b).distinct().subtract(a.intersect(b))
+
+
+_SET_OPS_SQL = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+EXCEPT
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT
+ SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+"""
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: customer ⋈ orders ⋈ lineitem ⋈ nation.
+
+    nation (25 rows) is explicitly broadcast; customer⋈orders⋈lineitem are
+    key-shuffled equi-joins Catalyst can reorder. At 100 TB the orders⋈lineitem
+    join dominates — both sides shuffle on orderkey once, and AQE handles any
+    hot-key skew."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("customer", "orders", "lineitem", "nation")
+    }
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_JOIN_3WAY_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware count: order-count histogram including
+    zero-order customers (count(col) skips the nulls the outer join makes)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_JOIN_OUTER_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (dask `isin` idiom): customers holding a >400k order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers who never placed an urgent order (every fixture
+    customer has *some* order, so the filter keeps the result non-degenerate)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny dims (dask dummy-key merge idiom)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+_CROSS_JOIN_SQL = """
+SELECT r_name, n_name FROM region CROSS JOIN nation WHERE r_regionkey <> n_regionkey
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: bucket events.value against a generated
+    bucket dim. The dim is broadcast → BroadcastNestedLoopJoin, the right
+    physical plan for a 5-row build side; at scale the alternative is
+    precomputing the bucket as a derived column (no join at all)."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = spark.range(5).select(
+        F.col("id").alias("bucket"),
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(buckets), (e.value >= buckets.lo) & (e.value < buckets.hi))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT bucket, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events e
+JOIN (SELECT i AS bucket, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+      FROM generate_series(0, 4) t(i)) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY bucket
+"""
+
+
+# --- aggregation surface ----------------------------------------------------
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full stat-agg surface: stddev/var (sample), min/max, exact distinct,
+    exact median."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4)  AS std_price,
+       round(var_samp(l_quantity), 4)          AS var_qty,
+       round(min(l_extendedprice), 2)          AS min_price,
+       round(max(l_extendedprice), 2)          AS max_price,
+       count(DISTINCT l_partkey)               AS n_parts,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (dask uses t-digest approx; hash-checked
+    queries use the exact variant per SURVEY.md §5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.corr()/cov() surface."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+_CORR_COV_SQL = """
+SELECT round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+       round(corr(l_discount, l_tax), 6)                 AS corr_disc_tax
+FROM lineitem
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (bonus capability beyond the dask surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_CUBE_AGG_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- windows ----------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number + rank (nlargest-per-group)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shift(): previous/next order totals per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta"),
+    )
+
+
+_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice)  OVER w, 2) AS prev_total,
+       round(lead(o_totalprice) OVER w, 2) AS next_total,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling(window=4).mean() per supplier over ship order; rows-frame window
+    streams within each partition — no per-key materialization at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("rolling_avg_price"),
+    )
+
+
+_ROLLING_AVG_SQL = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(avg(l_extendedprice) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_price
+FROM lineitem
+"""
+
+
+def q_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum() per customer in order-date order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+_CUMSUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+FROM orders
+"""
+
+
+def q_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank analytic surface."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_NTILE_PERCENT_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --- scalar functions (string / json) --------------------------------------
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over customer names."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("cust_num"),
+        F.expr("right(c_name, 3)").alias("tail3"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_tag"
+        ),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).alias("lev0"),
+    )
+
+
+_STRING_FUNCS_SQL = r"""
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+       right(c_name, 3) AS tail3,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_tag,
+       CAST(levenshtein(c_name, 'Customer#000000000') AS INTEGER) AS lev0
+FROM customer WHERE c_custkey < 100
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string parsing (dask.bag json.loads surface → from_json)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("k_val", F.from_json("props", "k INT")["k"])
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg("k_val"), 4).alias("avg_k"),
+        F.count("k_val").alias("n_with_k"),
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       count(CAST(json_extract_string(props, '$.k') AS INTEGER))         AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "agg_groupby": q_agg_groupby,
+    "select_filter": q_select_filter,
+    "derived_column": q_derived_column,
+    "null_handling": q_null_handling,
+    "sample_mod": q_sample_mod,
+    "topk": q_topk,
+    "sort_limit": q_sort_limit,
+    "distinct": q_distinct,
+    "value_counts": q_value_counts,
+    "set_ops": q_set_ops,
+    "join_3way": q_join_3way,
+    "join_outer": q_join_outer,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "cross_join": q_cross_join,
+    "range_join": q_range_join,
+    "agg_stats": q_agg_stats,
+    "percentiles": q_percentiles,
+    "corr_cov": q_corr_cov,
+    "cube_agg": q_cube_agg,
+    "window_rank": q_window_rank,
+    "lag_lead": q_lag_lead,
+    "rolling_avg": q_rolling_avg,
+    "cumsum": q_cumsum,
+    "ntile_percent": q_ntile_percent,
+    "string_funcs": q_string_funcs,
+    "json_extract": q_json_extract,
+}
+
+ORACLE = {
+    "agg_groupby": _AGG_GROUPBY_SQL,
+    "select_filter": _SELECT_FILTER_SQL,
+    "derived_column": _DERIVED_COLUMN_SQL,
+    "null_handling": _NULL_HANDLING_SQL,
+    "sample_mod": _SAMPLE_MOD_SQL,
+    "topk": _TOPK_SQL,
+    "sort_limit": _SORT_LIMIT_SQL,
+    "distinct": _DISTINCT_SQL,
+    "value_counts": _VALUE_COUNTS_SQL,
+    "set_ops": _SET_OPS_SQL,
+    "join_3way": _JOIN_3WAY_SQL,
+    "join_outer": _JOIN_OUTER_SQL,
+    "semi_join": _SEMI_JOIN_SQL,
+    "anti_join": _ANTI_JOIN_SQL,
+    "cross_join": _CROSS_JOIN_SQL,
+    "range_join": _RANGE_JOIN_SQL,
+    "agg_stats": _AGG_STATS_SQL,
+    "percentiles": _PERCENTILES_SQL,
+    "corr_cov": _CORR_COV_SQL,
+    "cube_agg": _CUBE_AGG_SQL,
+    "window_rank": _WINDOW_RANK_SQL,
+    "lag_lead": _LAG_LEAD_SQL,
+    "rolling_avg": _ROLLING_AVG_SQL,
+    "cumsum": _CUMSUM_SQL,
+    "ntile_percent": _NTILE_PERCENT_SQL,
+    "string_funcs": _STRING_FUNCS_SQL,
+    "json_extract": _JSON_EXTRACT_SQL,
+}

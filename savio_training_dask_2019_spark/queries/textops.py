@@ -1,0 +1,236 @@
+"""Text-analysis + deduplication queries over ``documents`` (SURVEY.md §2.12,
+dask.bag word-count surface §2.10).
+
+Everything except the MinHash/SimHash tiers is hash-checked against a DuckDB
+oracle that mirrors the tokenization exactly (trim → split on whitespace →
+drop empties). The approximate tiers are rows-only by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    avg_word_len,
+    doc_fingerprint,
+    predict_lang,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup_stats,
+    keep_first_by_hash,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..sources import load_table
+
+# DuckDB twin of functions.text.tokens()
+_DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (the dask groupby-over-text demo shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len({_DUCK_TOKENS})), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, avg word length, stopword
+    ratio, punctuation ratio — the standard LLM-corpus quality features,
+    all JVM-side expressions (scan-speed at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(avg_word_len("text"), 4).alias("avg_word_len"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+    )
+
+
+_DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+       round(list_sum(list_transform({_DUCK_TOKENS}, x -> CAST(length(x) AS DOUBLE)))
+             / len({_DUCK_TOKENS}), 4) AS avg_word_len,
+       round(CAST(len(list_filter({_DUCK_TOKENS},
+               x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+             / len({_DUCK_TOKENS}), 4) AS stop_ratio,
+       round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of marker-word hits with deterministic
+    (score DESC, lang DESC) tie-break on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", predict_lang("text").alias("pred_lang"))
+
+
+# Marker lists must stay in sync with functions.text.LANG_MARKERS.
+_LANG_ID_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+scores AS (
+  SELECT doc_id, 'en' AS lang, len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it'))) AS score FROM toks
+  UNION ALL
+  SELECT doc_id, 'fr', len(list_filter(t, x -> x IN ('le','la','et','les','des','est','un','une'))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'de', len(list_filter(t, x -> x IN ('der','die','und','das','ist','ein','nicht','mit'))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'es', len(list_filter(t, x -> x IN ('el','la','y','los','es','un','una','que'))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'zh', len(list_filter(t, x -> x IN ('的','是','了','在','和','有','我','不'))) FROM toks
+)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+) WHERE rn = 1
+"""
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask.bag frequencies/topk: top-20 corpus words (explode → count)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+_WORDCOUNT_SQL = f"""
+WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+SELECT word, count(*) AS cnt FROM w GROUP BY word
+ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup corpus summary (drop_duplicates surface)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(d, "text")
+
+
+_DEDUP_STATS_SQL = """
+SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+       count(*) - count(DISTINCT text) AS n_redundant
+FROM documents
+"""
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per content hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return keep_first_by_hash(d, "text", "doc_id")
+
+
+_DEDUP_KEEP_FIRST_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+_DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_DUCK_TOKENS})), ' ')) AS fp
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+# Mirrors the shingle inverted-index computation. DuckDB list slicing is
+# 1-based inclusive: shingle i (1-based) = toks[i : i+2] for i in 1..len-2.
+_NGRAM_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t) - 1, 1))]
+         )) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (approximate → rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, "text", "doc_id", n=3, max_jaccard_distance=0.6)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-band near-dup pairs (xxhash64 not available in the
+    oracle → rows-only check; determinism is pytest-covered instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=12)
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "wordcount": q_wordcount,
+    "dedup_stats": q_dedup_stats,
+    "dedup_keep_first": q_dedup_keep_first,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+}
+
+ORACLE = {
+    "text_stats": _TEXT_STATS_SQL,
+    "doc_quality": _DOC_QUALITY_SQL,
+    "lang_id": _LANG_ID_SQL,
+    "wordcount": _WORDCOUNT_SQL,
+    "dedup_stats": _DEDUP_STATS_SQL,
+    "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
+    "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    # minhash_pairs / simhash_pairs: intentionally no oracle (approximate /
+    # engine-specific hash) → driver records rows-only checks.
+}

@@ -1,0 +1,244 @@
+"""Time-series / streaming-shaped queries over ``events`` (SURVEY.md §2.5,
+§2.8): resample, tumbling/sliding/session windows (batch-mode — identical
+semantics to Structured Streaming, so the DuckDB oracle checks the logic and
+only watermarking needs a live-stream smoke test), dt accessors, and the
+as-of join extension.
+
+Scale notes: every query here is a single hash-shuffle on (bucket, keys) or a
+single window shuffle on the session key — the minimum for the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources import load_table
+
+
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('1H') — hourly rollup per event type via date_trunc."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_TIME_BUCKET_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dt_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.ts.dt.* surface: year/month/dayofweek/hour extraction + datediff."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# DuckDB dayofweek (dow) is 0=Sunday; Spark dayofweek is 1=Sunday → +1.
+_DT_ACCESSORS_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, CAST(hour(ts) AS INTEGER) AS hod,
+       count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour window agg — the batch twin of the streaming groupBy(
+    F.window(...)); window starts are epoch-aligned in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    return e.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    ).select(
+        F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+        "n_events", "avg_value",
+    )
+
+
+_TUMBLING_WINDOW_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)) AS w_start,
+       make_timestamp(CAST((floor(epoch(ts) / 21600) + 1) * 21600000000 AS BIGINT)) AS w_end,
+       count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): every event lands in exactly
+    two windows; Spark expands via the same epoch-aligned rule the oracle
+    replicates with an unnest of the two slide offsets."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return e.groupBy(w.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        F.col("w.start").alias("w_start"), "event_type", "n_events"
+    )
+
+
+_SLIDING_WINDOW_SQL = """
+SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - off) * 1800000000 AS BIGINT)) AS w_start,
+       event_type, count(*) AS n_events
+FROM events, (VALUES (0), (1)) o(off)
+GROUP BY 1, 2
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) per user — F.session_window in
+    batch mode; oracle is the classic gaps-and-islands rewrite. Sessions merge
+    only when the gap is STRICTLY below the timeout (Spark's window end is
+    exclusive), hence ``<`` in the oracle's new-session flag."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sw.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (pandas merge_asof semantics, custom operator — Spark has no
+    native asof): attach the latest prior click's value to every purchase of
+    the same user. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # dedupe right side on (user_id, ts) so the at-tie winner is deterministic
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.round("value", 4).alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts", right_cols=["click_value"])
+    return out.select("event_id", "user_id", "ts", "click_value")
+
+
+_ASOF_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, round(value, 4) AS click_value
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance (merge_asof(tolerance=...)): only clicks at
+    most 2 hours old count; staler matches are nulled."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.round("value", 4).alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_cols=["click_value"], tolerance="2 hours",
+    )
+    return out.select("event_id", "user_id", "click_value")
+
+
+_ASOF_TOLERANCE_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, round(value, 4) AS click_value
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.click_value END AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type pivot (dask pivot_table surface): one row per day,
+    one count column per event type."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day_ts"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+_PIVOT_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day_ts,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "time_bucket": q_time_bucket,
+    "dt_accessors": q_dt_accessors,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+    "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
+    "pivot_daily": q_pivot_daily,
+}
+
+ORACLE = {
+    "time_bucket": _TIME_BUCKET_SQL,
+    "dt_accessors": _DT_ACCESSORS_SQL,
+    "tumbling_window": _TUMBLING_WINDOW_SQL,
+    "sliding_window": _SLIDING_WINDOW_SQL,
+    "session_window": _SESSION_WINDOW_SQL,
+    "asof_join": _ASOF_JOIN_SQL,
+    "asof_tolerance": _ASOF_TOLERANCE_SQL,
+    "pivot_daily": _PIVOT_DAILY_SQL,
+}

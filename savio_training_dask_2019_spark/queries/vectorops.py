@@ -1,0 +1,142 @@
+"""Similarity-search / vector queries over ``embeddings`` (SURVEY.md §2.9,
+§2.12): exact brute-force kNN (single query + query-set join), LSH approximate
+kNN, and the dask.array-style vector reductions — all as ArrayType column math
+(no ndarray engine; see SURVEY.md §2.9 for the deliberate narrowing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, l2_norm
+from ..operators.similarity import brute_knn, brute_knn_join, lsh_knn
+from ..sources import load_table
+
+# DuckDB: cast float32 list → double list before any math, mirroring as_double.
+_DD = "list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return list(row["embedding"])
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 vs the vec_id=0 embedding (TakeOrderedAndProject —
+    per-partition heaps, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return brute_knn(emb, "embedding", "vec_id", qv, k=10, exclude_id=0)
+
+
+_KNN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id,
+       round(list_cosine_similarity({_DD.format(col='embedding')},
+                                    {_DD.format(col='qe')}), 5) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN for a query set (vec_id < 5) via broadcast cross-score +
+    per-query top-k window. One shuffle; corpus is never replicated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_knn_join(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "vec_id",
+        k=3, exclude_self=True,
+    )
+
+
+_KNN_JOIN_SQL = f"""
+SELECT query_id, corpus_id, cosine FROM (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round(list_cosine_similarity({_DD.format(col='c.embedding')},
+                                        {_DD.format(col='q.embedding')}), 5) AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 5
+  )
+) WHERE rn <= 3
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH (rows-only: LSH bucket
+    assignment is engine-specific; recall is pytest-checked against brute)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return lsh_knn(emb, "embedding", "vec_id", qv, k=10)
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask.array-style grouped reductions over vectors: per-label count,
+    mean L2 norm, mean first component."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "label",
+        l2_norm(as_double(F.col("embedding"))).alias("nrm"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("d0"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 5).alias("avg_norm"),
+        F.round(F.avg("d0"), 6).alias("avg_dim0"),
+    )
+
+
+_VECTOR_STATS_SQL = f"""
+SELECT label, count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5) AS avg_norm,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_dim0
+FROM embeddings GROUP BY label
+"""
+
+
+def q_vector_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise ufunc surface: per-row fold/max/min over the vector
+    (sequential left-fold on both engines → bit-identical before rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 4).alias("vsum"),
+        F.round(F.array_max(arr), 5).alias("vmax"),
+        F.round(F.array_min(arr), 5).alias("vmin"),
+    )
+
+
+_VECTOR_ARITH_SQL = f"""
+SELECT vec_id,
+       round(list_sum({_DD.format(col='embedding')}), 4) AS vsum,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 5) AS vmax,
+       round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 5) AS vmin
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "knn_brute": q_knn_brute,
+    "knn_join": q_knn_join,
+    "knn_lsh": q_knn_lsh,
+    "vector_stats": q_vector_stats,
+    "vector_arith": q_vector_arith,
+}
+
+ORACLE = {
+    "knn_brute": _KNN_BRUTE_SQL,
+    "knn_join": _KNN_JOIN_SQL,
+    # knn_lsh: rows-only by design (engine-specific bucketing)
+    "vector_stats": _VECTOR_STATS_SQL,
+    "vector_arith": _VECTOR_ARITH_SQL,
+}
