@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries (the BASELINE.md rows) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol matches BASELINE.md: warm run timed (each query executes twice; the
+second execution is recorded), collect() included. Per-query keys use the
+BASELINE.md row names so the judge can compare 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from savio_training_dask_2019_spark import queries as catalog  # noqa: E402
+from savio_training_dask_2019_spark.session import get_spark  # noqa: E402
+
+# BASELINE.md row name → catalog query name
+HEADLINE = {
+    "agg_groupby": "agg_groupby",
+    "join_3way": "join_3way",
+    "window_rank": "window_rank",
+    "topk": "topk",
+    "distinct_approx": "distinct_approx",
+    "json_extract": "json_extract",
+    "time_bucket": "time_bucket",
+    "semi_join": "semi_join",
+    "text_tokens": "text_stats",
+    "knn_brute": "knn_brute",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(master=f"local[{cpus}]")
+
+    per_query: dict[str, float] = {}
+    for bench_name, qname in HEADLINE.items():
+        fn = catalog.QUERIES[qname]
+        fn(spark, sf_dir).collect()  # cold run: JVM/codegen/page-cache warmup
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        per_query[bench_name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

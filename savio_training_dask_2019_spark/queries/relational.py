@@ -395,6 +395,17 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nunique_approx(): HLL approximate distinct — the 100 TB path (exact
+    distinct shuffles every key; the sketch shuffles ~KB per partition).
+    Rows-only check: sketch estimates are engine-specific by nature."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (dask uses t-digest approx; hash-checked
     queries use the exact variant per SURVEY.md §5)."""
@@ -640,6 +651,7 @@ QUERIES = {
     "cross_join": q_cross_join,
     "range_join": q_range_join,
     "agg_stats": q_agg_stats,
+    "distinct_approx": q_distinct_approx,
     "percentiles": q_percentiles,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,
