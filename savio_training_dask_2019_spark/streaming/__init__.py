@@ -1,0 +1,23 @@
+"""Structured Streaming layer (SURVEY.md §2.8 — capability extension; the
+2019 Dask reference has no streaming engine, its time-series story is batch
+resample/rolling).
+
+Design rule: every windowed transformation here is written against a plain
+DataFrame and works identically in batch and streaming mode — the batch twin
+is what the DuckDB oracle checks (queries.timeseries), and the streaming
+execution is smoke-tested in tests/test_streaming.py with file sources,
+watermarks, and availableNow triggers.
+"""
+
+from .windows import session_counts, sliding_counts, tumbling_counts, with_watermark
+from .io import file_stream, memory_sink, rate_stream
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "with_watermark",
+    "rate_stream",
+    "file_stream",
+    "memory_sink",
+]

@@ -1,0 +1,82 @@
+"""Unit tests for the expression libraries (functions.text / functions.vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.functions import (
+    as_double,
+    cosine_similarity,
+    doc_fingerprint,
+    dot,
+    l2_norm,
+    l2_normalize,
+    predict_lang,
+    punct_ratio,
+    token_count,
+    tokens,
+)
+
+
+def test_tokens_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("  a  b\tc\nd  ",)], ["text"]
+    )
+    out = [r[0] for r in df.select(tokens("text")).collect()]
+    assert out == [[], [], ["one"], ["a", "b", "c", "d"]]
+
+
+def test_token_count_and_punct(spark):
+    df = spark.createDataFrame([("a, b! c?",), ("clean words",)], ["text"])
+    rows = df.select(token_count("text").alias("n"), punct_ratio("text").alias("p")).collect()
+    assert rows[0]["n"] == 3
+    assert rows[0]["p"] == pytest.approx(3 / 8)
+    assert rows[1]["p"] == 0.0
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b c c c"), (4, "a b d")], ["i", "text"]
+    )
+    fps = [r[0] for r in df.select(doc_fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == fps[2]  # same token set
+    assert fps[3] != fps[0]
+
+
+def test_predict_lang_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it sleeps",),
+         ("le chat est sur la table et les livres",),
+         ("der hund ist ein freund und die katze",)],
+        ["text"],
+    )
+    out = [r[0] for r in df.select(predict_lang("text")).collect()]
+    assert out == ["en", "fr", "de"]
+
+
+def test_vector_math_vs_python(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        F.aggregate(l2_normalize(F.col("a")), F.lit(0.0), lambda acc, x: acc + x * x).alias("unit_sq"),
+    ).collect()[0]
+    pdot = sum(x * y for x, y in zip(a, b))
+    pna = math.sqrt(sum(x * x for x in a))
+    pnb = math.sqrt(sum(x * x for x in b))
+    assert row["dot"] == pytest.approx(pdot, rel=1e-12)
+    assert row["na"] == pytest.approx(pna, rel=1e-12)
+    assert row["cos"] == pytest.approx(pdot / (pna * pnb), rel=1e-12)
+    assert row["unit_sq"] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_as_double_preserves_float32_values(spark):
+    df = spark.createDataFrame([([0.5, 0.25],)], "arr: array<float>")
+    out = df.select(as_double(F.col("arr")).alias("d")).collect()[0]["d"]
+    assert out == [0.5, 0.25]

@@ -1,0 +1,162 @@
+"""Unit tests for the custom operators (as-of join, dedup tiers, similarity)
+on crafted micro-data where ground truth is computable by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.operators import (
+    asof_join,
+    brute_knn,
+    brute_knn_join,
+    keep_first_by_hash,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10, 0), "L1"),   # matches R@9:00
+            (1, _ts(11, 0), "L2"),   # matches R@11:00 (inclusive, same ts)
+            (1, _ts(8, 0), "L3"),    # before any right row -> null
+            (2, _ts(10, 0), "L4"),   # key with no right rows -> null
+        ],
+        ["k", "ts", "lbl"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9, 0), 90.0), (1, _ts(11, 0), 110.0), (3, _ts(9, 0), 30.0)],
+        ["k", "ts", "px"],
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(asof_frames):
+    left, right = asof_frames
+    out = {r["lbl"]: r["px"] for r in asof_join(left, right, on="k", ts="ts").collect()}
+    assert out == {"L1": 90.0, "L2": 110.0, "L3": None, "L4": None}
+
+
+def test_asof_tolerance(asof_frames):
+    left, right = asof_frames
+    out = {
+        r["lbl"]: r["px"]
+        for r in asof_join(left, right, on="k", ts="ts", tolerance="30 minutes").collect()
+    }
+    # L1's match (9:00) is 1h old -> nulled; L2's match is 0s old -> kept
+    assert out == {"L1": None, "L2": 110.0, "L3": None, "L4": None}
+
+
+def test_asof_column_collision_suffix(asof_frames):
+    left, right = asof_frames
+    left2 = left.withColumnRenamed("lbl", "px")  # collide with right payload
+    cols = asof_join(left2, right, on="k", ts="ts").columns
+    assert "px" in cols and "px_right" in cols
+
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon"),
+    (2, "alpha beta gamma delta zeta"),     # 4/6 token overlap with 1
+    (3, "alpha beta gamma delta epsilon"),  # exact dup of 1
+    (4, "totally different words here now"),
+    (5, "one two"),                          # shorter than shingle width
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keep_first(docs_df):
+    rows = keep_first_by_hash(docs_df, "text", "doc_id").collect()
+    by_copies = {r["keep_id"]: r["n_copies"] for r in rows}
+    assert by_copies[1] == 2  # docs 1 and 3 collapse, lowest id kept
+    assert len(rows) == 4
+
+
+def test_ngram_jaccard_exact_values(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, "text", "doc_id", n=3, threshold=0.1).collect()
+    }
+    # doc1 shingles {abg, bgd, gde}; doc2 {abg, bgd, gdz}: |∩|=2, |∪|=4
+    assert pairs[(1, 2)] == 0.5
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_deterministic_and_64bit(docs_df):
+    a = {r["id"]: r["simhash64"] for r in simhash(docs_df, "text", "doc_id").collect()}
+    b = {r["id"]: r["simhash64"] for r in simhash(docs_df, "text", "doc_id").collect()}
+    assert a == b
+    assert a[1] == a[3]
+    assert any(s < 0 or s >= (1 << 32) for s in a.values())
+
+
+def test_simhash_near_dup_pairs_vs_python_reference(docs_df):
+    """Differential: the band-join must return exactly the pairs a Python
+    re-implementation of 4×16-bit banding + Hamming filter derives from the
+    signatures themselves."""
+    max_h = 16
+    sigs = {r["id"]: r["simhash64"] & ((1 << 64) - 1)
+            for r in simhash(docs_df, "text", "doc_id").collect()}
+
+    def bands(s):
+        return {(b, (s >> (16 * b)) & 0xFFFF) for b in range(4)}
+
+    ids = sorted(sigs)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bands(sigs[a]) & bands(sigs[b]):
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= max_h:
+                    expected[(a, b)] = h
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(docs_df, "text", "doc_id", max_hamming=max_h).collect()}
+    assert got == expected
+    assert got[(1, 3)] == 0  # exact dups always collide in every band
+
+
+def test_minhash_finds_planted_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_near_dup_pairs(
+                 docs_df, "text", "doc_id", n=2, max_jaccard_distance=0.99).collect()}
+    assert (1, 3) in pairs
+
+
+VECS = [(i, [float(i == j) for j in range(4)]) for i in range(4)] + [
+    (10, [1.0, 0.1, 0.0, 0.0])  # near vec 0
+]
+
+
+def test_brute_knn_ranking(spark):
+    emb = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    top = brute_knn(emb, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=2, exclude_id=0).collect()
+    assert [r["id"] for r in top] == [10, 1]
+    assert top[0]["cosine"] == pytest.approx(0.99504, abs=1e-5)
+
+
+def test_brute_knn_join_topk_per_query(spark):
+    emb = spark.createDataFrame(VECS, ["vec_id", "embedding"])
+    out = brute_knn_join(emb.filter(F.col("vec_id") <= 1), emb, "embedding", "vec_id",
+                         k=2, exclude_self=True).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert set(per_q) == {0, 1}
+    assert all(len(v) == 2 for v in per_q.values())
+    assert per_q[0][0] == 10  # nearest neighbor of e0 is the planted near-dup

@@ -1,0 +1,45 @@
+"""Differential tests (SURVEY.md §5 primary strategy): every oracle-backed
+queries() entry must produce exactly the DuckDB oracle's result at sf0.001 —
+same columns, same row count, same values under order-insensitive comparison.
+This is the developer-loop twin of the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+from check_correctness import canon_df  # noqa: E402
+
+from savio_training_dask_2019_spark import queries as catalog  # noqa: E402
+
+ORACLE_BACKED = sorted(catalog.ORACLE)
+ROWS_ONLY = sorted(catalog.QUERIES.keys() - catalog.ORACLE.keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_matches_oracle(name, spark, duck, sf_dir):
+    sdf = catalog.QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(catalog.ORACLE[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    a, b = canon_df(sdf), canon_df(odf)
+    assert a == b, f"{name}: first diffs {[(x, y) for x, y in zip(a, b) if x != y][:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = catalog.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0  # runs and has a stable schema
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,61 @@
+"""Source/sink roundtrips (SURVEY.md §2.1): parquet + partitioned layout,
+CSV with explicit schema, JSON lines, pandas interchange."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.sources import (
+    from_pandas,
+    load_table,
+    read_csv,
+    read_json_lines,
+    read_text,
+    write_csv,
+    write_parquet,
+)
+from savio_training_dask_2019_spark.sources.text_json import parse_json_column
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(d, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # partition pruning: lang=en scan must touch only the en directory
+    en = back.filter(F.col("lang") == "en").select("doc_id")
+    assert en.count() == d.filter(F.col("lang") == "en").count()
+
+
+def test_csv_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    c = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "cust_csv")
+    write_csv(c, out)
+    back = read_csv(
+        spark, out,
+        schema="c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    assert back.count() == c.count()
+    assert dict(back.dtypes)["c_acctbal"] == "double"
+    assert back.agg(F.round(F.sum("c_acctbal"), 2).alias("s")).collect()[0]["s"] == \
+        c.agg(F.round(F.sum("c_acctbal"), 2).alias("s")).collect()[0]["s"]
+
+
+def test_json_lines_and_parse_column(spark, tmp_path):
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = read_json_lines(spark, str(p), schema="a bigint, b string")
+    assert [r["a"] for r in df.orderBy("a").collect()] == [1, 2]
+
+    txt = read_text(spark, str(p))
+    parsed = parse_json_column(txt, "value", "a INT, b STRING")
+    assert parsed.select(F.sum("value_parsed.a")).collect()[0][0] == 3
+
+
+def test_from_pandas_roundtrip(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    df = from_pandas(spark, pdf, npartitions=2)
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]

@@ -1,0 +1,87 @@
+"""Structured Streaming smoke tests (SURVEY.md §2.8, §5.4): the windowed
+logic itself is oracle-checked in batch mode (queries.timeseries); these
+tests cover what only a live stream can — watermark-driven late-data drop
+and the incremental execution path."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from savio_training_dask_2019_spark.streaming import (
+    file_stream,
+    memory_sink,
+    tumbling_counts,
+    with_watermark,
+)
+
+
+def _write_batch(spark, path: str, name: str, rows, mtime: float):
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
+    # FileStreamSource with availableNow+maxFilesPerTrigger=1 processes files
+    # in modification-time order — pin mtimes so batch order is deterministic
+    for root, _dirs, files in os.walk(f"{path}/{name}"):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics (empirically pinned): the watermark used in batch N
+    is computed from batches ≤ N-1, and state eviction + late-row dropping
+    take effect one batch AFTER the watermark passes a window's end — a late
+    row arriving in the same batch as the eviction still merges. So the late
+    row here arrives two batches after the watermark-advancing event."""
+    src = str(tmp_path / "stream_src")
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    now = time.time()
+    # batch 0: five on-time events inside [10:00, 11:00)
+    _write_batch(spark, src, "b1",
+                 [(t + dt.timedelta(minutes=m), 1) for m in (0, 1, 2, 3, 5)], now - 40)
+    # batch 1: event far ahead -> watermark will pass 11:00 next batch
+    _write_batch(spark, src, "b2", [(dt.datetime(2024, 1, 1, 12, 0), 1)], now - 30)
+    # batch 2: watermark now 11:30 -> [10,11) emitted + evicted this batch
+    _write_batch(spark, src, "b3", [(dt.datetime(2024, 1, 1, 12, 1), 1)], now - 20)
+    # batch 3: LATE row for the closed window -> dropped
+    _write_batch(spark, src, "b4", [(dt.datetime(2024, 1, 1, 10, 2), 1)], now - 10)
+    # batch 4: far-future row -> closes the [12,13) window too
+    _write_batch(spark, src, "b5", [(dt.datetime(2024, 1, 1, 14, 0), 1)], now - 5)
+
+    stream = file_stream(spark, f"{src}/*", "ts timestamp, user_id long")
+    agg = tumbling_counts(with_watermark(stream, "ts", "30 minutes"),
+                          ts="ts", duration="1 hour")
+    q = memory_sink(agg, "wm_test", output_mode="append", available_now=True)
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    rows = spark.sql("SELECT * FROM wm_test").collect()
+    by_start = {r["w_start"]: r["n_events"] for r in rows}
+    assert by_start == {
+        dt.datetime(2024, 1, 1, 10, 0): 5,  # late row NOT counted
+        dt.datetime(2024, 1, 1, 12, 0): 2,
+    }
+
+
+def test_streaming_grouped_counts_match_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src2")
+    t = dt.datetime(2024, 1, 2, 0, 0)
+    rows = [(t + dt.timedelta(minutes=7 * i), i % 3) for i in range(40)]
+    _write_batch(spark, src, "b1", rows, time.time() - 10)
+
+    stream = file_stream(spark, f"{src}/*", "ts timestamp, user_id long",
+                         max_files_per_trigger=None)
+    agg = tumbling_counts(with_watermark(stream, "ts", "10 minutes"),
+                          ts="ts", duration="1 hour", keys=("user_id",))
+    q = memory_sink(agg, "batch_parity", output_mode="complete", available_now=True)
+    assert q.awaitTermination(120)
+
+    streamed = {
+        (r["w_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM batch_parity").collect()
+    }
+    batch_df = tumbling_counts(
+        spark.createDataFrame(rows, "ts timestamp, user_id long"),
+        ts="ts", duration="1 hour", keys=("user_id",),
+    )
+    batch = {(r["w_start"], r["user_id"]): r["n_events"] for r in batch_df.collect()}
+    assert streamed == batch
