@@ -7,6 +7,7 @@ strategy is Catalyst's job; ours is expressing the logical plan well).
 
 from .asof import asof_join
 from .dedup import (
+    embedding_near_dup_pairs,
     exact_dedup_stats,
     keep_first_by_hash,
     minhash_near_dup_pairs,
@@ -14,6 +15,13 @@ from .dedup import (
     simhash,
     simhash_near_dup_pairs,
     word_shingles,
+)
+from .multimodal import (
+    MEDIA_META_SCHEMA,
+    decode_meta,
+    pack_payload,
+    resize_images,
+    sample_frames,
 )
 from .similarity import brute_knn, brute_knn_join, lsh_knn
 
@@ -24,9 +32,15 @@ __all__ = [
     "word_shingles",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
     "brute_knn",
     "brute_knn_join",
     "lsh_knn",
+    "MEDIA_META_SCHEMA",
+    "pack_payload",
+    "decode_meta",
+    "resize_images",
+    "sample_frames",
 ]

@@ -180,6 +180,67 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash64"))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    min_cosine: float = 0.95,
+    method: str = "brute",
+    bucket_length: float = 0.3,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= min_cosine).
+
+    ``method='brute'``: exact all-pairs scoring — O(n²) compute, only viable
+    for corpora that fit a cross join; it is the oracle-checkable tier.
+    ``method='lsh'``: the 100 TB path — unit-normalize, then
+    BucketedRandomProjectionLSH.approxSimilarityJoin with the exact threshold
+    mapping  cos(a,b) >= c  ⟺  ||â-b̂|| <= sqrt(2-2c); candidates only form
+    inside hash buckets (sub-quadratic shuffle), distances are exact, recall
+    is approximate."""
+    from ..functions.vectors import as_double, cosine_similarity, l2_normalize
+
+    if method == "brute":
+        v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 5).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= min_cosine)
+        )
+    if method == "lsh":
+        import math
+
+        from pyspark.ml.feature import BucketedRandomProjectionLSH
+        from pyspark.ml.functions import array_to_vector
+
+        unit = df.select(
+            F.col(id_col).alias("id"),
+            array_to_vector(l2_normalize(as_double(F.col(vec_col)))).alias("features"),
+        )
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="features", outputCol="hashes",
+            bucketLength=bucket_length, numHashTables=num_hash_tables, seed=seed,
+        )
+        model = lsh.fit(unit)
+        max_dist = math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0))
+        pairs = model.approxSimilarityJoin(unit, unit, max_dist, distCol="l2_dist")
+        return (
+            pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+            .select(
+                F.col("datasetA.id").alias("id_a"),
+                F.col("datasetB.id").alias("id_b"),
+                F.round(1 - F.col("l2_dist") * F.col("l2_dist") / 2, 5).alias("cosine"),
+            )
+        )
+    raise ValueError(f"unknown method {method!r}; use 'brute' or 'lsh'")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:

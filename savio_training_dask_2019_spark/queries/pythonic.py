@@ -201,6 +201,90 @@ FROM generate_series(0, 9999) t(i)
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline: pack text → BinaryType payload + meta struct
+    → Arrow-batched 'decode' (deterministic fake codec, operators.multimodal)
+    → typed per-item features. The oracle replays the fake codec arithmetic,
+    so the whole binary → mapInPandas → struct round-trip is hash-checked."""
+    from ..operators.multimodal import decode_meta, pack_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_payload(d, "text", "text/plain", "doc_id")
+    return decode_meta(packed)
+
+
+_MULTIMODAL_DECODE_SQL = """
+SELECT doc_id AS id,
+       CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+       CAST(64 + (octet_length(encode(text)) * 31 + ascii(text)) % 577 AS INTEGER) AS height,
+       (octet_length(encode(text)) * 2654435761) % 2147483648 AS checksum
+FROM documents
+"""
+
+
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (SURVEY.md §2.11): customer ⋈ orders merged
+    per key in pandas — the dask align-two-frames-by-key surface."""
+
+    def merge(key, cpdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(opdf)],
+                "acctbal": [float(cpdf["c_acctbal"].iloc[0]) if len(cpdf) else None],
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, "c_custkey long, n_orders long, acctbal double")
+    )
+
+
+_COGROUP_STATS_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders, min(c_acctbal) AS acctbal
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, SURVEY.md §2.11): 1→N row expansion of
+    documents into (pos, token) rows via LATERAL — the bag.map().flatten()
+    surface. Row-based (the slow path) by nature, so kept to a small slice;
+    the vectorized equivalent is explode(tokens(...))."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenExpand:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield i, tok
+
+    spark.udtf.register("token_expand", TokenExpand)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, u.pos, u.token FROM _udtf_docs d, LATERAL token_expand(d.text) u"
+    )
+
+
+_UDTF_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 50
+), ex AS (
+  SELECT doc_id, unnest([{'pos': i - 1, 'token': t[i]} FOR i IN range(1, len(t) + 1)]) AS u
+  FROM toks
+)
+SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.token AS token FROM ex
+"""
+
+
 QUERIES = {
     "pandas_udf_tokens": q_pandas_udf_tokens,
     "grouped_agg_pandas": q_grouped_agg_pandas,
@@ -208,6 +292,9 @@ QUERIES = {
     "map_in_pandas": q_map_in_pandas,
     "map_in_arrow": q_map_in_arrow,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "cogroup_stats": q_cogroup_stats,
+    "udtf_tokens": q_udtf_tokens,
     "fanout_compute": q_fanout_compute,
 }
 
@@ -218,5 +305,8 @@ ORACLE = {
     "map_in_pandas": _MAP_IN_PANDAS_SQL,
     "map_in_arrow": _MAP_IN_ARROW_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
+    "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "cogroup_stats": _COGROUP_STATS_SQL,
+    "udtf_tokens": _UDTF_TOKENS_SQL,
     "fanout_compute": _FANOUT_COMPUTE_SQL,
 }

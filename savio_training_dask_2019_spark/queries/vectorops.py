@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, l2_norm
+from ..operators.dedup import embedding_near_dup_pairs
 from ..operators.similarity import brute_knn, brute_knn_join, lsh_knn
 from ..sources import load_table
 
@@ -125,12 +126,37 @@ FROM embeddings
 """
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact tier (oracle-checked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id", min_cosine=0.45, method="brute")
+
+
+_EMB_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity({_DD.format(col='a.embedding')},
+                                    {_DD.format(col='b.embedding')}), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity({_DD.format(col='a.embedding')},
+                                   {_DD.format(col='b.embedding')}), 5) >= 0.45
+"""
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH tier (the sub-quadratic 100 TB path;
+    rows-only — bucket assignment is engine-specific)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "embedding", "vec_id", min_cosine=0.45, method="lsh")
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
     "knn_join": q_knn_join,
     "knn_lsh": q_knn_lsh,
     "vector_stats": q_vector_stats,
     "vector_arith": q_vector_arith,
+    "emb_near_dup": q_emb_near_dup,
+    "emb_near_dup_lsh": q_emb_near_dup_lsh,
 }
 
 ORACLE = {
@@ -139,4 +165,6 @@ ORACLE = {
     # knn_lsh: rows-only by design (engine-specific bucketing)
     "vector_stats": _VECTOR_STATS_SQL,
     "vector_arith": _VECTOR_ARITH_SQL,
+    "emb_near_dup": _EMB_NEAR_DUP_SQL,
+    # emb_near_dup_lsh: rows-only (approximate recall)
 }
