@@ -11,6 +11,7 @@ watermarks, and availableNow triggers.
 
 from .windows import session_counts, sliding_counts, tumbling_counts, with_watermark
 from .io import file_stream, memory_sink, rate_stream
+from .stateful import running_totals
 
 __all__ = [
     "tumbling_counts",
@@ -20,4 +21,5 @@ __all__ = [
     "rate_stream",
     "file_stream",
     "memory_sink",
+    "running_totals",
 ]

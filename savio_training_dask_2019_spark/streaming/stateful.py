@@ -1,0 +1,53 @@
+"""Arbitrary stateful streaming (SURVEY.md §2.8 stretch):
+``applyInPandasWithState`` — the escape hatch for operators windowed aggs
+can't express (running totals that never expire, custom session logic,
+online models).
+
+State design rules at scale: state is per-key and lives in the state store,
+so it must be O(1) per key (scalars here, never row buffers), and every
+stateful operator needs either a watermark-based timeout or an explicit
+eviction policy — unbounded key cardinality with no timeout is a memory leak
+spread across the cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_totals(
+    df: DataFrame,
+    key: str = "user_id",
+    value: str = "value",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained across micro-batches.
+
+    Works on a streaming DataFrame grouped by ``key``; state per key is two
+    scalars. In batch mode Spark runs the same function with empty initial
+    state per key, so the operator is testable both ways."""
+
+    def update(
+        key_tuple: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"{key} long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,66 @@
+"""Property-based differential tests (SURVEY.md §5.3): hypothesis-generated
+filter + aggregation combinations over lineitem must agree between Spark and
+DuckDB — the net that catches null/type-coercion semantics drift (integer
+division, null ordering, boundary comparisons) that hand-written queries
+miss.
+
+Settings are deliberately small (each example runs a Spark job + a DuckDB
+query); determinism comes from derandomize=True.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_returnflag", "l_linestatus"]
+CMP_OPS = ["<", "<=", ">", ">=", "="]
+
+filters = st.tuples(
+    st.sampled_from(NUM_COLS),
+    st.sampled_from(CMP_OPS),
+    st.floats(min_value=0.0, max_value=60.0, allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(f=filters, key=st.sampled_from(KEY_COLS), agg_col=st.sampled_from(NUM_COLS))
+def test_filter_agg_matches_duckdb(f, key, agg_col, spark, duck):
+    col, op, threshold = f
+    threshold = round(threshold, 3)
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    spark_ops = {"<": "__lt__", "<=": "__le__", ">": "__gt__", ">=": "__ge__", "=": "__eq__"}
+    pred = getattr(F.col(col), spark_ops[op])(F.lit(threshold))
+    sdf = (
+        li.filter(pred)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(agg_col), 2).alias("s"),
+            F.round(F.avg(agg_col), 4).alias("a"),
+        )
+        .toPandas()
+    )
+
+    odf = duck.execute(
+        f"""SELECT {key}, count(*) AS n, round(sum({agg_col}), 2) AS s,
+                   round(avg({agg_col}), 4) AS a
+            FROM lineitem WHERE {col} {op} {threshold}
+            GROUP BY {key}"""
+    ).df()
+
+    s = {tuple(r) for r in sdf.itertuples(index=False, name=None)}
+    o = {tuple(r) for r in odf.itertuples(index=False, name=None)}
+    assert s == o, f"{col} {op} {threshold} group {key} agg {agg_col}: {s ^ o}"

@@ -85,3 +85,34 @@ def test_streaming_grouped_counts_match_batch(spark, tmp_path):
     )
     batch = {(r["w_start"], r["user_id"]): r["n_events"] for r in batch_df.collect()}
     assert streamed == batch
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must persist across micro-batches
+    (the intermediate update row proves it was carried, not recomputed)."""
+    from savio_training_dask_2019_spark.streaming import running_totals
+
+    src = str(tmp_path / "state_src")
+    now = time.time()
+    b1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double")
+    b2 = spark.createDataFrame([(1, 2.5), (2, 1.0), (3, 7.0)], "user_id long, value double")
+    for name, df, mt in [("b1", b1, now - 20), ("b2", b2, now - 10)]:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    stream = file_stream(spark, f"{src}/*", "user_id long, value double")
+    q = memory_sink(running_totals(stream), "state_totals",
+                    output_mode="update", available_now=True)
+    assert q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM state_totals").collect()
+    updates = sorted((r["user_id"], r["n_events"], r["total_value"]) for r in rows)
+    assert (1, 2, 15.0) in updates          # after batch 1
+    assert (1, 3, 17.5) in updates          # after batch 2: state carried
+    final = {}
+    for u, n, t in updates:
+        if u not in final or n > final[u][0]:
+            final[u] = (n, t)
+    assert final == {1: (3, 17.5), 2: (2, 2.0), 3: (1, 7.0)}
