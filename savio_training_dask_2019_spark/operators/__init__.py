@@ -24,8 +24,12 @@ from .multimodal import (
     sample_frames,
 )
 from .similarity import brute_knn, brute_knn_join, lsh_knn
+from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
+    "with_salt",
+    "salted_agg",
+    "salted_join",
     "asof_join",
     "exact_dedup_stats",
     "keep_first_by_hash",

@@ -9,9 +9,10 @@ scale; Parquet footers are the only trusted inference path.
 from .parquet import FIXTURE_TABLES, load_table, load_tables
 from .text_json import read_csv, read_json_lines, read_text
 from .pandas_io import from_pandas
-from .sinks import write_csv, write_parquet
+from .sinks import write_bucketed_table, write_csv, write_parquet
 
 __all__ = [
+    "write_bucketed_table",
     "FIXTURE_TABLES",
     "load_table",
     "load_tables",

@@ -27,3 +27,32 @@ def write_parquet(
 
 def write_csv(df: DataFrame, path: str, mode: str = "error", header: bool = True) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    mode: str = "error",
+) -> None:
+    """Bucketed (hash-pre-partitioned) managed table — the co-located-join
+    layout for joins repeated on the same key: two tables bucketed on the
+    join key with the same bucket count join with ZERO shuffle (verified by
+    the plan test). At 100 TB this is the difference between re-shuffling a
+    fact table per query and paying the layout cost once at write time.
+
+    ``sort=True`` additionally sorts within buckets → sort-merge join needs
+    no sort either.
+
+    Catalog caveat: under the default in-memory catalog the table METADATA
+    (including bucketing info) lives only as long as the SparkSession, while
+    the files persist in ``spark.sql.warehouse.dir`` — a later session must
+    either re-register the table or clear the orphaned location before
+    rewriting (``saveAsTable`` refuses with LOCATION_ALREADY_EXISTS).
+    Production deployments use a persistent metastore."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").saveAsTable(name)
