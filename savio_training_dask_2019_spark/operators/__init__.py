@@ -23,6 +23,7 @@ from .multimodal import (
     resize_images,
     sample_frames,
 )
+from .linalg import gramian, project_principal, svd_singular_values
 from .similarity import brute_knn, brute_knn_join, lsh_knn
 from .skew import salted_agg, salted_join, with_salt
 
@@ -30,6 +31,9 @@ __all__ = [
     "with_salt",
     "salted_agg",
     "salted_join",
+    "gramian",
+    "svd_singular_values",
+    "project_principal",
     "asof_join",
     "exact_dedup_stats",
     "keep_first_by_hash",

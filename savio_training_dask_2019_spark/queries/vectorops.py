@@ -157,8 +157,21 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, "embedding", "vec_id", min_cosine=0.45, method="lsh")
 
 
+def q_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 singular values of the embedding matrix (dask.array
+    ``da.linalg.svd`` surface via RowMatrix; rows-only — no SQL oracle can
+    eigendecompose, correctness is pytest-checked against numpy)."""
+    from ..operators.linalg import svd_singular_values
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return svd_singular_values(emb, "embedding", k=10).select(
+        "rank", F.round("sigma", 4).alias("sigma")
+    )
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
+    "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
     "knn_lsh": q_knn_lsh,
     "vector_stats": q_vector_stats,
