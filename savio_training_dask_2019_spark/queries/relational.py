@@ -29,17 +29,20 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
+    # price sums reach ~1e10 at sf0.1; cross-engine summation-order noise is
+    # ~1e-3 absolute there, so these round at 1 decimal (quantity sums are
+    # ~1e6 and keep 2) — mirrored exactly in the oracle
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias(
             "sum_disc_price"
         ),
         F.round(
             F.sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ),
-            2,
+            1,
         ).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -51,9 +54,9 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_GROUPBY_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(sum(l_extendedprice), 1)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 1)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 1)      AS sum_charge,
        round(avg(l_quantity), 4)                                            AS avg_qty,
        round(avg(l_extendedprice), 4)                                       AS avg_price,
        round(avg(l_discount), 4)                                            AS avg_disc,
@@ -141,12 +144,12 @@ def q_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_extendedprice"), 1).alias("sum_price"),
     )
 
 
 _SAMPLE_MOD_SQL = """
-SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+SELECT count(*) AS n_rows, round(sum(l_extendedprice), 1) AS sum_price
 FROM lineitem WHERE l_orderkey % 10 = 0
 """
 
