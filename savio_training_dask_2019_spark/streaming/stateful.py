@@ -8,6 +8,14 @@ so it must be O(1) per key (scalars here, never row buffers), and every
 stateful operator needs either a watermark-based timeout or an explicit
 eviction policy — unbounded key cardinality with no timeout is a memory leak
 spread across the cluster.
+
+Note on ``transformWithStateInPandas`` (the newer typed-state API,
+ValueState/ListState/MapState + RocksDB): present in this PySpark build but
+its streaming Python driver worker requires the ``protobuf`` package, which
+is broken in this container (``google.protobuf.descriptor`` import fails) —
+verified empirically 2026-08-13. ``applyInPandasWithState`` below is the
+supported arbitrary-stateful path here; the TWS upgrade is mechanical once
+the dependency exists.
 """
 
 from __future__ import annotations
