@@ -8,7 +8,10 @@ analysis extensions (§2.12) as reusable expressions.
 from .vectors import as_double, cosine_similarity, dot, l2_norm, l2_normalize
 from .text import (
     avg_word_len,
+    bpe_pre_tokens,
+    bpe_token_count,
     doc_fingerprint,
+    rolling_fingerprint,
     lang_scores,
     predict_lang,
     punct_ratio,
@@ -25,6 +28,9 @@ __all__ = [
     "cosine_similarity",
     "tokens",
     "token_count",
+    "bpe_pre_tokens",
+    "bpe_token_count",
+    "rolling_fingerprint",
     "avg_word_len",
     "stopword_ratio",
     "punct_ratio",

@@ -61,6 +61,41 @@ def punct_ratio(text: Column | str) -> Column:
     return F.length(stripped).cast("double") / F.greatest(F.length(col), F.lit(1))
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs Java regex and
+# RE2 (the DuckDB oracle) interpret identically: contractions, letter runs
+# (with optional leading space), digit runs, punctuation runs.
+BPE_PRETOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_pre_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization (the unit a BPE tokenizer would merge
+    within): regexp_extract_all with a GPT-2-shaped pattern. Stays JVM-side;
+    the count approximates LLM token counts far better than whitespace."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_pre_tokens(text))
+
+
+def rolling_fingerprint(text: Column | str, base: int = 1000003) -> Column:
+    """Order-SENSITIVE document fingerprint via a polynomial rolling hash
+    over per-token xxhash64 values: h = (h*base + hash(tok)) mod (2³¹−1).
+    The explicit Mersenne modulus keeps every intermediate < 2⁵², so the
+    fold is ANSI-safe (no long overflow) and portable. Unlike
+    doc_fingerprint (bag-of-words), swapped tokens change the value;
+    computed in one JVM fold per doc — the cheap shard-stable dedup key for
+    ordered content at scale."""
+    p = F.lit(2147483647).cast("long")  # 2^31 - 1
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base).cast("long") + F.pmod(F.xxhash64(t), p), p),
+    )
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Two documents with the same bag of words collide — the classic

@@ -12,10 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    BPE_PRETOKEN_RE,
     avg_word_len,
+    bpe_token_count,
     doc_fingerprint,
     predict_lang,
     punct_ratio,
+    rolling_fingerprint,
     stopword_ratio,
     token_count,
     tokens,
@@ -209,8 +212,43 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=12)
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token accounting: BPE-style pre-token counts per language (the
+    regex tier of 'token counting: whitespace + a BPE-ish regex')."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(bpe_token_count("text")).cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.avg(bpe_token_count("text").cast("double") / F.greatest(token_count("text"), F.lit(1))),
+            4,
+        ).alias("bpe_per_word"),
+    )
+
+
+# the pattern contains a single quote → doubled for the SQL string literal
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+
+_BPE_TOKEN_STATS_SQL = f"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT) AS total_bpe_tokens,
+       round(avg(CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS DOUBLE)
+                 / greatest(len({_DUCK_TOKENS}), 1)), 4) AS bpe_per_word
+FROM documents GROUP BY lang
+"""
+
+
+def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per doc (rows-only: the
+    polynomial fold uses Spark's xxhash64, which no SQL oracle shares;
+    order-sensitivity and determinism are pytest-pinned)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("rfp"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "bpe_token_stats": q_bpe_token_stats,
+    "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
     "wordcount": q_wordcount,
@@ -224,6 +262,8 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": _TEXT_STATS_SQL,
+    "bpe_token_stats": _BPE_TOKEN_STATS_SQL,
+    # rolling_fp: rows-only (engine-specific hash)
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
     "wordcount": _WORDCOUNT_SQL,

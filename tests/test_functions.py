@@ -80,3 +80,29 @@ def test_as_double_preserves_float32_values(spark):
     df = spark.createDataFrame([([0.5, 0.25],)], "arr: array<float>")
     out = df.select(as_double(F.col("arr")).alias("d")).collect()[0]["d"]
     assert out == [0.5, 0.25]
+
+
+def test_bpe_pre_tokens_vs_python_re(spark):
+    import re
+
+    from savio_training_dask_2019_spark.functions import bpe_pre_tokens
+    from savio_training_dask_2019_spark.functions.text import BPE_PRETOKEN_RE
+
+    samples = ["don't stop", "hello world123!", "a,b ,, c42d", "  spaced  out  "]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    got = [r[0] for r in df.select(bpe_pre_tokens("text")).collect()]
+    want = [re.findall(BPE_PRETOKEN_RE, s) for s in samples]
+    assert got == want
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from savio_training_dask_2019_spark.functions import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c"), (4, "")], ["i", "text"]
+    )
+    fp = {r["i"]: r["f"] for r in df.select("i", rolling_fingerprint("text").alias("f")).collect()}
+    assert fp[1] == fp[3]          # deterministic
+    assert fp[1] != fp[2]          # order matters (unlike doc_fingerprint)
+    assert fp[4] == 0              # empty doc -> identity
+    assert all(0 <= v < 2**31 - 1 for v in fp.values())
