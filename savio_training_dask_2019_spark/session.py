@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # floor on scan splits: small inputs (one sub-128MB file) otherwise
+        # scan single-task; at cluster scale "min splits ≈ default
+        # parallelism" is the same correct floor (measured: 1.6x on the
+        # sf0.1 headline aggregate)
+        .config("spark.sql.files.minPartitionNum", str(shuffle))
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
