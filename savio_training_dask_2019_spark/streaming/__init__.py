@@ -9,7 +9,13 @@ execution is smoke-tested in tests/test_streaming.py with file sources,
 watermarks, and availableNow triggers.
 """
 
-from .windows import session_counts, sliding_counts, tumbling_counts, with_watermark
+from .windows import (
+    dedup_within_watermark,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    with_watermark,
+)
 from .io import file_stream, memory_sink, rate_stream
 from .stateful import running_totals
 
@@ -18,6 +24,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "with_watermark",
+    "dedup_within_watermark",
     "rate_stream",
     "file_stream",
     "memory_sink",

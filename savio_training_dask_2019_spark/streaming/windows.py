@@ -25,6 +25,19 @@ def with_watermark(df: DataFrame, ts: str, delay: str) -> DataFrame:
     return df.withWatermark(ts, delay)
 
 
+def dedup_within_watermark(
+    df: DataFrame, keys: Sequence[str], ts: str = "ts", delay: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup: keep the first row per key, with state bounded by
+    the watermark horizon (keys older than the horizon are evicted, so a
+    re-delivered event outside the window is NOT deduped — the standard
+    at-least-once → effectively-once compromise). On a batch DataFrame this
+    degrades to plain dropDuplicates semantics over the whole input."""
+    if df.isStreaming:
+        return df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
 def tumbling_counts(
     df: DataFrame, ts: str = "ts", duration: str = "6 hours",
     keys: Sequence[str] = (),

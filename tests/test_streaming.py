@@ -116,3 +116,37 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         if u not in final or n > final[u][0]:
             final[u] = (n, t)
     assert final == {1: (3, 17.5), 2: (2, 2.0), 3: (1, 7.0)}
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Streaming dedup: a key re-delivered in a later micro-batch (inside the
+    watermark horizon) is dropped and the FIRST value wins; the batch-mode
+    fallback degrades to plain dropDuplicates."""
+    from savio_training_dask_2019_spark.streaming import dedup_within_watermark
+
+    src = str(tmp_path / "sdedup_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    now = time.time()
+    b1 = spark.createDataFrame(
+        [(1, t0, 1.0), (2, t0 + dt.timedelta(minutes=1), 2.0)],
+        "event_id long, ts timestamp, value double")
+    b2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=2), 99.0), (3, t0 + dt.timedelta(minutes=3), 3.0)],
+        "event_id long, ts timestamp, value double")
+    for name, df, mt in [("b1", b1, now - 20), ("b2", b2, now - 10)]:
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    stream = file_stream(spark, f"{src}/*", "event_id long, ts timestamp, value double")
+    q = memory_sink(dedup_within_watermark(stream, ["event_id"], delay="30 minutes"),
+                    "sdedup_t", output_mode="append", available_now=True)
+    assert q.awaitTermination(120)
+    rows = {r["event_id"]: r["value"] for r in spark.sql("SELECT * FROM sdedup_t").collect()}
+    assert rows == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    bdf = spark.createDataFrame(
+        [(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)],
+        "event_id long, ts timestamp, value double")
+    assert dedup_within_watermark(bdf, ["event_id"]).count() == 2
