@@ -24,7 +24,7 @@ from .multimodal import (
     sample_frames,
 )
 from .linalg import gramian, project_principal, svd_singular_values
-from .similarity import brute_knn, brute_knn_join, lsh_knn
+from .similarity import brute_knn, brute_knn_join, ivf_knn, lsh_knn
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
@@ -46,6 +46,7 @@ __all__ = [
     "brute_knn",
     "brute_knn_join",
     "lsh_knn",
+    "ivf_knn",
     "MEDIA_META_SCHEMA",
     "pack_payload",
     "decode_meta",

@@ -78,6 +78,55 @@ def brute_knn_join(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivf_knn(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) partitioning: k-means coarse
+    quantizer (``nlist`` cells) over unit-normalized vectors, then scan only
+    the ``nprobe`` cells nearest the query. The scan fraction is
+    ~``nprobe/nlist`` — the classic ANN scale path alongside LSH.
+
+    At 100 TB the assignment is a narrow map (model broadcast by ml), and
+    production layouts WRITE the corpus partitioned by cell id so a probe
+    reads only its cells' files (partition pruning); here the cell filter
+    plays that role. Recall is approximate (pytest-checked vs brute);
+    distances within probed cells are exact."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__raw"),
+        array_to_vector(l2_normalize(as_double(F.col(vec_col)))).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(unit)
+    assigned = model.transform(unit)
+
+    qv = np.asarray(query_vec, dtype="float64")
+    qv = qv / np.linalg.norm(qv)
+    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in model.clusterCenters()]
+    probe_cells = [int(i) for i in np.argsort(dists)[:nprobe]]
+
+    cand = assigned.filter(F.col("prediction").isin(probe_cells))
+    q = F.lit([float(x) for x in query_vec])
+    return (
+        cand.select(
+            "id",
+            F.round(cosine_similarity(as_double(F.col("__raw")), q), 5).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def lsh_knn(
     df: DataFrame,
     vec_col: str,

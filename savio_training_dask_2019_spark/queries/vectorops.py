@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, l2_norm
 from ..operators.dedup import embedding_near_dup_pairs
-from ..operators.similarity import brute_knn, brute_knn_join, lsh_knn
+from ..operators.similarity import brute_knn, brute_knn_join, ivf_knn, lsh_knn
 from ..sources import load_table
 
 # DuckDB: cast float32 list → double list before any math, mirroring as_double.
@@ -86,6 +86,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return lsh_knn(emb, "embedding", "vec_id", qv, k=10)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell) approximate NN — the second ANN scale path
+    (rows-only: cell assignment is model-specific; recall pytest-checked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivf_knn(emb, "embedding", "vec_id", qv, k=10, nlist=16, nprobe=8)
 
 
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +182,7 @@ QUERIES = {
     "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "vector_stats": q_vector_stats,
     "vector_arith": q_vector_arith,
     "emb_near_dup": q_emb_near_dup,

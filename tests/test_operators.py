@@ -160,3 +160,23 @@ def test_brute_knn_join_topk_per_query(spark):
     assert set(per_q) == {0, 1}
     assert all(len(v) == 2 for v in per_q.values())
     assert per_q[0][0] == 10  # nearest neighbor of e0 is the planted near-dup
+
+
+def test_ivf_knn_recall_increases_with_nprobe(spark):
+    """IVF ANN: probing all cells must reproduce brute-force exactly, and
+    recall must be usable at partial probe (the nprobe/nlist scan-fraction
+    tradeoff the operator exists for)."""
+    from savio_training_dask_2019_spark.operators import ivf_knn
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = list(emb.filter("vec_id = 0").first()["embedding"])
+    brute_ids = [r["id"] for r in
+                 brute_knn(emb, "embedding", "vec_id", qv, k=10, exclude_id=0).collect()]
+
+    def ivf_ids(nprobe):
+        rows = ivf_knn(emb, "embedding", "vec_id", qv, k=11, nlist=16, nprobe=nprobe).collect()
+        return [r["id"] for r in rows if r["id"] != 0][:10]
+
+    assert set(ivf_ids(16)) == set(brute_ids)      # full probe == exact
+    assert len(set(ivf_ids(8)) & set(brute_ids)) >= 5   # partial probe is useful
