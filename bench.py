@@ -5,9 +5,10 @@ and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol matches BASELINE.md: warm run timed (each query executes twice; the
-second execution is recorded), collect() included. Per-query keys use the
-BASELINE.md row names so the judge can compare 1:1.
+Protocol matches BASELINE.md: one untimed warmup execution, then the MIN of 2
+timed warm executions is recorded (damps scheduler noise; stated identically
+in BASELINE.md), collect() included. Per-query keys use the BASELINE.md row
+names so the judge can compare 1:1.
 """
 
 from __future__ import annotations
@@ -37,6 +38,11 @@ HEADLINE = {
     "semi_join": "semi_join",
     "text_tokens": "text_stats",
     "knn_brute": "knn_brute",
+    # LLM-pipeline dedup tier (the 100 TB workhorses; first measured r3)
+    "ngram_jaccard": "ngram_jaccard",
+    "minhash_pairs": "minhash_pairs",
+    "simhash_pairs": "simhash_pairs",
+    "emb_near_dup_lsh": "emb_near_dup_lsh",
 }
 
 

@@ -22,13 +22,22 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, key_cols: Sequence[str], n_salts: int = 16) -> DataFrame:
-    """Deterministic salt in [0, n_salts): hash of the full row's key cols
-    plus a fast non-cryptographic spreader over a monotonic id would be
-    nondeterministic across retries — so the salt hashes the row's OTHER
-    attributes via ``spark_partition_id``-free xxhash64 over all columns,
-    which is stable for identical input rows."""
+    """Deterministic salt in [0, n_salts) that spreads a hot key's rows by
+    hashing the row's NON-key attributes (xxhash64). Two rows of the same hot
+    key with any differing attribute land in different buckets, and identical
+    input rows always hash identically — stable under task retry (no
+    ``rand()``/``monotonically_increasing_id``, which are indeterminate
+    across stage re-attempts and can double-count on shuffle replays).
+
+    Residual limitation (by design): rows that are *fully identical
+    duplicates* — same key AND same non-key attributes — collide on one salt
+    and are not spread. Exact-duplicate count skew needs a dedup or a
+    count-pre-aggregation first; see SCALING.md. If every column is a key
+    column the salt degenerates to hash-of-key (one bucket per key value)."""
+    others = [c for c in df.columns if c not in set(key_cols)]
+    basis = others or list(df.columns)
     return df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in basis]), F.lit(n_salts))
     )
 
 
@@ -79,10 +88,19 @@ def salted_join(
     once per salt value, join on (key, salt). The hot key's rows land on
     ``n_salts`` reducers instead of one. Cost: small side shuffles
     ``n_salts``× its size — use only when the small side is modest and the
-    skew is real (otherwise plain broadcast or AQE wins)."""
-    s = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
-    )
+    skew is real (otherwise plain broadcast or AQE wins).
+
+    Only skewed-side-preserving joins are safe: with ``right``/``full``,
+    unmatched small-side rows were replicated ``n_salts`` times and would
+    appear ``n_salts`` times in the output, so those are rejected."""
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+            "left_anti", "leftanti", "semi", "anti"}
+    if how not in safe:
+        raise ValueError(
+            f"salted_join how={how!r} unsupported: the small side is replicated "
+            f"per salt, so only skewed-side-preserving joins are correct ({sorted(safe)})"
+        )
+    s = with_salt(skewed, [on], n_salts)
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
     )

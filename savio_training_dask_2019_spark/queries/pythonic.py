@@ -216,7 +216,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MULTIMODAL_DECODE_SQL = """
 SELECT doc_id AS id,
        CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
-       CAST(64 + (octet_length(encode(text)) * 31 + ascii(text)) % 577 AS INTEGER) AS height,
+       -- first *UTF-8 byte* of the payload (not ascii()'s codepoint-of-first-
+       -- char, which diverges on multibyte text): hex of byte 1 -> int
+       CAST(64 + (octet_length(encode(text)) * 31
+                  + CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                         ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS INTEGER)
+                    END) % 577 AS INTEGER) AS height,
        (octet_length(encode(text)) * 2654435761) % 2147483648 AS checksum
 FROM documents
 """

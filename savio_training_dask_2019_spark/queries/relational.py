@@ -639,6 +639,61 @@ FROM events GROUP BY event_type
 """
 
 
+def q_describe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/dask ``df.describe()`` analog (SURVEY §2.4): per-column count /
+    mean / stddev / min / max over the lineitem numerics, one row per column.
+
+    Implemented as a single-pass multi-aggregate (one partial+final hash agg;
+    the shuffle payload is exactly one row of 20 scalars) followed by a
+    ``stack`` unpivot — NOT Spark's built-in ``df.describe()``, which casts
+    every statistic to string and would break typed schema checks. One scan,
+    one shuffle, regardless of row count: scale-safe at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_count"),
+            F.round(F.avg(c), 4).alias(f"{c}_mean"),
+            F.round(F.stddev(c), 4).alias(f"{c}_std"),
+            F.round(F.min(c), 2).alias(f"{c}_min"),
+            F.round(F.max(c), 2).alias(f"{c}_max"),
+        ]
+    row = li.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}_count, {c}_mean, {c}_std, {c}_min, {c}_max" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked})"
+            " AS (col_name, n_count, mean, std, min_val, max_val)"
+        )
+    )
+
+
+_DESCRIBE_SUMMARY_SQL = """
+SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_count,
+       round(avg(l_quantity), 4) AS mean, round(stddev(l_quantity), 4) AS std,
+       round(min(l_quantity), 2) AS min_val, round(max(l_quantity), 2) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(l_extendedprice),
+       round(avg(l_extendedprice), 4), round(stddev(l_extendedprice), 4),
+       round(min(l_extendedprice), 2), round(max(l_extendedprice), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(l_discount),
+       round(avg(l_discount), 4), round(stddev(l_discount), 4),
+       round(min(l_discount), 2), round(max(l_discount), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(l_tax),
+       round(avg(l_tax), 4), round(stddev(l_tax), 4),
+       round(min(l_tax), 2), round(max(l_tax), 2)
+FROM lineitem
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -661,6 +716,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,
+    "describe_summary": q_describe_summary,
     "window_rank": q_window_rank,
     "lag_lead": q_lag_lead,
     "rolling_avg": q_rolling_avg,
@@ -691,6 +747,7 @@ ORACLE = {
     "percentiles": _PERCENTILES_SQL,
     "corr_cov": _CORR_COV_SQL,
     "cube_agg": _CUBE_AGG_SQL,
+    "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "window_rank": _WINDOW_RANK_SQL,
     "lag_lead": _LAG_LEAD_SQL,
     "rolling_avg": _ROLLING_AVG_SQL,

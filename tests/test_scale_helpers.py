@@ -43,6 +43,35 @@ def test_with_salt_bounded_and_deterministic(spark, sf_dir):
     assert a == b  # same input rows -> same salts (retry-safe)
 
 
+def test_with_salt_spreads_hot_key(spark, sf_dir):
+    # one hot key, rows differing only in a non-key attribute: the salt must
+    # hash the NON-key columns so the hot key's rows spread across buckets
+    hot = spark.range(1000).select(
+        F.lit(42).alias("k"), F.col("id").alias("payload")
+    )
+    n_buckets = (
+        with_salt(hot, ["k"], n_salts=8)
+        .select("__salt").distinct().count()
+    )
+    assert n_buckets == 8
+
+
+def test_with_salt_identical_rows_collide_documented(spark, sf_dir):
+    # the documented residual: fully-identical duplicate rows share one salt
+    dup = spark.range(100).select(F.lit(42).alias("k"), F.lit("same").alias("v"))
+    assert with_salt(dup, ["k"], n_salts=8).select("__salt").distinct().count() == 1
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    small = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="skewed-side-preserving"):
+            salted_join(c, small, "c_nationkey", how=how)
+
+
 def test_salted_join_equals_plain(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     small = load_table(spark, sf_dir, "nation").select(
