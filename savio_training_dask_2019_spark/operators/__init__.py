@@ -24,7 +24,17 @@ from .multimodal import (
     sample_frames,
 )
 from .linalg import gramian, project_principal, svd_singular_values
-from .similarity import brute_knn, brute_knn_join, ivf_knn, lsh_knn
+from .similarity import (
+    IVFIndex,
+    brute_knn,
+    brute_knn_join,
+    build_ivf_index,
+    ivf_knn,
+    ivf_query,
+    lsh_knn,
+    probe_cells_for,
+    write_ivf_corpus,
+)
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
@@ -47,6 +57,11 @@ __all__ = [
     "brute_knn_join",
     "lsh_knn",
     "ivf_knn",
+    "IVFIndex",
+    "build_ivf_index",
+    "ivf_query",
+    "probe_cells_for",
+    "write_ivf_corpus",
     "MEDIA_META_SCHEMA",
     "pack_payload",
     "decode_meta",

@@ -78,6 +78,106 @@ def brute_knn_join(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+class IVFIndex:
+    """A built IVF (inverted-file) index: the fitted k-means coarse quantizer
+    plus the cell-assigned corpus. Build ONCE (a full clustering + assignment
+    job), query MANY times (each query scans ~``nprobe/nlist`` of the data).
+
+    ``assigned`` columns: (id, __raw original vector, cell). It is persisted
+    by default so repeated queries don't re-run the assignment; call
+    ``unpersist()`` when done. For a production 100 TB layout, write it out
+    with ``write_ivf_corpus`` (``partitionBy("cell")``) so a probe prunes
+    whole files instead of filtering rows."""
+
+    def __init__(self, model, assigned: DataFrame, persisted: bool):
+        self.model = model
+        self.assigned = assigned
+        self._persisted = persisted
+
+    @property
+    def centers(self):
+        return self.model.clusterCenters()
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self.assigned.unpersist()
+            self._persisted = False
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nlist: int = 16,
+    seed: int = 42,
+    persist: bool = True,
+) -> IVFIndex:
+    """Fit the IVF coarse quantizer (k-means, ``nlist`` cells) over
+    unit-normalized vectors and assign every corpus row to its cell.
+
+    This is the expensive step — a clustering job over the corpus — and is
+    deliberately separate from :func:`ivf_query` so it runs once per corpus,
+    not once per query (an index *build*, not a lookup). The assignment
+    itself is a narrow map (the fitted model is broadcast by Spark ML)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__raw"),
+        array_to_vector(l2_normalize(as_double(F.col(vec_col)))).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(unit)
+    assigned = model.transform(unit).select(
+        "id", "__raw", F.col("prediction").alias("cell")
+    )
+    if persist:
+        assigned = assigned.persist()
+    return IVFIndex(model, assigned, persisted=persist)
+
+
+def probe_cells_for(index: IVFIndex, query_vec: list[float], nprobe: int) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids are nearest the (normalized)
+    query — driver-side math over nlist centroids, O(nlist·dim)."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    qv = qv / np.linalg.norm(qv)
+    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in index.centers]
+    return [int(i) for i in np.argsort(dists)[:nprobe]]
+
+
+def ivf_query(
+    index: IVFIndex,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a built :class:`IVFIndex`: scan only the
+    ``nprobe`` cells nearest the query (~``nprobe/nlist`` of the corpus),
+    exact cosine within the probed cells, TakeOrderedAndProject top-k.
+    Recall grows with nprobe (pytest-pinned vs brute force)."""
+    cells = probe_cells_for(index, query_vec, nprobe)
+    q = F.lit([float(x) for x in query_vec])
+    return (
+        index.assigned.filter(F.col("cell").isin(cells))
+        .select(
+            "id",
+            F.round(cosine_similarity(as_double(F.col("__raw")), q), 5).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def write_ivf_corpus(index: IVFIndex, path: str) -> None:
+    """Materialize the assigned corpus ``partitionBy("cell")`` — the
+    production layout where an ``ivf_query`` probe's ``cell IN (...)`` filter
+    becomes a partition filter and unprobed cells' files are never read
+    (plan-pinned in tests/test_similarity.py)."""
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def ivf_knn(
     df: DataFrame,
     vec_col: str,
@@ -88,43 +188,12 @@ def ivf_knn(
     nprobe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate NN via IVF (inverted-file) partitioning: k-means coarse
-    quantizer (``nlist`` cells) over unit-normalized vectors, then scan only
-    the ``nprobe`` cells nearest the query. The scan fraction is
-    ~``nprobe/nlist`` — the classic ANN scale path alongside LSH.
-
-    At 100 TB the assignment is a narrow map (model broadcast by ml), and
-    production layouts WRITE the corpus partitioned by cell id so a probe
-    reads only its cells' files (partition pruning); here the cell filter
-    plays that role. Recall is approximate (pytest-checked vs brute);
-    distances within probed cells are exact."""
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    unit = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__raw"),
-        array_to_vector(l2_normalize(as_double(F.col(vec_col)))).alias("features"),
-    )
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(unit)
-    assigned = model.transform(unit)
-
-    qv = np.asarray(query_vec, dtype="float64")
-    qv = qv / np.linalg.norm(qv)
-    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in model.clusterCenters()]
-    probe_cells = [int(i) for i in np.argsort(dists)[:nprobe]]
-
-    cand = assigned.filter(F.col("prediction").isin(probe_cells))
-    q = F.lit([float(x) for x in query_vec])
-    return (
-        cand.select(
-            "id",
-            F.round(cosine_similarity(as_double(F.col("__raw")), q), 5).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    """One-shot convenience: build (unpersisted) + single query. For any
+    repeated-query workload use :func:`build_ivf_index` once and
+    :func:`ivf_query` per lookup — this wrapper pays the clustering job on
+    every call."""
+    index = build_ivf_index(df, vec_col, id_col, nlist=nlist, seed=seed, persist=False)
+    return ivf_query(index, query_vec, k=k, nprobe=nprobe)
 
 
 def lsh_knn(

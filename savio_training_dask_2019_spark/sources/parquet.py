@@ -42,8 +42,12 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 # files and re-reads footers on every call, which costs ~100-1000× the
 # execution time of a warm small-SF query. Memoizing the resolved DataFrame
 # reuses the file index + schema exactly like a real catalog's table entry;
-# no DATA is cached (plans stay lazy), so this is safe at any scale.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# no DATA is cached (plans stay lazy), so this is safe at any scale. Bounded
+# LRU: 64 entries ≈ several SF dirs × 10 tables; a service cycling through
+# many dirs evicts oldest instead of leaking.
+from ..cache import BoundedCache
+
+_TABLE_CACHE: BoundedCache[tuple[str, str, str], DataFrame] = BoundedCache(capacity=64)
 
 
 def _nanos_to_ts_ntz(df: DataFrame, col: str) -> DataFrame:
@@ -68,7 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = _nanos_to_ts_ntz(df, col)
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE.put(key, df)
     return df
 
 

@@ -180,3 +180,50 @@ def test_ivf_knn_recall_increases_with_nprobe(spark):
 
     assert set(ivf_ids(16)) == set(brute_ids)      # full probe == exact
     assert len(set(ivf_ids(8)) & set(brute_ids)) >= 5   # partial probe is useful
+
+
+def test_ivf_build_once_query_many(spark):
+    """The build/query split: one index build serves many probes, and a probe
+    against the built index matches the one-shot ivf_knn wrapper exactly."""
+    from savio_training_dask_2019_spark.operators import (
+        build_ivf_index, ivf_knn, ivf_query,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = build_ivf_index(emb, "embedding", "vec_id", nlist=16)
+    try:
+        for vid in (0, 1):
+            qv = list(emb.filter(f"vec_id = {vid}").first()["embedding"])
+            split = [(r["id"], r["cosine"]) for r in
+                     ivf_query(index, qv, k=10, nprobe=8).collect()]
+            oneshot = [(r["id"], r["cosine"]) for r in
+                       ivf_knn(emb, "embedding", "vec_id", qv,
+                               k=10, nlist=16, nprobe=8).collect()]
+            assert split == oneshot
+    finally:
+        index.unpersist()
+
+
+def test_ivf_partitioned_corpus_prunes_files(spark, tmp_path):
+    """write_ivf_corpus lays the corpus out partitionBy(cell); a probe's
+    `cell IN (...)` must become a partition filter (file pruning), not a
+    row filter — the 100 TB cost model for IVF."""
+    from savio_training_dask_2019_spark.operators import (
+        build_ivf_index, probe_cells_for, write_ivf_corpus,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = build_ivf_index(emb, "embedding", "vec_id", nlist=8, persist=False)
+    path = str(tmp_path / "ivf_corpus")
+    write_ivf_corpus(index, path)
+
+    qv = list(emb.filter("vec_id = 0").first()["embedding"])
+    cells = probe_cells_for(index, qv, nprobe=2)
+    probe = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    # and the pruned scan reads only the probed cells' rows
+    expected = index.assigned.filter(F.col("cell").isin(cells)).count()
+    assert probe.count() == expected
