@@ -8,7 +8,7 @@ scale; Parquet footers are the only trusted inference path.
 
 from .parquet import FIXTURE_TABLES, load_table, load_tables
 from .text_json import read_csv, read_json_lines, read_text
-from .pandas_io import from_pandas
+from .pandas_io import from_iterator, from_pandas
 from .sinks import write_bucketed_table, write_csv, write_parquet
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "read_json_lines",
     "read_text",
     "from_pandas",
+    "from_iterator",
     "write_parquet",
     "write_csv",
 ]

@@ -12,8 +12,9 @@ spread across the cluster.
 Note on ``transformWithStateInPandas`` (the newer typed-state API,
 ValueState/ListState/MapState + RocksDB): present in this PySpark build but
 its streaming Python driver worker requires the ``protobuf`` package, which
-is broken in this container (``google.protobuf.descriptor`` import fails) —
-verified empirically 2026-08-13. ``applyInPandasWithState`` below is the
+is absent in this container (round 2: ``google.protobuf.descriptor`` import
+failed; round-3 re-probe 2026-08-13: the ``google`` package is missing
+entirely). ``applyInPandasWithState`` below is the
 supported arbitrary-stateful path here; the TWS upgrade is mechanical once
 the dependency exists.
 """

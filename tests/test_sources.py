@@ -7,6 +7,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from savio_training_dask_2019_spark.sources import (
+    from_iterator,
     from_pandas,
     load_table,
     read_csv,
@@ -59,3 +60,17 @@ def test_from_pandas_roundtrip(spark):
     df = from_pandas(spark, pdf, npartitions=2)
     assert df.rdd.getNumPartitions() == 2
     assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_from_iterator_roundtrip(spark):
+    it = ((i, f"row{i}") for i in range(10))  # a generator, like from_delayed
+    df = from_iterator(spark, it, "k long, v string", npartitions=3)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.schema.simpleString() == "struct<k:bigint,v:string>"
+    assert sorted(r["k"] for r in df.collect()) == list(range(10))
+
+
+def test_from_iterator_empty_keeps_schema(spark):
+    df = from_iterator(spark, [], "k long, v string")
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<k:bigint,v:string>"
