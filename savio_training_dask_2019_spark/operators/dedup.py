@@ -207,17 +207,36 @@ def embedding_near_dup_pairs(
     bucket_length: float = 0.3,
     num_hash_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
+    projs_per_table: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= min_cosine).
 
     ``method='brute'``: exact all-pairs scoring — O(n²) compute, only viable
     for corpora that fit a cross join; it is the oracle-checkable tier.
-    ``method='lsh'``: the 100 TB path — unit-normalize, then
-    BucketedRandomProjectionLSH.approxSimilarityJoin with the exact threshold
-    mapping  cos(a,b) >= c  ⟺  ||â-b̂|| <= sqrt(2-2c); candidates only form
-    inside hash buckets (sub-quadratic shuffle), distances are exact, recall
-    is approximate."""
-    from ..functions.vectors import as_double, cosine_similarity, l2_normalize
+    ``method='lsh'``: pyspark.ml BucketedRandomProjectionLSH with the exact
+    threshold mapping  cos(a,b) >= c  ⟺  ||â-b̂|| <= sqrt(2-2c); candidates
+    only form inside hash buckets (sub-quadratic shuffle), distances exact,
+    recall approximate.
+    ``method='rp'``: random-projection bucket LSH hand-rolled as pure
+    DataFrame expressions — project each unit vector onto fixed unit
+    hyperplanes (driver-side numpy, seeded), bucket = floor(proj/
+    bucket_length); a table's key is the tuple of ``projs_per_table``
+    buckets (AND-amplification — mllib's BRP-LSH has only the OR dimension),
+    tables are OR'd; candidates share a (table, key), exact cosine on
+    candidates. Same cost model as 'lsh' (one candidate-join shuffle,
+    sub-quadratic) but stays in column math end-to-end — no VectorUDT
+    boxing, no ml fit job — and the AND knob is what makes pruning real at
+    near-dup thresholds.
+
+    Physics note (pinned by tests): LSH pruning exists only when matching
+    pairs are much closer than random pairs. For ~uniform random vectors,
+    pairwise cosine is ~N(0, 1/√dim); a "near-dup" threshold in that noise
+    tail (e.g. 0.45 at dim=64) makes every bucketing scheme either keep
+    ~all pairs or lose the tail — use the brute tier there. LSH is for true
+    near-dups (cos ≥ ~0.9), where recall stays high while candidates
+    collapse."""
+    from ..functions.vectors import as_double, cosine_similarity, dot, l2_normalize
 
     if method == "brute":
         v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
@@ -256,7 +275,64 @@ def embedding_near_dup_pairs(
                 F.round(1 - F.col("l2_dist") * F.col("l2_dist") / 2, 5).alias("cosine"),
             )
         )
-    raise ValueError(f"unknown method {method!r}; use 'brute' or 'lsh'")
+    if method == "rp":
+        import numpy as np
+
+        if dim is None:
+            # one 1-row driver lookup to size the hyperplanes; pass dim
+            # explicitly in repeated-call services to skip it
+            dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        # UNIT hyperplanes (mllib convention): projections of unit vectors
+        # then have std ~1/sqrt(dim), which is what bucket_length is sized
+        # against. Standard-normal planes would scale projections by
+        # ~sqrt(dim) and silently change the bucket geometry.
+        planes = rng.standard_normal((num_hash_tables, projs_per_table, dim))
+        planes = planes / np.linalg.norm(planes, axis=2, keepdims=True)
+
+        unit = df.select(
+            F.col(id_col).alias("id"),
+            l2_normalize(as_double(F.col(vec_col))).alias("v"),
+        ).persist()  # read 3×: band explode + two vector re-joins
+        # one LONG key per table: xxhash64 over (table, the per-projection
+        # bucket ids). A single long joins through codegen'd hash exchange;
+        # an array<bigint> key would fall off the fast path. Hash collisions
+        # only ADD candidates, and the exact-cosine filter removes them.
+        keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(t),
+                    *[
+                        F.floor(
+                            dot(F.col("v"), F.lit([float(x) for x in planes[t, p]]))
+                            / F.lit(float(bucket_length))
+                        )
+                        for p in range(projs_per_table)
+                    ],
+                )
+                for t in range(num_hash_tables)
+            ]
+        )
+        exploded = unit.select("id", F.explode(keys).alias("key"))
+        a, b = exploded.alias("a"), exploded.alias("b")
+        # ids only through the candidate join + dedup (narrow rows); vectors
+        # re-attach afterwards — the wide payload never rides the pair shuffle
+        cand = (
+            a.join(b, "key")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        vb = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), 5))
+            .filter(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine")
+        )
+    raise ValueError(f"unknown method {method!r}; use 'brute', 'lsh', or 'rp'")
 
 
 def simhash_near_dup_pairs(

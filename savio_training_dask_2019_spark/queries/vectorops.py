@@ -184,10 +184,41 @@ WHERE round(list_cosine_similarity({_DD.format(col='a.embedding')},
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, LSH tier (the sub-quadratic 100 TB path;
-    rows-only — bucket assignment is engine-specific)."""
+    """Embedding near-dup, LSH tier (sub-quadratic 100 TB path; rows-only —
+    bucket assignment is scheme-specific).
+
+    The fixture embeddings are isotropic noise (max pairwise cosine ≈0.6 at
+    sf0.1: there are NO genuine near-dups, and in that regime no bucketing
+    scheme can separate a loose-threshold tail from random pairs — see
+    embedding_near_dup_pairs physics note). So the demo does what a real
+    dedup pass sees: corpus ∪ near-duplicate copies — the first 50 vectors
+    deterministically perturbed to cosine ≈0.985 — then the hand-rolled
+    sign-band rp tier at a REAL near-dup threshold (0.9). Each planted pair
+    must come back (recall pytest-pinned ≥ 48/50); random pairs are pruned
+    by the 8-bit AND bands before any cosine is computed."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, "embedding", "vec_id", min_cosine=0.45, method="lsh")
+    v = as_double(F.col("embedding"))
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            v, lambda x, i: x + 0.03 * F.sin(F.col("vec_id") * 64 + i)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", v.alias("embedding")).unionByName(planted)
+    return embedding_near_dup_pairs(
+        corpus,
+        "embedding",
+        "vec_id",
+        min_cosine=0.9,
+        method="rp",
+        # bucket_length >> |proj| → floor(proj/w) degenerates to the SIGN of
+        # the projection: classic sign-SRP banding (8-bit AND per table, 6
+        # tables OR'd). P(candidate) for a random pair = (1/2)^8 per table.
+        bucket_length=1e6,
+        num_hash_tables=6,
+        projs_per_table=8,
+        dim=64,
+    ).orderBy("id_a", "id_b")
 
 
 def q_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

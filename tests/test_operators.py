@@ -12,12 +12,14 @@ from savio_training_dask_2019_spark.operators import (
     asof_join,
     brute_knn,
     brute_knn_join,
+    embedding_near_dup_pairs,
     keep_first_by_hash,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
 )
+from savio_training_dask_2019_spark.sources import load_table
 
 
 def _ts(h, m=0):
@@ -180,6 +182,31 @@ def test_ivf_knn_recall_increases_with_nprobe(spark):
 
     assert set(ivf_ids(16)) == set(brute_ids)      # full probe == exact
     assert len(set(ivf_ids(8)) & set(brute_ids)) >= 5   # partial probe is useful
+
+
+def test_rp_lsh_finds_planted_near_dups_and_prunes(spark):
+    """Hand-rolled sign-band rp-LSH: every planted near-dup pair (cos≈0.985)
+    must survive banding at a real near-dup threshold, with no false
+    positives after the exact-cosine filter — the 100 TB dedup semantics the
+    loose-threshold noise-tail regime cannot express (see operator docs)."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    rows = QUERIES["emb_near_dup_lsh"](spark, "/root/testdata/sf0.001").collect()
+    planted = {(r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + 1_000_000}
+    assert len(planted) >= 48  # ≥48/50 planted pairs recalled (sign-band LSH)
+    assert all(r.cosine >= 0.9 for r in rows)  # exact filter: no false pos
+
+
+def test_rp_lsh_matches_brute_above_threshold(spark):
+    """rp candidates are scored with exact cosine, so rp ∩ truth == rp: every
+    returned pair must also be in the brute-force truth set."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", min_cosine=0.3, method="brute").collect()}
+    rp = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", min_cosine=0.3, method="rp",
+        bucket_length=1e6, num_hash_tables=6, projs_per_table=4).collect()}
+    assert rp <= brute
 
 
 def test_ivf_build_once_query_many(spark):
