@@ -7,6 +7,7 @@ strategy is Catalyst's job; ours is expressing the logical plan well).
 
 from .asof import asof_join
 from .dedup import (
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup_stats,
     keep_first_by_hash,
@@ -49,6 +50,7 @@ __all__ = [
     "keep_first_by_hash",
     "word_shingles",
     "ngram_jaccard_pairs",
+    "connected_components",
     "minhash_near_dup_pairs",
     "embedding_near_dup_pairs",
     "simhash",

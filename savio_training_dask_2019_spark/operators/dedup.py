@@ -335,6 +335,67 @@ def embedding_near_dup_pairs(
     raise ValueError(f"unknown method {method!r}; use 'brute', 'lsh', or 'rp'")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS: (id, cluster_id) where
+    cluster_id is the minimum id reachable through the pair graph — the step
+    that turns any pairwise dedup tier's output into "keep one doc per
+    cluster".
+
+    Min-label propagation: every node starts as its own label; each round
+    takes the min of its own and its neighbors' labels; stop at fixpoint
+    (checked with a 1-number driver count per round) or ``max_iter``.
+    Rounds needed = graph diameter — near-dup clusters are small and dense
+    (a handful of rounds), which is why this simple loop is the right scale
+    choice here; corpora with long chain topologies want the large-star/
+    small-star variant (alternating contraction, O(log n) rounds) instead.
+    Each round is two shuffles (neighbor-min groupBy + label join) over
+    (id, label) longs only; previous labels are unpersisted as soon as the
+    next round materializes."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
+    )
+    labels = (
+        sym.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("label"))
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["b"] == labels["id"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["id"] == nbr["a"], "left")
+                .select(
+                    F.col("id"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    finally:
+        sym.unpersist()
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:

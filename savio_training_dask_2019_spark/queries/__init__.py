@@ -99,7 +99,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "json_extract",
     # timeseries (§2.5, §2.8 batch twins)
     "time_bucket",
-    "dt_accessors",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -107,10 +106,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # text / dedup / similarity (§2.12 LLM-pipeline tier)
     "text_stats",
     "lang_id",
-    "wordcount",
+    "doc_tfidf",
     "dedup_keep_first",
     "doc_fingerprint",
     "ngram_jaccard",
+    "dedup_clusters",
     "minhash_pairs",
     "simhash_pairs",
     "knn_brute",

@@ -8,7 +8,7 @@ drop empties). The approximate tiers are rows-only by contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -24,6 +24,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_dedup_stats,
     keep_first_by_hash,
     minhash_near_dup_pairs,
@@ -199,6 +200,103 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """
 
 
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-3 terms per doc for doc_id < 5 (the classic
+    keyword-extraction surface over the documents table).
+
+    Document frequency aggregates over the WHOLE corpus (one groupBy(term)
+    whose payload is one long per distinct term); per-doc TF is computed only
+    for the output docs (filter pushed below the join). The corpus size joins
+    in as a broadcast 1-row aggregate — no driver round-trip. Ties are
+    impossible across engines: tfidf is equal only for equal integer (tf,
+    df), and those ties break on the term string."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 5)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"))
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
+_DOC_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+WHERE doc_id < 5
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, term) <= 3
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: the step a real dedup pipeline runs AFTER any
+    pairwise tier — collapse near-dup pairs into connected components so one
+    canonical doc survives per cluster. Edges here are the exact n-gram
+    Jaccard pairs; cluster_id is the min reachable doc_id (min-label
+    propagation, operators.dedup.connected_components). Oracle: DuckDB
+    recursive CTE computing the same min-reachable id."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t) - 1, 1))]
+         )) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM edges
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates (approximate → rows-only check)."""
     d = load_table(spark, sf_dir, "documents")
@@ -256,6 +354,8 @@ QUERIES = {
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
+    "doc_tfidf": q_doc_tfidf,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
 }
@@ -271,6 +371,8 @@ ORACLE = {
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "doc_tfidf": _DOC_TFIDF_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     # minhash_pairs / simhash_pairs: intentionally no oracle (approximate /
     # engine-specific hash) → driver records rows-only checks.
 }

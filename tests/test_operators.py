@@ -184,6 +184,20 @@ def test_ivf_knn_recall_increases_with_nprobe(spark):
     assert len(set(ivf_ids(8)) & set(brute_ids)) >= 5   # partial probe is useful
 
 
+def test_connected_components_chain_triangle_pair(spark):
+    """Min-label propagation must label a 4-node chain (worst diameter), a
+    triangle, and an isolated pair all by their min member id."""
+    from savio_training_dask_2019_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_rp_lsh_finds_planted_near_dups_and_prunes(spark):
     """Hand-rolled sign-band rp-LSH: every planted near-dup pair (cos≈0.985)
     must survive banding at a real near-dup threshold, with no false
