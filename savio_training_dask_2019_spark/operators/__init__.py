@@ -11,8 +11,10 @@ from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup_stats,
     keep_first_by_hash,
+    minhash_banded_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    shingle_array,
     simhash,
     simhash_near_dup_pairs,
     word_shingles,
@@ -51,7 +53,9 @@ __all__ = [
     "word_shingles",
     "ngram_jaccard_pairs",
     "connected_components",
+    "minhash_banded_pairs",
     "minhash_near_dup_pairs",
+    "shingle_array",
     "embedding_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",

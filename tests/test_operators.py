@@ -133,6 +133,25 @@ def test_simhash_near_dup_pairs_vs_python_reference(docs_df):
     assert got[(1, 3)] == 0  # exact dups always collide in every band
 
 
+def test_minhash_banded_matches_exact_jaccard_set(spark):
+    """Hand-rolled minhash banding must recall every exact-Jaccard pair
+    (J>=0.5) on the fixture corpus, with signature estimates within the
+    16-hash sampling error of the exact Jaccard."""
+    from savio_training_dask_2019_spark.operators import (
+        minhash_banded_pairs, ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.5).collect()}
+    banded = {(r.id_a, r.id_b): 1 - r.jaccard_dist
+              for r in minhash_banded_pairs(
+                  d, "text", "doc_id", 3, max_jaccard_distance=0.7).collect()}
+    assert set(exact) <= set(banded)  # full recall of the J>=0.5 truth set
+    for pair, j in exact.items():
+        assert abs(banded[pair] - j) <= 0.4  # 16-hash estimate, ~3σ bound
+
+
 def test_minhash_finds_planted_dups(docs_df):
     pairs = {(r["id_a"], r["id_b"])
              for r in minhash_near_dup_pairs(
