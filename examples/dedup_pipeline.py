@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data dedup pipeline over the documents fixture —
+the composition the individual tiers exist for (SCALING.md "LLM-pipeline
+operators"): each stage bounds the next stage's candidate set, and the final
+output is one canonical doc per near-dup cluster plus quality/token columns.
+
+    PYTHONPATH=. python examples/dedup_pipeline.py [sf_dir]
+
+Stages (cheapest first, 100 TB shapes noted inline):
+
+  1. exact dedup         — one shuffle on a 128-bit content hash
+  2. near-dup pairs      — MinHash banding (sub-quadratic bucket join)
+  3. cluster collapse    — connected components (min-label propagation)
+  4. canonical selection — keep min doc_id per cluster
+  5. quality + tokens    — narrow JVM column math, no shuffle
+
+At 100 TB every stage is the same plan, just with the inverted-index /
+banding knobs (max_df, bands) sized per SCALING.md.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from savio_training_dask_2019_spark.functions.text import (
+        predict_lang,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from savio_training_dask_2019_spark.operators import (
+        connected_components,
+        keep_first_by_hash,
+        minhash_banded_pairs,
+    )
+    from savio_training_dask_2019_spark.session import get_spark
+    from savio_training_dask_2019_spark.sources import load_table
+
+    spark = get_spark(app_name="dedup-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. exact tier: collapse byte-identical copies (keep lowest doc_id)
+    exact = keep_first_by_hash(docs, "text", "doc_id")
+    survivors = docs.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n_exact = survivors.count()
+
+    # 2. near-dup pairs on the survivors (minhash banding, sub-quadratic)
+    pairs = minhash_banded_pairs(
+        survivors, "text", "doc_id", n=3, max_jaccard_distance=0.5
+    )
+
+    # 3. pairs -> clusters (min-label propagation; cluster_id = min doc_id)
+    clusters = connected_components(pairs)
+
+    # 4. canonical = the cluster label itself; drop other cluster members
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    canonical = survivors.join(drop, "doc_id", "left_anti")
+    n_final = canonical.count()
+
+    # 5. per-doc quality + token features on the kept corpus (narrow, no
+    #    shuffle: everything is JVM column math over the scan)
+    final = canonical.select(
+        "doc_id",
+        "lang",
+        predict_lang(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+    stats = final.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+    ).first()
+
+    print(f"input docs:          {n_docs}")
+    print(f"after exact dedup:   {n_exact}")
+    print(f"after near-dup:      {n_final}")
+    print(
+        f"kept corpus:         {stats['docs']} docs, {stats['tokens']} tokens, "
+        f"avg stopword ratio {stats['avg_stopword_ratio']}"
+    )
+    final.orderBy("doc_id").show(5, truncate=60)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
