@@ -64,3 +64,50 @@ def test_filter_agg_matches_duckdb(f, key, agg_col, spark, duck):
     s = {tuple(r) for r in sdf.itertuples(index=False, name=None)}
     o = {tuple(r) for r in odf.itertuples(index=False, name=None)}
     assert s == o, f"{col} {op} {threshold} group {key} agg {agg_col}: {s ^ o}"
+
+
+# --- connected components vs a union-find reference -------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+    min_size=1,
+    max_size=25,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+def _uf_clusters(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(edges, spark):
+    """Min-label propagation over arbitrary hypothesis-generated graphs
+    (self-loops, duplicate edges, multiple components, chains) must agree
+    with a driver-side union-find on every node's cluster id."""
+    from savio_training_dask_2019_spark.operators import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]  # drop self-loops, like pairs do
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == _uf_clusters(edges)
