@@ -150,3 +150,45 @@ def test_dedup_within_watermark_across_batches(spark, tmp_path):
         [(1, t0, 1.0), (1, t0, 1.0), (2, t0, 2.0)],
         "event_id long, ts timestamp, value double")
     assert dedup_within_watermark(bdf, ["event_id"]).count() == 2
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """LLM-pipeline quality filtering on a live stream: the text-quality
+    features are stateless JVM column math, so the same expressions run
+    unchanged over readStream and must agree with batch on identical data."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.functions.text import (
+        stopword_ratio,
+        token_count,
+    )
+    from savio_training_dask_2019_spark.streaming import file_stream, memory_sink
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (i, ("the quick brown fox jumps over the lazy dog " * (1 + i % 4)).strip())
+        for i in range(30)
+    ] + [(100 + i, "x") for i in range(5)]  # too-short docs to be filtered
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+
+    def quality(frame):
+        scored = frame.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.round(stopword_ratio(F.col("text")), 4).alias("sw_ratio"),
+        )
+        return scored.filter(F.col("n_tokens") >= 9)
+
+    stream = file_stream(spark, f"{src}/*", "doc_id long, text string",
+                         max_files_per_trigger=None)
+    q = memory_sink(quality(stream), "quality_stream", output_mode="append",
+                    available_now=True)
+    assert q.awaitTermination(120)
+
+    streamed = {(r["doc_id"], r["n_tokens"], r["sw_ratio"])
+                for r in spark.sql("SELECT * FROM quality_stream").collect()}
+    batch = {(r["doc_id"], r["n_tokens"], r["sw_ratio"])
+             for r in quality(df).collect()}
+    assert streamed == batch
+    assert len(streamed) == 30  # the five 1-token docs were filtered
