@@ -29,13 +29,16 @@ from .multimodal import (
 from .linalg import gramian, project_principal, svd_singular_values
 from .similarity import (
     IVFIndex,
+    RPIndex,
     brute_knn,
     brute_knn_join,
     build_ivf_index,
+    build_rp_index,
     ivf_knn,
     ivf_query,
     lsh_knn,
     probe_cells_for,
+    rp_query,
     write_ivf_corpus,
 )
 from .skew import salted_agg, salted_join, with_salt
@@ -68,6 +71,9 @@ __all__ = [
     "ivf_query",
     "probe_cells_for",
     "write_ivf_corpus",
+    "RPIndex",
+    "build_rp_index",
+    "rp_query",
     "MEDIA_META_SCHEMA",
     "pack_payload",
     "decode_meta",

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine_similarity, l2_normalize
+from ..functions.vectors import as_double, cosine_similarity, dot, l2_normalize
 
 
 def brute_knn(
@@ -194,6 +194,109 @@ def ivf_knn(
     every call."""
     index = build_ivf_index(df, vec_col, id_col, nlist=nlist, seed=seed, persist=False)
     return ivf_query(index, query_vec, k=k, nprobe=nprobe)
+
+
+class RPIndex:
+    """A built sign-band random-projection index for ANN point lookups:
+    fixed unit hyperplanes + the banded corpus (one packed long key per
+    (table, doc)) + the unit-normalized vectors, both persisted. Build once,
+    probe many — the LSH twin of :class:`IVFIndex`'s build/query split.
+
+    Keys pack WITHOUT hashing (table index in the high bits, sign bits
+    below), so a query's band keys are computable driver-side with numpy —
+    a probe is a `key IN (...)` filter over the banded corpus, no join."""
+
+    def __init__(self, planes, bands: DataFrame, unit: DataFrame):
+        self.planes = planes  # (num_tables, bits, dim), unit rows
+        self.bands = bands  # (key long, id)
+        self.unit = unit  # (id, v array<double>)
+
+    def unpersist(self) -> None:
+        self.bands.unpersist()
+        self.unit.unpersist()
+
+
+def build_rp_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_tables: int = 8,
+    bits: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> RPIndex:
+    """Build the sign-band index: per table, ``bits`` sign bits of the unit
+    vector's projections onto fixed unit hyperplanes, packed into one long
+    (table << 32 | bits). One narrow map over the corpus — no shuffle."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, bits, dim))
+    planes = planes / np.linalg.norm(planes, axis=2, keepdims=True)
+
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        l2_normalize(as_double(F.col(vec_col))).alias("v"),
+    ).persist()
+    # one SQL literal for the planes (py4j-cheap); data-driven band packing
+    planes_sql = "array(%s)" % ",".join(
+        "array(%s)"
+        % ",".join("array(%s)" % ",".join(f"{float(x)!r}D" for x in p) for p in tbl)
+        for tbl in planes
+    )
+    keys = F.transform(
+        F.expr(planes_sql),
+        lambda tbl, t: F.aggregate(
+            F.zip_with(
+                tbl,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda plane, p: F.when(
+                    dot(F.col("v"), plane) > 0,
+                    F.call_function("shiftleft", F.lit(1).cast("long"), p),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            (t.cast("long") * F.lit(1 << 32).cast("long")),
+            lambda acc, x: acc.bitwiseOR(x),
+        ),
+    )
+    bands = unit.select("id", F.explode(keys).alias("key")).persist()
+    return RPIndex(planes, bands, unit)
+
+
+def rp_query(
+    index: RPIndex,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """ANN point lookup against a built :class:`RPIndex`: the query's band
+    keys are computed DRIVER-SIDE (numpy signs over num_tables × bits
+    projections — O(tables·bits·dim) scalar math), the probe is a
+    ``key IN (...)`` filter over the banded corpus (touches only matching
+    buckets — sub-linear, no join, no shuffle before the top-k), then exact
+    cosine + TakeOrderedAndProject over the candidates. Recall is the LSH
+    tradeoff (more tables / fewer bits → more candidates), pytest-pinned vs
+    brute force."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    qv = qv / np.linalg.norm(qv)
+    num_tables, bits, _ = index.planes.shape
+    qkeys = []
+    for t in range(num_tables):
+        sign_bits = (index.planes[t] @ qv) > 0
+        packed = (t << 32) | int(sum(1 << p for p in range(bits) if sign_bits[p]))
+        qkeys.append(packed)
+
+    cand = index.bands.filter(F.col("key").isin(qkeys)).select("id").distinct()
+    q = F.lit([float(x) for x in qv])
+    return (
+        cand.join(index.unit, "id")
+        .select("id", F.round(cosine_similarity(F.col("v"), q), 5).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
 
 
 def lsh_knn(

@@ -242,6 +242,37 @@ def test_rp_lsh_matches_brute_above_threshold(spark):
     assert rp <= brute
 
 
+def test_rp_index_point_lookup(spark):
+    """Sign-band rp ANN index: build once, probe with driver-side band keys.
+    A planted near-dup of the query (cos≈0.985) must come back at the top,
+    and every returned cosine must equal the brute-force exact value."""
+    from savio_training_dask_2019_spark.operators import (
+        brute_knn, build_rp_index, rp_query,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999_999).alias("vec_id"),
+        F.transform(v, lambda x, i: x + 0.03 * F.sin(i)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", v.alias("embedding")).unionByName(planted)
+
+    index = build_rp_index(corpus, "embedding", "vec_id", num_tables=8, bits=12)
+    try:
+        qv = list(emb.filter("vec_id = 0").first()["embedding"])
+        got = rp_query(index, qv, k=5).collect()
+        ids = [r["id"] for r in got]
+        assert ids[0] == 0  # the query vector itself is in the corpus
+        assert 999_999 in ids[:2]  # planted near-dup found via bucket probe
+        brute = {r["id"]: r["cosine"] for r in
+                 brute_knn(corpus, "embedding", "vec_id", qv, k=600).collect()}
+        for r in got:
+            assert r["cosine"] == brute[r["id"]]  # candidates scored exactly
+    finally:
+        index.unpersist()
+
+
 def test_ivf_build_once_query_many(spark):
     """The build/query split: one index build serves many probes, and a probe
     against the built index matches the one-shot ivf_knn wrapper exactly."""
