@@ -308,6 +308,10 @@ def embedding_near_dup_pairs(
     boxing, no ml fit job — and the AND knob is what makes pruning real at
     near-dup thresholds.
 
+    Parameter scope: ``bucket_length``/``num_hash_tables``/``seed`` apply to
+    'lsh' and 'rp'; ``projs_per_table``/``dim`` apply to 'rp' only; 'brute'
+    uses none of them.
+
     Physics note (pinned by tests): LSH pruning exists only when matching
     pairs are much closer than random pairs. For ~uniform random vectors,
     pairwise cosine is ~N(0, 1/√dim); a "near-dup" threshold in that noise
@@ -360,7 +364,13 @@ def embedding_near_dup_pairs(
         if dim is None:
             # one 1-row driver lookup to size the hyperplanes; pass dim
             # explicitly in repeated-call services to skip it
-            dim = len(df.select(vec_col).first()[0])
+            first = df.select(vec_col).first()
+            if first is None or first[0] is None:
+                raise ValueError(
+                    "embedding_near_dup_pairs(method='rp'): cannot infer vector "
+                    "dim from an empty corpus; pass dim= explicitly"
+                )
+            dim = len(first[0])
         rng = np.random.default_rng(seed)
         # UNIT hyperplanes (mllib convention): projections of unit vectors
         # then have std ~1/sqrt(dim), which is what bucket_length is sized
@@ -447,7 +457,9 @@ def connected_components(
     small-star variant (alternating contraction, O(log n) rounds) instead.
     Each round is two shuffles (neighbor-min groupBy + label join) over
     (id, label) longs only; previous labels are unpersisted as soon as the
-    next round materializes."""
+    next round materializes. The RETURNED frame stays persisted (its lineage
+    is the whole iteration chain — recomputing it would replay every round);
+    call ``.unpersist()`` on it when done."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -231,7 +231,13 @@ def build_rp_index(
     import numpy as np
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "build_rp_index: cannot infer vector dim from an empty corpus; "
+                "pass dim= explicitly"
+            )
+        dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables, bits, dim))
     planes = planes / np.linalg.norm(planes, axis=2, keepdims=True)
