@@ -50,3 +50,40 @@ def test_knn_brute_no_shuffle_before_topk(spark, sf_dir):
     # scoring is a narrow map over the scan; top-k is TakeOrdered, not Sort
     assert "TakeOrderedAndProject" in plan
     assert plans.shuffle_count(df) == 0
+
+
+def test_ngram_jaccard_bounded_shuffles(spark, sf_dir):
+    """The inverted-index form: index build + pair count + size agg, with
+    the size joins broadcast — if a refactor reintroduces the self-join
+    shape (5 shuffles, 4 scans) this pins the regression."""
+    df = QUERIES["ngram_jaccard"](spark, sf_dir)
+    assert plans.shuffle_count(df) <= 4
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_describe_summary_single_shuffle(spark, sf_dir):
+    # single-pass multi-aggregate: one exchange of exactly one row
+    df = QUERIES["describe_summary"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 1
+
+
+def test_rp_near_dup_ids_only_pair_shuffle(spark, sf_dir):
+    """The rp tier's candidate join must shuffle ids+keys only — the vector
+    payload re-joins after dedup. A plan carrying the array<double> column
+    through the pair exchange would show 'v' inside an Exchange subtree
+    before the dedup aggregate."""
+    from savio_training_dask_2019_spark.operators import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", min_cosine=0.9, method="rp",
+        bucket_length=1e6, num_hash_tables=2, projs_per_table=4, dim=64,
+    )
+    plan = plans.formatted_plan(df)
+    dedup_nodes = [
+        b for b in plan.split("\n\n")
+        if "HashAggregate" in b and "Keys [2]: [id_a" in b
+    ]
+    assert dedup_nodes, "pair-dedup HashAggregate not found in plan"
+    for node in dedup_nodes:
+        assert "Input [2]:" in node  # ids only — no vector payload columns
