@@ -1,0 +1,30 @@
+"""The examples are product surface (the 'switching guide' and the composed
+dedup pipeline) — smoke-run them at sf0.001 so refactors can't silently
+break them."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name: str):
+    path = os.path.join(REPO, "examples", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dedup_pipeline_example_runs(spark, capsys):
+    _load("dedup_pipeline").main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "after near-dup:" in out and "kept corpus:" in out
+
+
+def test_tutorial_parity_example_runs(spark, capsys):
+    _load("tutorial_parity").main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "complete" in out
