@@ -465,8 +465,15 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .persist()
     )
+    # round 0 fused into init: label = min(own id, min direct neighbor) —
+    # one shuffle instead of an identity round plus its convergence check
     labels = (
-        sym.select("a").distinct().select(F.col("a").alias("id"), F.col("a").alias("label"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("nb")).alias("label"),
+        )
     ).persist()
     try:
         for _ in range(max_iter):
