@@ -111,3 +111,47 @@ def test_connected_components_matches_union_find(edges, spark):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
     assert got == _uf_clusters(edges)
+
+
+# --- join parity ------------------------------------------------------------
+
+key_ranges = st.tuples(
+    st.integers(min_value=0, max_value=1000),
+    st.integers(min_value=0, max_value=4000),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(kr=key_ranges, how=st.sampled_from(["inner", "left_semi", "left_anti"]))
+def test_filtered_join_matches_duckdb(kr, how, spark, duck):
+    """customer⋈orders under hypothesis-chosen key-range filters must agree
+    with DuckDB for inner/semi/anti — join-type semantics at the boundary
+    (empty sides, no matches, full overlap) included."""
+    lo, hi = min(kr), max(kr)
+    c = load_table(spark, SF_DIR, "customer").filter(F.col("c_custkey").between(lo, hi))
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    if how == "inner":
+        sdf = c.join(o, "c_custkey").groupBy("c_custkey").count()
+        sql = f"""SELECT c_custkey, count(*) AS count FROM customer
+                  JOIN orders ON o_custkey = c_custkey
+                  WHERE c_custkey BETWEEN {lo} AND {hi} GROUP BY 1"""
+    elif how == "left_semi":
+        sdf = c.join(o, "c_custkey", "left_semi").select("c_custkey")
+        sql = f"""SELECT c_custkey FROM customer
+                  WHERE c_custkey BETWEEN {lo} AND {hi}
+                  AND c_custkey IN (SELECT o_custkey FROM orders)"""
+    else:
+        sdf = c.join(o, "c_custkey", "left_anti").select("c_custkey")
+        sql = f"""SELECT c_custkey FROM customer
+                  WHERE c_custkey BETWEEN {lo} AND {hi}
+                  AND c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+    s = sorted(tuple(r) for r in sdf.collect())
+    o_rows = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert s == o_rows, f"{how} {lo}-{hi}"
