@@ -521,11 +521,18 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling(window=4).mean() per supplier over ship order; rows-frame window
-    streams within each partition — no per-key materialization at scale."""
+    streams within each partition — no per-key materialization at scale.
+
+    The ORDER BY must be a TOTAL order for a ROWS frame to be deterministic:
+    the synthetic lineitem duplicates (l_orderkey, l_linenumber) — unlike
+    real TPC-H — and at sf0.1 one (suppkey, shipdate, orderkey, linenumber)
+    collision made frame membership run-to-run nondeterministic (caught by
+    the r3 sf0.1 stress gate). l_extendedprice as the final key makes any
+    remaining ties interchangeable rows, so every frame sum is stable."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-3, 0)
     )
     return li.select(
@@ -539,7 +546,8 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_AVG_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(avg(l_extendedprice) OVER (
-         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_price
 FROM lineitem
 """
