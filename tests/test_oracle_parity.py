@@ -43,3 +43,25 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_unpivot_melt_matches_duckdb(spark, duck, sf_dir):
+    """pandas/dask melt surface via Spark's native DataFrame.unpivot —
+    differential-checked against the equivalent UNION ALL."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    sdf = p.unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "metric", "value"
+    ).toPandas()
+    odf = duck.execute(
+        """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'p_retailprice', p_retailprice FROM part"""
+    ).df()
+    assert len(sdf) == len(odf)
+    assert canon_df(sdf) == canon_df(odf)
