@@ -23,9 +23,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import pythonic, relational, textops, timeseries, vectorops
+from . import llmpipe, pythonic, relational, textops, timeseries, vectorops
 
-_MODULES = (relational, timeseries, textops, vectorops, pythonic)
+_MODULES = (relational, timeseries, textops, vectorops, pythonic, llmpipe)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -80,6 +80,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_decode",
     # round-3 additions
     "describe_summary",
+    "decontam_check",
+    "gopher_quality",
+    "pack_sequences",
+    "mixture_sample",
+    "dup_ngram_ratio",
     # relational core (driver-green r2; one representative per §2 family)
     "select_filter",
     "derived_column",
@@ -87,15 +92,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "distinct",
     "set_ops",
     "join_3way",
-    "join_outer",
     "semi_join",
-    "anti_join",
-    "range_join",
     "agg_stats",
     "cube_agg",
     "window_rank",
-    "rolling_avg",
-    "string_funcs",
     "json_extract",
     # timeseries (§2.5, §2.8 batch twins)
     "time_bucket",
