@@ -58,8 +58,17 @@ def get_spark(
         # floor on scan splits: small inputs (one sub-128MB file) otherwise
         # scan single-task; at cluster scale "min splits ≈ default
         # parallelism" is the same correct floor (measured: 1.6x on the
-        # sf0.1 headline aggregate)
-        .config("spark.sql.files.minPartitionNum", str(shuffle))
+        # sf0.1 headline aggregate). Floor = cores, not 2x: the floor only
+        # exists to occupy every core on a single-file scan, and doubling it
+        # just doubles empty-split scheduling overhead on small files
+        # (row-group granularity caps real splits anyway).
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # let AQE re-plan shuffles that feed or read persisted plans —
+        # without this a .persist() freezes its shuffle partitioning, so
+        # coalescing never fires around cached dedup indexes (measured 3.5x
+        # on ngram_jaccard: its tiny cached inverted index otherwise pins
+        # 64 near-empty tasks per downstream stage)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
