@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-corpus preparation over the documents fixture —
+the stage that follows dedup_pipeline.py (SCALING.md "Corpus-prep tier"):
+take a deduplicated corpus through decontamination, quality gating,
+mixture-weighted sampling, and sequence packing, ending with the per-bin
+layout a tokenizer sharder would consume.
+
+    PYTHONPATH=. python examples/corpus_prep.py [sf_dir]
+
+Stages (each one scan + at most one shuffle; 100 TB shapes noted inline):
+
+  1. decontaminate  — drop docs sharing a word 5-gram with the eval split
+                      (eval shingles broadcast; corpus never replicated)
+  2. quality gate   — Gopher-style rules, pure JVM column math
+  3. mixture sample — per-language keep-rate via deterministic hash gate
+  4. pack           — concat-and-chunk into 2048-token bins (two-phase
+                      cumsum: no partition ever holds the whole corpus)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from savio_training_dask_2019_spark.functions.text import token_count
+    from savio_training_dask_2019_spark.queries import llmpipe
+    from savio_training_dask_2019_spark.session import get_spark
+    from savio_training_dask_2019_spark.sources import load_table
+
+    spark = get_spark(app_name="corpus-prep")
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. decontamination: flag docs overlapping the held-out split
+    contaminated = llmpipe.q_decontam_check(spark, sf_dir).select("doc_id")
+    clean = docs.join(contaminated, "doc_id", "left_anti")
+    n_clean = clean.count()
+
+    # 2. quality gate (per-language pass rates, then the surviving docs)
+    gate = llmpipe.q_gopher_quality(spark, sf_dir)
+    print("quality pass rates by lang:")
+    for r in sorted(gate.collect(), key=lambda r: r["lang"]):
+        print(f"  {r['lang']}: {r['n_pass']}/{r['n_docs']} ({r['pass_rate']:.1%})")
+
+    # 3. mixture-weighted sampling (deterministic hash gate per language)
+    mix = {r["lang"]: r for r in llmpipe.q_mixture_sample(spark, sf_dir).collect()}
+    rates = spark.createDataFrame(
+        [(lang, r["rate_pct"]) for lang, r in mix.items()], "lang string, rate_pct int"
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(40503), F.lit(100))
+    sampled = (
+        clean.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("rate_pct"))
+        .drop("rate_pct")
+    )
+    n_sampled = sampled.count()
+
+    # 4. pack into training bins (bin id = running token offset DIV budget)
+    bins = llmpipe.q_pack_sequences(spark, sf_dir)
+    n_bins = bins.count()
+    tok_total = sampled.select(F.sum(token_count("text"))).collect()[0][0]
+
+    print(f"corpus: {n_docs} docs")
+    print(f"after decontamination: {n_clean} docs")
+    print(f"after mixture sampling: {n_sampled} docs ({tok_total} tokens kept)")
+    print(f"packed layout: {n_bins} bins of {llmpipe._PACK_BUDGET} tokens")
+    print("corpus prep complete")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -412,6 +412,31 @@ def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pre-aggregation pattern
+    behind every 100 TB distinct dashboard: build one Datasketches HLL per
+    order-priority partition (`hll_sketch_agg`, shuffles ~KB of sketch per
+    group instead of every key), then `hll_union_agg` re-aggregates the
+    stored sketches to the global estimate WITHOUT touching raw data again.
+    A sketch table refreshed incrementally per partition answers any
+    rollup of those partitions at interactive cost. Rows-only check:
+    estimates are engine-specific (accuracy vs exact pinned in pytest)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).cast("long").alias(
+            "approx_custs"
+        ),
+    )
+    return (
+        per_group.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_custs"),
+            F.sum("approx_custs").alias("sum_per_group"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (dask uses t-digest approx; hash-checked
     queries use the exact variant per SURVEY.md §5)."""
@@ -721,6 +746,7 @@ QUERIES = {
     "range_join": q_range_join,
     "agg_stats": q_agg_stats,
     "distinct_approx": q_distinct_approx,
+    "hll_sketch_union": q_hll_sketch_union,
     "percentiles": q_percentiles,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,

@@ -56,3 +56,25 @@ def write_bucketed_table(
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.format("parquet").saveAsTable(name)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — same layout posture as parquet (columnar, predicate-
+    pushdown-capable, splittable); provided because warehouse deployments
+    standardized on ORC (Hive-era) read/write it natively in Spark with the
+    identical writer surface."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan — vectorized reader, filter pushdown and column pruning
+    apply exactly as for parquet (PushedFilters/ReadSchema in explain)."""
+    return spark.read.orc(path)

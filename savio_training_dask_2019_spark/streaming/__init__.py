@@ -16,7 +16,7 @@ from .windows import (
     tumbling_counts,
     with_watermark,
 )
-from .io import file_stream, memory_sink, rate_stream
+from .io import file_stream, foreach_batch_sink, memory_sink, rate_stream
 from .stateful import running_totals
 
 __all__ = [
@@ -27,6 +27,7 @@ __all__ = [
     "dedup_within_watermark",
     "rate_stream",
     "file_stream",
+    "foreach_batch_sink",
     "memory_sink",
     "running_totals",
 ]

@@ -38,3 +38,24 @@ def memory_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    handle,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """``foreachBatch`` — the escape hatch to any batch sink (JDBC upserts,
+    multi-sink fanout, merge-into): ``handle(batch_df, batch_id)`` runs the
+    full batch DataFrame API per micro-batch, with exactly-once via the
+    checkpointed ``batch_id`` (a sink seeing a replayed id must idempotently
+    skip or overwrite — e.g. write to ``path/batch_id=N`` with overwrite
+    mode, never blind-append).
+
+    At scale this is how a stream lands in a partitioned lakehouse table:
+    each micro-batch is a normal distributed write, so the whole batch sink
+    toolbox (partitionBy, maxRecordsPerFile, bucketing) applies unchanged."""
+    writer = df.writeStream.foreachBatch(handle)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -28,3 +28,9 @@ def test_tutorial_parity_example_runs(spark, capsys):
     _load("tutorial_parity").main("/root/testdata/sf0.001")
     out = capsys.readouterr().out
     assert "complete" in out
+
+
+def test_corpus_prep_example_runs(spark, capsys):
+    _load("corpus_prep").main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "after decontamination:" in out and "corpus prep complete" in out

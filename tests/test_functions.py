@@ -106,3 +106,24 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert fp[1] != fp[2]          # order matters (unlike doc_fingerprint)
     assert fp[4] == 0              # empty doc -> identity
     assert all(0 <= v < 2**31 - 1 for v in fp.values())
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    """Unioning per-partition sketches must estimate the GLOBAL distinct
+    within HLL error (~2% at lgK=12) — the property that makes sketch
+    tables re-aggregable without raw data."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.queries.relational import q_hll_sketch_union
+    from savio_training_dask_2019_spark.sources import load_table
+
+    row = q_hll_sketch_union(spark, sf_dir).collect()[0]
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(row["merged_custs"] - exact) / exact < 0.05
+    # per-group estimates overcount when summed (shared customers) — the
+    # union must NOT be a sum
+    assert row["merged_custs"] <= row["sum_per_group"]

@@ -74,3 +74,18 @@ def test_from_iterator_empty_keeps_schema(spark):
     df = from_iterator(spark, [], "k long, v string")
     assert df.count() == 0
     assert df.schema.simpleString() == "struct<k:bigint,v:string>"
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    from savio_training_dask_2019_spark.sources import read_orc, write_orc
+
+    d = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(d, out, partition_by=["lang"])
+    back = read_orc(spark, out)
+    assert back.count() == d.count()
+    assert back.filter(F.col("lang") == "en").count() == \
+        d.filter(F.col("lang") == "en").count()
+    # pushdown reaches the ORC scan like parquet
+    plan = back.filter(F.col("doc_id") < 100)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan

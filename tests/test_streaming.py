@@ -192,3 +192,33 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
              for r in quality(df).collect()}
     assert streamed == batch
     assert len(streamed) == 30  # the five 1-token docs were filtered
+
+
+def test_foreach_batch_partitioned_writes(spark, tmp_path):
+    """foreachBatch lands each micro-batch as an idempotent partitioned
+    write (path/batch_id=N, overwrite) — the lakehouse-ingestion pattern;
+    all rows arrive exactly once and batch ids are checkpointable units."""
+    import time as _time
+
+    from savio_training_dask_2019_spark.streaming import file_stream, foreach_batch_sink
+
+    src = str(tmp_path / "fb_src")
+    now = _time.time()
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    _write_batch(spark, src, "b1", [(t, 1), (t, 2)], now - 20)
+    _write_batch(spark, src, "b2", [(t, 3)], now - 10)
+
+    out = str(tmp_path / "fb_out")
+    seen: list[int] = []
+
+    def handle(batch_df, batch_id: int):
+        seen.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    stream = file_stream(spark, f"{src}/*", "ts timestamp, user_id long")
+    q = foreach_batch_sink(stream, handle)
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    assert sorted(seen) == [0, 1]  # one handle call per micro-batch
+    back = spark.read.option("basePath", out).parquet(out)
+    assert sorted(r["user_id"] for r in back.collect()) == [1, 2, 3]
