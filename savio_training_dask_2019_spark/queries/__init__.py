@@ -94,7 +94,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_3way",
     "semi_join",
     "agg_stats",
-    "cube_agg",
+    "grouping_sets",
     "window_rank",
     "json_extract",
     # timeseries (§2.5, §2.8 batch twins)

@@ -490,6 +490,32 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization cube/rollup compile to:
+    exactly the requested aggregation levels ((flag,status), (flag), ())
+    in ONE scan with one Expand, instead of a union of three scans.
+    `grouping_id` disambiguates NULL-as-total from NULL data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 # --- windows ----------------------------------------------------------------
 
 
@@ -750,6 +776,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,
+    "grouping_sets": q_grouping_sets,
     "describe_summary": q_describe_summary,
     "window_rank": q_window_rank,
     "lag_lead": q_lag_lead,
@@ -781,6 +808,7 @@ ORACLE = {
     "percentiles": _PERCENTILES_SQL,
     "corr_cov": _CORR_COV_SQL,
     "cube_agg": _CUBE_AGG_SQL,
+    "grouping_sets": _GROUPING_SETS_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "window_rank": _WINDOW_RANK_SQL,
     "lag_lead": _LAG_LEAD_SQL,
