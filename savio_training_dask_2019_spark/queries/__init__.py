@@ -90,7 +90,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "derived_column",
     "topk",
     "distinct",
-    "set_ops",
     "join_3way",
     "semi_join",
     "agg_stats",
@@ -100,9 +99,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # timeseries (§2.5, §2.8 batch twins)
     "time_bucket",
     "tumbling_window",
-    "sliding_window",
     "session_window",
     "asof_join",
+    "funnel_stages",
+    "retention_daily",
     # text / dedup / similarity (§2.12 LLM-pipeline tier)
     "text_stats",
     "lang_id",

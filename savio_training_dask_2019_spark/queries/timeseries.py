@@ -221,8 +221,102 @@ FROM events GROUP BY 1
 """
 
 
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click after view → purchase after
+    that click) — the event-analytics staple sessionization feeds. Three
+    stacked per-user window minima over ONE user_id shuffle (unordered
+    whole-partition frames collapse into a single Window node), then a
+    global O(1) rollup. At 100 TB: one shuffle of (user, ts, type), state
+    per user is three timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+        )
+    ).over(w)
+    staged = staged.withColumn("t_buy", t_buy)
+    return staged.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("t_view").isNotNull(), F.col("user_id"))).alias("n_viewed"),
+        F.countDistinct(F.when(F.col("t_click").isNotNull(), F.col("user_id"))).alias(
+            "n_clicked"
+        ),
+        F.countDistinct(F.when(F.col("t_buy").isNotNull(), F.col("user_id"))).alias("n_bought"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_viewed,
+       count(t_click) AS n_clicked,
+       count(t_buy) AS n_bought
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: of the users active on day d, how many were
+    also active on day d−1. Distinct (user, day) pairs then a self-join
+    shifted one day — two shuffles on (user, day)-sized keys regardless of
+    raw event volume."""
+    e = load_table(spark, sf_dir, "events")
+    # day as truncated TIMESTAMP (not DATE) on both sides: DuckDB's pandas
+    # bridge widens DATE to datetime64 anyway, so DATE would hash-mismatch
+    days = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    prev = days.select(
+        "user_id", (F.col("d") + F.expr("INTERVAL 1 DAY")).alias("d"), F.lit(1).alias("was_prev")
+    )
+    return (
+        days.join(prev, ["user_id", "d"], "left")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.coalesce(F.col("was_prev"), F.lit(0))).alias("n_retained"),
+            F.round(
+                F.sum(F.coalesce(F.col("was_prev"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("retention"),
+        )
+    )
+
+
+_RETENTION_SQL = """
+WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT a.d,
+       count(*) AS n_active,
+       sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS n_retained,
+       round(CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 4) AS retention
+FROM days a
+LEFT JOIN days b ON a.user_id = b.user_id AND b.d = a.d - INTERVAL 1 DAY
+GROUP BY a.d
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
+    "funnel_stages": q_funnel_stages,
+    "retention_daily": q_retention_daily,
     "dt_accessors": q_dt_accessors,
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
@@ -234,6 +328,8 @@ QUERIES = {
 
 ORACLE = {
     "time_bucket": _TIME_BUCKET_SQL,
+    "funnel_stages": _FUNNEL_SQL,
+    "retention_daily": _RETENTION_SQL,
     "dt_accessors": _DT_ACCESSORS_SQL,
     "tumbling_window": _TUMBLING_WINDOW_SQL,
     "sliding_window": _SLIDING_WINDOW_SQL,
