@@ -89,7 +89,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "select_filter",
     "derived_column",
     "topk",
-    "distinct",
+    "nullsafe_join",
     "join_3way",
     "semi_join",
     "agg_stats",

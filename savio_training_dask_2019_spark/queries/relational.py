@@ -437,6 +437,74 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches (Datasketches KLL) — the quantile twin of
+    `hll_sketch_union`: one KLL sketch per order-priority partition
+    (`kll_sketch_agg_double`), merged with `kll_sketch_merge_double` into
+    global p50/p90/p99 estimates without re-reading raw data. The pattern
+    that makes percentile dashboards incremental at 100 TB (exact
+    percentile re-sorts the world; the sketch shuffles ~KB per partition).
+    Rows-only: KLL is a randomized sampler, estimates are engine- and
+    seed-specific (accuracy vs exact pinned in pytest)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    # kll_sketch_merge_double is a binary scalar merge (no agg form): fold
+    # the handful of per-partition sketches — O(groups) driver-side plan,
+    # O(1) rows through the final stage
+    sks = per_group.agg(F.collect_list("sk").alias("sks"))
+    merged = sks.select(
+        F.aggregate(
+            F.slice("sks", 2, F.size("sks") - 1),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk")
+    )
+    return merged.select(
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2).alias("p50_est"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2).alias("p90_est"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 2).alias("p99_est"),
+    )
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`eqNullSafe` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantic corner plain `=`
+    joins silently drop. Built here by nulling out the '1-URGENT' priority
+    on both sides; still a hash-joinable equi-key (<=> compiles to the same
+    exchange as `=`, no nested loop)."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_n"),
+    )
+    counts = keyed.groupBy("prio_n").agg(F.count(F.lit(1)).alias("n_orders"))
+    k, c = keyed.alias("k"), counts.alias("c")
+    return (
+        k.join(c, F.col("k.prio_n").eqNullSafe(F.col("c.prio_n")), "inner")
+        .where(F.col("k.o_orderkey") < 5000)
+        .select(
+            F.col("k.o_orderkey").alias("o_orderkey"),
+            F.col("c.prio_n").alias("prio_n"),
+            F.col("c.n_orders").alias("n_orders"),
+        )
+    )
+
+
+_NULLSAFE_JOIN_SQL = """
+WITH keyed AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio_n FROM orders
+),
+counts AS (
+  SELECT prio_n, count(*) AS n_orders FROM keyed GROUP BY prio_n
+)
+SELECT k.o_orderkey, c.prio_n, c.n_orders
+FROM keyed k JOIN counts c ON k.prio_n IS NOT DISTINCT FROM c.prio_n
+WHERE k.o_orderkey < 5000
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (dask uses t-digest approx; hash-checked
     queries use the exact variant per SURVEY.md §5)."""
@@ -773,6 +841,8 @@ QUERIES = {
     "agg_stats": q_agg_stats,
     "distinct_approx": q_distinct_approx,
     "hll_sketch_union": q_hll_sketch_union,
+    "kll_quantiles": q_kll_quantiles,
+    "nullsafe_join": q_nullsafe_join,
     "percentiles": q_percentiles,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,
@@ -809,6 +879,7 @@ ORACLE = {
     "corr_cov": _CORR_COV_SQL,
     "cube_agg": _CUBE_AGG_SQL,
     "grouping_sets": _GROUPING_SETS_SQL,
+    "nullsafe_join": _NULLSAFE_JOIN_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "window_rank": _WINDOW_RANK_SQL,
     "lag_lead": _LAG_LEAD_SQL,

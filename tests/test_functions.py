@@ -127,3 +127,29 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
     # per-group estimates overcount when summed (shared customers) — the
     # union must NOT be a sum
     assert row["merged_custs"] <= row["sum_per_group"]
+
+
+def test_kll_quantile_merge_accuracy(spark, sf_dir):
+    """Merged per-partition KLL sketches must estimate global quantiles
+    within KLL's rank error (~1.7% at default k) of the exact values."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.queries.relational import q_kll_quantiles
+    from savio_training_dask_2019_spark.sources import load_table
+
+    est = q_kll_quantiles(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    ).collect()[0]
+    n = o.count()
+    vals = sorted(r[0] for r in o.select("o_totalprice").collect())
+    for q, key in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        # rank-error check: the estimate's rank must be within 3% of target
+        import bisect
+
+        rank = bisect.bisect_left(vals, est[key]) / n
+        assert abs(rank - q) < 0.03, (key, est[key], rank)
