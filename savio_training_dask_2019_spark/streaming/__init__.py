@@ -17,6 +17,7 @@ from .windows import (
     with_watermark,
 )
 from .io import file_stream, foreach_batch_sink, memory_sink, rate_stream
+from .joins import interval_join
 from .stateful import running_totals
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "foreach_batch_sink",
     "memory_sink",
     "running_totals",
+    "interval_join",
 ]

@@ -222,3 +222,46 @@ def test_foreach_batch_partitioned_writes(spark, tmp_path):
     assert sorted(seen) == [0, 1]  # one handle call per micro-batch
     back = spark.read.option("basePath", out).parquet(out)
     assert sorted(r["user_id"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: state bounded by watermark + horizon;
+    the streaming result must equal the identical interval join run in
+    batch mode over the same rows."""
+    import time as _time
+
+    from savio_training_dask_2019_spark.streaming import file_stream, interval_join, memory_sink
+
+    now = _time.time()
+    t = dt.datetime(2024, 1, 1, 10, 0)
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    # views: user 1 at 10:00, user 2 at 10:05
+    _write_batch(spark, vsrc, "b1", [(t, 1), (t + dt.timedelta(minutes=5), 2)], now - 40)
+    # clicks: u1 at 10:04 (in horizon), u1 at 10:20 (outside), u2 at 10:06 (in)
+    _write_batch(spark, csrc, "b1", [(t + dt.timedelta(minutes=4), 1)], now - 30)
+    _write_batch(
+        spark, csrc, "b2",
+        [(t + dt.timedelta(minutes=20), 1), (t + dt.timedelta(minutes=6), 2)], now - 20,
+    )
+
+    schema = "ts timestamp, user_id long"
+    joined = interval_join(
+        file_stream(spark, f"{vsrc}/*", schema),
+        file_stream(spark, f"{csrc}/*", schema),
+        on="user_id", horizon="10 minutes",
+    )
+    q = memory_sink(joined, "ssj", output_mode="append", available_now=True)
+    assert q.awaitTermination(180)
+    stream_rows = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+
+    views = spark.read.schema(schema).parquet(f"{vsrc}/*")
+    clicks = spark.read.schema(schema).parquet(f"{csrc}/*")
+    batch_rows = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in interval_join(views, clicks, on="user_id", horizon="10 minutes").collect()
+    )
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 2  # u1@10:04 and u2@10:06 only
