@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import avg_word_len, stopword_ratio, token_count, tokens
-from ..sources import load_table
+from ..sources import ensure_min_partitions, load_table
 
 # DuckDB twin of functions.text.tokens() (kept in sync with textops.py)
 _DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
@@ -65,22 +65,27 @@ def q_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per contaminated doc with hit count and contamination
     fraction — the downstream pipeline drops or redacts flagged docs.
     """
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", tokens("text").alias("tk"))
-        .where(F.size("tk") >= _SHINGLE_N)
-    )
-    per_doc = d.select(
-        "doc_id",
-        F.array_distinct(_word_shingles(F.col("tk"), _SHINGLE_N)).alias("shs"),
-    )
-    sh = per_doc.select(
-        "doc_id", F.size("shs").alias("n_shingles"), F.explode("shs").alias("shingle")
-    )
+    base = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_shingles = sh.where(is_eval).select("shingle").distinct()
+
+    def shingled(docs: DataFrame) -> DataFrame:
+        # filter FIRST, shingle after: the eval split is ~4% of the corpus,
+        # and shingling is the expensive transform — shingle-then-filter
+        # would pay it for every doc on both branches
+        d = docs.select("doc_id", tokens("text").alias("tk")).where(
+            F.size("tk") >= _SHINGLE_N
+        )
+        per_doc = d.select(
+            "doc_id",
+            F.array_distinct(_word_shingles(F.col("tk"), _SHINGLE_N)).alias("shs"),
+        )
+        return per_doc.select(
+            "doc_id", F.size("shs").alias("n_shingles"), F.explode("shs").alias("shingle")
+        )
+
+    eval_shingles = shingled(base.where(is_eval)).select("shingle").distinct()
     return (
-        sh.where(~is_eval)
+        shingled(base.where(~is_eval))
         .join(F.broadcast(eval_shingles), "shingle")  # eval set: small, broadcast
         .groupBy("doc_id")
         .agg(
@@ -131,7 +136,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram fraction ≤ 0.10. Per-language pass counts — the corpus-curation
     dashboard number. All four signals are codegen'd array expressions; the
     whole query is one scan + one O(langs) aggregation at any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tk = tokens("text")
     passes = (
         token_count("text").between(50, 100_000)
@@ -286,7 +291,7 @@ def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language repeated-bigram profile (avg and worst-case duplicate
     fraction): the intra-document repetition signal used to drop
     boilerplate/spam before training. Narrow map + O(langs) agg."""
-    d = load_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     frac = F.round(_dup_bigram_frac(tokens("text")), 4)
     return d.groupBy("lang").agg(
         F.round(F.avg(frac), 4).alias("avg_dup_frac"),

@@ -6,13 +6,14 @@ glob) / ``db.read_text`` + ``json.loads`` / ``dd.from_pandas`` /
 scale; Parquet footers are the only trusted inference path.
 """
 
-from .parquet import FIXTURE_TABLES, load_table, load_tables
+from .parquet import FIXTURE_TABLES, ensure_min_partitions, load_table, load_tables
 from .text_json import read_csv, read_json_lines, read_text
 from .pandas_io import from_iterator, from_pandas
 from .sinks import read_orc, write_bucketed_table, write_csv, write_orc, write_parquet
 
 __all__ = [
     "write_bucketed_table",
+    "ensure_min_partitions",
     "read_orc",
     "write_orc",
     "FIXTURE_TABLES",

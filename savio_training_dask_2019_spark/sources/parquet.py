@@ -79,3 +79,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several fixture tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
     return {n: load_table(spark, sf_dir, n) for n in (names or FIXTURE_TABLES)}
+
+
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Spread a narrow-but-CPU-heavy pipeline across at least ``n``
+    partitions (default: the cluster's defaultParallelism).
+
+    Why it exists: parquet byte-range splitting is bounded by ROW-GROUP
+    granularity, so a small single-row-group file scans as ONE task no
+    matter what `spark.sql.files.minPartitionNum` asks for — and an
+    expression-heavy narrow map (n-gram shingling, per-token scoring) then
+    runs single-threaded (measured 7.3 s -> 0.6 s on decontam_check at
+    sf0.1). At real corpus scale the scan already has >= n partitions and
+    this is a NO-OP — the repartition only ever moves a toy-sized input, so
+    the helper is safe to leave in the operator path."""
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
