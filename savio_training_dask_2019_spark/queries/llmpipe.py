@@ -1,6 +1,8 @@
 """LLM-training-data pipeline queries (SURVEY.md §2.12 extension tier):
 benchmark decontamination, Gopher-style quality gating, sequence packing,
-mixture-weighted sampling, and intra-document repetition signals.
+mixture-weighted sampling, intra-document repetition signals, PII
+detection/redaction, passage-level (C4-style line) dedup, and
+deterministic corpus sharding.
 
 These are the corpus-preparation operations a 100 TB pretraining pipeline
 runs *after* dedup (operators/dedup.py) and *before* tokenizer sharding.
@@ -315,12 +317,241 @@ FROM r GROUP BY lang
 """
 
 
+# --- PII detection & redaction ----------------------------------------------
+
+# Java-regex ∩ RE2 subset (no lookaround, no backrefs) so Spark and the
+# DuckDB oracle compile the *same* pattern text.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / phone numbers / IPv4) with a per-source
+    audit report: docs scanned, docs containing PII, hits per category, and
+    characters removed by redaction — the compliance table every corpus
+    release ships with.
+
+    The synthetic fixture text contains no PII (verified: 0 ``@``, 0 digits
+    at all SFs), so the demo *plants* it deterministically from ``doc_id``
+    (same convention as the planted near-dups in ``emb_near_dup_lsh``); the
+    oracle plants identically, so parity checks the detector end-to-end.
+
+    Scale: detection and redaction are per-row regexes inside whole-stage
+    codegen — a pure narrow map, zero shuffles before the O(sources) agg.
+    At 100 TB this runs at scan speed; the only knob is regex cost per MB,
+    so anchor patterns (``\\b``, explicit char classes) and avoid
+    catastrophic-backtracking constructs (Java regex is backtracking; the
+    subset here is linear)."""
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com today")
+    )
+    phone = F.concat(
+        F.lit(" call 555-867-"),
+        F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    ipv4 = F.concat(
+        F.lit(" from host 10."),
+        F.pmod(did, F.lit(256)).cast("string"),
+        F.lit(".0."),
+        F.pmod(did * 7, F.lit(256)).cast("string"),
+        F.lit(" port"),
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, email).otherwise(F.lit("")),
+        F.when(did % 11 == 0, phone).otherwise(F.lit("")),
+        F.when(did % 13 == 0, ipv4).otherwise(F.lit("")),
+    )
+    n_email = F.size(F.regexp_extract_all(F.col("planted"), F.lit(_PII_EMAIL), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(F.col("planted"), F.lit(_PII_PHONE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(F.col("planted"), F.lit(_PII_IPV4), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("planted"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IPV4,
+        "[IP]",
+    )
+    per_doc = d.select("source", planted.alias("planted")).select(
+        "source",
+        n_email.alias("e"),
+        n_phone.alias("p"),
+        n_ipv4.alias("i"),
+        (F.length("planted") - F.length(redacted)).alias("removed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("e") + F.col("p") + F.col("i")) > 0).cast("long")).alias(
+            "docs_with_pii"
+        ),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("i").alias("n_ipv4"),
+        F.sum("removed").alias("chars_removed"),
+    )
+
+
+_PII_SQL = f"""
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' port'
+                 ELSE '' END AS planted
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(planted, '{_PII_EMAIL}')) AS e,
+         len(regexp_extract_all(planted, '{_PII_PHONE}')) AS p,
+         len(regexp_extract_all(planted, '{_PII_IPV4}')) AS i,
+         length(planted) - length(
+           regexp_replace(regexp_replace(regexp_replace(planted,
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g')) AS removed
+  FROM planted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(e) AS BIGINT) AS n_emails,
+       CAST(sum(p) AS BIGINT) AS n_phones,
+       CAST(sum(i) AS BIGINT) AS n_ipv4,
+       CAST(sum(removed) AS BIGINT) AS chars_removed
+FROM per_doc GROUP BY source
+"""
+
+
+# --- passage-level corpus dedup ----------------------------------------------
+
+_CHUNK_W = 8  # words per passage chunk
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4/RefinedWeb *line*-dedup step,
+    re-cut on tumbling 8-word chunks because the fixture text has
+    no newlines): every chunk occurrence after the corpus-wide first —
+    ordered by (doc_id, chunk_idx), so keep-first is deterministic — is a
+    duplicate to strip. Output: per-source chunk counts, duplicate counts,
+    and the retention rate after stripping.
+
+    Scale: chunking is a narrow map (transform over sequence, codegen'd);
+    the keep-first needs exactly ONE shuffle keyed on the chunk — the same
+    cost class as a groupBy(chunk) — and window groups are tiny (occurrence
+    counts), so no skew state. At 100 TB, shuffle chunk *hashes*
+    (xxhash64, 8 bytes) instead of chunk strings — elided here only so the
+    DuckDB oracle twin stays cross-engine exact (same note as
+    ``decontam_check``)."""
+    d = (
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    n_chunks = F.ceil(F.size("tk") / F.lit(_CHUNK_W)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * _CHUNK_W + 1, _CHUNK_W), " "),
+    )
+    ch = d.select(
+        "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = ch.select("source", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("dup_chunks"),
+        F.round(F.avg((F.col("rn") == 1).cast("double")), 4).alias("retention"),
+    )
+
+
+_PASSAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) > 0
+),
+b AS (
+  SELECT doc_id, source,
+         list_transform(range(0, CAST(ceil(len(tk) / {_CHUNK_W}.0) AS BIGINT)),
+            i -> {{'chunk_idx': i,
+                   'chunk': array_to_string(tk[(i*{_CHUNK_W}+1):(i*{_CHUNK_W}+{_CHUNK_W})], ' ')}}) AS lst
+  FROM t
+),
+u AS (SELECT doc_id, source, unnest(lst) AS s FROM b),
+ch AS (SELECT doc_id, source, s.chunk_idx AS chunk_idx, s.chunk AS chunk FROM u),
+rk AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT source,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       round(avg(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END), 4) AS retention
+FROM rk GROUP BY source
+"""
+
+
+# --- deterministic corpus sharding -------------------------------------------
+
+_N_SHARDS = 32
+
+
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for the tokenizer/writer fan-out:
+    shard = first-8-hex-chars of md5(doc_id) mod 32, reported as a
+    per-shard balance table (doc count + byte mass). md5-of-string is used
+    instead of ``xxhash64`` only because the oracle must compute the *same*
+    hash; the production note below is hash-agnostic.
+
+    Scale: at 100 TB this column feeds ``df.repartition(n, "shard")`` +
+    ``write.partitionBy("shard")`` so each output shard is one writer
+    task's worth of co-located rows; content-hash sharding (not
+    round-robin) keeps assignment stable under retries AND under corpus
+    re-runs with inserted docs. The balance table itself is one narrow map
+    + one O(shards) agg."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    )
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
+
+
+_SHARD_SQL = f"""
+SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars
+FROM documents GROUP BY shard
+"""
+
+
 QUERIES = {
     "decontam_check": q_decontam_check,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
     "dup_ngram_ratio": q_dup_ngram_ratio,
+    "pii_redact": q_pii_redact,
+    "passage_dedup": q_passage_dedup,
+    "shard_corpus": q_shard_corpus,
 }
 
 ORACLE = {
@@ -329,4 +560,7 @@ ORACLE = {
     "pack_sequences": _PACK_SQL,
     "mixture_sample": _MIXTURE_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
+    "pii_redact": _PII_SQL,
+    "passage_dedup": _PASSAGE_SQL,
+    "shard_corpus": _SHARD_SQL,
 }

@@ -66,3 +66,90 @@ def test_gopher_quality_rates_consistent(spark, sf_dir):
     for r in llmpipe.q_gopher_quality(spark, sf_dir).collect():
         assert 0 <= r["n_pass"] <= r["n_docs"]
         assert abs(r["pass_rate"] - round(r["n_pass"] / r["n_docs"], 4)) < 1e-9
+
+
+def test_pii_redact_detects_only_planted(spark, sf_dir):
+    """The fixture corpus is PII-free, so every hit comes from the planted
+    payloads: per-category totals must equal the planting-rule counts, and
+    redaction must strictly shrink every planted doc."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    # raw text contains no PII at all
+    raw_hits = d.select(
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(llmpipe._PII_EMAIL), F.lit(0)))
+            + F.size(F.regexp_extract_all("text", F.lit(llmpipe._PII_PHONE), F.lit(0)))
+            + F.size(F.regexp_extract_all("text", F.lit(llmpipe._PII_IPV4), F.lit(0)))
+        ).alias("h")
+    ).collect()[0]["h"]
+    assert raw_hits == 0
+
+    rows = llmpipe.q_pii_redact(spark, sf_dir).collect()
+    planted = {
+        "n_emails": d.where(F.col("doc_id") % 7 == 0).count(),
+        "n_phones": d.where(F.col("doc_id") % 11 == 0).count(),
+        "n_ipv4": d.where(F.col("doc_id") % 13 == 0).count(),
+    }
+    for col, want in planted.items():
+        assert sum(r[col] for r in rows) == want, col
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert 0 <= r["docs_with_pii"] <= r["n_docs"]
+        assert r["chars_removed"] >= 0
+    # every redacted char total is positive for sources that had hits
+    assert all(r["chars_removed"] > 0 for r in rows if r["docs_with_pii"] > 0)
+
+
+def test_passage_dedup_kept_equals_distinct(spark, sf_dir):
+    """Keep-first invariant: chunks kept (n_chunks - dup_chunks) summed over
+    sources equals the corpus-wide distinct chunk count."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.functions.text import tokens
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_passage_dedup(spark, sf_dir).collect()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    w = llmpipe._CHUNK_W
+    chunks = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("tk") / F.lit(w)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("tk"), i * w + 1, w), " "),
+            )
+        ).alias("chunk")
+    )
+    n_total = chunks.count()
+    n_distinct = chunks.distinct().count()
+    assert sum(r["n_chunks"] for r in rows) == n_total
+    assert sum(r["n_chunks"] - r["dup_chunks"] for r in rows) == n_distinct
+    assert n_distinct < n_total, "fixture should contain duplicate chunks"
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+
+
+def test_shard_corpus_conserves_and_bounds(spark, sf_dir):
+    """Shard assignment is a partition of the corpus: doc and char mass are
+    conserved, shard ids stay in range, and assignment is deterministic."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = {r["shard"]: r for r in llmpipe.q_shard_corpus(spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == d.count()
+    assert (
+        sum(r["shard_chars"] for r in rows.values())
+        == d.select(F.sum("n_chars")).collect()[0][0]
+    )
+    assert all(0 <= s < llmpipe._N_SHARDS for s in rows)
+    # deterministic under re-execution (content hash, not round-robin/rand)
+    again = {r["shard"]: tuple(r) for r in llmpipe.q_shard_corpus(spark, sf_dir).collect()}
+    assert again == {s: tuple(r) for s, r in rows.items()}
