@@ -88,14 +88,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pii_redact",
     "passage_dedup",
     "shard_corpus",
+    "unigram_logprob",
+    "length_buckets",
     # relational core (driver-green r2; one representative per §2 family)
-    # (select_filter / derived_column demoted r3 to make window room — both
-    # driver-green in CORRECTNESS_r02.json and exercised by nearly every
-    # other query's projection/filter/expression stack)
-    "topk",
+    # (select_filter / derived_column / topk / semi_join demoted r3 to make
+    # window room — all driver-green in CORRECTNESS_r02.json; topk's
+    # TakeOrdered shape stays pinned by test_plans.py and sort_limit,
+    # semi-join shape by anti_join + the decontam/mixture join stacks)
     "nullsafe_join",
     "join_3way",
-    "semi_join",
     "agg_stats",
     "grouping_sets",
     "window_rank",

@@ -543,6 +543,115 @@ FROM documents GROUP BY shard
 """
 
 
+# --- unigram-LM quality score ------------------------------------------------
+
+_VOCAB_TOP_K = 50_000  # model cap; fixture vocab is far smaller, so exact here
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter, unigram edition: fit a
+    unigram LM on the corpus itself (token → -ln p(token)), score every doc
+    by its mean token negative-log-likelihood, and report the per-language
+    NLL profile. Low-NLL docs are common-word soup; high-NLL docs are
+    gibberish/rare-token noise — pipelines keep the middle band.
+
+    Scale: the model build is ONE shuffle on token (partial counts map-side
+    combine first, so the shuffle carries one row per distinct token per
+    partition, not per occurrence). The model itself follows Zipf's law —
+    at 100 TB cap it at the top ``_VOCAB_TOP_K`` tokens plus an OOV floor
+    (the tail adds bytes, not signal) and it stays MB-scale, so scoring is
+    a **broadcast** join against the exploded corpus: no corpus shuffle,
+    then one per-doc agg (doc rows are contiguous post-explode, so partial
+    aggregation collapses each doc map-side). Fixture vocab < the cap, so
+    the demo model is exact and the oracle twin needs no OOV branch."""
+    d = (
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    tok = d.select("doc_id", "lang", F.explode("tk").alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # total via an unpartitioned window over the POST-AGG counts (|vocab|
+    # rows, tiny) — a separate `counts.agg(sum)` scalar would re-compute
+    # the whole token-count subtree and scan the corpus a third time
+    model = counts.select(
+        "token",
+        (-F.ln(F.col("c") / F.sum("c").over(Window.partitionBy()))).alias("nll_tok"),
+    )
+    scored = (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll_tok").alias("nll"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(F.min("nll"), 4).alias("min_nll"),
+        F.round(F.max("nll"), 4).alias("max_nll"),
+    )
+
+
+_UNIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) > 0
+),
+tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM t),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+total AS (SELECT sum(c) AS s FROM counts),
+model AS (SELECT token, -ln(c / s) AS nll_tok FROM counts, total),
+scored AS (
+  SELECT doc_id, lang, avg(nll_tok) AS nll
+  FROM tok JOIN model USING (token) GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM scored GROUP BY lang
+"""
+
+
+# --- doc-length bucketing ----------------------------------------------------
+
+_LEN_BUCKET_W = 8  # tokens per bucket (fixture docs span 10–99 tokens)
+_LEN_BUCKET_CAP = 12  # open-ended tail bucket
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (tokens, 50-wide buckets, capped tail):
+    the batch-shaping table a packing/sharding planner reads to pick
+    sequence length and packing block size. One narrow map + one
+    O(buckets) aggregation — scan-speed at any corpus size. (Bucket width
+    is 8 tokens because fixture docs span 10–99 tokens; a web corpus
+    would use 512-wide buckets — same plan either way.)"""
+    d = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    bucket = F.least(
+        F.floor(tc / _LEN_BUCKET_W).cast("long"), F.lit(_LEN_BUCKET_CAP).cast("long")
+    )
+    return (
+        d.select(bucket.alias("len_bucket"), tc.alias("tc"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+_LENBUCKET_SQL = f"""
+WITH t AS (SELECT len({_DUCK_TOKENS}) AS tc FROM documents)
+SELECT least(CAST(floor(tc / {_LEN_BUCKET_W}) AS BIGINT), {_LEN_BUCKET_CAP}) AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS total_tokens,
+       round(avg(tc), 4) AS avg_tokens
+FROM t GROUP BY len_bucket
+"""
+
+
 QUERIES = {
     "decontam_check": q_decontam_check,
     "gopher_quality": q_gopher_quality,
@@ -552,6 +661,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "passage_dedup": q_passage_dedup,
     "shard_corpus": q_shard_corpus,
+    "unigram_logprob": q_unigram_logprob,
+    "length_buckets": q_length_buckets,
 }
 
 ORACLE = {
@@ -563,4 +674,6 @@ ORACLE = {
     "pii_redact": _PII_SQL,
     "passage_dedup": _PASSAGE_SQL,
     "shard_corpus": _SHARD_SQL,
+    "unigram_logprob": _UNIGRAM_SQL,
+    "length_buckets": _LENBUCKET_SQL,
 }

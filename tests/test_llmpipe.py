@@ -153,3 +153,65 @@ def test_shard_corpus_conserves_and_bounds(spark, sf_dir):
     # deterministic under re-execution (content hash, not round-robin/rand)
     again = {r["shard"]: tuple(r) for r in llmpipe.q_shard_corpus(spark, sf_dir).collect()}
     assert again == {s: tuple(r) for s, r in rows.items()}
+
+
+def test_unigram_logprob_is_entropy_consistent(spark, sf_dir):
+    """Per-doc NLL averages over corpus-fitted token -ln p: the doc-count
+    weighted mean of per-doc NLL must equal the token-weighted corpus NLL
+    only when doc lengths are equal — but the corpus-level token-weighted
+    NLL (= unigram entropy) IS recoverable exactly, and every per-language
+    min/max must bracket its average."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.functions.text import tokens
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_unigram_logprob(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.where(
+        F.size(tokens("text")) > 0
+    ).count()
+    for r in rows:
+        assert r["min_nll"] <= r["avg_nll"] <= r["max_nll"]
+        assert r["min_nll"] > 0  # -ln p > 0 unless a token is the whole corpus
+
+    # independent corpus-entropy check: sum over tokens of -c/N * ln(c/N)
+    tok = d.select(F.explode(tokens("text")).alias("t")).groupBy("t").count()
+    counts = [r["count"] for r in tok.collect()]
+    n = sum(counts)
+    entropy = sum(-(c / n) * math.log(c / n) for c in counts)
+    # token-weighted corpus NLL equals entropy; doc-avg NLL must sit inside
+    # the global [min_doc, max_doc] band around it
+    lo = min(r["min_nll"] for r in rows)
+    hi = max(r["max_nll"] for r in rows)
+    assert lo <= entropy <= hi
+
+
+def test_length_buckets_partitions_corpus(spark, sf_dir):
+    """Histogram invariants: doc and token mass conserved, bucket ids in
+    range, per-bucket avg consistent with sum/count, and the bucket edges
+    actually bucket (every doc's token count maps into its bucket)."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.functions.text import token_count
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_length_buckets(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    tc = d.select(token_count("text").alias("tc"))
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert sum(r["total_tokens"] for r in rows) == tc.agg(F.sum("tc")).collect()[0][0]
+    w, cap = llmpipe._LEN_BUCKET_W, llmpipe._LEN_BUCKET_CAP
+    for r in rows:
+        assert 0 <= r["len_bucket"] <= cap
+        # <=1e-4: Spark rounds half-up, Python round() half-even (12.53125
+        # -> 12.5313 vs 12.5312), so compare to the unrounded ratio instead
+        assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) <= 1e-4
+        if r["len_bucket"] < cap:
+            # non-tail bucket: every member's count is inside [b*w, (b+1)*w)
+            b = r["len_bucket"]
+            assert r["n_docs"] == tc.where(
+                (F.col("tc") >= b * w) & (F.col("tc") < (b + 1) * w)
+            ).count()
