@@ -90,6 +90,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "shard_corpus",
     "unigram_logprob",
     "length_buckets",
+    "dedup_incremental",
+    "vocab_coverage",
+    "split_leakage",
     # relational core (driver-green r2; one representative per §2 family)
     # (select_filter / derived_column / topk / semi_join demoted r3 to make
     # window room — all driver-green in CORRECTNESS_r02.json; topk's
@@ -99,12 +102,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_3way",
     "agg_stats",
     "grouping_sets",
-    "window_rank",
-    "json_extract",
-    # timeseries (§2.5, §2.8 batch twins; tumbling_window demoted r3 —
-    # driver-green r2 and the tumbling shape is a special case of
-    # time_bucket's truncation)
-    "time_bucket",
+    # (window_rank / json_extract / time_bucket demoted r3 like topk et al —
+    # driver-green r2, shapes still exercised: ranking windows by
+    # passage_dedup/dedup_incremental, json fns by the parsing stack,
+    # time truncation by session_window/funnel/retention)
     "session_window",
     "asof_join",
     "funnel_stages",

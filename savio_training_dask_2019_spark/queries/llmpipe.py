@@ -652,6 +652,226 @@ FROM t GROUP BY len_bucket
 """
 
 
+# --- incremental (snapshot) dedup --------------------------------------------
+
+_BATCH_MOD = 3  # doc_id % 3 == 0 plays the role of the incoming crawl batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming crawl batch (here the
+    ``doc_id % 3 == 0`` slice) is deduped against the HISTORICAL corpus
+    snapshot's content-hash set, then within itself (keep-first). Per-source
+    ingest report: batch size, docs already known to the snapshot,
+    intra-batch duplicates, and docs actually ingested.
+
+    Scale: the historical hash set at 100 TB is billions of rows — far too
+    big to broadcast, so this is a shuffle join ON THE HASH (8–16 bytes per
+    row, the cheapest possible key). The production refinement is a bloom
+    filter built over the snapshot hashes and broadcast to prefilter the
+    batch (Spark: ``df.stat.bloomFilter`` or a bloom-join rewrite), which
+    turns the common all-novel case into a narrow map; the residual join
+    then touches only probable hits. md5(text) stands in for xxhash64 so
+    the oracle computes the identical hash.
+
+    The fixture corpus has (almost) no exact duplicates at small SFs, so —
+    same convention as ``pii_redact``'s planted payloads — docs with
+    ``doc_id % 29 == 0`` are assigned one of 5 shared canonical hashes,
+    deterministically on both engines, so the known/intra-batch-dup paths
+    are exercised at every SF."""
+    did = F.col("doc_id")
+    h = F.when(
+        did % 29 == 0,
+        F.md5(F.concat(F.lit("planted-"), (did % 5).cast("string"))),
+    ).otherwise(F.md5("text"))
+    d = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", h.alias("h")
+    )
+    hist = d.where(F.col("doc_id") % _BATCH_MOD != 0).select("h").distinct()
+    batch = d.where(F.col("doc_id") % _BATCH_MOD == 0)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = (
+        batch.join(hist.withColumn("known", F.lit(1)), "h", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "source",
+            # isNotNull, not ==1: the left join leaves NULL for novel docs
+            # and NULL==1 is NULL, which would poison the sums below
+            F.col("known").isNotNull().alias("is_known"),
+            (F.col("known").isNull() & (F.col("rn") > 1)).alias("is_dup"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("is_known").cast("long")).alias("n_known"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_batch_dup"),
+        F.sum((~F.col("is_known") & ~F.col("is_dup")).cast("long")).alias("n_ingested"),
+    )
+
+
+_INCR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 29 = 0
+              THEN md5('planted-' || CAST(doc_id % 5 AS VARCHAR))
+              ELSE md5(text) END AS h
+  FROM documents
+),
+hist AS (SELECT DISTINCT h FROM d WHERE doc_id % {_BATCH_MOD} <> 0),
+batch AS (SELECT * FROM d WHERE doc_id % {_BATCH_MOD} = 0),
+flagged AS (
+  SELECT b.source,
+         (hist.h IS NOT NULL) AS is_known,
+         (hist.h IS NULL
+          AND row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) > 1) AS is_dup
+  FROM batch b LEFT JOIN hist ON b.h = hist.h
+)
+SELECT source,
+       count(*) AS n_batch,
+       CAST(sum(CASE WHEN is_known THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
+       CAST(sum(CASE WHEN NOT is_known AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ingested
+FROM flagged GROUP BY source
+"""
+
+
+# --- vocabulary coverage curve -----------------------------------------------
+
+# fixture vocab is ~31 types (synthetic word-salad), so the K grid spans it;
+# a web corpus would use 2**10 .. 2**17 — the plan is identical
+_COVERAGE_KS = (4, 8, 16, 24, 32)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab sizing table: for each candidate vocab size K, the
+    fraction of all corpus token OCCURRENCES covered by the K most frequent
+    token types (ties broken lexically so the ranking is deterministic
+    cross-engine). The knee of this curve is where BPE vocab budgets come
+    from.
+
+    Scale: the ranking window runs over the POST-AGG type table (|vocab|
+    rows), not the corpus — and at 100 TB, where |vocab| itself is ~1e8,
+    you'd replace the global window with ``orderBy(c.desc).limit(max(K))``
+    (TakeOrdered, no single-partition stage) since only the top max(K)
+    types can ever matter to the curve."""
+    d = (
+        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("token"))
+    ranked = d.select("c", F.row_number().over(w).alias("rn"))
+    ks = F.array(*[F.lit(k) for k in _COVERAGE_KS])
+    return (
+        ranked.select("c", "rn", F.explode(ks).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0))
+                / F.sum("c"),
+                4,
+            ).alias("coverage"),
+            F.max(F.when(F.col("rn") <= F.col("k"), F.col("rn")).otherwise(0)).alias(
+                "types_used"
+            ),
+        )
+    )
+
+
+_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT token, count(*) AS c
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rn FROM counts
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+SELECT k,
+       round(sum(CASE WHEN rn <= k THEN c ELSE 0 END) / sum(c), 4) AS coverage,
+       CAST(max(CASE WHEN rn <= k THEN rn ELSE 0 END) AS BIGINT) AS types_used
+FROM ranked, ks GROUP BY k
+"""
+
+
+# --- train/val split with leakage audit --------------------------------------
+
+_VAL_PCT = 10  # md5-derived 10% validation split
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split (content-independent: hash of
+    doc_id, so re-crawls of the same page don't flip splits) plus the
+    leakage audit every release needs: exact-content hashes that appear on
+    BOTH sides of the split. One row per split with doc counts and the
+    number of leaked docs (val docs whose content also occurs in train
+    poison the eval).
+
+    Scale: the split column is a narrow map; the audit is one groupBy on
+    content hash (count distinct splits per hash) — same cost class as
+    exact dedup. The fix for leaked hashes is split-by-CONTENT-hash
+    instead, which this table lets you quantify before choosing.
+
+    Fixture corpora have (almost) no exact duplicates, so the same 5
+    planted shared-content groups as ``dedup_incremental`` (docs with
+    ``doc_id % 29 == 0``) guarantee cross-split collisions to audit."""
+    did = F.col("doc_id")
+    h = F.when(
+        did % 29 == 0,
+        F.md5(F.concat(F.lit("planted-"), (did % 5).cast("string"))),
+    ).otherwise(F.md5("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        h.alias("h"),
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+            < _VAL_PCT,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    sides = d.groupBy("h").agg(
+        F.countDistinct("split").alias("n_splits"),
+    )
+    leaked = d.join(sides.where(F.col("n_splits") > 1).select("h"), "h", "left_semi")
+    return (
+        d.join(leaked.select("doc_id", F.lit(1).alias("lk")), "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("lk") == 1, 1).otherwise(0)).alias("n_leaked"),
+        )
+    )
+
+
+_LEAKAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 29 = 0
+              THEN md5('planted-' || CAST(doc_id % 5 AS VARCHAR))
+              ELSE md5(text) END AS h,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   < {_VAL_PCT}
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+),
+sides AS (SELECT h, count(DISTINCT split) AS n_splits FROM d GROUP BY h),
+leaked AS (
+  SELECT doc_id FROM d WHERE h IN (SELECT h FROM sides WHERE n_splits > 1)
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM leaked) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked
+FROM d GROUP BY split
+"""
+
+
 QUERIES = {
     "decontam_check": q_decontam_check,
     "gopher_quality": q_gopher_quality,
@@ -663,6 +883,9 @@ QUERIES = {
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
     "length_buckets": q_length_buckets,
+    "dedup_incremental": q_dedup_incremental,
+    "vocab_coverage": q_vocab_coverage,
+    "split_leakage": q_split_leakage,
 }
 
 ORACLE = {
@@ -676,4 +899,7 @@ ORACLE = {
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
     "length_buckets": _LENBUCKET_SQL,
+    "dedup_incremental": _INCR_SQL,
+    "vocab_coverage": _COVERAGE_SQL,
+    "split_leakage": _LEAKAGE_SQL,
 }

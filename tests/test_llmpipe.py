@@ -215,3 +215,77 @@ def test_length_buckets_partitions_corpus(spark, sf_dir):
             assert r["n_docs"] == tc.where(
                 (F.col("tc") >= b * w) & (F.col("tc") < (b + 1) * w)
             ).count()
+
+
+def test_dedup_incremental_partitions_batch(spark, sf_dir):
+    """Every batch doc lands in exactly one of {known, intra-batch dup,
+    ingested}; ingested docs equal the batch's novel distinct hashes; the
+    planted shared hashes actually exercise the known path."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_dedup_incremental(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_known"] + r["n_batch_dup"] + r["n_ingested"] == r["n_batch"]
+
+    did = F.col("doc_id")
+    h = F.when(
+        did % 29 == 0,
+        F.md5(F.concat(F.lit("planted-"), (did % 5).cast("string"))),
+    ).otherwise(F.md5("text"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", h.alias("h"))
+    hist = d.where(did % llmpipe._BATCH_MOD != 0).select("h").distinct()
+    batch = d.where(did % llmpipe._BATCH_MOD == 0)
+    assert sum(r["n_batch"] for r in rows) == batch.count()
+    # ingested == distinct batch hashes not present in the snapshot
+    novel = batch.select("h").distinct().join(hist, "h", "left_anti").count()
+    assert sum(r["n_ingested"] for r in rows) == novel
+    assert sum(r["n_known"] for r in rows) > 0, "planted hashes must hit snapshot"
+
+
+def test_vocab_coverage_is_monotone(spark, sf_dir):
+    """Coverage is monotone non-decreasing in K, bounded by (0, 1], and
+    types_used == min(K, |vocab|)."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.functions.text import tokens
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = sorted(llmpipe.q_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == sorted(llmpipe._COVERAGE_KS)
+    cov = [r["coverage"] for r in rows]
+    assert all(0 < c <= 1 for c in cov)
+    assert cov == sorted(cov), "coverage must grow with K"
+    n_types = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("t"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["types_used"] == min(r["k"], n_types)
+    # full-vocab K must cover everything
+    if rows[-1]["k"] >= n_types:
+        assert rows[-1]["coverage"] == 1.0
+
+
+def test_split_leakage_split_is_deterministic_partition(spark, sf_dir):
+    """The split covers the corpus, the val fraction is near the target,
+    and leakage is symmetric (a leaked hash contributes docs on both
+    sides)."""
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = {r["split"]: r for r in llmpipe.q_split_leakage(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    assert set(rows) <= {"train", "val"}
+    assert sum(r["n_docs"] for r in rows.values()) == d.count()
+    val_frac = rows["val"]["n_docs"] / d.count()
+    assert 0.03 < val_frac < 0.25  # hash split lands near the 10% target
+    # leakage counts docs, and a leaked hash spans both sides: if any side
+    # has leaked docs, the other must too
+    leaks = [r["n_leaked"] for r in rows.values()]
+    assert (min(leaks) > 0) == (max(leaks) > 0)
+    # deterministic under re-execution
+    again = {r["split"]: tuple(r) for r in llmpipe.q_split_leakage(spark, sf_dir).collect()}
+    assert again == {s: tuple(r) for s, r in rows.items()}
