@@ -12,9 +12,13 @@ Stages (each one scan + at most one shuffle; 100 TB shapes noted inline):
   1. decontaminate  — drop docs sharing a word 5-gram with the eval split
                       (eval shingles broadcast; corpus never replicated)
   2. quality gate   — Gopher-style rules, pure JVM column math
-  3. mixture sample — per-language keep-rate via deterministic hash gate
-  4. pack           — concat-and-chunk into 2048-token bins (two-phase
+  3. PII scrub      — regex detect/redact audit (narrow map, scan speed)
+  4. passage dedup  — C4-style chunk keep-first retention (one shuffle)
+  5. mixture sample — per-language keep-rate via deterministic hash gate
+  6. pack           — concat-and-chunk into 2048-token bins (two-phase
                       cumsum: no partition ever holds the whole corpus)
+  7. split + shard  — train/val hash split with leakage audit, then
+                      content-hash shard balance for the writer fan-out
 """
 
 from __future__ import annotations
@@ -45,7 +49,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for r in sorted(gate.collect(), key=lambda r: r["lang"]):
         print(f"  {r['lang']}: {r['n_pass']}/{r['n_docs']} ({r['pass_rate']:.1%})")
 
-    # 3. mixture-weighted sampling (deterministic hash gate per language)
+    # 3. PII scrub audit (the compliance table shipped with the release)
+    pii = llmpipe.q_pii_redact(spark, sf_dir)
+    hits = pii.agg(
+        F.sum("docs_with_pii").alias("d"), F.sum("chars_removed").alias("c")
+    ).collect()[0]
+    print(f"PII scrub: {hits['d']} docs redacted, {hits['c']} chars removed")
+
+    # 4. passage-level dedup retention (post-strip token survival)
+    pd_rows = llmpipe.q_passage_dedup(spark, sf_dir).collect()
+    kept = sum(r["n_chunks"] - r["dup_chunks"] for r in pd_rows)
+    total_ch = sum(r["n_chunks"] for r in pd_rows)
+    print(f"passage dedup: {kept}/{total_ch} chunks kept ({kept/total_ch:.1%})")
+
+    # 5. mixture-weighted sampling (deterministic hash gate per language)
     mix = {r["lang"]: r for r in llmpipe.q_mixture_sample(spark, sf_dir).collect()}
     rates = spark.createDataFrame(
         [(lang, r["rate_pct"]) for lang, r in mix.items()], "lang string, rate_pct int"
@@ -58,15 +75,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n_sampled = sampled.count()
 
-    # 4. pack into training bins (bin id = running token offset DIV budget)
+    # 6. pack into training bins (bin id = running token offset DIV budget)
     bins = llmpipe.q_pack_sequences(spark, sf_dir)
     n_bins = bins.count()
     tok_total = sampled.select(F.sum(token_count("text"))).collect()[0][0]
+
+    # 7. train/val split with leakage audit, then writer shard balance
+    splits = {r["split"]: r for r in llmpipe.q_split_leakage(spark, sf_dir).collect()}
+    shards = llmpipe.q_shard_corpus(spark, sf_dir).collect()
+    shard_docs = [r["n_docs"] for r in shards]
 
     print(f"corpus: {n_docs} docs")
     print(f"after decontamination: {n_clean} docs")
     print(f"after mixture sampling: {n_sampled} docs ({tok_total} tokens kept)")
     print(f"packed layout: {n_bins} bins of {llmpipe._PACK_BUDGET} tokens")
+    for name in ("train", "val"):
+        r = splits[name]
+        print(f"{name}: {r['n_docs']} docs, {r['n_leaked']} leaked across split")
+    print(
+        f"shards: {len(shards)} (docs/shard min {min(shard_docs)} / "
+        f"max {max(shard_docs)})"
+    )
     print("corpus prep complete")
 
 
