@@ -17,6 +17,7 @@ from .windows import (
     with_watermark,
 )
 from .io import file_stream, foreach_batch_sink, memory_sink, rate_stream
+from .ingest import incremental_ingest
 from .joins import interval_join
 from .stateful import running_totals
 
@@ -32,4 +33,5 @@ __all__ = [
     "memory_sink",
     "running_totals",
     "interval_join",
+    "incremental_ingest",
 ]

@@ -265,3 +265,92 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert stream_rows == batch_rows
     assert len(stream_rows) == 2  # u1@10:04 and u2@10:06 only
+
+
+def test_incremental_ingest_matches_batch_semantics(spark, tmp_path):
+    """Streaming incremental ingest admits exactly the docs a batch run
+    would: not in the snapshot, first occurrence in the stream — across
+    micro-batch boundaries (maxFilesPerTrigger=1 forces multi-batch)."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.streaming import (
+        file_stream,
+        incremental_ingest,
+        memory_sink,
+    )
+
+    src = str(tmp_path / "ingest_src")
+    snapshot = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(5)], "doc_id long, text string"
+    )
+    # batch 1 overlaps the snapshot (3, 4); batch 2 overlaps batch 1 (6, 7)
+    b1 = [(i, f"text-{i}") for i in range(3, 8)]
+    b2 = [(i, f"text-{i}") for i in range(6, 11)]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{src}/b2"
+    )
+
+    stream = file_stream(spark, f"{src}/*", "doc_id long, text string")
+    q = memory_sink(
+        incremental_ingest(stream, snapshot), "ingested", output_mode="append"
+    )
+    assert q.awaitTermination(120)
+    admitted = sorted(r["doc_id"] for r in spark.table("ingested").collect())
+    assert admitted == [5, 6, 7, 8, 9, 10]
+
+    # batch twin: same content set, computed with the batch dedup shape
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    batch = (
+        all_docs.withColumn("h", F.xxhash64("text"))
+        .join(
+            snapshot.select(F.xxhash64("text").alias("h")).distinct(),
+            "h",
+            "left_anti",
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert admitted == sorted(r["doc_id"] for r in batch.collect())
+
+
+def test_incremental_ingest_watermark_bounded_state(spark, tmp_path):
+    """The within_watermark variant (bounded dedup state) still admits
+    novel docs and drops snapshot/in-stream duplicates that arrive inside
+    the watermark window."""
+    import datetime as dt
+
+    from savio_training_dask_2019_spark.streaming import (
+        file_stream,
+        incremental_ingest,
+        memory_sink,
+    )
+
+    src = str(tmp_path / "ingest_wm_src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    snapshot = spark.createDataFrame(
+        [(0, "text-0", t0)], "doc_id long, text string, ts timestamp"
+    )
+    rows = [
+        (1, "text-1", t0),
+        (2, "text-0", t0),  # snapshot dup
+        (3, "text-1", t0 + dt.timedelta(minutes=1)),  # in-stream dup, in window
+        (4, "text-4", t0 + dt.timedelta(minutes=2)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = file_stream(
+        spark, f"{src}/*", "doc_id long, text string, ts timestamp"
+    )
+    q = memory_sink(
+        incremental_ingest(stream, snapshot, within_watermark="10 minutes"),
+        "ingested_wm",
+        output_mode="append",
+    )
+    assert q.awaitTermination(120)
+    admitted = sorted(r["doc_id"] for r in spark.table("ingested_wm").collect())
+    assert admitted == [1, 4]
