@@ -9,7 +9,14 @@ scale; Parquet footers are the only trusted inference path.
 from .parquet import FIXTURE_TABLES, ensure_min_partitions, load_table, load_tables
 from .text_json import read_csv, read_json_lines, read_text
 from .pandas_io import from_iterator, from_pandas
-from .sinks import read_orc, write_bucketed_table, write_csv, write_orc, write_parquet
+from .sinks import (
+    read_orc,
+    write_bucketed_table,
+    write_csv,
+    write_orc,
+    write_parquet,
+    write_sorted_parquet,
+)
 
 __all__ = [
     "write_bucketed_table",
@@ -25,5 +32,6 @@ __all__ = [
     "from_pandas",
     "from_iterator",
     "write_parquet",
+    "write_sorted_parquet",
     "write_csv",
 ]

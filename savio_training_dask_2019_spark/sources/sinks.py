@@ -78,3 +78,31 @@ def read_orc(spark, path: str) -> DataFrame:
     """ORC scan — vectorized reader, filter pushdown and column pruning
     apply exactly as for parquet (PushedFilters/ReadSchema in explain)."""
     return spark.read.orc(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Range-partitioned, sorted-within-file parquet — the min/max-pruning
+    layout for range/point predicates on the sort key: every output file
+    covers a DISJOINT key range (repartitionByRange) and rows inside each
+    file are sorted (sortWithinPartitions), so parquet footer statistics
+    are tight and a pushed predicate skips whole files and row groups
+    instead of scanning them.
+
+    At 100 TB this is the cheap half of Z-ordering: one range shuffle at
+    write time buys every subsequent time/key-range query a scan
+    proportional to the selected range, not the table. Combine with
+    ``partition_by`` on a coarse column (e.g. date) for directory-level
+    pruning on top. ``repartitionByRange`` samples the key distribution,
+    so skewed keys still yield balanced files."""
+    part = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

@@ -89,3 +89,44 @@ def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     # pushdown reaches the ORC scan like parquet
     plan = back.filter(F.col("doc_id") < 100)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+
+
+def test_write_sorted_parquet_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """The sorted layout's contract: output files cover disjoint sort-key
+    ranges (range partitioning) and rows inside each file are sorted — the
+    two properties that make parquet min/max stats prune files/row groups
+    for range predicates. Also: a range predicate over the layout still
+    returns exactly the right rows, and it reaches the scan as a pushed
+    filter."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.sources import write_sorted_parquet
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_sorted_parquet(orders, out, ["o_orderdate"], n_files=4)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f)
+        r = part.agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).collect()[0]
+        ranges.append((r["lo"], r["hi"]))
+        # sorted within the file
+        dates = [x["o_orderdate"] for x in part.select("o_orderdate").collect()]
+        assert dates == sorted(dates)
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "file key ranges must not interleave"
+
+    # round-trip + pushdown
+    back = spark.read.parquet(out).filter(F.col("o_orderdate") >= "1997-01-01")
+    want = orders.filter(F.col("o_orderdate") >= "1997-01-01").count()
+    assert back.count() == want
+    assert any("o_orderdate" in p for p in plans.pushed_filters(back))
