@@ -43,6 +43,10 @@ HEADLINE = {
     "minhash_pairs": "minhash_pairs",
     "simhash_pairs": "simhash_pairs",
     "emb_near_dup_lsh": "emb_near_dup_lsh",
+    # corpus-prep tier heavyweights (first measured r3)
+    "decontam_check": "decontam_check",
+    "passage_dedup": "passage_dedup",
+    "unigram_logprob": "unigram_logprob",
 }
 
 

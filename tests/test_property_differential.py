@@ -155,3 +155,54 @@ def test_filtered_join_matches_duckdb(kr, how, spark, duck):
     s = sorted(tuple(r) for r in sdf.collect())
     o_rows = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert s == o_rows, f"{how} {lo}-{hi}"
+
+
+# --- window-function parity -------------------------------------------------
+
+_WIN_FNS = ["row_number", "rank", "dense_rank", "lag", "running_sum"]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(_WIN_FNS),
+    part=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    order=st.sampled_from(["o_totalprice", "o_orderdate"]),
+    desc=st.booleans(),
+)
+def test_window_functions_match_duckdb(fn, part, order, desc, spark, duck):
+    """Hypothesis-chosen window function × partition × (possibly tied)
+    order column must agree with DuckDB — the drift net for tie handling,
+    frame defaults, and lag NULL boundaries. o_orderkey is appended as a
+    unique tie-break so both engines rank deterministically."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") <= 3000)
+    ocol = F.col(order).desc() if desc else F.col(order).asc()
+    w = Window.partitionBy(part).orderBy(ocol, F.col("o_orderkey"))
+    if fn == "lag":
+        expr = F.lag("o_totalprice", 1).over(w)
+    elif fn == "running_sum":
+        expr = F.round(F.sum("o_totalprice").over(w), 2)
+    else:
+        expr = getattr(F, fn)().over(w)
+    sdf = o.select("o_orderkey", expr.alias("v"))
+
+    dir_sql = "DESC" if desc else "ASC"
+    if fn == "lag":
+        call = "lag(o_totalprice, 1) OVER w"
+    elif fn == "running_sum":
+        call = "round(sum(o_totalprice) OVER w, 2)"
+    else:
+        call = f"{fn}() OVER w"
+    sql = f"""SELECT o_orderkey, {call} AS v FROM orders
+              WHERE o_orderkey <= 3000
+              WINDOW w AS (PARTITION BY {part}
+                           ORDER BY {order} {dir_sql}, o_orderkey)"""
+    s = sorted(tuple(r) for r in sdf.collect())
+    d = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert s == d, f"{fn} over {part}/{order} {dir_sql}"
