@@ -13,6 +13,7 @@ from .sinks import (
     read_orc,
     write_bucketed_table,
     write_csv,
+    write_json_lines,
     write_orc,
     write_parquet,
     write_sorted_parquet,
@@ -34,4 +35,5 @@ __all__ = [
     "write_parquet",
     "write_sorted_parquet",
     "write_csv",
+    "write_json_lines",
 ]

@@ -29,6 +29,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "error", header: bool = True
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_json_lines(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — the write half of ``read_json_lines`` (the bag-style
+    ``db.read_text → json.loads`` surface). One JSON object per line,
+    splittable for re-ingest; ``compression='gzip'`` trades splittability for
+    size (a gzip part is one task on re-read — prefer many modest parts)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -55,6 +55,26 @@ def test_json_lines_and_parse_column(spark, tmp_path):
     assert parsed.select(F.sum("value_parsed.a")).collect()[0][0] == 3
 
 
+def test_json_lines_sink_roundtrip(spark, sf_dir, tmp_path):
+    from savio_training_dask_2019_spark.sources import write_json_lines
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "events_jsonl")
+    write_json_lines(e, out, partition_by=["event_type"])
+    # directory partition discovery recovers event_type, like parquet
+    back = read_json_lines(
+        spark, out, schema="event_id bigint, value double, event_type string"
+    )
+    assert back.count() == e.count()
+    assert back.filter(F.col("event_type") == "click").count() == \
+        e.filter(F.col("event_type") == "click").count()
+    # values survive the text roundtrip
+    assert back.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"] == \
+        e.agg(F.round(F.sum("value"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(r["event_id"] for r in back.collect()) == \
+        sorted(r["event_id"] for r in e.collect())
+
+
 def test_from_pandas_roundtrip(spark):
     pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
     df = from_pandas(spark, pdf, npartitions=2)
