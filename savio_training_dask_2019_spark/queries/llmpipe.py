@@ -171,7 +171,7 @@ WITH s AS (
     FROM (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents)
   )
 )
-SELECT lang, count(*) AS n_docs, sum(pass) AS n_pass,
+SELECT lang, count(*) AS n_docs, CAST(sum(pass) AS BIGINT) AS n_pass,
        round(avg(CAST(pass AS DOUBLE)), 4) AS pass_rate
 FROM s GROUP BY lang
 """
@@ -229,7 +229,7 @@ c AS (
   FROM t
 )
 SELECT CAST(floor(off / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
-       count(*) AS n_docs, sum(n_tok) AS bin_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
 FROM c GROUP BY bin
 """
 
@@ -277,8 +277,8 @@ WITH rates(lang, rate_pct) AS (VALUES {_MIX_VALUES})
 SELECT d.lang,
        CAST(max(r.rate_pct) AS INTEGER) AS rate_pct,
        count(*) AS n_total,
-       sum(CASE WHEN (d.doc_id * 2654435761 + 40503) % 100 < r.rate_pct
-                THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(sum(CASE WHEN (d.doc_id * 2654435761 + 40503) % 100 < r.rate_pct
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        round(avg(CASE WHEN (d.doc_id * 2654435761 + 40503) % 100 < r.rate_pct
                       THEN 1.0 ELSE 0.0 END), 4) AS realized_rate
 FROM documents d JOIN rates r USING (lang)
@@ -571,12 +571,17 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = d.select("doc_id", "lang", F.explode("tk").alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    # total via an unpartitioned window over the POST-AGG counts (|vocab|
-    # rows, tiny) — a separate `counts.agg(sum)` scalar would re-compute
-    # the whole token-count subtree and scan the corpus a third time
-    model = counts.select(
+    # corpus token total as a 1-row agg crossJoin'd back in, NOT an
+    # unpartitioned window: Window.partitionBy() funnels the whole vocab
+    # through one partition (a scale-killer at web-corpus vocab sizes).
+    # The counts subtree appears twice in the plan but shares one shuffle —
+    # Spark's exchange reuse (spark.sql.exchange.reuse) turns the second
+    # occurrence into a ReusedExchange, so the corpus is still scanned twice
+    # total (fit + score), never a third time.
+    total = counts.agg(F.sum("c").alias("s"))
+    model = counts.crossJoin(F.broadcast(total)).select(
         "token",
-        (-F.ln(F.col("c") / F.sum("c").over(Window.partitionBy()))).alias("nll_tok"),
+        (-F.ln(F.col("c") / F.col("s"))).alias("nll_tok"),
     )
     scored = (
         tok.join(F.broadcast(model), "token")
@@ -749,27 +754,35 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine). The knee of this curve is where BPE vocab budgets come
     from.
 
-    Scale: the ranking window runs over the POST-AGG type table (|vocab|
-    rows), not the corpus — and at 100 TB, where |vocab| itself is ~1e8,
-    you'd replace the global window with ``orderBy(c.desc).limit(max(K))``
-    (TakeOrdered, no single-partition stage) since only the top max(K)
-    types can ever matter to the curve."""
-    d = (
+    Scale: only the top ``max(K)`` types can ever matter to the numerator,
+    so the type table is cut with ``orderBy(c.desc, token).limit(max(K))``
+    — TakeOrderedAndProject, per-partition heaps, NO single-partition
+    ranking stage over the vocab (at web scale |vocab| is ~1e8; the old
+    global ``row_number`` window funneled all of it through one task). The
+    denominator (all occurrences, tail included) is a separate scalar agg
+    whose shuffle Spark dedupes via ReusedExchange. The residual
+    ``row_number`` window runs over ≤ max(K) rows — bounded by the constant
+    K grid, not by data size."""
+    counts = (
         ensure_min_partitions(load_table(spark, sf_dir, "documents"))
         .select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    total = counts.agg(F.sum("c").alias("total_c"))
+    k_max = max(_COVERAGE_KS)
+    top = counts.orderBy(F.col("c").desc(), F.col("token")).limit(k_max)
     w = Window.orderBy(F.col("c").desc(), F.col("token"))
-    ranked = d.select("c", F.row_number().over(w).alias("rn"))
+    ranked = top.select("c", F.row_number().over(w).alias("rn"))
     ks = F.array(*[F.lit(k) for k in _COVERAGE_KS])
     return (
-        ranked.select("c", "rn", F.explode(ks).alias("k"))
+        ranked.crossJoin(F.broadcast(total))
+        .select("c", "rn", "total_c", F.explode(ks).alias("k"))
         .groupBy("k")
         .agg(
             F.round(
                 F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0))
-                / F.sum("c"),
+                / F.max("total_c"),
                 4,
             ).alias("coverage"),
             F.max(F.when(F.col("rn") <= F.col("k"), F.col("rn")).otherwise(0)).alias(

@@ -304,7 +304,7 @@ _RETENTION_SQL = """
 WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
 SELECT a.d,
        count(*) AS n_active,
-       sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS n_retained,
+       CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
        round(CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
              / count(*), 4) AS retention
 FROM days a

@@ -18,6 +18,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -30,17 +31,29 @@ TABLES = (
 
 
 def canon_cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NA:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        # Dtype-strict: 3.0 renders "3.0", NOT "3".  The driver's hash sees
+        # the float/int distinction (DuckDB HUGEINT -> pandas float64 made
+        # four r3 oracles fail while the old int-collapsing canon here was
+        # green) — never mask numeric typing again.
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 == 3 regardless of engine float/int typing
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
+
+
+def dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    return "other"
 
 
 def canon_df(df: pd.DataFrame) -> list[tuple]:
@@ -97,6 +110,13 @@ def main() -> int:
             problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if not problems:
+            # int-vs-float column mismatch fails even when values round-trip:
+            # this is the exact class the driver's value hash catches.
+            for c in sdf.columns:
+                ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
+                if {ks, ko} == {"int", "float"}:
+                    problems.append(f"dtype mismatch col={c} spark={ks} oracle={ko}")
         if not problems:
             a, b = canon_df(sdf), canon_df(odf)
             if a != b:

@@ -12,7 +12,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
 
-from check_correctness import canon_df  # noqa: E402
+from check_correctness import canon_cell, canon_df, dtype_kind  # noqa: E402
 
 from savio_training_dask_2019_spark import queries as catalog  # noqa: E402
 
@@ -26,8 +26,31 @@ def test_matches_oracle(name, spark, duck, sf_dir):
     odf = duck.execute(catalog.ORACLE[name]).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
+    for c in sdf.columns:
+        ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
+        assert {ks, ko} != {"int", "float"}, (
+            f"{name}: col {c} spark={ks} oracle={ko} — an uncast DuckDB sum()? "
+            "HUGEINT widens to float64 and fails the driver's value hash"
+        )
     a, b = canon_df(sdf), canon_df(odf)
     assert a == b, f"{name}: first diffs {[(x, y) for x, y in zip(a, b) if x != y][:3]}"
+
+
+def test_checker_is_dtype_strict():
+    """Regression test for the checker itself: the r3 driver failures
+    (gopher_quality et al.) were int64-vs-float64 rows that the old canon
+    collapsed (3.0 -> "3") and passed locally.  Pin that 3.0 and 3 now
+    canonicalize differently and that dtype_kind flags the column class."""
+    import pandas as pd
+
+    assert canon_cell(3.0) != canon_cell(3)
+    assert canon_cell(3.0) == "3.0"
+    a = canon_df(pd.DataFrame({"n": pd.array([3], dtype="int64")}))
+    b = canon_df(pd.DataFrame({"n": pd.array([3.0], dtype="float64")}))
+    assert a != b  # the exact r3 failure class, now caught locally
+    ks = dtype_kind(pd.Series([3], dtype="int64"))
+    ko = dtype_kind(pd.Series([3.0], dtype="float64"))
+    assert {ks, ko} == {"int", "float"}
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

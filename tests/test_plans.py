@@ -93,17 +93,33 @@ def test_rp_near_dup_ids_only_pair_shuffle(spark, sf_dir):
         assert "Input [2]:" in node  # ids only — no vector payload columns
 
 
-def test_unigram_logprob_two_scans_and_broadcast_model(spark, sf_dir):
-    """Fit + score must be exactly TWO corpus scans (a naive scalar-total
-    formulation re-computes the count subtree and scans a third time) and
-    the per-token model must reach the corpus by broadcast, never by
-    shuffling the exploded corpus on token."""
+def test_unigram_logprob_no_global_window_and_broadcast_model(spark, sf_dir):
+    """The corpus token total is an agg-to-scalar crossJoin'd back in — the
+    plan must contain NO unpartitioned WindowExec (the old formulation
+    funneled the vocab through one partition). The static plan shows the
+    counts subtree twice (3 scans) but at runtime Spark dedupes the shared
+    shuffle into a ReusedExchange, so the corpus is physically scanned
+    twice; pin that reuse on the executed plan. The per-token model must
+    reach the corpus by broadcast, never by shuffling the exploded corpus
+    on token."""
     df = QUERIES["unigram_logprob"](spark, sf_dir)
     plan = plans.formatted_plan(df)
-    # ") Scan parquet" matches the numbered detail entries only (the tree
-    # section repeats each scan node once more)
-    assert plan.count(") Scan parquet") == 2
+    assert "Window" not in plan  # no single-partition vocab stage
     assert plans.broadcast_join_count(df) >= 1
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final  # counts shuffle shared, not recomputed
+
+
+def test_vocab_coverage_takeordered_not_global_window(spark, sf_dir):
+    """The top-max(K) cut must be TakeOrderedAndProject (per-partition
+    heaps), never a global row_number window over the full vocab; the
+    residual ranking window runs over <= max(K) rows (constant-bounded)."""
+    df = QUERIES["vocab_coverage"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrdered" in plan
+    # the only Window sits strictly above the TakeOrdered cut
+    assert plan.index("TakeOrdered") > plan.index("Window")
 
 
 def test_passage_dedup_single_chunk_shuffle(spark, sf_dir):
