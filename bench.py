@@ -68,6 +68,12 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         per_query[bench_name] = round(best, 4)
+        # Each query is measured from a defined cache state: drop DataFrames
+        # persisted inside the query just benched (inverted indexes, MinHash
+        # signature tables, ...) so their storage blocks can't skew AQE
+        # decisions or memory for the queries that follow.  Measured r4:
+        # without this the tail-of-suite corpus-prep tier drifts ~20-40%.
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 4)
     print(

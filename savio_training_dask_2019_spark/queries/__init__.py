@@ -45,82 +45,94 @@ if _MISSING:
 #
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
-# dict insertion order decides which queries earn a driver-green row. The
-# explicit window below puts every query that has never had a driver row —
-# the whole Python-boundary family (pandas UDF / applyInPandas / mapInPandas /
-# mapInArrow / cogroup / UDTF), vector ops, multimodal, knn variants, embedding
-# near-dup — plus round-3 additions inside the window, and demotes redundant
-# already-driver-green variants (the lag/lead/ntile/cumsum window family,
-# asof_tolerance, pivot_daily, percentiles/corr_cov, …) past the cap. Demoted
-# queries remain verified every round by the stricter local replica
-# (scripts/check_correctness.py, sorted-row equality) and keep their
-# driver-green rows of record in CORRECTNESS_r02.json.
+# dict insertion order decides which queries earn a driver-green row each
+# round.  ROTATION SCHEDULE (the catalog is 89 queries, the window 50, so no
+# single round can witness everything):
+#
+#   r2: first 50 of the natural module order        -> CORRECTNESS_r02.json
+#   r3: the 33 never-witnessed + r3 additions       -> CORRECTNESS_r03.json
+#   r4 (this window):
+#     - ALL 39 queries outside the r3 window — the 37 r2-green queries r3
+#       demoted, plus hll_sketch_union / kll_quantiles which have never had
+#       ANY driver row (rows-only by contract, but the driver still records
+#       row counts for them);
+#     - the 4 queries whose r3 rows were red from uncast DuckDB sums, now
+#       fixed (gopher_quality, pack_sequences, mixture_sample,
+#       retention_daily) — their green rows must be re-witnessed;
+#     - the 2 queries whose Spark implementations were rewritten this round
+#       (unigram_logprob: scalar-agg total; vocab_coverage: TakeOrdered cut)
+#       — their r3 rows predate the rewrite;
+#     - the flagship (agg_groupby) plus one rolling representative per big
+#       family (pandas_udf_tokens, knn_brute, dedup_keep_first, join_3way)
+#       so every round keeps a live cross-family driver signal.
+#   r5+: swap the representative slots; re-window anything whose code or
+#       oracle changed that round; everything else rides its newest green
+#       row + the every-round local replica (scripts/check_correctness.py,
+#       dtype-strict sorted-row equality — run over ALL 89 every round).
+#
+# Union of r2..r4 rows of record: every oracle-backed query has a driver-
+# green row, and every rows-only query has a driver row-count record.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # Python boundary (SURVEY §2.11 / §2.2 / §2.4 apply) — no driver row before r3
-    "pandas_udf_tokens",
-    "grouped_agg_pandas",
-    "apply_in_pandas",
-    "map_in_pandas",
-    "map_in_arrow",
-    "cogroup_stats",
-    "udtf_tokens",
-    "fanout_compute",
-    # vector / embedding ops (§2.9, §2.12) — no driver row before r3
-    "vector_stats",
-    "vector_arith",
-    "knn_join",
-    "knn_lsh",
-    "knn_ivf",
-    "emb_near_dup",
-    "emb_near_dup_lsh",
-    # multimodal plumbing (§2.12) — no driver row before r3
-    "multimodal_meta",
-    "multimodal_decode",
-    # round-3 additions
-    "describe_summary",
-    "decontam_check",
+    # --- the 39 outside the r3 window (r2-green demotions + hll/kll) ---
+    # relational core (§2.2/§2.3/§2.6)
+    "select_filter",
+    "derived_column",
+    "null_handling",
+    "sample_mod",
+    "topk",
+    "sort_limit",
+    "distinct",
+    "value_counts",
+    "set_ops",
+    "join_outer",
+    "semi_join",
+    "anti_join",
+    "cross_join",
+    "range_join",
+    # sketches (§2.4) — hll/kll: FIRST-EVER driver rows this round
+    "distinct_approx",
+    "hll_sketch_union",
+    "kll_quantiles",
+    "percentiles",
+    "corr_cov",
+    "cube_agg",
+    # window functions (§2.5)
+    "window_rank",
+    "lag_lead",
+    "rolling_avg",
+    "cumsum",
+    "ntile_percent",
+    # functions / json / time (§2.7, §2.5, §2.8)
+    "string_funcs",
+    "json_extract",
+    "time_bucket",
+    "dt_accessors",
+    "tumbling_window",
+    "sliding_window",
+    "asof_tolerance",
+    "pivot_daily",
+    # text/docs tier (§2.12)
+    "bpe_token_stats",
+    "rolling_fp",
+    "doc_quality",
+    "wordcount",
+    "dedup_stats",
+    "svd_embeddings",
+    # --- the 4 r3 hash-failures, oracles fixed this round ---
     "gopher_quality",
     "pack_sequences",
     "mixture_sample",
-    "dup_ngram_ratio",
-    "pii_redact",
-    "passage_dedup",
-    "shard_corpus",
-    "unigram_logprob",
-    "length_buckets",
-    "dedup_incremental",
-    "vocab_coverage",
-    "split_leakage",
-    # relational core (driver-green r2; one representative per §2 family)
-    # (select_filter / derived_column / topk / semi_join demoted r3 to make
-    # window room — all driver-green in CORRECTNESS_r02.json; topk's
-    # TakeOrdered shape stays pinned by test_plans.py and sort_limit,
-    # semi-join shape by anti_join + the decontam/mixture join stacks)
-    "nullsafe_join",
-    "join_3way",
-    "agg_stats",
-    "grouping_sets",
-    # (window_rank / json_extract / time_bucket demoted r3 like topk et al —
-    # driver-green r2, shapes still exercised: ranking windows by
-    # passage_dedup/dedup_incremental, json fns by the parsing stack,
-    # time truncation by session_window/funnel/retention)
-    "session_window",
-    "asof_join",
-    "funnel_stages",
     "retention_daily",
-    # text / dedup / similarity (§2.12 LLM-pipeline tier)
-    "text_stats",
-    "lang_id",
-    "doc_tfidf",
-    "dedup_keep_first",
-    "doc_fingerprint",
-    "ngram_jaccard",
-    "dedup_clusters",
-    "minhash_pairs",
-    "simhash_pairs",
+    # --- rewritten this round (r3 rows predate the new plans) ---
+    "unigram_logprob",
+    "vocab_coverage",
+    # --- rolling per-family representatives (r3-green, kept live) ---
+    "pandas_udf_tokens",
     "knn_brute",
+    "dedup_keep_first",
+    "join_3way",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

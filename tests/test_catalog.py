@@ -6,15 +6,27 @@ from __future__ import annotations
 
 from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 
-# Queries that must hold a driver-window slot: everything that had no driver
-# row before round 3 plus round-3 additions. Demotions past the cap must
-# never touch these.
+# Queries that must hold a driver-window slot THIS round (rotation schedule in
+# queries/__init__.py): anything that never had a driver row, anything whose
+# oracle was red last round and has been fixed, and anything whose Spark
+# implementation changed since its newest green row. Demotions past the cap
+# must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    "pandas_udf_tokens", "grouped_agg_pandas", "apply_in_pandas",
-    "map_in_pandas", "map_in_arrow", "cogroup_stats", "udtf_tokens",
-    "fanout_compute", "vector_stats", "vector_arith", "knn_join", "knn_lsh",
-    "knn_ivf", "emb_near_dup", "emb_near_dup_lsh", "multimodal_meta",
-    "multimodal_decode", "describe_summary", "doc_tfidf", "dedup_clusters",
+    # never had any driver row before r4
+    "hll_sketch_union", "kll_quantiles",
+    # r3 hash failures, oracles fixed r4 — green rows must be re-witnessed
+    "gopher_quality", "pack_sequences", "mixture_sample", "retention_daily",
+    # Spark plans rewritten r4 — r3 rows predate the new code
+    "unigram_logprob", "vocab_coverage",
+    # the 37 r2-green queries demoted by the r3 window, re-witnessed r4
+    "select_filter", "derived_column", "null_handling", "sample_mod", "topk",
+    "sort_limit", "distinct", "value_counts", "set_ops", "join_outer",
+    "semi_join", "anti_join", "cross_join", "range_join", "distinct_approx",
+    "percentiles", "corr_cov", "cube_agg", "window_rank", "lag_lead",
+    "rolling_avg", "cumsum", "ntile_percent", "string_funcs", "json_extract",
+    "time_bucket", "dt_accessors", "tumbling_window", "sliding_window",
+    "asof_tolerance", "pivot_daily", "bpe_token_stats", "rolling_fp",
+    "doc_quality", "wordcount", "dedup_stats", "svd_embeddings",
 }
 
 
