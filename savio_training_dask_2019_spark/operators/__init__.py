@@ -14,6 +14,7 @@ from .dedup import (
     minhash_banded_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     shingle_array,
     simhash,
     simhash_near_dup_pairs,
@@ -60,6 +61,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "shingle_array",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
     "simhash",
     "simhash_near_dup_pairs",
     "brute_knn",

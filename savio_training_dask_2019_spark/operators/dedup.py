@@ -437,6 +437,54 @@ def embedding_near_dup_pairs(
     raise ValueError(f"unknown method {method!r}; use 'brute', 'lsh', or 'rp'")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): keep-first within each semantic
+    cluster — a row is DROPPED iff some row of the SAME cluster with a
+    smaller id has embedding cosine >= ``min_cosine``. Returns the retained
+    rows with the input schema.
+
+    The cluster column is the scale lever and must come from the caller: a
+    k-means assignment (``build_ivf_index(...).assigned`` provides one), a
+    topic/label column, or any partitioner that puts semantic neighbors
+    together. Pairwise comparison happens ONLY within a cluster, so the
+    quadratic term is bounded by the largest cluster, not the corpus —
+    choose k so clusters stay ~1e3-1e4 rows at 100 TB. Plan: one shuffle of
+    each side keyed on (cluster), the within-cluster self-join, then a
+    hash-keyed anti-join back; nothing global, no window.
+
+    Dropping against ANY earlier same-cluster row (not only the epsilon-
+    ball exemplar) matches keep_first_by_hash semantics, is deterministic,
+    and is exactly SQL-expressible — the oracle twin is an EXISTS."""
+    from ..functions.vectors import as_double, cosine_similarity
+
+    v = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dup_ids = (
+        a.join(b, (F.col("a.__c") == F.col("b.__c")) & (F.col("a.__id") > F.col("b.__id")))
+        .where(
+            F.round(cosine_similarity(F.col("a.__v"), F.col("b.__v")), 5)
+            >= F.lit(min_cosine)
+        )
+        .select(F.col("a.__id").alias("__dup_id"))
+        .distinct()
+    )
+    return df.join(
+        dup_ids, df[id_col] == dup_ids["__dup_id"], "left_anti"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

@@ -128,10 +128,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # --- rewritten this round (r3 rows predate the new plans) ---
     "unigram_logprob",
     "vocab_coverage",
+    # --- NEW this round (needs its first driver row) ---
+    "semdedup_clusters",
     # --- rolling per-family representatives (r3-green, kept live) ---
     "pandas_udf_tokens",
     "knn_brute",
-    "dedup_keep_first",
     "join_3way",
 )
 

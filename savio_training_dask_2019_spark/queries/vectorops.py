@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..cache import BoundedCache
 from ..functions.vectors import as_double, l2_norm
-from ..operators.dedup import embedding_near_dup_pairs
+from ..operators.dedup import embedding_near_dup_pairs, semantic_dedup
 from ..operators.similarity import (
     IVFIndex,
     brute_knn,
@@ -221,6 +221,60 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_SEMDEDUP_COS = 0.30  # demo threshold: fixture embeddings are isotropic noise
+# (pairwise cos ~ N(0, 1/8)), so 0.30 ≈ 2.4σ yields a small real duplicate
+# tail to exercise the drop path; a production pass on near-dup embeddings
+# runs the same plan at ~0.95.
+
+
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup summary: within each
+    semantic cluster (the fixture ``label`` column stands in for the k-means
+    assignment a production pass computes first), drop every vector whose
+    cosine to an earlier same-cluster vector is >= the threshold; report
+    per-cluster retention. The pairwise term is confined to single clusters
+    — the SemDeDup scaling argument — so cost is Σ|cluster|², never n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(
+        emb, "embedding", "vec_id", "label", min_cosine=_SEMDEDUP_COS
+    )
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    kept_n = kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_n, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_vecs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.round(
+                (F.col("n_vecs") - F.coalesce("n_kept", F.lit(0)))
+                / F.col("n_vecs"),
+                4,
+            ).alias("drop_frac"),
+        )
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id > b.vec_id
+  WHERE round(list_cosine_similarity({_DD.format(col='a.embedding')},
+                                     {_DD.format(col='b.embedding')}), 5)
+        >= {_SEMDEDUP_COS}
+)
+SELECT e.label,
+       count(*) AS n_vecs,
+       count(*) - count(d.vec_id) AS n_kept,
+       count(d.vec_id) AS n_dropped,
+       round(CAST(count(d.vec_id) AS DOUBLE) / count(*), 4) AS drop_frac
+FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.vec_id
+GROUP BY e.label
+"""
+
+
 def q_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 singular values of the embedding matrix (dask.array
     ``da.linalg.svd`` surface via RowMatrix; rows-only — no SQL oracle can
@@ -243,6 +297,7 @@ QUERIES = {
     "vector_arith": q_vector_arith,
     "emb_near_dup": q_emb_near_dup,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
+    "semdedup_clusters": q_semdedup_clusters,
 }
 
 ORACLE = {
@@ -253,4 +308,5 @@ ORACLE = {
     "vector_arith": _VECTOR_ARITH_SQL,
     "emb_near_dup": _EMB_NEAR_DUP_SQL,
     # emb_near_dup_lsh: rows-only (approximate recall)
+    "semdedup_clusters": _SEMDEDUP_SQL,
 }

@@ -14,6 +14,8 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 MUST_BE_DRIVER_CHECKED = {
     # never had any driver row before r4
     "hll_sketch_union", "kll_quantiles",
+    # new in r4 — needs its first driver row
+    "semdedup_clusters",
     # r3 hash failures, oracles fixed r4 — green rows must be re-witnessed
     "gopher_quality", "pack_sequences", "mixture_sample", "retention_daily",
     # Spark plans rewritten r4 — r3 rows predate the new code

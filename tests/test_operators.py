@@ -318,3 +318,40 @@ def test_ivf_partitioned_corpus_prunes_files(spark, tmp_path):
     # and the pruned scan reads only the probed cells' rows
     expected = index.assigned.filter(F.col("cell").isin(cells)).count()
     assert probe.count() == expected
+
+
+def test_semantic_dedup_cluster_scoped_keep_first(spark):
+    """A near-identical pair in the SAME cluster drops the higher id; the
+    SAME geometry split across clusters is untouched (cluster scoping is the
+    SemDeDup contract, not a heuristic); orthogonal vectors all survive."""
+    from savio_training_dask_2019_spark.operators import semantic_dedup
+
+    rows = [
+        # cluster 0: 1 and 2 are near-dups (cos≈0.995) -> 2 dropped
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.1, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0, 0.0]),  # orthogonal — kept
+        # cluster 1: same near-dup geometry as (1,2) but cross-cluster ids
+        (4, 1, [0.0, 0.0, 1.0, 0.0]),
+        (5, 1, [1.0, 0.05, 0.0, 0.0]),  # near id 1, but DIFFERENT cluster — kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", "cluster", min_cosine=0.95
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark, sf_dir):
+    """The pairwise stage must be a cluster-keyed equi-join (hash/sort-merge
+    on the cluster column), never a CartesianProduct / nested-loop over the
+    corpus — that is the whole SemDeDup scaling argument."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    plan = plans.formatted_plan(QUERIES["semdedup_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
