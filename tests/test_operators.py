@@ -355,3 +355,26 @@ def test_semantic_dedup_plan_has_no_cartesian(spark, sf_dir):
     plan = plans.formatted_plan(QUERIES["semdedup_clusters"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_over_kmeans_assignment(spark, sf_dir):
+    """The production path: cluster with the IVF k-means quantizer, then
+    semantic-dedup within its cells. Pins that the operator composes with
+    build_ivf_index's assignment (id/__raw/cell) and that cluster scoping
+    only ever UNDER-drops relative to a global (unclustered) pass."""
+    from savio_training_dask_2019_spark.operators import build_ivf_index, semantic_dedup
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, "embedding", "vec_id", nlist=4, persist=False)
+    try:
+        kept = semantic_dedup(idx.assigned, "__raw", "id", "cell", min_cosine=0.30)
+        n_total = emb.count()
+        n_kept = kept.count()
+        assert 0 < n_kept <= n_total
+        # global pass = everything in one cluster: drops at least as much
+        one = idx.assigned.withColumn("cell", F.lit(0))
+        n_kept_global = semantic_dedup(one, "__raw", "id", "cell", min_cosine=0.30).count()
+        assert n_kept_global <= n_kept
+    finally:
+        idx.unpersist()
