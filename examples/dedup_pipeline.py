@@ -13,6 +13,8 @@ Stages (cheapest first, 100 TB shapes noted inline):
   3. cluster collapse    — connected components (min-label propagation)
   4. canonical selection — keep min doc_id per cluster
   5. quality + tokens    — narrow JVM column math, no shuffle
+  6. semantic tier       — SemDeDup cluster-scoped cosine keep-first over
+                           the embedding corpus (pairwise bounded per cluster)
 
 At 100 TB every stage is the same plan, just with the inverted-index /
 banding knobs (max_df, bands) sized per SCALING.md.
@@ -90,6 +92,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"avg stopword ratio {stats['avg_stopword_ratio']}"
     )
     final.orderBy("doc_id").show(5, truncate=60)
+
+    # 6. semantic tier: surface-form dedup (stages 1-4) can't see paraphrases;
+    #    SemDeDup-style cluster-scoped cosine keep-first over the embedding
+    #    corpus covers that axis. Clusters come from the fixture label here;
+    #    production uses build_ivf_index's k-means cells — same operator,
+    #    same Σ|cluster|² bound either way.
+    from savio_training_dask_2019_spark.operators import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    n_sem = semantic_dedup(emb, "embedding", "vec_id", "label", min_cosine=0.30).count()
+    print(f"semantic tier:       {n_emb} vectors -> {n_sem} kept (cos >= 0.30 within cluster)")
 
 
 if __name__ == "__main__":
