@@ -47,6 +47,8 @@ HEADLINE = {
     "decontam_check": "decontam_check",
     "passage_dedup": "passage_dedup",
     "unigram_logprob": "unigram_logprob",
+    # semantic dedup (new r4; within-cluster pairwise is the dominant term)
+    "semdedup_clusters": "semdedup_clusters",
 }
 
 
