@@ -8,17 +8,23 @@ actually needs.
 """
 
 from .explain import (
+    bnlj_count,
     broadcast_join_count,
     formatted_plan,
     pushed_filters,
     read_schema_columns,
+    scan_count,
     shuffle_count,
+    single_partition_exchange_count,
 )
 
 __all__ = [
     "formatted_plan",
     "pushed_filters",
     "read_schema_columns",
+    "scan_count",
     "shuffle_count",
+    "single_partition_exchange_count",
+    "bnlj_count",
     "broadcast_join_count",
 ]

@@ -59,3 +59,29 @@ def shuffle_count(df: DataFrame) -> int:
 def broadcast_join_count(df: DataFrame) -> int:
     plan = formatted_plan(df)
     return len(_operator_ids(plan, r"Broadcast(?:Hash|NestedLoop)Join"))
+
+
+def scan_count(df: DataFrame) -> int:
+    """Number of parquet scan operators in the static plan. Persisted
+    subtrees count their build scan once (InMemoryTableScan consumers add
+    none), so this is also the per-execution file-read count once caches
+    are warm."""
+    plan = formatted_plan(df)
+    return len(_operator_ids(plan, r"Scan parquet"))
+
+
+def bnlj_count(df: DataFrame) -> int:
+    """BroadcastNestedLoopJoin operators — the O(n·m) fallback. Anything
+    beyond a documented 1-row crossJoin (scalar totals, query vectors) or
+    an intentional theta join is a plan regression."""
+    plan = formatted_plan(df)
+    return len(_operator_ids(plan, r"BroadcastNestedLoopJoin"))
+
+
+def single_partition_exchange_count(df: DataFrame) -> int:
+    """Exchanges that funnel data through ONE partition. A scalar aggregate
+    legitimately ships one row per upstream partition; anything larger
+    (global sort without limit, unpartitioned window) is the classic
+    scale-killer this counter exists to catch."""
+    plan = formatted_plan(df)
+    return plan.count("Arguments: SinglePartition")

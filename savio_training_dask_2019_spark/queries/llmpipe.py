@@ -14,10 +14,10 @@ Scale design (SCALING.md has the long-form versions):
 
 - **decontam_check**: the eval-benchmark shingle set is tiny relative to the
   corpus (benchmarks are MBs; the corpus is TBs), so it is ``broadcast`` —
-  the corpus side is one scan plus one per-doc count shuffle. At 100 TB,
-  shingle *strings* would widen the shuffle; hash each shingle to
-  ``xxhash64`` (8 bytes) on both sides first — elided here only so the
-  oracle twin stays cross-engine exact.
+  the corpus side is one scan plus one per-doc count shuffle. Shingles are
+  hashed to ``xxhash64`` (8 bytes) on both sides before the match, so the
+  broadcast set stays fixed-width at any n-gram length; the string-keyed
+  oracle still matches exactly (64-bit collisions: p ≈ 1e-10 here).
 - **pack_sequences**: a naive global-order cumulative sum is a
   single-partition window — the classic scale trap. Implemented two-phase:
   per-block partial sums → a tiny window over block ids → broadcast the
@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import avg_word_len, stopword_ratio, token_count, tokens
-from ..sources import ensure_min_partitions, load_table
+from ..sources import load_table, load_table_spread
 
 # DuckDB twin of functions.text.tokens() (kept in sync with textops.py)
 _DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
@@ -66,8 +66,15 @@ def q_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; training docs count their distinct overlapping shingles.
     Output: one row per contaminated doc with hit count and contamination
     fraction — the downstream pipeline drops or redacts flagged docs.
+
+    The match key is ``xxhash64(shingle)`` (8 bytes), not the shingle
+    string — the broadcast set and the probe-side hash table stay
+    fixed-width however long the n-grams get (the 100 TB refinement the r3
+    docstring only promised). Exact up to 64-bit collisions (p ≈ n·m/2⁶⁴
+    against the eval set — ~1e-10 here), so the string-keyed DuckDB oracle
+    still matches bit-for-bit.
     """
-    base = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    base = load_table_spread(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
 
     def shingled(docs: DataFrame) -> DataFrame:
@@ -79,16 +86,20 @@ def q_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         per_doc = d.select(
             "doc_id",
-            F.array_distinct(_word_shingles(F.col("tk"), _SHINGLE_N)).alias("shs"),
+            F.array_distinct(
+                F.transform(
+                    _word_shingles(F.col("tk"), _SHINGLE_N), lambda s: F.xxhash64(s)
+                )
+            ).alias("shs"),
         )
         return per_doc.select(
-            "doc_id", F.size("shs").alias("n_shingles"), F.explode("shs").alias("shingle")
+            "doc_id", F.size("shs").alias("n_shingles"), F.explode("shs").alias("sh_h")
         )
 
-    eval_shingles = shingled(base.where(is_eval)).select("shingle").distinct()
+    eval_shingles = shingled(base.where(is_eval)).select("sh_h").distinct()
     return (
         shingled(base.where(~is_eval))
-        .join(F.broadcast(eval_shingles), "shingle")  # eval set: small, broadcast
+        .join(F.broadcast(eval_shingles), "sh_h")  # eval set: small, broadcast
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),  # shingles pre-distinct per doc
@@ -138,7 +149,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram fraction ≤ 0.10. Per-language pass counts — the corpus-curation
     dashboard number. All four signals are codegen'd array expressions; the
     whole query is one scan + one O(langs) aggregation at any corpus size."""
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    d = load_table_spread(spark, sf_dir, "documents")
     tk = tokens("text")
     passes = (
         token_count("text").between(50, 100_000)
@@ -293,7 +304,7 @@ def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language repeated-bigram profile (avg and worst-case duplicate
     fraction): the intra-document repetition signal used to drop
     boilerplate/spam before training. Narrow map + O(langs) agg."""
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    d = load_table_spread(spark, sf_dir, "documents")
     frac = F.round(_dup_bigram_frac(tokens("text")), 4)
     return d.groupBy("lang").agg(
         F.round(F.avg(frac), 4).alias("avg_dup_frac"),
@@ -343,7 +354,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so anchor patterns (``\\b``, explicit char classes) and avoid
     catastrophic-backtracking constructs (Java regex is backtracking; the
     subset here is linear)."""
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    d = load_table_spread(spark, sf_dir, "documents")
     did = F.col("doc_id")
     email = F.concat(
         F.lit(" contact user"), did.cast("string"), F.lit("@example.com today")
@@ -452,24 +463,28 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunking is a narrow map (transform over sequence, codegen'd);
     the keep-first needs exactly ONE shuffle keyed on the chunk — the same
     cost class as a groupBy(chunk) — and window groups are tiny (occurrence
-    counts), so no skew state. At 100 TB, shuffle chunk *hashes*
-    (xxhash64, 8 bytes) instead of chunk strings — elided here only so the
-    DuckDB oracle twin stays cross-engine exact (same note as
-    ``decontam_check``)."""
+    counts), so no skew state. The shuffle key is ``xxhash64(chunk)``
+    (8 bytes), not the ~40-byte chunk string — the 100 TB refinement the
+    r3 docstring only promised. Equality-by-hash is exact up to 64-bit
+    collisions (p ≈ n²/2⁶⁵: ~1e-8 at the fixture's 6e5 chunks, ~3e-5 even
+    at 1e7 chunks/shard), so the string-keyed DuckDB oracle still matches
+    bit-for-bit."""
     d = (
-        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        load_table_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", tokens("text").alias("tk"))
         .where(F.size("tk") > 0)
     )
     n_chunks = F.ceil(F.size("tk") / F.lit(_CHUNK_W)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(F.col("tk"), i * _CHUNK_W + 1, _CHUNK_W), " "),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(F.col("tk"), i * _CHUNK_W + 1, _CHUNK_W), " ")
+        ),
     )
     ch = d.select(
-        "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk")
+        "doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk_h")
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    w = Window.partitionBy("chunk_h").orderBy("doc_id", "chunk_idx")
     ranked = ch.select("source", F.row_number().over(w).alias("rn"))
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -557,34 +572,47 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the model build is ONE shuffle on token (partial counts map-side
     combine first, so the shuffle carries one row per distinct token per
-    partition, not per occurrence). The model itself follows Zipf's law —
-    at 100 TB cap it at the top ``_VOCAB_TOP_K`` tokens plus an OOV floor
-    (the tail adds bytes, not signal) and it stays MB-scale, so scoring is
-    a **broadcast** join against the exploded corpus: no corpus shuffle,
-    then one per-doc agg (doc rows are contiguous post-explode, so partial
-    aggregation collapses each doc map-side). Fixture vocab < the cap, so
-    the demo model is exact and the oracle twin needs no OOV branch."""
+    partition, not per occurrence). The fitted ``counts`` table is
+    vocab-sized (KBs here, MBs at web scale) and feeds THREE consumers
+    (total mass, top-K cut, broadcast model), so it is **persisted** — the
+    corpus is tokenized exactly twice (fit + score), never a third time.
+    The model follows Zipf's law: it is cut to the top ``_VOCAB_TOP_K``
+    tokens by count via ``orderBy().limit()`` (TakeOrderedAndProject —
+    per-partition heaps over the cached vocab, no global sort), and tokens
+    outside the cap score at the OOV floor ``-ln(1/total)`` — the NLL of a
+    singleton token, an upper bound on any real tail token's information
+    content. Probability mass stays honest: ``total`` sums the FULL vocab,
+    so in-cap probabilities are true corpus frequencies, not renormalized.
+    Scoring is a **left broadcast** join against the exploded corpus (no
+    corpus shuffle; OOV rows keep a NULL that coalesces to the floor), then
+    one per-doc agg. The corpus token total rides in as a broadcast 1-row
+    crossJoin, NOT an unpartitioned window (a scale-killer at web-corpus
+    vocab sizes). Fixture vocab < the cap, so the demo model is exact and
+    the oracle twin's identical LIMIT/COALESCE branches never fire."""
     d = (
-        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        load_table_spread(spark, sf_dir, "documents")
         .select("doc_id", "lang", tokens("text").alias("tk"))
         .where(F.size("tk") > 0)
     )
     tok = d.select("doc_id", "lang", F.explode("tk").alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    # corpus token total as a 1-row agg crossJoin'd back in, NOT an
-    # unpartitioned window: Window.partitionBy() funnels the whole vocab
-    # through one partition (a scale-killer at web-corpus vocab sizes).
-    # The counts subtree appears twice in the plan but shares one shuffle —
-    # Spark's exchange reuse (spark.sql.exchange.reuse) turns the second
-    # occurrence into a ReusedExchange, so the corpus is still scanned twice
-    # total (fit + score), never a third time.
+    counts = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    )  # vocab-sized; released by bench/driver clearCache or context cleaner
     total = counts.agg(F.sum("c").alias("s"))
-    model = counts.crossJoin(F.broadcast(total)).select(
+    vocab = counts.orderBy(F.col("c").desc(), "token").limit(_VOCAB_TOP_K)
+    model = vocab.crossJoin(F.broadcast(total)).select(
         "token",
         (-F.ln(F.col("c") / F.col("s"))).alias("nll_tok"),
     )
     scored = (
-        tok.join(F.broadcast(model), "token")
+        tok.join(F.broadcast(model), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            # OOV floor: -ln(1/s) == ln(s); never fires at fixture vocab
+            F.coalesce("nll_tok", F.ln("s")).alias("nll_tok"),
+        )
         .groupBy("doc_id", "lang")
         .agg(F.avg("nll_tok").alias("nll"))
     )
@@ -604,10 +632,11 @@ WITH t AS (
 tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM t),
 counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
 total AS (SELECT sum(c) AS s FROM counts),
-model AS (SELECT token, -ln(c / s) AS nll_tok FROM counts, total),
+vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {_VOCAB_TOP_K}),
+model AS (SELECT token, -ln(c / s) AS nll_tok FROM vocab, total),
 scored AS (
-  SELECT doc_id, lang, avg(nll_tok) AS nll
-  FROM tok JOIN model USING (token) GROUP BY doc_id, lang
+  SELECT doc_id, lang, avg(coalesce(nll_tok, ln(s))) AS nll
+  FROM tok LEFT JOIN model USING (token), total GROUP BY doc_id, lang
 )
 SELECT lang,
        count(*) AS n_docs,
@@ -688,7 +717,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         did % 29 == 0,
         F.md5(F.concat(F.lit("planted-"), (did % 5).cast("string"))),
     ).otherwise(F.md5("text"))
-    d = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
+    d = load_table_spread(spark, sf_dir, "documents").select(
         "doc_id", "source", h.alias("h")
     )
     hist = d.where(F.col("doc_id") % _BATCH_MOD != 0).select("h").distinct()
@@ -764,7 +793,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number`` window runs over ≤ max(K) rows — bounded by the constant
     K grid, not by data size."""
     counts = (
-        ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+        load_table_spread(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -6,7 +6,13 @@ glob) / ``db.read_text`` + ``json.loads`` / ``dd.from_pandas`` /
 scale; Parquet footers are the only trusted inference path.
 """
 
-from .parquet import FIXTURE_TABLES, ensure_min_partitions, load_table, load_tables
+from .parquet import (
+    FIXTURE_TABLES,
+    ensure_min_partitions,
+    load_table,
+    load_table_spread,
+    load_tables,
+)
 from .text_json import read_csv, read_json_lines, read_text
 from .pandas_io import from_iterator, from_pandas
 from .sinks import (
@@ -26,6 +32,7 @@ __all__ = [
     "write_orc",
     "FIXTURE_TABLES",
     "load_table",
+    "load_table_spread",
     "load_tables",
     "read_csv",
     "read_json_lines",

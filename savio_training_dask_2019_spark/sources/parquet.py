@@ -92,9 +92,40 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     runs single-threaded (measured 7.3 s -> 0.6 s on decontam_check at
     sf0.1). At real corpus scale the scan already has >= n partitions and
     this is a NO-OP — the repartition only ever moves a toy-sized input, so
-    the helper is safe to leave in the operator path."""
+    the helper is safe to leave in the operator path.
+
+    NOTE: ``df.rdd.getNumPartitions()`` forces physical planning on every
+    call — fine for one-off use, but operator hot paths should go through
+    :func:`load_table_spread`, which memoizes the decision per table."""
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+# Memoized spread decisions: probing a scan's partition count costs a
+# Python→JVM physical-plan materialization (~10s of ms), and the answer is a
+# pure function of (session, table files, target width) — so pay it once per
+# table, not once per operator call (9 catalog call sites hit this per run).
+_SPREAD_CACHE: BoundedCache[tuple[str, str, str, int], bool] = BoundedCache(capacity=64)
+
+
+def load_table_spread(
+    spark: SparkSession, sf_dir: str, name: str, n: int | None = None
+) -> DataFrame:
+    """``load_table`` + ``ensure_min_partitions`` with the repartition
+    decision cached per (session, sf_dir, table, n). Narrow transforms
+    (select/filter/explode) applied after the returned scan keep the spread,
+    so expression-heavy pipelines use all cores even on single-row-group
+    fixture files; at real scale the decision is computed once, found to be
+    a no-op, and never probed again."""
+    if n is None:
+        n = spark.sparkContext.defaultParallelism
+    df = load_table(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name, n)
+    needs = _SPREAD_CACHE.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < n
+        _SPREAD_CACHE.put(key, needs)
+    return df.repartition(n) if needs else df

@@ -93,22 +93,23 @@ def test_rp_near_dup_ids_only_pair_shuffle(spark, sf_dir):
         assert "Input [2]:" in node  # ids only — no vector payload columns
 
 
-def test_unigram_logprob_no_global_window_and_broadcast_model(spark, sf_dir):
-    """The corpus token total is an agg-to-scalar crossJoin'd back in — the
-    plan must contain NO unpartitioned WindowExec (the old formulation
-    funneled the vocab through one partition). The static plan shows the
-    counts subtree twice (3 scans) but at runtime Spark dedupes the shared
-    shuffle into a ReusedExchange, so the corpus is physically scanned
-    twice; pin that reuse on the executed plan. The per-token model must
-    reach the corpus by broadcast, never by shuffling the exploded corpus
-    on token."""
+def test_unigram_logprob_two_scans_cached_vocab_broadcast_model(spark, sf_dir):
+    """The fit side (token counts) is persisted — vocab-sized — so its three
+    consumers (total mass, top-K cut, model) read the cache instead of
+    re-tokenizing the corpus: the plan must show EXACTLY two parquet scans
+    (fit + score; the r4 formulation showed three and its hoped-for
+    ReusedExchange never fired). The top-K vocab cap must be a TakeOrdered
+    cut (per-partition heaps over the cached vocab), the corpus total an
+    agg-to-scalar crossJoin (no unpartitioned WindowExec), and the model
+    must reach the corpus by broadcast, never by shuffling the exploded
+    corpus on token."""
     df = QUERIES["unigram_logprob"](spark, sf_dir)
     plan = plans.formatted_plan(df)
+    assert plans.scan_count(df) <= 2  # corpus tokenized at most twice
+    assert "InMemoryTableScan" in plan  # counts persisted, fit runs once
+    assert "TakeOrdered" in plan  # _VOCAB_TOP_K cut, not a global sort
     assert "Window" not in plan  # no single-partition vocab stage
-    assert plans.broadcast_join_count(df) >= 1
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final  # counts shuffle shared, not recomputed
+    assert plans.broadcast_join_count(df) >= 2  # model + 1-row total
 
 
 def test_vocab_coverage_takeordered_not_global_window(spark, sf_dir):
@@ -124,13 +125,16 @@ def test_vocab_coverage_takeordered_not_global_window(spark, sf_dir):
 
 def test_passage_dedup_single_chunk_shuffle(spark, sf_dir):
     """Corpus-side cost: the keep-first window is the ONE shuffle keyed on
-    the chunk; everything after is O(sources) aggregation. (ensure_min_
-    partitions may add a toy-input round-robin exchange and the final agg
-    its own tiny exchange — the pin is that no SECOND corpus-scale
-    data shuffle exists, i.e. exactly one hashpartitioning on chunk.)"""
+    the 8-byte chunk hash (never the chunk string); everything after is
+    O(sources) aggregation. (The table-spread helper may add a toy-input
+    round-robin exchange and the final agg its own tiny exchange — the pin
+    is that no SECOND corpus-scale data shuffle exists, i.e. exactly one
+    hashpartitioning on chunk_h, and that no string chunk column survives
+    into any exchange.)"""
     df = QUERIES["passage_dedup"](spark, sf_dir)
     plan = plans.formatted_plan(df)
-    assert plan.count("hashpartitioning(chunk") == 1
+    assert plan.count("hashpartitioning(chunk_h") == 1
+    assert "hashpartitioning(chunk#" not in plan  # strings never shuffle
 
 
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
