@@ -27,6 +27,14 @@ from savio_training_dask_2019_spark import queries as catalog  # noqa: E402
 from savio_training_dask_2019_spark.session import get_spark  # noqa: E402
 
 # BASELINE.md row name → catalog query name
+#
+# CONSTRAINT: the per-query `spark.catalog.clearCache()` below unpersists
+# DataFrames owned by long-lived operator caches too — notably the IVF
+# index cache (operators/similarity._IVF_CACHE), whose persisted k-means
+# assignment would silently recompute on every probe afterwards. None of
+# the current HEADLINE queries go through that cache; before adding
+# knn_ivf (or any index-backed query) here, evict/rebuild the index cache
+# alongside clearCache or its "build once, pure probe" cost model breaks.
 HEADLINE = {
     "agg_groupby": "agg_groupby",
     "join_3way": "join_3way",

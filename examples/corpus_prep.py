@@ -55,6 +55,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         F.sum("docs_with_pii").alias("d"), F.sum("chars_removed").alias("c")
     ).collect()[0]
     print(f"PII scrub: {hits['d']} docs redacted, {hits['c']} chars removed")
+    # the planted-payload branch (docstring convention) must actually fire:
+    # fixtures carry no real PII, so zero hits would mean the detector ran
+    # on nothing and the oracle parity proved nothing
+    assert hits["d"] > 0 and hits["c"] > 0, "planted PII branch did not fire"
 
     # 4. passage-level dedup retention (post-strip token survival)
     pd_rows = llmpipe.q_passage_dedup(spark, sf_dir).collect()
@@ -92,6 +96,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for name in ("train", "val"):
         r = splits[name]
         print(f"{name}: {r['n_docs']} docs, {r['n_leaked']} leaked across split")
+    # the planted shared-content groups (doc_id % 29 == 0) must produce at
+    # least one cross-split collision, or the leakage audit exercised nothing
+    assert sum(r["n_leaked"] for r in splits.values()) > 0, (
+        "planted leakage branch did not fire"
+    )
     print(
         f"shards: {len(shards)} (docs/shard min {min(shard_docs)} / "
         f"max {max(shard_docs)})"

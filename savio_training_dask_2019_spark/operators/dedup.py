@@ -467,9 +467,16 @@ def semantic_dedup(
     each side keyed on (cluster), the within-cluster self-join, then a
     hash-keyed anti-join back; nothing global, no window.
 
-    Dropping against ANY earlier same-cluster row (not only the epsilon-
-    ball exemplar) matches keep_first_by_hash semantics, is deterministic,
-    and is exactly SQL-expressible — the oracle twin is an EXISTS."""
+    Semantics note: a row is dropped when ANY earlier same-cluster row —
+    including one that was itself dropped — is within threshold. Cosine
+    similarity is not transitive, so this over-drops relative to a greedy
+    keep-first scan (which only compares against *survivors*) and to
+    SemDeDup's one-exemplar-per-epsilon-ball; with hash equality the two
+    formulations coincide (equality IS transitive), which is why
+    ``keep_first_by_hash`` needs no such caveat. The EXISTS-earlier rule is
+    chosen deliberately: it is deterministic, order-stable under any
+    partitioning, and exactly SQL-expressible — the oracle twin is a plain
+    EXISTS — where greedy keep-first is inherently sequential per cluster."""
     from ..functions.vectors import as_double, dot, l2_norm
 
     # Norms are computed ONCE per row before the pair join; per pair only the

@@ -95,7 +95,7 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "id")
 
 def resize_images(df: DataFrame, payload_col: str = "payload", size: tuple[int, int] = (224, 224)) -> DataFrame:
     """STUB: pixel-level resize needs an image backend not present in this
-    container (re-probed 2026-08-13 round 4: ``import PIL`` still fails;
+    container (re-probed 2026-08-13 round 5: ``import PIL`` still fails;
     soundfile/cv2/av and the ffmpeg binary are also absent).
     The signature + schema are final; only the body is pending."""
     raise NotImplementedError(

@@ -46,94 +46,101 @@ if _MISSING:
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
 # dict insertion order decides which queries earn a driver-green row each
-# round.  ROTATION SCHEDULE (the catalog is 89 queries, the window 50, so no
+# round.  ROTATION SCHEDULE (the catalog is 90 queries, the window 50, so no
 # single round can witness everything):
 #
 #   r2: first 50 of the natural module order        -> CORRECTNESS_r02.json
 #   r3: the 33 never-witnessed + r3 additions       -> CORRECTNESS_r03.json
-#   r4 (this window):
-#     - ALL 39 queries outside the r3 window — the 37 r2-green queries r3
-#       demoted, plus hll_sketch_union / kll_quantiles which have never had
-#       ANY driver row (rows-only by contract, but the driver still records
-#       row counts for them);
-#     - the 4 queries whose r3 rows were red from uncast DuckDB sums, now
-#       fixed (gopher_quality, pack_sequences, mixture_sample,
-#       retention_daily) — their green rows must be re-witnessed;
-#     - the 2 queries whose Spark implementations were rewritten this round
-#       (unigram_logprob: scalar-agg total; vocab_coverage: TakeOrdered cut)
-#       — their r3 rows predate the rewrite;
-#     - the flagship (agg_groupby) plus one rolling representative per big
-#       family (pandas_udf_tokens, knn_brute, dedup_keep_first, join_3way)
-#       so every round keeps a live cross-family driver signal.
-#   r5+: swap the representative slots; re-window anything whose code or
-#       oracle changed that round; everything else rides its newest green
-#       row + the every-round local replica (scripts/check_correctness.py,
-#       dtype-strict sorted-row equality — run over ALL 89 every round).
+#   r4: the 39 outside the r3 window + the 4 fixed-oracle re-witnesses +
+#       the 2 r4 rewrites + semdedup_clusters + flagship + 3 rolling
+#       representatives (pandas_udf_tokens, knn_brute, join_3way)
+#                                                   -> CORRECTNESS_r04.json
+#   r5 (this window):
+#     - ALL 40 queries outside the r4 window — their newest rows of record
+#       are r3; this includes decontam_check and passage_dedup, whose match
+#       keys were rewritten to xxhash64 this round (string-keyed oracles
+#       unchanged — re-witnessing proves the hash keys change nothing);
+#     - unigram_logprob — rewritten this round (persisted counts, top-K
+#       vocab cap, OOV floor branch in query AND oracle);
+#     - the flagship (agg_groupby) plus eight rolling representatives from
+#       the r4-green set, one per family, SWAPPED from r4's three per the
+#       schedule: topk (ordering), window_rank (windows), time_bucket
+#       (timeseries), json_extract (semi-structured), cube_agg (multi-dim
+#       agg), string_funcs (scalar functions), tumbling_window (streaming
+#       twin), semdedup_clusters (newest operator, kept live).
+#   r6+: same pattern — swap the representative slots; re-window anything
+#       whose code or oracle changed that round; everything else rides its
+#       newest green row + the every-round local replica
+#       (scripts/check_correctness.py, dtype-strict sorted-row equality —
+#       run over ALL 90 every round).
 #
 # Union of r2..r4 rows of record: every oracle-backed query has a driver-
-# green row, and every rows-only query has a driver row-count record.
+# green row, and every rows-only query has a driver row-count record; the
+# r5 window re-witnesses every row whose newest record predates r4.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- the 39 outside the r3 window (r2-green demotions + hll/kll) ---
-    # relational core (§2.2/§2.3/§2.6)
-    "select_filter",
-    "derived_column",
-    "null_handling",
-    "sample_mod",
-    "topk",
-    "sort_limit",
-    "distinct",
-    "value_counts",
-    "set_ops",
-    "join_outer",
-    "semi_join",
-    "anti_join",
-    "cross_join",
-    "range_join",
-    # sketches (§2.4) — hll/kll: FIRST-EVER driver rows this round
-    "distinct_approx",
-    "hll_sketch_union",
-    "kll_quantiles",
-    "percentiles",
-    "corr_cov",
-    "cube_agg",
-    # window functions (§2.5)
-    "window_rank",
-    "lag_lead",
-    "rolling_avg",
-    "cumsum",
-    "ntile_percent",
-    # functions / json / time (§2.7, §2.5, §2.8)
-    "string_funcs",
-    "json_extract",
-    "time_bucket",
-    "dt_accessors",
-    "tumbling_window",
-    "sliding_window",
-    "asof_tolerance",
-    "pivot_daily",
-    # text/docs tier (§2.12)
-    "bpe_token_stats",
-    "rolling_fp",
-    "doc_quality",
-    "wordcount",
-    "dedup_stats",
-    "svd_embeddings",
-    # --- the 4 r3 hash-failures, oracles fixed this round ---
-    "gopher_quality",
-    "pack_sequences",
-    "mixture_sample",
-    "retention_daily",
-    # --- rewritten this round (r3 rows predate the new plans) ---
+    # --- rewritten this round (r4 rows predate the new plan) ---
     "unigram_logprob",
-    "vocab_coverage",
-    # --- NEW this round (needs its first driver row) ---
+    # --- the 40 outside the r4 window (newest rows r3) ---
+    # relational / agg core (§2.2-§2.6)
+    "agg_stats",
+    "nullsafe_join",
+    "grouping_sets",
+    "describe_summary",
+    # timeseries analytics (§2.5/§2.8)
+    "funnel_stages",
+    "session_window",
+    "asof_join",
+    # text analysis tier (§2.12)
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "doc_tfidf",
+    # dedup tier (§2.12) — decontam/passage re-witness the xxhash64 rewrite
+    "dedup_keep_first",
+    "dedup_clusters",
+    "ngram_jaccard",
+    "minhash_pairs",
+    "simhash_pairs",
+    "emb_near_dup",
+    "emb_near_dup_lsh",
+    "dedup_incremental",
+    # similarity search (§2.12)
+    "knn_join",
+    "knn_lsh",
+    "knn_ivf",
+    # vector ops (§2.9)
+    "vector_stats",
+    "vector_arith",
+    # pythonic surface (§2.11)
+    "grouped_agg_pandas",
+    "apply_in_pandas",
+    "map_in_pandas",
+    "map_in_arrow",
+    "cogroup_stats",
+    "udtf_tokens",
+    "fanout_compute",
+    # multimodal plumbing (§2.12)
+    "multimodal_meta",
+    "multimodal_decode",
+    # corpus-prep tier (§2.12)
+    "decontam_check",
+    "dup_ngram_ratio",
+    "pii_redact",
+    "passage_dedup",
+    "shard_corpus",
+    "length_buckets",
+    "split_leakage",
+    # --- rolling per-family representatives (r4-green, kept live) ---
+    "topk",
+    "window_rank",
+    "time_bucket",
+    "json_extract",
+    "cube_agg",
+    "string_funcs",
+    "tumbling_window",
     "semdedup_clusters",
-    # --- rolling per-family representatives (r3-green, kept live) ---
-    "pandas_udf_tokens",
-    "knn_brute",
-    "join_3way",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

@@ -858,7 +858,15 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixture corpora have (almost) no exact duplicates, so the same 5
     planted shared-content groups as ``dedup_incremental`` (docs with
-    ``doc_id % 29 == 0``) guarantee cross-split collisions to audit."""
+    ``doc_id % 29 == 0``) guarantee cross-split collisions to audit.
+
+    Planted-content convention (same as ``pii_redact``): the synthetic
+    collisions are planted INSIDE this query function, identically on the
+    Spark and oracle sides, so parity exercises the detector end-to-end on
+    fixtures that contain no real duplicates. The library operators in
+    ``operators/`` never plant — a user calling them on real data runs
+    pure detection; only this demo/oracle harness executes the planted
+    branch."""
     did = F.col("doc_id")
     h = F.when(
         did % 29 == 0,

@@ -12,23 +12,21 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never had any driver row before r4
-    "hll_sketch_union", "kll_quantiles",
-    # new in r4 — needs its first driver row
-    "semdedup_clusters",
-    # r3 hash failures, oracles fixed r4 — green rows must be re-witnessed
-    "gopher_quality", "pack_sequences", "mixture_sample", "retention_daily",
-    # Spark plans rewritten r4 — r3 rows predate the new code
-    "unigram_logprob", "vocab_coverage",
-    # the 37 r2-green queries demoted by the r3 window, re-witnessed r4
-    "select_filter", "derived_column", "null_handling", "sample_mod", "topk",
-    "sort_limit", "distinct", "value_counts", "set_ops", "join_outer",
-    "semi_join", "anti_join", "cross_join", "range_join", "distinct_approx",
-    "percentiles", "corr_cov", "cube_agg", "window_rank", "lag_lead",
-    "rolling_avg", "cumsum", "ntile_percent", "string_funcs", "json_extract",
-    "time_bucket", "dt_accessors", "tumbling_window", "sliding_window",
-    "asof_tolerance", "pivot_daily", "bpe_token_stats", "rolling_fp",
-    "doc_quality", "wordcount", "dedup_stats", "svd_embeddings",
+    # Spark implementations rewritten r5 — r4/r3 rows predate the new code:
+    # unigram (persisted counts + top-K cap + OOV floor, oracle changed too),
+    # decontam/passage (xxhash64 match keys; string-keyed oracles unchanged)
+    "unigram_logprob", "decontam_check", "passage_dedup",
+    # the 40 queries outside the r4 window — newest rows of record are r3
+    "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
+    "funnel_stages", "session_window", "asof_join", "text_stats", "lang_id",
+    "dedup_keep_first", "doc_fingerprint", "ngram_jaccard", "doc_tfidf",
+    "dedup_clusters", "minhash_pairs", "simhash_pairs", "knn_join", "knn_lsh",
+    "knn_ivf", "vector_stats", "vector_arith", "emb_near_dup",
+    "emb_near_dup_lsh", "grouped_agg_pandas", "apply_in_pandas",
+    "map_in_pandas", "map_in_arrow", "multimodal_meta", "multimodal_decode",
+    "cogroup_stats", "udtf_tokens", "fanout_compute", "dup_ngram_ratio",
+    "pii_redact", "shard_corpus", "length_buckets", "dedup_incremental",
+    "split_leakage",
 }
 
 

@@ -137,6 +137,61 @@ def test_passage_dedup_single_chunk_shuffle(spark, sf_dir):
     assert "hashpartitioning(chunk#" not in plan  # strings never shuffle
 
 
+# --- mechanical shape pins for every benched query --------------------------
+#
+# Three cheap structural ceilings per headline query so a comment/plan
+# divergence (like r4's unigram triple-scan) cannot land silently:
+#   max_scans       — parquet scan operators in the static plan (a persisted
+#                     subtree counts its build scan once; ceilings, not
+#                     equalities, so cache-materialization state can't flake)
+#   max_bnlj        — BroadcastNestedLoopJoin allowance. Non-zero ONLY for
+#                     documented 1-row scalar crossJoins (unigram's corpus
+#                     total rides into model+scoring as a broadcast 1-row
+#                     cross join) — anything else is the O(n·m) fallback.
+#   max_single_part — Exchange SinglePartition allowance. Non-zero ONLY for
+#                     scalar aggregates (1 row per upstream partition);
+#                     an unpartitioned Window/Sort would trip this.
+_HEADLINE_SHAPE: dict[str, tuple[int, int, int]] = {
+    #                      (max_scans, max_bnlj, max_single_part)
+    "agg_groupby": (1, 0, 0),
+    "join_3way": (4, 0, 0),
+    "window_rank": (1, 0, 0),
+    "topk": (1, 0, 0),
+    "distinct_approx": (1, 0, 1),  # scalar agg → one 1-row-per-part exchange
+    "json_extract": (1, 0, 0),
+    "time_bucket": (1, 0, 0),
+    "semi_join": (2, 0, 0),
+    "text_stats": (1, 0, 0),
+    "knn_brute": (1, 0, 0),
+    "ngram_jaccard": (2, 0, 0),
+    "minhash_pairs": (1, 0, 0),
+    "simhash_pairs": (1, 0, 0),
+    "emb_near_dup_lsh": (2, 0, 0),
+    "decontam_check": (2, 0, 0),
+    "passage_dedup": (1, 0, 0),
+    "unigram_logprob": (2, 2, 2),  # 2 × broadcast 1-row total; 2 scalar aggs
+    "semdedup_clusters": (4, 0, 0),
+}
+
+
+def test_headline_plan_shapes_pinned(spark, sf_dir):
+    """Every query in bench.py's HEADLINE set must stay inside its pinned
+    structural ceilings — scan count, nested-loop allowance, single-partition
+    exchange allowance. Fails loudly if bench.py grows a query this table
+    doesn't know about."""
+    import bench
+
+    assert set(bench.HEADLINE.values()) == set(_HEADLINE_SHAPE)
+    for qname, (max_scans, max_bnlj, max_single) in _HEADLINE_SHAPE.items():
+        df = QUERIES[qname](spark, sf_dir)
+        assert plans.scan_count(df) <= max_scans, f"{qname}: scans"
+        assert plans.bnlj_count(df) <= max_bnlj, f"{qname}: nested-loop joins"
+        assert (
+            plans.single_partition_exchange_count(df) <= max_single
+        ), f"{qname}: single-partition exchanges"
+        spark.catalog.clearCache()
+
+
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
     """Detection/redaction is a pure narrow map: no joins anywhere, and the
     only exchanges are the toy-input spread + the O(sources) agg."""
