@@ -55,6 +55,8 @@ HEADLINE = {
     "decontam_check": "decontam_check",
     "passage_dedup": "passage_dedup",
     "unigram_logprob": "unigram_logprob",
+    # conditional bigram LM (new r5; fit = one corpus scan, counts persisted)
+    "bigram_logprob": "bigram_logprob",
     # semantic dedup (new r4; within-cluster pairwise is the dominant term)
     "semdedup_clusters": "semdedup_clusters",
 }

@@ -62,12 +62,13 @@ if _MISSING:
 #       unchanged — re-witnessing proves the hash keys change nothing);
 #     - unigram_logprob — rewritten this round (persisted counts, top-K
 #       vocab cap, OOV floor branch in query AND oracle);
-#     - the flagship (agg_groupby) plus eight rolling representatives from
+#     - the three queries NEW this round, which need their first driver
+#       rows: token_entropy, bigram_logprob, stratified_sample;
+#     - the flagship (agg_groupby) plus five rolling representatives from
 #       the r4-green set, one per family, SWAPPED from r4's three per the
 #       schedule: topk (ordering), window_rank (windows), time_bucket
-#       (timeseries), json_extract (semi-structured), cube_agg (multi-dim
-#       agg), string_funcs (scalar functions), tumbling_window (streaming
-#       twin), semdedup_clusters (newest operator, kept live).
+#       (timeseries), tumbling_window (streaming twin), semdedup_clusters
+#       (newest big operator, kept live).
 #   r6+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
@@ -132,13 +133,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "shard_corpus",
     "length_buckets",
     "split_leakage",
+    # --- NEW this round (need their first driver rows) ---
+    "token_entropy",
+    "bigram_logprob",
+    "stratified_sample",
     # --- rolling per-family representatives (r4-green, kept live) ---
     "topk",
     "window_rank",
     "time_bucket",
-    "json_extract",
-    "cube_agg",
-    "string_funcs",
     "tumbling_window",
     "semdedup_clusters",
 )

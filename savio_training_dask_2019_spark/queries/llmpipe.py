@@ -297,6 +297,50 @@ GROUP BY d.lang
 """
 
 
+# --- stratified exact-quota sampling -----------------------------------------
+
+_STRATUM_QUOTA = 50  # docs kept per language
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: keep exactly ``_STRATUM_QUOTA`` docs
+    per language (fewer only if the stratum is smaller), chosen by ranking
+    each stratum in deterministic ``md5(doc_id)`` order. Where
+    ``mixture_sample`` hits a *rate* in expectation, this hits a *count*
+    exactly — the eval-set / ablation-subset builder ("exactly 10k docs per
+    language"), reproducible across runs and engines because the hash order
+    is content-independent and tie-broken by doc_id.
+
+    Scale: one shuffle partitioned by stratum; ``row_number`` streams each
+    stratum with O(1) rank state, so the cost is the per-stratum sort, not
+    memory. Strata are languages (dozens), so each is large but
+    sortable — and because only rank ≤ quota survives, at 100 TB you first
+    crop each stratum with a cheap pre-filter (keep rows whose hash <
+    ~quota/|stratum| quantile, computed from per-stratum counts) so the
+    sort sees ~quota rows instead of the full stratum; the window form
+    here is the exact-semantics anchor the cropped plan must reproduce."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= _STRATUM_QUOTA)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_STRATUM_QUOTA}
+"""
+
+
 # --- intra-document repetition ----------------------------------------------
 
 
@@ -647,6 +691,106 @@ FROM scored GROUP BY lang
 """
 
 
+# --- bigram-LM quality score -------------------------------------------------
+
+_BIGRAM_TOP_K = 200_000  # model cap; fixture bigram vocab is far smaller
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM quality filter (the KenLM-shaped upgrade of
+    ``unigram_logprob``): fit bigram counts on the corpus, score every doc
+    by its mean conditional negative log-likelihood
+    ``-ln p(w2 | w1) = -ln(c(w1,w2) / c(w1))``, and report the
+    per-language NLL profile. Conditional NLL separates "common words in
+    unusual orders" (word-salad spam) from "common words in common orders"
+    — a distinction unigram scoring cannot make.
+
+    Scale: fitting is ONE corpus scan — context counts ``c(w1)`` are
+    derived from the persisted bigram-count table by a vocab-sized
+    re-aggregation (Σ_w2 c(w1,w2)), never a second corpus pass. The
+    persisted counts feed four consumers (context counts, total mass,
+    top-K cut, model), so the corpus is scanned exactly twice (fit +
+    score), pinned like unigram's. The model is cut to the top
+    ``_BIGRAM_TOP_K`` bigrams via ``orderBy().limit()`` (TakeOrdered) and
+    broadcast; scoring is a left broadcast join on (w1, w2) — no corpus
+    shuffle — with unseen bigrams at the ``-ln(1/total)`` floor (never
+    fires when scoring the fit corpus under the cap; the branch exists for
+    scoring NEW data against a frozen model). Both the cap and floor
+    mirror in the oracle, so the twins stay exact."""
+    d = (
+        load_table_spread(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") >= 2)
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - 2),
+        lambda i: F.struct(
+            F.get("tk", i).alias("w1"), F.get("tk", i + 1).alias("w2")
+        ),
+    )
+    bi = d.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
+        "doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    counts = (
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
+    )  # bigram-vocab-sized; released by bench/driver clearCache
+    ctx = counts.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    total = counts.agg(F.sum("cb").alias("s"))
+    vocab = counts.orderBy(F.col("cb").desc(), "w1", "w2").limit(_BIGRAM_TOP_K)
+    model = vocab.join(ctx, "w1").select(
+        "w1", "w2", (-F.ln(F.col("cb") / F.col("cu"))).alias("nll_big")
+    )
+    scored = (
+        bi.join(F.broadcast(model), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("nll_big", F.ln("s")).alias("nll_big"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("nll_big").alias("nll"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(F.min("nll"), 4).alias("min_nll"),
+        F.round(F.max("nll"), 4).alias("max_nll"),
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, tk FROM (
+    SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  ) WHERE len(tk) >= 2
+),
+b AS (
+  SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(tk)),
+                                 i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS p
+    FROM t
+  )
+),
+bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2),
+uc AS (SELECT w1, sum(cb) AS cu FROM bc GROUP BY w1),
+total AS (SELECT sum(cb) AS s FROM bc),
+vocab AS (SELECT w1, w2, cb FROM bc ORDER BY cb DESC, w1, w2 LIMIT {_BIGRAM_TOP_K}),
+model AS (SELECT v.w1, v.w2, -ln(cb / cu) AS nll_big FROM vocab v JOIN uc USING (w1)),
+scored AS (
+  SELECT doc_id, lang, avg(coalesce(nll_big, ln(s))) AS nll
+  FROM b LEFT JOIN model USING (w1, w2), total GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(nll), 4) AS avg_nll,
+       round(min(nll), 4) AS min_nll,
+       round(max(nll), 4) AS max_nll
+FROM scored GROUP BY lang
+"""
+
+
 # --- doc-length bucketing ----------------------------------------------------
 
 _LEN_BUCKET_W = 8  # tokens per bucket (fixture docs span 10–99 tokens)
@@ -927,11 +1071,13 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "mixture_sample": q_mixture_sample,
+    "stratified_sample": q_stratified_sample,
     "dup_ngram_ratio": q_dup_ngram_ratio,
     "pii_redact": q_pii_redact,
     "passage_dedup": q_passage_dedup,
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "length_buckets": q_length_buckets,
     "dedup_incremental": q_dedup_incremental,
     "vocab_coverage": q_vocab_coverage,
@@ -943,11 +1089,13 @@ ORACLE = {
     "gopher_quality": _GOPHER_SQL,
     "pack_sequences": _PACK_SQL,
     "mixture_sample": _MIXTURE_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
     "pii_redact": _PII_SQL,
     "passage_dedup": _PASSAGE_SQL,
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
+    "bigram_logprob": _BIGRAM_SQL,
     "length_buckets": _LENBUCKET_SQL,
     "dedup_incremental": _INCR_SQL,
     "vocab_coverage": _COVERAGE_SQL,

@@ -347,6 +347,72 @@ FROM documents GROUP BY lang
 """
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token entropy (Shannon, natural log) per language:
+    H(doc) = -Σ p(token) ln p(token) over the doc's OWN token distribution.
+    Low entropy = repetitive boilerplate/keyword-stuffed spam; high entropy
+    tracks lexical diversity — a standard cheap quality signal next to the
+    Gopher repetition rules (it catches "same 5 tokens repeated 200 times",
+    which bigram fractions under-weigh for long docs).
+
+    Scale: entirely a narrow map — the per-token counts come from
+    higher-order array functions over each doc's token array (no explode,
+    no shuffle), then one O(langs) aggregation. Per-doc cost is
+    O(distinct·len) comparisons, bounded by doc length — fine for
+    document-sized arrays at any corpus size (a 100k-token outlier doc is
+    ~1e10 naive steps, so production would pre-truncate giant docs or
+    switch that tail to a sort-based count; the fixture max is ~100
+    tokens). The oracle mirrors the arithmetic with DuckDB list lambdas;
+    per-doc sums iterate first-occurrence order on both engines, and the
+    per-language aggregates round to 4 decimals, far above cross-engine
+    float-sum noise."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    n = F.size("tk").cast("double")
+    probs = F.transform(
+        F.array_distinct("tk"),
+        lambda x: F.size(F.filter("tk", lambda y: y == x)).cast("double") / n,
+    )
+    ent = F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc - p * F.log(p)
+    )
+    return (
+        d.select("lang", ent.alias("ent"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ent"), 4).alias("avg_entropy"),
+            F.round(F.min("ent"), 4).alias("min_entropy"),
+            F.round(F.max("ent"), 4).alias("max_entropy"),
+        )
+    )
+
+
+_TOKEN_ENTROPY_SQL = f"""
+WITH t AS (
+  SELECT lang, tk FROM (SELECT lang, {_DUCK_TOKENS} AS tk FROM documents)
+  WHERE len(tk) > 0
+),
+e AS (
+  SELECT lang,
+         list_sum(list_transform(list_distinct(tk),
+           x -> -(CAST(len(list_filter(tk, y -> y = x)) AS DOUBLE) / len(tk))
+                * ln(CAST(len(list_filter(tk, y -> y = x)) AS DOUBLE) / len(tk))
+         )) AS ent
+  FROM t
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(ent), 4) AS avg_entropy,
+       round(min(ent), 4) AS min_entropy,
+       round(max(ent), 4) AS max_entropy
+FROM e GROUP BY lang
+"""
+
+
 def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per doc (rows-only: the
     polynomial fold uses Spark's xxhash64, which no SQL oracle shares;
@@ -358,6 +424,7 @@ def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
+    "token_entropy": q_token_entropy,
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
@@ -375,6 +442,7 @@ QUERIES = {
 ORACLE = {
     "text_stats": _TEXT_STATS_SQL,
     "bpe_token_stats": _BPE_TOKEN_STATS_SQL,
+    "token_entropy": _TOKEN_ENTROPY_SQL,
     # rolling_fp: rows-only (engine-specific hash)
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,

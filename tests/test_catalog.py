@@ -16,6 +16,8 @@ MUST_BE_DRIVER_CHECKED = {
     # unigram (persisted counts + top-K cap + OOV floor, oracle changed too),
     # decontam/passage (xxhash64 match keys; string-keyed oracles unchanged)
     "unigram_logprob", "decontam_check", "passage_dedup",
+    # new in r5 — need their first driver rows
+    "token_entropy", "bigram_logprob", "stratified_sample",
     # the 40 queries outside the r4 window — newest rows of record are r3
     "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
     "funnel_stages", "session_window", "asof_join", "text_stats", "lang_id",

@@ -289,3 +289,49 @@ def test_split_leakage_split_is_deterministic_partition(spark, sf_dir):
     # deterministic under re-execution
     again = {r["split"]: tuple(r) for r in llmpipe.q_split_leakage(spark, sf_dir).collect()}
     assert again == {s: tuple(r) for s, r in rows.items()}
+
+
+def test_stratified_sample_hits_exact_quotas(spark, sf_dir):
+    """Each stratum yields exactly min(quota, stratum size) rows, ranks are
+    the dense prefix 1..k within each stratum, and re-execution reproduces
+    the identical sample (deterministic hash order, not rand())."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    picked = llmpipe.q_stratified_sample(spark, sf_dir).collect()
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in picked:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {lang for lang, n in sizes.items() if n > 0}
+    for lang, rows in by_lang.items():
+        assert len(rows) == min(llmpipe._STRATUM_QUOTA, sizes[lang])
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+    again = llmpipe.q_stratified_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, picked))
+
+
+def test_bigram_logprob_bounds_and_conditional_consistency(spark, sf_dir):
+    """Per-language NLL bands must be internally consistent (min <= avg <=
+    max, all > 0: a conditional probability is < 1 unless a context is
+    deterministic — then its -ln p is 0, so min >= 0), and every doc with
+    >= 2 tokens scores (the left join + floor drops nothing)."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.functions.text import tokens
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_bigram_logprob(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.where(
+        F.size(tokens("text")) >= 2
+    ).count()
+    for r in rows:
+        assert 0 <= r["min_nll"] <= r["avg_nll"] <= r["max_nll"]

@@ -170,6 +170,7 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int]] = {
     "decontam_check": (2, 0, 0),
     "passage_dedup": (1, 0, 0),
     "unigram_logprob": (2, 2, 2),  # 2 × broadcast 1-row total; 2 scalar aggs
+    "bigram_logprob": (2, 1, 1),  # broadcast 1-row total; 1 scalar agg
     "semdedup_clusters": (4, 0, 0),
 }
 

@@ -1,0 +1,48 @@
+"""Text-analysis query invariants beyond oracle parity (SURVEY.md §5):
+analytic bounds that are true of the math itself, independent of fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.functions.text import tokens
+from savio_training_dask_2019_spark.queries import textops
+from savio_training_dask_2019_spark.sources import load_table
+
+
+def test_token_entropy_within_shannon_bounds(spark, sf_dir):
+    """0 <= H(doc) <= ln(doc token count) for every doc, so every
+    per-language band must sit inside [0, ln(max doc length)]; bands are
+    internally consistent; and the doc count matches the non-empty corpus."""
+    rows = textops.q_token_entropy(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    non_empty = d.where(F.size(tokens("text")) > 0)
+    assert sum(r["n_docs"] for r in rows) == non_empty.count()
+    max_len = non_empty.select(F.max(F.size(tokens("text")))).collect()[0][0]
+    for r in rows:
+        assert 0 <= r["min_entropy"] <= r["avg_entropy"] <= r["max_entropy"]
+        assert r["max_entropy"] <= math.log(max_len) + 1e-9
+
+
+def test_token_entropy_exact_on_known_distribution(spark):
+    """Hand-checkable doc: 'a a b b' has H = ln 2; 'a a a a' has H = 0."""
+    df = spark.createDataFrame(
+        [(1, "a a b b", "xx"), (2, "a a a a", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    n = F.size(F.col("tk")).cast("double")
+    probs = F.transform(
+        F.array_distinct("tk"),
+        lambda x: F.size(F.filter("tk", lambda y: y == x)).cast("double") / n,
+    )
+    ent = F.aggregate(probs, F.lit(0.0), lambda acc, p: acc - p * F.log(p))
+    got = {
+        r["doc_id"]: r["ent"]
+        for r in df.select("doc_id", tokens("text").alias("tk"))
+        .select("doc_id", ent.alias("ent"))
+        .collect()
+    }
+    assert abs(got[1] - math.log(2)) < 1e-12
+    assert abs(got[2]) < 1e-12
