@@ -24,17 +24,10 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from savio_training_dask_2019_spark import queries as catalog  # noqa: E402
+from savio_training_dask_2019_spark.queries import vectorops as catalog_vectorops  # noqa: E402
 from savio_training_dask_2019_spark.session import get_spark  # noqa: E402
 
 # BASELINE.md row name → catalog query name
-#
-# CONSTRAINT: the per-query `spark.catalog.clearCache()` below unpersists
-# DataFrames owned by long-lived operator caches too — notably the IVF
-# index cache (operators/similarity._IVF_CACHE), whose persisted k-means
-# assignment would silently recompute on every probe afterwards. None of
-# the current HEADLINE queries go through that cache; before adding
-# knn_ivf (or any index-backed query) here, evict/rebuild the index cache
-# alongside clearCache or its "build once, pure probe" cost model breaks.
 HEADLINE = {
     "agg_groupby": "agg_groupby",
     "join_3way": "join_3way",
@@ -85,7 +78,11 @@ def main() -> None:
         # signature tables, ...) so their storage blocks can't skew AQE
         # decisions or memory for the queries that follow.  Measured r4:
         # without this the tail-of-suite corpus-prep tier drifts ~20-40%.
+        # Fitted ANN indexes are invalidated IN THE SAME breath — clearCache
+        # unpersists their assigned corpora behind the cache's back, and a
+        # stale index entry would silently rebuild on every later probe.
         spark.catalog.clearCache()
+        catalog_vectorops.invalidate_cached_indexes()
 
     total = round(sum(per_query.values()), 4)
     print(

@@ -36,6 +36,18 @@ _IVF_CACHE: BoundedCache[tuple[str, str, int], IVFIndex] = BoundedCache(
 )
 
 
+def invalidate_cached_indexes() -> None:
+    """Drop every fitted ANN index (unpersisting their assigned corpora).
+
+    MUST be called alongside any blanket ``spark.catalog.clearCache()``:
+    clearCache unpersists the index's assigned DataFrame behind the cache's
+    back, leaving an entry that still believes it is persisted — every
+    subsequent probe would silently recompute the k-means assignment,
+    breaking the "build once, pure probe" cost model. bench.py does this
+    after each measured query."""
+    _IVF_CACHE.clear()
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     # memoized: the 1-row lookup is query SETUP, and re-running a Spark job
     # for it on every invocation dominates small-SF latency

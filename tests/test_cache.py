@@ -40,3 +40,18 @@ def test_clear_runs_evict_hook():
     c.clear()
     assert len(c) == 0
     assert sorted(evicted) == [10, 20]
+
+
+def test_invalidate_cached_indexes_empties_ivf_cache(spark, sf_dir):
+    """The bench-loop contract: after a blanket clearCache, invalidating
+    the index cache must drop every fitted index so the next probe
+    rebuilds instead of scanning an unpersisted assignment forever."""
+    from savio_training_dask_2019_spark.queries import vectorops
+
+    vectorops.q_knn_ivf(spark, sf_dir).collect()
+    assert len(vectorops._IVF_CACHE) == 1
+    spark.catalog.clearCache()
+    vectorops.invalidate_cached_indexes()
+    assert len(vectorops._IVF_CACHE) == 0
+    # and a fresh probe still works (rebuild path)
+    assert vectorops.q_knn_ivf(spark, sf_dir).count() > 0
