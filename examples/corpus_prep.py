@@ -11,14 +11,16 @@ Stages (each one scan + at most one shuffle; 100 TB shapes noted inline):
 
   1. decontaminate  — drop docs sharing a word 5-gram with the eval split
                       (eval shingles broadcast; corpus never replicated)
-  2. quality gate   — Gopher-style rules, pure JVM column math
+  2. quality gate   — Gopher-style rules + model-based profiles (token
+                      entropy, conditional bigram NLL), pure JVM column math
   3. PII scrub      — regex detect/redact audit (narrow map, scan speed)
   4. passage dedup  — C4-style chunk keep-first retention (one shuffle)
   5. mixture sample — per-language keep-rate via deterministic hash gate
   6. pack           — concat-and-chunk into 2048-token bins (two-phase
                       cumsum: no partition ever holds the whole corpus)
-  7. split + shard  — train/val hash split with leakage audit, then
-                      content-hash shard balance for the writer fan-out
+  7. split + shard  — train/val hash split with leakage audit, content-hash
+                      shard balance for the writer fan-out, and the
+                      exact-quota stratified eval subset
 """
 
 from __future__ import annotations
@@ -43,11 +45,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     clean = docs.join(contaminated, "doc_id", "left_anti")
     n_clean = clean.count()
 
-    # 2. quality gate (per-language pass rates, then the surviving docs)
+    # 2. quality gate (per-language pass rates, then the surviving docs),
+    #    with the three model-based quality profiles next to the rule gate:
+    #    token entropy (repetition), unigram NLL (rare-token noise), and
+    #    conditional bigram NLL (word-salad ordering)
     gate = llmpipe.q_gopher_quality(spark, sf_dir)
     print("quality pass rates by lang:")
     for r in sorted(gate.collect(), key=lambda r: r["lang"]):
         print(f"  {r['lang']}: {r['n_pass']}/{r['n_docs']} ({r['pass_rate']:.1%})")
+    from savio_training_dask_2019_spark.queries import textops
+
+    ent = {r["lang"]: r for r in textops.q_token_entropy(spark, sf_dir).collect()}
+    big = {r["lang"]: r for r in llmpipe.q_bigram_logprob(spark, sf_dir).collect()}
+    print("model-based quality bands by lang (entropy / bigram NLL):")
+    for lang in sorted(ent):
+        e, b = ent[lang], big.get(lang)
+        print(
+            f"  {lang}: H∈[{e['min_entropy']:.2f},{e['max_entropy']:.2f}]"
+            + (f", nll∈[{b['min_nll']:.2f},{b['max_nll']:.2f}]" if b else "")
+        )
 
     # 3. PII scrub audit (the compliance table shipped with the release)
     pii = llmpipe.q_pii_redact(spark, sf_dir)
@@ -84,10 +100,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_bins = bins.count()
     tok_total = sampled.select(F.sum(token_count("text"))).collect()[0][0]
 
-    # 7. train/val split with leakage audit, then writer shard balance
+    # 7. train/val split with leakage audit, then writer shard balance —
+    #    plus the exact-quota stratified eval subset (K docs per language)
     splits = {r["split"]: r for r in llmpipe.q_split_leakage(spark, sf_dir).collect()}
     shards = llmpipe.q_shard_corpus(spark, sf_dir).collect()
     shard_docs = [r["n_docs"] for r in shards]
+    eval_subset = llmpipe.q_stratified_sample(spark, sf_dir)
+    n_eval = eval_subset.count()
 
     print(f"corpus: {n_docs} docs")
     print(f"after decontamination: {n_clean} docs")
@@ -104,6 +123,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(
         f"shards: {len(shards)} (docs/shard min {min(shard_docs)} / "
         f"max {max(shard_docs)})"
+    )
+    print(
+        f"stratified eval subset: {n_eval} docs "
+        f"(≤{llmpipe._STRATUM_QUOTA}/lang, deterministic hash order)"
     )
     print("corpus prep complete")
 
