@@ -28,6 +28,12 @@ from .multimodal import (
     sample_frames,
 )
 from .linalg import gramian, project_principal, svd_singular_values
+from .lm import (
+    fit_bigram_lm,
+    fit_unigram_lm,
+    score_bigram_nll,
+    score_unigram_nll,
+)
 from .similarity import (
     IVFIndex,
     RPIndex,
@@ -45,6 +51,10 @@ from .similarity import (
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
+    "fit_unigram_lm",
+    "score_unigram_nll",
+    "fit_bigram_lm",
+    "score_bigram_nll",
     "with_salt",
     "salted_agg",
     "salted_join",

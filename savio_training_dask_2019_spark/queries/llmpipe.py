@@ -633,33 +633,11 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin, NOT an unpartitioned window (a scale-killer at web-corpus
     vocab sizes). Fixture vocab < the cap, so the demo model is exact and
     the oracle twin's identical LIMIT/COALESCE branches never fire."""
-    d = (
-        load_table_spread(spark, sf_dir, "documents")
-        .select("doc_id", "lang", tokens("text").alias("tk"))
-        .where(F.size("tk") > 0)
-    )
-    tok = d.select("doc_id", "lang", F.explode("tk").alias("token"))
-    counts = (
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
-    )  # vocab-sized; released by bench/driver clearCache or context cleaner
-    total = counts.agg(F.sum("c").alias("s"))
-    vocab = counts.orderBy(F.col("c").desc(), "token").limit(_VOCAB_TOP_K)
-    model = vocab.crossJoin(F.broadcast(total)).select(
-        "token",
-        (-F.ln(F.col("c") / F.col("s"))).alias("nll_tok"),
-    )
-    scored = (
-        tok.join(F.broadcast(model), "token", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "lang",
-            # OOV floor: -ln(1/s) == ln(s); never fires at fixture vocab
-            F.coalesce("nll_tok", F.ln("s")).alias("nll_tok"),
-        )
-        .groupBy("doc_id", "lang")
-        .agg(F.avg("nll_tok").alias("nll"))
-    )
+    from ..operators.lm import fit_unigram_lm, score_unigram_nll
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    model, total = fit_unigram_lm(d, "text", top_k=_VOCAB_TOP_K)
+    scored = score_unigram_nll(d, model, total, "text", keys=("doc_id", "lang"))
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
@@ -717,40 +695,11 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires when scoring the fit corpus under the cap; the branch exists for
     scoring NEW data against a frozen model). Both the cap and floor
     mirror in the oracle, so the twins stay exact."""
-    d = (
-        load_table_spread(spark, sf_dir, "documents")
-        .select("doc_id", "lang", tokens("text").alias("tk"))
-        .where(F.size("tk") >= 2)
-    )
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size("tk") - 2),
-        lambda i: F.struct(
-            F.get("tk", i).alias("w1"), F.get("tk", i + 1).alias("w2")
-        ),
-    )
-    bi = d.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
-        "doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
-    counts = (
-        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
-    )  # bigram-vocab-sized; released by bench/driver clearCache
-    ctx = counts.groupBy("w1").agg(F.sum("cb").alias("cu"))
-    total = counts.agg(F.sum("cb").alias("s"))
-    vocab = counts.orderBy(F.col("cb").desc(), "w1", "w2").limit(_BIGRAM_TOP_K)
-    model = vocab.join(ctx, "w1").select(
-        "w1", "w2", (-F.ln(F.col("cb") / F.col("cu"))).alias("nll_big")
-    )
-    scored = (
-        bi.join(F.broadcast(model), ["w1", "w2"], "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "lang",
-            F.coalesce("nll_big", F.ln("s")).alias("nll_big"),
-        )
-        .groupBy("doc_id", "lang")
-        .agg(F.avg("nll_big").alias("nll"))
-    )
+    from ..operators.lm import fit_bigram_lm, score_bigram_nll
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    model, total = fit_bigram_lm(d, "text", top_k=_BIGRAM_TOP_K)
+    scored = score_bigram_nll(d, model, total, "text", keys=("doc_id", "lang"))
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("nll"), 4).alias("avg_nll"),
