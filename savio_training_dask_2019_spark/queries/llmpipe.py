@@ -740,6 +740,71 @@ FROM scored GROUP BY lang
 """
 
 
+# --- CCNet head/middle/tail banding ------------------------------------------
+
+_N_BANDS = 3  # head (lowest NLL) / middle / tail — CCNet keeps the middle
+
+
+def q_ccnet_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's final classification step (Wenzek et al. 2019 §4.3): split
+    each language's documents into NLL terciles — head (common-word soup),
+    middle (the band pipelines keep), tail (rare-token noise) — and report
+    each band's size and NLL range. This is the operational consumer of
+    ``unigram_logprob``: the band boundaries ARE the filter thresholds a
+    production run would freeze and apply.
+
+    Scale: scoring is the unigram fit+score plan (two scans, broadcast
+    model); banding adds ONE window partitioned by language — rank state
+    is O(1) per stratum and streams, so the added cost is the per-language
+    sort of doc-level rows (already reduced: one row per doc, not per
+    token). Banding orders by the ROUNDED score (4 decimals, the catalog
+    convention) with a doc_id tie-break, so band assignment is
+    deterministic and engine-independent — raw float ordering could let
+    ~1e-15 cross-engine noise flip two adjacent docs across a tercile
+    boundary."""
+    from ..operators.lm import fit_unigram_lm, score_unigram_nll
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    model, total = fit_unigram_lm(d, "text", top_k=_VOCAB_TOP_K)
+    scored = score_unigram_nll(d, model, total, "text", keys=("doc_id", "lang"))
+    scored = scored.select("doc_id", "lang", F.round("nll", 4).alias("nll_r"))
+    w = Window.partitionBy("lang").orderBy("nll_r", "doc_id")
+    banded = scored.select("lang", "nll_r", F.ntile(_N_BANDS).over(w).alias("band"))
+    return banded.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("nll_r").alias("band_lo"),
+        F.max("nll_r").alias("band_hi"),
+    )
+
+
+_CCNET_BANDS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, tk FROM (
+    SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  ) WHERE len(tk) > 0
+),
+tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM t),
+counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+total AS (SELECT sum(c) AS s FROM counts),
+vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {_VOCAB_TOP_K}),
+model AS (SELECT token, -ln(c / s) AS nll_tok FROM vocab, total),
+scored AS (
+  SELECT doc_id, lang, round(avg(coalesce(nll_tok, ln(s))), 4) AS nll_r
+  FROM tok LEFT JOIN model USING (token), total GROUP BY doc_id, lang
+),
+banded AS (
+  SELECT lang, nll_r,
+         ntile({_N_BANDS}) OVER (PARTITION BY lang ORDER BY nll_r, doc_id) AS band
+  FROM scored
+)
+SELECT lang, CAST(band AS INTEGER) AS band,
+       count(*) AS n_docs,
+       min(nll_r) AS band_lo,
+       max(nll_r) AS band_hi
+FROM banded GROUP BY lang, band
+"""
+
+
 # --- doc-length bucketing ----------------------------------------------------
 
 _LEN_BUCKET_W = 8  # tokens per bucket (fixture docs span 10–99 tokens)
@@ -1027,6 +1092,7 @@ QUERIES = {
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "ccnet_bands": q_ccnet_bands,
     "length_buckets": q_length_buckets,
     "dedup_incremental": q_dedup_incremental,
     "vocab_coverage": q_vocab_coverage,
@@ -1045,6 +1111,7 @@ ORACLE = {
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
     "bigram_logprob": _BIGRAM_SQL,
+    "ccnet_bands": _CCNET_BANDS_SQL,
     "length_buckets": _LENBUCKET_SQL,
     "dedup_incremental": _INCR_SQL,
     "vocab_coverage": _COVERAGE_SQL,

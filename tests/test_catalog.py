@@ -17,7 +17,7 @@ MUST_BE_DRIVER_CHECKED = {
     # decontam/passage (xxhash64 match keys; string-keyed oracles unchanged)
     "unigram_logprob", "decontam_check", "passage_dedup",
     # new in r5 — need their first driver rows
-    "token_entropy", "bigram_logprob", "stratified_sample",
+    "token_entropy", "bigram_logprob", "stratified_sample", "ccnet_bands",
     # the 40 queries outside the r4 window — newest rows of record are r3
     "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
     "funnel_stages", "session_window", "asof_join", "text_stats", "lang_id",

@@ -335,3 +335,23 @@ def test_bigram_logprob_bounds_and_conditional_consistency(spark, sf_dir):
     ).count()
     for r in rows:
         assert 0 <= r["min_nll"] <= r["avg_nll"] <= r["max_nll"]
+
+
+def test_ccnet_bands_partition_each_language(spark, sf_dir):
+    """Per language: exactly min(3, n_docs) bands, tercile sizes differing
+    by at most one, and band NLL ranges ordered without overlap (band 1 =
+    head/lowest NLL ... band 3 = tail/highest)."""
+    rows = llmpipe.q_ccnet_bands(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    uni = {r["lang"]: r for r in llmpipe.q_unigram_logprob(spark, sf_dir).collect()}
+    for lang, bands in by_lang.items():
+        bands.sort(key=lambda r: r["band"])
+        n = sum(r["n_docs"] for r in bands)
+        assert n == uni[lang]["n_docs"]  # bands cover the scored docs
+        assert [r["band"] for r in bands] == list(range(1, min(3, n) + 1))
+        sizes = [r["n_docs"] for r in bands]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance
+        for lo_band, hi_band in zip(bands, bands[1:]):
+            assert lo_band["band_hi"] <= hi_band["band_lo"]  # ordered ranges
