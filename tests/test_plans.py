@@ -163,6 +163,7 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int]] = {
     "semi_join": (2, 0, 0),
     "text_stats": (1, 0, 0),
     "knn_brute": (1, 0, 0),
+    "knn_ivf": (1, 0, 0),
     "ngram_jaccard": (2, 0, 0),
     "minhash_pairs": (1, 0, 0),
     "simhash_pairs": (1, 0, 0),
@@ -191,6 +192,11 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
             plans.single_partition_exchange_count(df) <= max_single
         ), f"{qname}: single-partition exchanges"
         spark.catalog.clearCache()
+        # retire fitted ANN indexes with the blanket cache clear (same
+        # contract as the bench loop — see invalidate_cached_indexes)
+        from savio_training_dask_2019_spark.queries import vectorops
+
+        vectorops.invalidate_cached_indexes()
 
 
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
