@@ -68,6 +68,16 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]")
 
+    # Session-level untimed warmup (r5): the FIRST measured query otherwise
+    # absorbs one-off JVM/JIT/codegen-compiler startup that no later query
+    # pays (agg_groupby, the first row, measured up to 2× its steady state
+    # on contended hosts). One throwaway execution puts query #1 on the
+    # same footing as queries #2+; its caches are cleared before timing.
+    HEADLINE_FIRST = next(iter(HEADLINE.values()))
+    catalog.QUERIES[HEADLINE_FIRST](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    catalog_vectorops.invalidate_cached_indexes()
+
     per_query: dict[str, float] = {}
     for bench_name, qname in HEADLINE.items():
         fn = catalog.QUERIES[qname]
