@@ -6,6 +6,7 @@ strategy is Catalyst's job; ours is expressing the logical plan well).
 """
 
 from .asof import asof_join
+from .decontam import contamination_report, decontaminate
 from .dedup import (
     connected_components,
     embedding_near_dup_pairs,
@@ -51,6 +52,8 @@ from .similarity import (
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
+    "contamination_report",
+    "decontaminate",
     "fit_unigram_lm",
     "score_unigram_nll",
     "fit_bigram_lm",

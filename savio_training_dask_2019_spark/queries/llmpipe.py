@@ -69,43 +69,21 @@ def q_decontam_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The match key is ``xxhash64(shingle)`` (8 bytes), not the shingle
     string — the broadcast set and the probe-side hash table stay
-    fixed-width however long the n-grams get (the 100 TB refinement the r3
-    docstring only promised). Exact up to 64-bit collisions (p ≈ n·m/2⁶⁴
-    against the eval set — ~1e-10 here), so the string-keyed DuckDB oracle
-    still matches bit-for-bit.
+    fixed-width however long the n-grams get. Exact up to 64-bit
+    collisions (p ≈ n·m/2⁶⁴ against the eval set — ~1e-10 here), so the
+    string-keyed DuckDB oracle still matches bit-for-bit. Implementation:
+    ``operators.decontam.contamination_report`` — the two-corpus
+    production surface (train frame vs eval frame); this query carves both
+    sides out of the fixture corpus so the oracle can replay the split.
+    Filtering FIRST and shingling after matters: the eval split is ~4 % of
+    the corpus and shingling is the expensive transform.
     """
+    from ..operators.decontam import contamination_report
+
     base = load_table_spread(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-
-    def shingled(docs: DataFrame) -> DataFrame:
-        # filter FIRST, shingle after: the eval split is ~4% of the corpus,
-        # and shingling is the expensive transform — shingle-then-filter
-        # would pay it for every doc on both branches
-        d = docs.select("doc_id", tokens("text").alias("tk")).where(
-            F.size("tk") >= _SHINGLE_N
-        )
-        per_doc = d.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    _word_shingles(F.col("tk"), _SHINGLE_N), lambda s: F.xxhash64(s)
-                )
-            ).alias("shs"),
-        )
-        return per_doc.select(
-            "doc_id", F.size("shs").alias("n_shingles"), F.explode("shs").alias("sh_h")
-        )
-
-    eval_shingles = shingled(base.where(is_eval)).select("sh_h").distinct()
-    return (
-        shingled(base.where(~is_eval))
-        .join(F.broadcast(eval_shingles), "sh_h")  # eval set: small, broadcast
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hits"),  # shingles pre-distinct per doc
-            F.max("n_shingles").alias("n_shingles"),
-            F.round(F.count(F.lit(1)) / F.max("n_shingles"), 4).alias("contam_frac"),
-        )
+    return contamination_report(
+        base.where(~is_eval), base.where(is_eval), "text", "doc_id", n=_SHINGLE_N
     )
 
 
