@@ -40,9 +40,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
-    # 1. decontamination: flag docs overlapping the held-out split
-    contaminated = llmpipe.q_decontam_check(spark, sf_dir).select("doc_id")
-    clean = docs.join(contaminated, "doc_id", "left_anti")
+    # 1. decontamination: drop training docs overlapping the held-out split
+    #    (the two-corpus operator surface — train frame vs eval frame)
+    from savio_training_dask_2019_spark.operators import decontaminate
+
+    is_eval = F.col("doc_id") % llmpipe._EVAL_MOD == 0
+    clean = decontaminate(docs.where(~is_eval), docs.where(is_eval))
     n_clean = clean.count()
 
     # 2. quality gate (per-language pass rates, then the surviving docs),
