@@ -29,6 +29,7 @@ from .multimodal import (
     sample_frames,
 )
 from .linalg import gramian, project_principal, svd_singular_values
+from .sampling import stratified_sample_cropped, stratified_sample_exact
 from .lm import (
     fit_bigram_lm,
     fit_unigram_lm,
@@ -52,6 +53,8 @@ from .similarity import (
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
+    "stratified_sample_exact",
+    "stratified_sample_cropped",
     "contamination_report",
     "decontaminate",
     "fit_unigram_lm",

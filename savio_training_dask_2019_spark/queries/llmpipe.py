@@ -291,12 +291,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle partitioned by stratum; ``row_number`` streams each
     stratum with O(1) rank state, so the cost is the per-stratum sort, not
-    memory. Strata are languages (dozens), so each is large but
-    sortable — and because only rank ≤ quota survives, at 100 TB you first
-    crop each stratum with a cheap pre-filter (keep rows whose hash <
-    ~quota/|stratum| quantile, computed from per-stratum counts) so the
-    sort sees ~quota rows instead of the full stratum; the window form
-    here is the exact-semantics anchor the cropped plan must reproduce."""
+    memory. At 100 TB use ``operators.sampling.stratified_sample_cropped``
+    — it crops each stratum with an analytic uniform-hash threshold
+    (~overshoot·quota/|stratum| of the rows) before the same re-rank, so
+    the sort sees ~quota rows instead of the full stratum, and a
+    differential test pins cropped == exact. This query keeps the plain
+    window form (ordering by the md5 STRING so the DuckDB oracle replays
+    it verbatim; the operators order by a 60-bit numeric cut of the same
+    md5 — same distribution, engine-identical either way)."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

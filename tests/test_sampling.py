@@ -1,0 +1,71 @@
+"""Stratified-sampling operator tests: the cropped 100 TB plan must
+reproduce the exact window anchor bit-for-bit, and both must hit quotas."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.operators import (
+    stratified_sample_cropped,
+    stratified_sample_exact,
+)
+from savio_training_dask_2019_spark.sources import load_table
+
+
+def _as_rows(df):
+    return sorted(tuple(r) for r in df.select("doc_id", "lang", "rk").collect())
+
+
+def test_cropped_equals_exact_on_fixture_strata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = stratified_sample_exact(docs, "lang", "doc_id", quota=37)
+    cropped = stratified_sample_cropped(docs, "lang", "doc_id", quota=37)
+    assert _as_rows(cropped) == _as_rows(exact)
+
+
+def test_cropped_equals_exact_when_quota_exceeds_strata(spark, sf_dir):
+    """Strata smaller than the quota take the never-crop branch and come
+    back whole."""
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quota = max(sizes.values()) + 10
+    cropped = stratified_sample_cropped(docs, "lang", "doc_id", quota=quota)
+    assert cropped.count() == sum(sizes.values())
+    assert _as_rows(cropped) == _as_rows(
+        stratified_sample_exact(docs, "lang", "doc_id", quota=quota)
+    )
+
+
+def test_crop_actually_shrinks_the_sort_input(spark, sf_dir):
+    """The crop must be a real reduction: survivors per stratum land near
+    overshoot*quota, far below the stratum size (this is the whole point —
+    the per-stratum sort sees ~quota rows, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota, overshoot = 5, 4.0
+    # replicate steps 1-3 of the cropped plan to measure the survivor set
+    from savio_training_dask_2019_spark.operators.sampling import (
+        _HASH_SPACE,
+        _order_hash,
+    )
+
+    hashed = docs.select("lang", "doc_id", _order_hash("doc_id").alias("h"))
+    n = F.count(F.lit(1))
+    thr = hashed.groupBy("lang").agg(
+        F.when(n <= quota * overshoot, F.lit(1 << 62))
+        .otherwise((F.lit(float(_HASH_SPACE) * quota * overshoot) / n).cast("long"))
+        .alias("thr")
+    )
+    survivors = (
+        hashed.join(F.broadcast(thr), "lang")
+        .where(F.col("h") <= F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(n.alias("n")).collect()}
+    for r in survivors.collect():
+        if sizes[r["lang"]] > quota * overshoot:
+            assert r["k"] >= quota  # crop never undershoots the quota
+            assert r["k"] < sizes[r["lang"]] / 2  # and is a real reduction
