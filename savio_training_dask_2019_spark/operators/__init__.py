@@ -9,6 +9,7 @@ from .asof import asof_join
 from .decontam import contamination_report, decontaminate
 from .dedup import (
     connected_components,
+    connected_components_star,
     embedding_near_dup_pairs,
     exact_dedup_stats,
     keep_first_by_hash,
@@ -53,6 +54,7 @@ from .similarity import (
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
+    "connected_components_star",
     "stratified_sample_exact",
     "stratified_sample_cropped",
     "contamination_report",

@@ -526,10 +526,12 @@ def connected_components(
     choice here; corpora with long chain topologies want the large-star/
     small-star variant (alternating contraction, O(log n) rounds) instead.
     Each round is two shuffles (neighbor-min groupBy + label join) over
-    (id, label) longs only; previous labels are unpersisted as soon as the
-    next round materializes. The RETURNED frame stays persisted (its lineage
-    is the whole iteration chain — recomputing it would replay every round);
-    call ``.unpersist()`` on it when done."""
+    (id, label) longs only; each round's labels are ``localCheckpoint``-ed
+    (truncating the 3^rounds iterative lineage — see
+    :func:`connected_components_star` for the failure mode) and the
+    previous round's blocks are released as soon as the next materializes.
+    The RETURNED frame reads the final checkpoint; call ``.unpersist()``
+    on it when done to free those blocks."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -552,6 +554,13 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # localCheckpoint, not bare persist: each round references the
+            # previous labels ~3x, so an un-truncated lineage grows 3^rounds
+            # and the driver OOMs rendering the plan near round ~15 — persist
+            # alone caches blocks but does NOT cut the logical plan. (Chain
+            # topologies hit this budget; dense near-dup graphs converge
+            # first, which is why it stayed latent until the star variant's
+            # differential tests ran propagation at max_iter=60.)
             new_labels = (
                 labels.join(nbr, labels["id"] == nbr["a"], "left")
                 .select(
@@ -560,7 +569,7 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -575,6 +584,111 @@ def connected_components(
         return labels.select("id", F.col("label").alias("cluster_id"))
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    the Two-Phase algorithm): converges in O(log n) rounds on ANY topology,
+    where :func:`connected_components`' min-label propagation needs
+    graph-diameter rounds (fine for dense near-dup clusters, pathological
+    for chains). Same output contract: (id, cluster_id), cluster_id = the
+    component's minimum id.
+
+    Each round is two grouped aggregations + joins over (node, node) long
+    pairs, all edges kept in the (larger, smaller) orientation:
+
+    - large-star: every node connects its LARGER neighbors to its
+      neighborhood minimum — emit (v, m) for v ∈ Γ(u), v > u,
+      m = min(Γ(u) ∪ {u});
+    - small-star: every node re-points its SMALLER neighbors (and itself)
+      at the minimum of its smaller neighborhood — emit (v, m) for
+      v ∈ (Γ<(u) ∪ {u}) \\ {m}.
+
+    Convergence is detected with a one-scalar checksum action per round
+    (count + xxhash64 bit_xor of the edge set — the same 1-number driver
+    round-trip the propagation variant pays); at the fixed point the edge
+    set is a star forest centered at component minima.
+
+    Each round's edge set is ``localCheckpoint``-ed: one round references
+    its predecessor ~12 times (two stars × symmetrize/min/join), so
+    without lineage truncation the logical plan grows ~12^rounds and the
+    driver OOMs just *printing* it by round 8 (measured). Local
+    checkpointing is the standard iterative-algorithm hygiene; a
+    cluster-reliability-sensitive deployment would point
+    ``sparkContext.setCheckpointDir`` at durable storage and use
+    ``checkpoint()`` instead (executor loss under localCheckpoint forfeits
+    the blocks)."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        # bit_xor (not sum) of per-edge hashes: order-independent, exact on
+        # the distinct edge set, and cannot overflow under ANSI arithmetic
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("sig"),
+        ).collect()[0]
+        return row["n"], row["sig"]
+
+    try:
+        sig = _signature(e)
+        for _ in range(max_iter):
+            # large-star over the symmetrized adjacency
+            sym = e.select("a", "b").union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = sym.groupBy("a").agg(
+                F.least(F.min("b"), F.first("a")).alias("m")
+            )
+            large = (
+                sym.join(mins, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .distinct()
+            )
+            # small-star over the (larger -> smaller) orientation
+            mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+            small = (
+                large.join(mins2, "a")
+                .where(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(mins2.select("a", F.col("m").alias("b")))
+                .distinct()
+                .localCheckpoint(eager=True)  # truncate the iterative lineage
+            )
+            new_sig = _signature(small)
+            e.unpersist()
+            e = small
+            if new_sig == sig:
+                break
+            sig = new_sig
+        final = e.groupBy("a").agg(F.min("b").alias("root"))
+        return (
+            nodes.join(final, nodes["id"] == final["a"], "left")
+            .select("id", F.coalesce("root", "id").alias("cluster_id"))
+        )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
 
 
 def simhash_near_dup_pairs(
