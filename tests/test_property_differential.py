@@ -113,6 +113,28 @@ def test_connected_components_matches_union_find(edges, spark):
     assert got == _uf_clusters(edges)
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_connected_components_star_matches_union_find(edges, spark):
+    """The large-star/small-star variant must satisfy the same union-find
+    contract as propagation on arbitrary hypothesis-generated graphs."""
+    from savio_training_dask_2019_spark.operators import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components_star(df).collect()
+    }
+    assert got == _uf_clusters(edges)
+
+
 # --- join parity ------------------------------------------------------------
 
 key_ranges = st.tuples(
