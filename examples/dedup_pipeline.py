@@ -58,7 +58,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         survivors, "text", "doc_id", n=3, max_jaccard_distance=0.5
     )
 
-    # 3. pairs -> clusters (min-label propagation; cluster_id = min doc_id)
+    # 3. pairs -> clusters (min-label propagation; cluster_id = min doc_id).
+    #    Near-dup clusters are small and dense, so propagation converges in
+    #    a few rounds; a corpus whose pair graph forms long CHAINS (e.g.
+    #    drifting boilerplate) should use connected_components_star —
+    #    O(log n) rounds on any topology, same output contract.
     clusters = connected_components(pairs)
 
     # 4. canonical = the cluster label itself; drop other cluster members
