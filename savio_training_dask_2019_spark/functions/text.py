@@ -96,6 +96,19 @@ def rolling_fingerprint(text: Column | str, base: int = 1000003) -> Column:
     )
 
 
+def normalize_for_dedup(text: Column | str) -> Column:
+    """Canonical text form for normalization-aware dedup (the C4/RefinedWeb
+    pre-hash step): strip everything but letters/digits/whitespace, collapse
+    whitespace runs to single spaces, trim, lowercase. Case, punctuation,
+    and spacing variants of the same passage then hash identically. Pure
+    codegen expressions (regexp_replace + lower + trim); the DuckDB twin
+    applies the same RE2-compatible patterns in the same order."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    return F.lower(F.trim(collapsed))
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Two documents with the same bag of words collide — the classic

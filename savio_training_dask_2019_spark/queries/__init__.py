@@ -62,14 +62,14 @@ if _MISSING:
 #       unchanged — re-witnessing proves the hash keys change nothing);
 #     - unigram_logprob — rewritten this round (persisted counts, top-K
 #       vocab cap, OOV floor branch in query AND oracle);
-#     - the four queries NEW this round, which need their first driver
+#     - the five queries NEW this round, which need their first driver
 #       rows: token_entropy, bigram_logprob, stratified_sample,
-#       ccnet_bands;
-#     - the flagship (agg_groupby) plus four rolling representatives from
-#       the r4-green set, one per family, SWAPPED from r4's three per the
-#       schedule: topk (ordering), window_rank (windows), time_bucket
-#       (timeseries), semdedup_clusters (newest big operator, kept live).
-#       The streaming-twin family stays live via session_window in the 40.
+#       ccnet_bands, norm_dedup_stats;
+#     - the flagship (agg_groupby) plus three rolling representatives from
+#       the r4-green set, SWAPPED from r4's three per the schedule: topk
+#       (ordering), window_rank (windows), semdedup_clusters (newest big
+#       operator, kept live). The streaming-twin and timeseries families
+#       stay live via session_window / funnel_stages in the 40.
 #   r6+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
@@ -139,10 +139,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bigram_logprob",
     "stratified_sample",
     "ccnet_bands",
+    "norm_dedup_stats",
     # --- rolling per-family representatives (r4-green, kept live) ---
     "topk",
     "window_rank",
-    "time_bucket",
     "semdedup_clusters",
 )
 

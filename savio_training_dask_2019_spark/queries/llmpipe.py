@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import avg_word_len, stopword_ratio, token_count, tokens
+from ..functions.text import (
+    avg_word_len,
+    normalize_for_dedup,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
 from ..sources import load_table, load_table_spread
 
 # DuckDB twin of functions.text.tokens() (kept in sync with textops.py)
@@ -720,6 +726,80 @@ FROM scored GROUP BY lang
 """
 
 
+# --- normalization-aware dedup lift ------------------------------------------
+
+_NORM_PLANT_A = 31  # doc_id % 31 == 0 → punctuated Title-Case variant
+_NORM_PLANT_B = 37  # doc_id % 37 == 0 → extra-whitespace lowercase variant
+
+
+def q_norm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup lift (the C4/RefinedWeb pre-hash
+    normalization step): how many extra duplicates appear once text is
+    canonicalized (strip punctuation, collapse whitespace, lowercase)
+    before hashing? Reports raw-distinct vs normalized-distinct counts and
+    the lift — the number a pipeline reads to decide whether raw-hash
+    dedup is leaving near-identical spam in the corpus.
+
+    Planted-content convention (same as ``pii_redact``): the fixture
+    corpus has no case/punctuation variants of shared passages, so the
+    demo plants two variant families of the same five passages —
+    punctuated Title-Case and whitespace-padded lowercase — identically in
+    query and oracle. Raw hashing keeps every variant distinct;
+    normalization collapses each passage's variants to one. The library
+    function (``functions.text.normalize_for_dedup``) never plants.
+
+    Scale: one scan; the aggregation computes two hash-distinct counts,
+    so Spark expands each row into the two count-distinct streams — the
+    expanded rows carry ONLY the two 128-bit hashes, not the text, and
+    everything pre-aggregates map-side. Same cost class as exact dedup."""
+    did = F.col("doc_id")
+    k = (did % 5).cast("string")
+    planted = (
+        F.when(
+            did % _NORM_PLANT_A == 0,
+            F.concat(F.lit("Shared Passage, Number "), k, F.lit("!")),
+        )
+        .when(
+            did % _NORM_PLANT_B == 0,
+            F.concat(F.lit("  shared   passage number "), k, F.lit(" ")),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = load_table(spark, sf_dir, "documents").select(planted.alias("t"))
+    raw_h = F.md5("t")
+    norm_h = F.md5(normalize_for_dedup(F.col("t")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(raw_h).alias("distinct_raw"),
+        F.countDistinct(norm_h).alias("distinct_norm"),
+        (F.countDistinct(raw_h) - F.countDistinct(norm_h)).alias("norm_dup_lift"),
+    )
+
+
+_DUCK_NORM = (
+    "lower(trim(regexp_replace(regexp_replace(t, '[^\\p{L}\\p{N}\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g')))"
+)
+
+_NORM_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT CASE
+           WHEN doc_id % {_NORM_PLANT_A} = 0
+             THEN 'Shared Passage, Number ' || CAST(doc_id % 5 AS VARCHAR) || '!'
+           WHEN doc_id % {_NORM_PLANT_B} = 0
+             THEN '  shared   passage number ' || CAST(doc_id % 5 AS VARCHAR) || ' '
+           ELSE text
+         END AS t
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(t)) AS distinct_raw,
+       count(DISTINCT md5({_DUCK_NORM})) AS distinct_norm,
+       count(DISTINCT md5(t)) - count(DISTINCT md5({_DUCK_NORM})) AS norm_dup_lift
+FROM d
+"""
+
+
 # --- CCNet head/middle/tail banding ------------------------------------------
 
 _N_BANDS = 3  # head (lowest NLL) / middle / tail — CCNet keeps the middle
@@ -1073,6 +1153,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
     "ccnet_bands": q_ccnet_bands,
+    "norm_dedup_stats": q_norm_dedup_stats,
     "length_buckets": q_length_buckets,
     "dedup_incremental": q_dedup_incremental,
     "vocab_coverage": q_vocab_coverage,
@@ -1092,6 +1173,7 @@ ORACLE = {
     "unigram_logprob": _UNIGRAM_SQL,
     "bigram_logprob": _BIGRAM_SQL,
     "ccnet_bands": _CCNET_BANDS_SQL,
+    "norm_dedup_stats": _NORM_DEDUP_SQL,
     "length_buckets": _LENBUCKET_SQL,
     "dedup_incremental": _INCR_SQL,
     "vocab_coverage": _COVERAGE_SQL,

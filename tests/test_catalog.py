@@ -18,6 +18,7 @@ MUST_BE_DRIVER_CHECKED = {
     "unigram_logprob", "decontam_check", "passage_dedup",
     # new in r5 — need their first driver rows
     "token_entropy", "bigram_logprob", "stratified_sample", "ccnet_bands",
+    "norm_dedup_stats",
     # the 40 queries outside the r4 window — newest rows of record are r3
     "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
     "funnel_stages", "session_window", "asof_join", "text_stats", "lang_id",

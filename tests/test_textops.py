@@ -46,3 +46,36 @@ def test_token_entropy_exact_on_known_distribution(spark):
     }
     assert abs(got[1] - math.log(2)) < 1e-12
     assert abs(got[2]) < 1e-12
+
+
+def test_normalize_for_dedup_collapses_variants(spark):
+    """Case, punctuation, and whitespace variants of the same passage must
+    normalize to the identical string; genuinely different text must not."""
+    from savio_training_dask_2019_spark.functions.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Shared Passage, Number 3!"),
+            (2, "  shared   passage number 3 "),
+            (3, "shared passage number 3"),
+            (4, "a different passage number 3"),
+        ],
+        "doc_id long, t string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_for_dedup("t").alias("n")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "shared passage number 3"
+    assert got[4] != got[3]
+
+
+def test_norm_dedup_stats_lift_is_positive_and_bounded(spark, sf_dir):
+    """The planted variant families guarantee lift > 0, and the distinct
+    counts must be consistent: norm <= raw <= n_docs."""
+    from savio_training_dask_2019_spark.queries import llmpipe
+
+    r = llmpipe.q_norm_dedup_stats(spark, sf_dir).collect()[0]
+    assert r["distinct_norm"] <= r["distinct_raw"] <= r["n_docs"]
+    assert r["norm_dup_lift"] == r["distinct_raw"] - r["distinct_norm"]
+    assert r["norm_dup_lift"] > 0
