@@ -88,7 +88,16 @@ def decontaminate(
     """Return ``train`` minus the docs whose contaminated shingle fraction
     exceeds ``max_contam_frac`` (default 0.0: drop on ANY eval overlap —
     the GPT-3 policy). One broadcast anti-join on the (tiny) flagged-id
-    set; the surviving frame keeps the input schema."""
+    set; the surviving frame keeps the input schema.
+
+    The threshold is applied to the UNROUNDED fraction ``n_hits /
+    n_shingles`` — the report's ``contam_frac`` column is rounded to 4
+    decimals for display/oracle parity, and a >20k-shingle doc with one
+    overlapping n-gram would round to 0.0 and wrongly survive the
+    drop-on-ANY-overlap default if the rounded column were thresholded.
+    """
     flagged = contamination_report(train, eval_docs, text_col, id_col, n)
-    drop = flagged.where(F.col("contam_frac") > max_contam_frac).select(id_col)
+    drop = flagged.where(
+        F.col("n_hits") / F.col("n_shingles") > max_contam_frac
+    ).select(id_col)
     return train.join(F.broadcast(drop), id_col, "left_anti")

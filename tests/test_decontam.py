@@ -49,11 +49,40 @@ def test_decontaminate_threshold_spares_light_contamination(spark):
         decontaminate,
     )
 
-    frac = contamination_report(
+    rep = contamination_report(
         _df(spark, TRAIN), _df(spark, EVAL), n=5
-    ).collect()[0]["contam_frac"]
+    ).collect()[0]
+    # decontaminate thresholds the UNROUNDED fraction, so the sparing
+    # threshold must be the exact n_hits/n_shingles, not the 4-decimal
+    # display column (which rounds 2/7 down to 0.2857 < 2/7).
+    frac = rep["n_hits"] / rep["n_shingles"]
     assert frac < 1.0
     lenient = decontaminate(
         _df(spark, TRAIN), _df(spark, EVAL), n=5, max_contam_frac=frac
     )
     assert {r["doc_id"] for r in lenient.collect()} == {1, 2, 3}
+
+
+def test_decontaminate_long_doc_rounding_regression(spark):
+    """A >20k-shingle doc with ONE eval overlap has contam_frac < 0.00005,
+    which rounds to 0.0 in the report — it must still be dropped under the
+    default drop-on-ANY-overlap policy (threshold on the unrounded
+    fraction, not the display column)."""
+    from savio_training_dask_2019_spark.operators import (
+        contamination_report,
+        decontaminate,
+    )
+
+    words = [f"w{i}" for i in range(25000)]
+    # splice exactly one eval 5-gram into an otherwise-unique stream:
+    # 1 hit / ~25k shingles = 4e-5, which rounds to 0.0 at 4 decimals
+    long_text = " ".join(
+        words[:12500]
+        + ["the", "quick", "brown", "fox", "jumps"]
+        + words[12500:]
+    )
+    train = _df(spark, [(7, long_text)])
+    rep = contamination_report(train, _df(spark, EVAL), n=5).collect()
+    assert len(rep) == 1 and rep[0]["contam_frac"] == 0.0  # rounds to zero
+    clean = decontaminate(train, _df(spark, EVAL), n=5)
+    assert clean.count() == 0  # dropped despite the rounded-to-0 display
