@@ -96,16 +96,30 @@ def rolling_fingerprint(text: Column | str, base: int = 1000003) -> Column:
     )
 
 
+# Explicit whitespace class for normalize_for_dedup, shared with the DuckDB
+# oracle twin. A bare \s diverges cross-engine (Java includes \x0B, RE2 does
+# not) and misses Unicode space separators entirely — NBSP would fall into
+# the stripped class, so 'foo bar' canonicalized to 'foobar' instead of
+# 'foo bar' and an NBSP spacing variant failed to collapse with its
+# space-separated twin. Written with \x{...} escapes that Java regex and RE2
+# parse identically: ASCII controls + the Unicode Zs separators + LS/PS.
+WS_CLASS = (
+    r" \t\n\x{0B}\f\r\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
+)
+
+
 def normalize_for_dedup(text: Column | str) -> Column:
     """Canonical text form for normalization-aware dedup (the C4/RefinedWeb
     pre-hash step): strip everything but letters/digits/whitespace, collapse
-    whitespace runs to single spaces, trim, lowercase. Case, punctuation,
-    and spacing variants of the same passage then hash identically. Pure
-    codegen expressions (regexp_replace + lower + trim); the DuckDB twin
-    applies the same RE2-compatible patterns in the same order."""
+    whitespace runs (including NBSP and other Unicode spaces — see
+    ``WS_CLASS``) to single spaces, trim, lowercase. Case, punctuation, and
+    spacing variants of the same passage then hash identically. Pure codegen
+    expressions (regexp_replace + lower + trim); the DuckDB twin applies the
+    identical explicit-class patterns in the same order."""
     col = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
-    collapsed = F.regexp_replace(stripped, r"\s+", " ")
+    stripped = F.regexp_replace(col, rf"[^\p{{L}}\p{{N}}{WS_CLASS}]", "")
+    collapsed = F.regexp_replace(stripped, rf"[{WS_CLASS}]+", " ")
     return F.lower(F.trim(collapsed))
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    WS_CLASS,
     avg_word_len,
     normalize_for_dedup,
     stopword_ratio,
@@ -776,9 +777,12 @@ def q_norm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same explicit whitespace class as the Spark side (functions.text.WS_CLASS)
+# so Java regex and RE2 agree char-for-char — a bare \s diverges on \x0B and
+# misses NBSP/Unicode spaces entirely.
 _DUCK_NORM = (
-    "lower(trim(regexp_replace(regexp_replace(t, '[^\\p{L}\\p{N}\\s]', '', 'g'),"
-    " '\\s+', ' ', 'g')))"
+    f"lower(trim(regexp_replace(regexp_replace(t, '[^\\p{{L}}\\p{{N}}{WS_CLASS}]', '', 'g'),"
+    f" '[{WS_CLASS}]+', ' ', 'g')))"
 )
 
 _NORM_DEDUP_SQL = f"""

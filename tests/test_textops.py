@@ -70,6 +70,39 @@ def test_normalize_for_dedup_collapses_variants(spark):
     assert got[4] != got[3]
 
 
+def test_normalize_for_dedup_unicode_whitespace_and_duckdb_parity(spark):
+    """NBSP / vertical-tab / ideographic-space variants must collapse with
+    their ASCII-space twins (a bare \\s would strip NBSP into 'foobar'), and
+    the Spark normalization must agree byte-for-byte with the DuckDB oracle
+    twin on the same inputs — including \\x0B, where Java's \\s and RE2's
+    \\s disagree."""
+    import duckdb
+
+    from savio_training_dask_2019_spark.functions.text import normalize_for_dedup
+    from savio_training_dask_2019_spark.queries.llmpipe import _DUCK_NORM
+
+    rows = [
+        (1, "foo bar"),
+        (2, "foo\u00a0bar"),          # NBSP
+        (3, "foo\x0bbar"),            # vertical tab
+        (4, "foo\u3000\u2003bar"),    # ideographic + em space
+        (5, "foo\u2028bar!"),         # line separator + punctuation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_for_dedup("t").alias("n")).collect()
+    }
+    assert all(v == "foo bar" for v in got.values()), got
+
+    con = duckdb.connect()
+    for doc_id, t in rows:
+        (duck,) = con.execute(
+            f"SELECT {_DUCK_NORM} FROM (SELECT ? AS t)", [t]
+        ).fetchone()
+        assert duck == got[doc_id], (doc_id, duck, got[doc_id])
+
+
 def test_norm_dedup_stats_lift_is_positive_and_bounded(spark, sf_dir):
     """The planted variant families guarantee lift > 0, and the distinct
     counts must be consistent: norm <= raw <= n_docs."""
