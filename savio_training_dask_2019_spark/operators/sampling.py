@@ -56,12 +56,29 @@ def stratified_sample_exact(
     )
 
 
+def _fresh_name(base: str, taken: set[str]) -> str:
+    """A column name not already present in ``taken`` (prefix underscores
+    until free, so caller frames that happen to carry ``__h``/``__thr``
+    don't collide with the operator's scratch columns)."""
+    while base in taken:
+        base = "_" + base
+    return base
+
+
+class CropUndershootError(RuntimeError):
+    """The analytic crop retained fewer than ``min(quota, |stratum|)`` rows
+    for at least one stratum (probability ~``exp(-quota·(overshoot-1)²/
+    (2·overshoot))`` per stratum — astronomically unlikely at sane
+    parameters, but checkable via ``on_undershoot``)."""
+
+
 def stratified_sample_cropped(
     df: DataFrame,
     stratum_col: str,
     id_col: str,
     quota: int,
     overshoot: float = 4.0,
+    on_undershoot: str = "ignore",
 ) -> DataFrame:
     """Same sample as :func:`stratified_sample_exact`, via the scale plan:
 
@@ -75,22 +92,66 @@ def stratified_sample_cropped(
     Identical output to the exact form whenever each crop retains the true
     quota-th smallest hash; re-ranking survivors cannot reorder them (the
     ranking key is unchanged), so the only failure mode is an undershot
-    crop, bounded by the Chernoff term in the module docstring."""
-    h = _order_hash(id_col).alias("__h")
-    hashed = df.select("*", h)
+    crop, bounded by the Chernoff term in the module docstring.
+
+    ``on_undershoot`` makes that failure mode observable instead of silent:
+
+    - ``"ignore"`` (default) — fully lazy, trust the bound;
+    - ``"raise"`` — eagerly verify every stratum kept
+      ``min(quota, |stratum|)`` survivors and raise
+      :class:`CropUndershootError` otherwise (one extra O(strata)
+      aggregation action at call time);
+    - ``"exact"`` — same check, but fall back to
+      :func:`stratified_sample_exact` instead of raising.
+
+    Scratch columns are generated collision-free, so input frames that
+    already contain ``__h``/``__thr`` pass through untouched."""
+    if on_undershoot not in ("ignore", "raise", "exact"):
+        raise ValueError(f"on_undershoot must be ignore|raise|exact, got {on_undershoot!r}")
+    taken = set(df.columns)
+    h_col = _fresh_name("__h", taken)
+    thr_col = _fresh_name("__thr", taken | {h_col})
+    n_col = _fresh_name("__n", taken | {h_col, thr_col})
+
+    hashed = df.select("*", _order_hash(id_col).alias(h_col))
     n = F.count(F.lit(1))
     cutoff = float(overshoot) * quota
     thresholds = hashed.groupBy(stratum_col).agg(
         F.when(n <= F.lit(cutoff), F.lit((1 << 62)))
         .otherwise((F.lit(float(_HASH_SPACE) * cutoff) / n).cast("long"))
-        .alias("__thr")
+        .alias(thr_col),
+        n.alias(n_col),
     )
-    cropped = hashed.join(F.broadcast(thresholds), stratum_col).where(
-        F.col("__h") <= F.col("__thr")
-    )
-    w = Window.partitionBy(stratum_col).orderBy("__h", id_col)
+    cropped = hashed.join(
+        F.broadcast(thresholds.drop(n_col)), stratum_col
+    ).where(F.col(h_col) <= F.col(thr_col))
+
+    if on_undershoot != "ignore":
+        survivors = cropped.groupBy(stratum_col).agg(
+            F.count(F.lit(1)).alias(h_col)  # reuse scratch name for the count
+        )
+        short = (
+            thresholds.join(survivors, stratum_col, "left")
+            .where(
+                F.coalesce(F.col(h_col), F.lit(0))
+                < F.least(F.lit(quota), F.col(n_col))
+            )
+            .select(stratum_col)
+            .limit(1)
+            .collect()
+        )
+        if short:
+            if on_undershoot == "raise":
+                raise CropUndershootError(
+                    f"analytic crop undershot quota={quota} for stratum "
+                    f"{short[0][0]!r} (overshoot={overshoot}); rerun with a "
+                    "larger overshoot or use stratified_sample_exact"
+                )
+            return stratified_sample_exact(df, stratum_col, id_col, quota)
+
+    w = Window.partitionBy(stratum_col).orderBy(h_col, id_col)
     return (
         cropped.select("*", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= quota)
-        .drop("__h", "__thr")
+        .drop(h_col, thr_col)
     )

@@ -69,3 +69,56 @@ def test_crop_actually_shrinks_the_sort_input(spark, sf_dir):
         if sizes[r["lang"]] > quota * overshoot:
             assert r["k"] >= quota  # crop never undershoots the quota
             assert r["k"] < sizes[r["lang"]] / 2  # and is a real reduction
+
+
+def test_cropped_scratch_columns_survive_collisions(spark, sf_dir):
+    """Input frames that already carry __h/__thr columns must pass through
+    untouched — the operator generates collision-free scratch names."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lit(7).alias("__h"), F.lit("x").alias("__thr")
+    )
+    out = stratified_sample_cropped(docs, "lang", "doc_id", quota=11)
+    assert set(out.columns) == {"doc_id", "lang", "__h", "__thr", "rk"}
+    rows = out.collect()
+    assert rows and all(r["__h"] == 7 and r["__thr"] == "x" for r in rows)
+    plain = stratified_sample_cropped(
+        docs.drop("__h", "__thr"), "lang", "doc_id", quota=11
+    )
+    assert sorted((r["doc_id"], r["rk"]) for r in rows) == sorted(
+        (r["doc_id"], r["rk"]) for r in plain.collect()
+    )
+
+
+def test_cropped_undershoot_check_modes(spark, sf_dir):
+    """on_undershoot='raise'/'exact' verify per-stratum survivor counts; on
+    the healthy fixture both modes return the exact sample, and a rigged
+    sub-quota overshoot triggers the raise / the exact fallback."""
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.sampling import (
+        CropUndershootError,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    checked = stratified_sample_cropped(
+        docs, "lang", "doc_id", quota=23, on_undershoot="raise"
+    )
+    assert _as_rows(checked) == _as_rows(
+        stratified_sample_exact(docs, "lang", "doc_id", quota=23)
+    )
+    # overshoot < 1 makes the analytic threshold admit < quota rows in
+    # expectation, so the check must fire on any non-tiny stratum
+    with pytest.raises(CropUndershootError):
+        stratified_sample_cropped(
+            docs, "lang", "doc_id", quota=50, overshoot=0.1, on_undershoot="raise"
+        )
+    fallback = stratified_sample_cropped(
+        docs, "lang", "doc_id", quota=50, overshoot=0.1, on_undershoot="exact"
+    )
+    assert _as_rows(fallback) == _as_rows(
+        stratified_sample_exact(docs, "lang", "doc_id", quota=50)
+    )
+    with pytest.raises(ValueError):
+        stratified_sample_cropped(
+            docs, "lang", "doc_id", quota=5, on_undershoot="bogus"
+        )
