@@ -507,6 +507,30 @@ def semantic_dedup(
     )
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids currently registered in the SparkContext persistent-RDD map."""
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _release_rdds(sc, ids: set) -> None:
+    """Unpersist checkpoint blocks by RDD id via
+    ``JavaSparkContext.getPersistentRDDs``. ``Dataset.unpersist()`` on a
+    ``localCheckpoint``-ed frame is a **no-op** — the checkpoint RDD is
+    persisted at RDD level and never registered with the Dataset cache
+    manager (measured on Spark 4.1: the id stays in getPersistentRDDs and
+    the blocks stay resident; ``df.rdd.unpersist()`` is equally
+    ineffective, it targets the derived Row-conversion RDD). Iterative
+    loops must therefore free superseded rounds through the RDD registry
+    or leak one snapshot per round until the ContextCleaner GCs them.
+    Only ever call this on rounds whose SUCCESSOR has already eagerly
+    materialized — a released checkpoint cannot be recomputed."""
+    reg = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = reg.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -529,9 +553,13 @@ def connected_components(
     (id, label) longs only; each round's labels are ``localCheckpoint``-ed
     (truncating the 3^rounds iterative lineage — see
     :func:`connected_components_star` for the failure mode) and the
-    previous round's blocks are released as soon as the next materializes.
-    The RETURNED frame reads the final checkpoint; call ``.unpersist()``
-    on it when done to free those blocks."""
+    previous round's blocks are released as soon as the next materializes
+    — via the RDD registry (see :func:`_release_rdds`; ``Dataset.
+    unpersist()`` would be a no-op on a checkpointed frame). The RETURNED
+    frame reads the FINAL round's checkpoint, so those blocks stay
+    resident until the caller drops every reference and the
+    ContextCleaner garbage-collects the checkpoint RDD — one label
+    snapshot, (id, label) longs only."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -547,6 +575,8 @@ def connected_components(
             F.least(F.col("a"), F.col("nb")).alias("label"),
         )
     ).persist()
+    sc = edges.sparkSession.sparkContext
+    held: set = set()  # checkpoint RDD ids backing the CURRENT labels frame
     try:
         for _ in range(max_iter):
             nbr = (
@@ -561,6 +591,7 @@ def connected_components(
             # topologies hit this budget; dense near-dup graphs converge
             # first, which is why it stayed latent until the star variant's
             # differential tests ran propagation at max_iter=60.)
+            before = _persistent_rdd_ids(sc)
             new_labels = (
                 labels.join(nbr, labels["id"] == nbr["a"], "left")
                 .select(
@@ -571,14 +602,20 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+            new_ids = _persistent_rdd_ids(sc) - before
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
-            labels = new_labels
+            # free the superseded round: Dataset-level unpersist for the
+            # round-0 persist, RDD-registry release for checkpointed rounds
+            if held:
+                _release_rdds(sc, held)
+            else:
+                labels.unpersist()
+            labels, held = new_labels, new_ids
             if changed == 0:
                 break
         return labels.select("id", F.col("label").alias("cluster_id"))
@@ -618,12 +655,15 @@ def connected_components_star(
     Each round's edge set is ``localCheckpoint``-ed: one round references
     its predecessor ~12 times (two stars × symmetrize/min/join), so
     without lineage truncation the logical plan grows ~12^rounds and the
-    driver OOMs just *printing* it by round 8 (measured). Local
-    checkpointing is the standard iterative-algorithm hygiene; a
-    cluster-reliability-sensitive deployment would point
-    ``sparkContext.setCheckpointDir`` at durable storage and use
-    ``checkpoint()`` instead (executor loss under localCheckpoint forfeits
-    the blocks)."""
+    driver OOMs just *printing* it by round 8 (measured). Superseded
+    rounds are freed through the RDD registry (:func:`_release_rdds` —
+    ``Dataset.unpersist()`` is a no-op on checkpointed frames); the final
+    round's blocks back the returned frame and are GC'd by the
+    ContextCleaner once the caller drops it. Local checkpointing is the
+    standard iterative-algorithm hygiene; a cluster-reliability-sensitive
+    deployment would point ``sparkContext.setCheckpointDir`` at durable
+    storage and use ``checkpoint()`` instead (executor loss under
+    localCheckpoint forfeits the blocks)."""
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
@@ -649,6 +689,8 @@ def connected_components_star(
         ).collect()[0]
         return row["n"], row["sig"]
 
+    sc = edges.sparkSession.sparkContext
+    held: set = set()  # checkpoint RDD ids backing the CURRENT edge frame
     try:
         sig = _signature(e)
         for _ in range(max_iter):
@@ -667,6 +709,7 @@ def connected_components_star(
             )
             # small-star over the (larger -> smaller) orientation
             mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+            before = _persistent_rdd_ids(sc)
             small = (
                 large.join(mins2, "a")
                 .where(F.col("b") != F.col("m"))
@@ -675,9 +718,15 @@ def connected_components_star(
                 .distinct()
                 .localCheckpoint(eager=True)  # truncate the iterative lineage
             )
+            new_ids = _persistent_rdd_ids(sc) - before
             new_sig = _signature(small)
-            e.unpersist()
-            e = small
+            # free the superseded round: Dataset-level unpersist for the
+            # initial persist, RDD-registry release for checkpointed rounds
+            if held:
+                _release_rdds(sc, held)
+            else:
+                e.unpersist()
+            e, held = small, new_ids
             if new_sig == sig:
                 break
             sig = new_sig
@@ -687,7 +736,8 @@ def connected_components_star(
             .select("id", F.coalesce("root", "id").alias("cluster_id"))
         )
     finally:
-        e.unpersist()
+        if not held:
+            e.unpersist()  # loop never checkpointed; drop the initial persist
         nodes.unpersist()
 
 

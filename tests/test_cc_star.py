@@ -54,3 +54,25 @@ def test_star_handles_multiple_components_and_duplicates(spark):
     assert star[20] == star[21] == star[22] == 20
     # self-loop-only node 12 still appears, as its own component
     assert star[12] == 12
+
+
+def test_iterative_rounds_release_checkpoint_blocks(spark):
+    """Dataset.unpersist() is a no-op on localCheckpoint-ed frames, so the
+    loops free superseded rounds through the RDD registry — after a
+    multi-round run, at most the FINAL round's checkpoint (plus nothing
+    per intermediate round) may remain registered."""
+    sc = spark.sparkContext
+    chain = [(i, i + 1) for i in range(300)]  # forces many star rounds
+
+    for fn, kwargs in (
+        (connected_components_star, {}),
+        (connected_components, {"max_iter": 8}),
+    ):
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = fn(_edges_df(spark, chain), **kwargs)
+        out.count()  # materialize through the final checkpoint
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        leaked = after - before
+        # the final round's checkpoint legitimately backs the returned
+        # frame; anything beyond that is a leaked intermediate round
+        assert len(leaked) <= 1, (fn.__name__, sorted(leaked))
