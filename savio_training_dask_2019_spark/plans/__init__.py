@@ -16,6 +16,7 @@ from .explain import (
     scan_count,
     shuffle_count,
     single_partition_exchange_count,
+    unpartitioned_window_count,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "scan_count",
     "shuffle_count",
     "single_partition_exchange_count",
+    "unpartitioned_window_count",
     "bnlj_count",
     "broadcast_join_count",
 ]

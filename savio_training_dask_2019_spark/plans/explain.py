@@ -78,6 +78,28 @@ def bnlj_count(df: DataFrame) -> int:
     return len(_operator_ids(plan, r"BroadcastNestedLoopJoin"))
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window operators with an EMPTY partition spec — the shape that moves
+    every row to one task (WindowExec's own WARN). Detected from the
+    formatted explain's per-operator detail blocks: inside
+    ``windowspecdefinition(...)`` the first top-level argument of an
+    unpartitioned spec is an ordering expression (``... ASC/DESC NULLS
+    ...``) while a partitioned spec leads with its partition columns."""
+    plan = formatted_plan(df)
+    count = 0
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or not re.match(r"\(\d+\) Window", lines[0].strip()):
+            continue
+        spec = re.search(r"windowspecdefinition\(([^,]*(?:, [^,]*)?)", block)
+        if spec is None:
+            continue
+        first_arg = spec.group(1).split(",")[0]
+        if re.search(r" (?:ASC|DESC)\b", first_arg):
+            count += 1
+    return count
+
+
 def single_partition_exchange_count(df: DataFrame) -> int:
     """Exchanges that funnel data through ONE partition. A scalar aggregate
     legitimately ships one row per upstream partition; anything larger

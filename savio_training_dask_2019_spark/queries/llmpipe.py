@@ -19,10 +19,13 @@ Scale design (SCALING.md has the long-form versions):
   broadcast set stays fixed-width at any n-gram length; the string-keyed
   oracle still matches exactly (64-bit collisions: p ≈ 1e-10 here).
 - **pack_sequences**: a naive global-order cumulative sum is a
-  single-partition window — the classic scale trap. Implemented two-phase:
-  per-block partial sums → a tiny window over block ids → broadcast the
-  block offsets back and finish with a window *partitioned by block*. The
-  only global window runs over n_docs/BLOCK rows.
+  single-partition window — the classic scale trap. Implemented as a
+  three-level cascade (doc → block → super-block): the only unpartitioned
+  window runs over n_docs/BLOCK² super-block rows (~24k at 10¹¹ docs),
+  every other window is partitioned with ≤BLOCK rows per partition, and
+  the block-offset table joins back by key (no broadcast — it is
+  n_docs/BLOCK rows, far past the broadcast threshold at corpus scale;
+  AQE still broadcasts it automatically when it is actually small).
 - **gopher_quality / dup_ngram_ratio / mixture_sample**: pure narrow maps +
   one O(groups) aggregation — scan-speed at any scale.
 """
@@ -176,7 +179,7 @@ FROM s GROUP BY lang
 # --- sequence packing --------------------------------------------------------
 
 _PACK_BUDGET = 2048  # context-window token budget per training bin
-_PACK_BLOCK = 512  # docs per cumsum block (scale knob, result-invariant)
+_PACK_BLOCK = 2048  # docs per cumsum block (scale knob, result-invariant)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,26 +189,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and token mass (docs straddling a boundary count toward their
     start bin).
 
-    The cumulative offset is computed in two phases so no single partition
-    ever sees the whole corpus: (1) per-block token sums, (2) an
-    unbounded-preceding window over the ~n/512 block rows, (3) block
-    offsets broadcast back, intra-block window partitioned by block. The
-    block size changes the physical plan only, never the offsets.
+    The cumulative offset is computed as a three-level cascade with NO
+    unpartitioned window anywhere:
+
+    1. per-block token sums (block = doc_id DIV B, B = ``_PACK_BLOCK``) —
+       n/B rows, persisted so the prefix job and the final query share
+       one corpus scan;
+    2. per-super-block sums (super = block DIV B) — n/B² rows (~24k at
+       10¹¹ docs with B = 2048), prefix-summed DRIVER-SIDE the way
+       ``RDD.zipWithIndex`` finishes its per-partition counts: an O(n/B²)
+       collect of longs replaces the single-partition WindowExec a naive
+       cascade ends with (which would move the same rows through one task
+       anyway, plus a shuffle);
+    3. intra-super block offsets — window *partitioned by super*, ≤B rows
+       per partition, plus the broadcast super-offset dim;
+    4. intra-block doc offsets — window *partitioned by block*, ≤B rows.
+
+    The block-offset table (n/B rows — ~48M at 10¹¹ docs, far past any
+    broadcast threshold) joins back to the corpus BY KEY with no broadcast
+    hint: AQE broadcasts it automatically when it is actually small and
+    shuffle-joins otherwise. Block size changes the physical plan only,
+    never the offsets.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(f"doc_id DIV {_PACK_BLOCK}").alias("block"),
         token_count("text").alias("n_tok"),
     )
-    block_tot = d.groupBy("block").agg(F.sum("n_tok").alias("block_tok"))
-    w_blocks = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = block_tot.select(
-        "block", F.coalesce(F.sum("block_tok").over(w_blocks), F.lit(0)).alias("block_off")
+    blocks = d.groupBy("block").agg(F.sum("n_tok").alias("block_tok")).persist()
+    supered = blocks.withColumn("super", F.expr(f"block DIV {_PACK_BLOCK}"))
+    super_rows = (
+        supered.groupBy("super")
+        .agg(F.sum("block_tok").alias("super_tok"))
+        .orderBy("super")
+        .collect()
+    )
+    acc, prefix = 0, []
+    for r in super_rows:
+        prefix.append((r["super"], acc))
+        acc += r["super_tok"]
+    super_off = spark.createDataFrame(prefix or [(0, 0)], "super long, super_off long")
+    w_blocks = (
+        Window.partitionBy("super").orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        supered.join(F.broadcast(super_off), "super")
+        .select(
+            "block",
+            (
+                F.col("super_off") + F.coalesce(F.sum("block_tok").over(w_blocks), F.lit(0))
+            ).alias("block_off"),
+        )
     )
     w_intra = (
         Window.partitionBy("block").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     )
-    placed = d.join(F.broadcast(offsets), "block").select(
+    placed = d.join(offsets, "block").select(
         "n_tok",
         (F.col("block_off") + F.coalesce(F.sum("n_tok").over(w_intra), F.lit(0))).alias("offset"),
     )

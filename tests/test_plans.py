@@ -199,6 +199,49 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
         vectorops.invalidate_cached_indexes()
 
 
+# Queries allowed to keep ONE unpartitioned Window, each with a documented
+# row bound that makes the single task safe at any corpus size:
+#   vocab_coverage — residual ranking window runs strictly above a
+#                    TakeOrdered cut, so it sees <= max(K) rows (constant).
+_BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage"}
+
+
+def test_unpartitioned_window_detector_is_not_vacuous(spark):
+    """The sweep below is only meaningful if the detector actually fires on
+    the bad shape and stays quiet on the good one."""
+    from pyspark.sql import Window
+
+    df = spark.range(50).selectExpr("id s", "id % 3 g", "id * 2 v")
+    bad = df.select(F.sum("v").over(Window.orderBy("s")).alias("c"))
+    good = df.select(
+        F.sum("v").over(Window.partitionBy("g").orderBy("s")).alias("c")
+    )
+    assert plans.unpartitioned_window_count(bad) == 1
+    assert plans.unpartitioned_window_count(good) == 0
+    assert plans.unpartitioned_window_count(df) == 0  # no window at all
+
+
+def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
+    """Catalog-wide sweep: NO query may plan an unpartitioned Window (the
+    all-rows-through-one-task scale killer) — not just the benched
+    headliners. pack_sequences earned its place here by hiding one in its
+    block-offset cascade for four rounds (fixed r6: driver-side super-block
+    prefix, the zipWithIndex pattern). Allowlisted queries carry a
+    documented constant row bound instead."""
+    from savio_training_dask_2019_spark.queries import vectorops
+
+    offenders = {}
+    for qname, fn in sorted(QUERIES.items()):
+        df = fn(spark, sf_dir)
+        n = plans.unpartitioned_window_count(df)
+        limit = 1 if qname in _BOUNDED_WINDOW_ALLOWLIST else 0
+        if n > limit:
+            offenders[qname] = n
+        spark.catalog.clearCache()
+        vectorops.invalidate_cached_indexes()
+    assert not offenders, f"unpartitioned Window in: {offenders}"
+
+
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
     """Detection/redaction is a pure narrow map: no joins anywhere, and the
     only exchanges are the toy-input spread + the O(sources) agg."""
