@@ -5,10 +5,25 @@ and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol matches BASELINE.md: one untimed warmup execution, then the MIN of 2
-timed warm executions is recorded (damps scheduler noise; stated identically
-in BASELINE.md), collect() included. Per-query keys use the BASELINE.md row
-names so the judge can compare 1:1.
+Protocol matches BASELINE.md: per query, one untimed warmup execution, then
+the MIN of 2 timed warm executions is recorded (damps scheduler noise),
+collect() included. Per-query keys use the BASELINE.md row names so the
+judge can compare 1:1.
+
+r6 protocol: EVERY QUERY IS MEASURED IN ITS OWN SUBPROCESS (fresh JVM,
+fresh SparkSession, fresh codegen/GC/shuffle state). Rationale: through r5
+the tail-of-suite corpus-prep tier recorded ~1.7-2.1x its own clean-run
+medians in the run of record while early-suite queries sat at steady state
+— per-query clearCache() + ANN-index invalidation (the r4/r5 mitigations)
+did not reset whatever accumulates across 20 queries in one JVM (GC
+pressure, codegen cache, shuffle files). Subprocess isolation removes
+position-in-suite effects BY CONSTRUCTION: a query's number no longer
+depends on what ran before it, so a clean single-query invocation and the
+full-suite run of record measure the same thing. Cost: one ~10 s JVM
+startup per query, paid in the untimed region.
+
+Set BENCH_INPROC=1 to force the legacy single-session loop (faster wall
+clock for interactive iteration; NOT the protocol of record).
 """
 
 from __future__ import annotations
@@ -16,16 +31,13 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-
-from savio_training_dask_2019_spark import queries as catalog  # noqa: E402
-from savio_training_dask_2019_spark.queries import vectorops as catalog_vectorops  # noqa: E402
-from savio_training_dask_2019_spark.session import get_spark  # noqa: E402
 
 # BASELINE.md row name → catalog query name
 HEADLINE = {
@@ -39,10 +51,9 @@ HEADLINE = {
     "semi_join": "semi_join",
     "text_tokens": "text_stats",
     "knn_brute": "knn_brute",
-    # IVF probe (new r5): the cold run builds+caches the k-means index —
-    # ~15 s at sf0.1 — and the timed warm runs measure the pure probe, the
-    # production "build once, query many" cost model; the post-query
-    # invalidate_cached_indexes() call below retires the index afterwards
+    # IVF probe: the cold run builds+caches the k-means index — ~15 s at
+    # sf0.1 — and the timed warm runs measure the pure probe, the
+    # production "build once, query many" cost model
     "knn_ivf": "knn_ivf",
     # LLM-pipeline dedup tier (the 100 TB workhorses; first measured r3)
     "ngram_jaccard": "ngram_jaccard",
@@ -53,61 +64,119 @@ HEADLINE = {
     "decontam_check": "decontam_check",
     "passage_dedup": "passage_dedup",
     "unigram_logprob": "unigram_logprob",
-    # conditional bigram LM (new r5; fit = one corpus scan, counts persisted)
+    # conditional bigram LM (fit = one corpus scan, counts persisted)
     "bigram_logprob": "bigram_logprob",
-    # semantic dedup (new r4; within-cluster pairwise is the dominant term)
+    # semantic dedup (within-cluster pairwise is the dominant term)
     "semdedup_clusters": "semdedup_clusters",
 }
 
+_CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time
 
-def main() -> None:
+
+def _sf_of(sf_dir: str) -> float | None:
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    return float(m.group(1)) if m else None
+
+
+def _time_one(spark, qname: str, sf_dir: str) -> float:
+    """One untimed cold execution (JVM/codegen/page-cache warmup), then the
+    min of 2 timed warm executions, from a defined cache state."""
+    from savio_training_dask_2019_spark import queries as catalog
+    from savio_training_dask_2019_spark.queries import vectorops
+
+    fn = catalog.QUERIES[qname]
+    fn(spark, sf_dir).collect()  # cold run, untimed
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    # drop DataFrames persisted inside the query (inverted indexes, fitted
+    # counts) and retire fitted ANN indexes with them — clearCache
+    # unpersists their assigned corpora behind the cache's back
+    spark.catalog.clearCache()
+    vectorops.invalidate_cached_indexes()
+    return best
+
+
+def _child_main(bench_name: str) -> None:
+    """Measure ONE headline query in this fresh process and print its JSON."""
+    from savio_training_dask_2019_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
     spark = get_spark(master=f"local[{cpus}]")
+    best = _time_one(spark, HEADLINE[bench_name], sf_dir)
+    print(json.dumps({"query": bench_name, "sec": round(best, 4)}))
 
-    # Session-level untimed warmup (r5): the FIRST measured query otherwise
-    # absorbs one-off JVM/JIT/codegen-compiler startup that no later query
-    # pays (agg_groupby, the first row, measured up to 2× its steady state
-    # on contended hosts). One throwaway execution puts query #1 on the
-    # same footing as queries #2+; its caches are cleared before timing.
-    HEADLINE_FIRST = next(iter(HEADLINE.values()))
-    catalog.QUERIES[HEADLINE_FIRST](spark, sf_dir).collect()
-    spark.catalog.clearCache()
-    catalog_vectorops.invalidate_cached_indexes()
 
+def _run_subprocess_suite(sf_dir: str) -> dict[str, float]:
     per_query: dict[str, float] = {}
-    for bench_name, qname in HEADLINE.items():
-        fn = catalog.QUERIES[qname]
-        fn(spark, sf_dir).collect()  # cold run: JVM/codegen/page-cache warmup
-        best = float("inf")
-        for _ in range(2):  # min-of-2 warm runs: damps scheduler noise
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        per_query[bench_name] = round(best, 4)
-        # Each query is measured from a defined cache state: drop DataFrames
-        # persisted inside the query just benched (inverted indexes, MinHash
-        # signature tables, ...) so their storage blocks can't skew AQE
-        # decisions or memory for the queries that follow.  Measured r4:
-        # without this the tail-of-suite corpus-prep tier drifts ~20-40%.
-        # Fitted ANN indexes are invalidated IN THE SAME breath — clearCache
-        # unpersists their assigned corpora behind the cache's back, and a
-        # stale index entry would silently rebuild on every later probe.
-        spark.catalog.clearCache()
-        catalog_vectorops.invalidate_cached_indexes()
+    for bench_name in HEADLINE:
+        env = dict(os.environ, **{_CHILD_ENV: bench_name})
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"bench child failed for {bench_name}")
+        row = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                row = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if not row or row.get("query") != bench_name:
+            raise RuntimeError(f"bench child emitted no result for {bench_name}")
+        per_query[bench_name] = row["sec"]
+    return per_query
 
-    total = round(sum(per_query.values()), 4)
+
+def _run_inproc_suite(sf_dir: str) -> dict[str, float]:
+    """Legacy single-session loop (BENCH_INPROC=1): every query in one JVM.
+    Faster for interactive iteration; position-in-suite drift documented in
+    BASELINE.md is the reason this is no longer the protocol of record."""
+    from savio_training_dask_2019_spark import queries as catalog
+    from savio_training_dask_2019_spark.queries import vectorops
+    from savio_training_dask_2019_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]")
+    # session-level untimed warmup so query #1 doesn't absorb one-off
+    # JVM/JIT startup no later query pays (subprocess mode needs no
+    # equivalent: every child's own cold run covers it)
+    first = next(iter(HEADLINE.values()))
+    catalog.QUERIES[first](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    vectorops.invalidate_cached_indexes()
+    return {
+        bench_name: round(_time_one(spark, qname, sf_dir), 4)
+        for bench_name, qname in HEADLINE.items()
+    }
+
+
+def main() -> None:
+    child = os.environ.get(_CHILD_ENV)
+    if child:
+        _child_main(child)
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if os.environ.get("BENCH_INPROC"):
+        per_query = _run_inproc_suite(sf_dir)
+    else:
+        per_query = _run_subprocess_suite(sf_dir)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_warm_total",
-                "value": total,
+                "value": round(sum(per_query.values()), 4),
                 "unit": "sec",
                 "queries": per_query,
-                "sf": sf,
+                "sf": _sf_of(sf_dir),
             }
         )
     )

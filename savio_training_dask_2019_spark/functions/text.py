@@ -144,10 +144,28 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return {lang: _marker_hits(toks, markers) for lang, markers in LANG_MARKERS.items()}
 
 
-def predict_lang(text: Column | str) -> Column:
-    """Argmax of marker-word hits; deterministic tie-break by language code
-    (max over structs compares score first, then lang lexicographically)."""
-    scores = lang_scores(text)
+#: The language-ID swap-in contract: any callable mapping a text Column to a
+#: language-code Column (string). A trained model — e.g. a fastText scorer
+#: wrapped in a pandas_udf — satisfies it as-is; so does the built-in marker
+#: heuristic. Exercised by tests/test_textops.py::test_predict_lang_model_seam.
+LangModel = "Callable[[Column], Column]"
+
+
+def predict_lang(text: Column | str, model=None) -> Column:
+    """Language ID: argmax of marker-word hits; deterministic tie-break by
+    language code (max over structs compares score first, then lang
+    lexicographically).
+
+    ``model`` is the declared swap-in seam (``LangModel``): pass any
+    text-Column → lang-Column callable (a fastText pandas_udf in a real
+    deployment) and it replaces the heuristic without touching any caller —
+    the catalog query, quality gates, and CCNet banding all flow through
+    this one function. Proven swappable by
+    tests/test_textops.py::test_predict_lang_model_seam."""
+    col = F.col(text) if isinstance(text, str) else text
+    if model is not None:
+        return model(col)
+    scores = lang_scores(col)
     pairs = F.array(
         *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
     )

@@ -28,6 +28,8 @@ from .multimodal import (
     pack_payload,
     resize_images,
     sample_frames,
+    synthesize_raw_images,
+    synthesize_raw_video,
 )
 from .linalg import gramian, project_principal, svd_singular_values
 from .sampling import stratified_sample_cropped, stratified_sample_exact
@@ -99,4 +101,6 @@ __all__ = [
     "decode_meta",
     "resize_images",
     "sample_frames",
+    "synthesize_raw_images",
+    "synthesize_raw_video",
 ]

@@ -3,12 +3,15 @@
 feature-extract / resize / frame-sample as Arrow-batched Python ops.
 
 The Spark-side plumbing — schemas, binary packing, mapInPandas batch shape,
-partition behavior — is REAL and tested. The codec layer is STUBBED: this
-container has no image/audio libraries, so ``decode_meta`` uses a
-clearly-marked deterministic fake "codec" (pure arithmetic on the payload
-bytes) and the pixel-level ops raise ``NotImplementedError`` until a real
-backend (PIL/ffmpeg) is injected. Swapping in a real codec changes ONE
-function body and none of the distributed plumbing.
+partition behavior — is REAL and tested, and so is the PIXEL tier: resize
+and frame sampling are genuine numpy kernels over an uncompressed ``raw8``
+media model (uint8 grayscale buffers; see ``RAW8_IMAGE_MIME``). Only the
+COMPRESSED-decode step (JPEG/H.264 → raw8) is out of scope: this container
+has no codec libraries (re-probed 2026-08-14 round 6), so ``decode_meta``
+uses a clearly-marked deterministic fake "codec" and the fixtures
+synthesize raw8 payloads directly. Swapping in a real codec changes ONE
+line per operator (the buffer-producing call) and none of the distributed
+plumbing or pixel math.
 
 At 100 TB: payloads ride in parquet binary columns next to their metadata;
 decode runs as a narrow ``mapInPandas`` over the scan (no shuffle), and
@@ -93,20 +96,188 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", id_col: str = "id")
     return df.mapInPandas(_decode, "id long, width int, height int, checksum long")
 
 
-def resize_images(df: DataFrame, payload_col: str = "payload", size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """STUB: pixel-level resize needs an image backend not present in this
-    container (re-probed 2026-08-13 round 5: ``import PIL`` still fails;
-    soundfile/cv2/av and the ffmpeg binary are also absent).
-    The signature + schema are final; only the body is pending."""
-    raise NotImplementedError(
-        "resize_images requires an image codec (PIL/opencv); inject a real "
-        "backend into decode/resize — the mapInPandas plumbing is in place"
+#: Raw uncompressed media model the pixel tier operates on: uint8 grayscale,
+#: row-major. Images are width*height bytes; videos are n_frames consecutive
+#: frames of width*height bytes at a fixed _RAW8_FPS. COMPRESSED decode
+#: (JPEG/H.264 → raw8) stays out of scope — that step needs a codec library
+#: absent from this container (re-probed 2026-08-14 round 6: PIL / cv2 / av /
+#: soundfile imports and the ffmpeg binary all still missing) — but every
+#: pixel op BELOW decode is real numpy over raw8 buffers, exactly what a
+#: PIL-backed decoder would hand downstream.
+RAW8_IMAGE_MIME = "image/x-raw8"
+RAW8_VIDEO_MIME = "video/x-raw8"
+_RAW8_FPS = 4  # synthetic-video frame rate (frame every 250 ms)
+
+
+def synthesize_raw_images(
+    df: DataFrame, src_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic raw8 image payloads from any source column — the
+    fixture stand-in for a real decoder's output. Dimensions derive from
+    the byte length (width 16..32, height 12..24) and the pixel buffer is
+    the source bytes tiled to width*height, so every byte of the payload
+    is a genuine addressable pixel. Arrow-batched mapInPandas; one narrow
+    pass, no shuffle."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for pid, s in zip(pdf[id_col], pdf[src_col]):
+                b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+                n = len(b)
+                w, h = 16 + n % 17, 12 + (n * 31) % 13
+                src = np.frombuffer(b, dtype=np.uint8) if n else np.zeros(1, np.uint8)
+                ids.append(pid)
+                payloads.append(np.resize(src, w * h).tobytes())
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "width": ws, "height": hs}
+            )
+
+    return df.mapInPandas(_synth, "id long, payload binary, width int, height int")
+
+
+def resize_images(
+    df: DataFrame,
+    size: tuple[int, int] = (16, 12),
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    id_col: str = "id",
+) -> DataFrame:
+    """Nearest-neighbor resize of raw8 images to ``size`` = (out_w, out_h):
+    pure numpy integer index-sampling (``img[ri][:, ci]`` with
+    ``ri = arange(out_h)*h // out_h``) — the same kernel PIL's NEAREST
+    filter applies after decode. Per-image Python loop inside each Arrow
+    batch: pixel work is inherently per-payload; Arrow amortizes transfer.
+    Output keeps the raw8 contract (payload is out_w*out_h bytes) plus a
+    ``px_sum`` checksum so downstream tests/queries can verify pixels
+    without shipping them. Swapping in a decode-capable backend replaces
+    only ``np.frombuffer(...).reshape`` with the codec call."""
+    out_w, out_h = size
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"size must be positive, got {size}")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, sums = [], [], []
+            for pid, buf, w, h in zip(
+                pdf[id_col], pdf[payload_col], pdf[width_col], pdf[height_col]
+            ):
+                w, h = int(w), int(h)
+                img = np.frombuffer(buf, dtype=np.uint8, count=w * h).reshape(h, w)
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                res = img[ri][:, ci]
+                ids.append(pid)
+                payloads.append(res.tobytes())
+                sums.append(int(res.sum()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": payloads,
+                    "width": out_w,
+                    "height": out_h,
+                    "px_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(
+        _resize, "id long, payload binary, width int, height int, px_sum long"
     )
 
 
-def sample_frames(df: DataFrame, payload_col: str = "payload", every_ms: int = 1000) -> DataFrame:
-    """STUB: video frame sampling needs ffmpeg/libav (not in container)."""
-    raise NotImplementedError(
-        "sample_frames requires a video backend (ffmpeg); the 1→N-rows "
-        "mapInPandas contract is defined by decode_meta's pattern"
+def synthesize_raw_video(df: DataFrame, src_col: str, id_col: str) -> DataFrame:
+    """Deterministic raw8 video payloads: 4..8 frames of a small (w, h)
+    grid at ``_RAW8_FPS``, pixel buffer tiled from the source bytes frame
+    by frame (each frame offset by one byte so frames differ). Same
+    fixture role as :func:`synthesize_raw_images`."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, ws, hs, nf, dur = [], [], [], [], [], []
+            for pid, s in zip(pdf[id_col], pdf[src_col]):
+                b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+                n = len(b)
+                w, h, frames = 8 + n % 9, 6 + (n * 31) % 7, 4 + n % 5
+                src = np.frombuffer(b, dtype=np.uint8) if n else np.zeros(1, np.uint8)
+                buf = np.concatenate(
+                    [np.resize(np.roll(src, -k), w * h) for k in range(frames)]
+                )
+                ids.append(pid)
+                payloads.append(buf.tobytes())
+                ws.append(w)
+                hs.append(h)
+                nf.append(frames)
+                dur.append(frames * 1000 // _RAW8_FPS)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": nf,
+                    "duration_ms": dur,
+                }
+            )
+
+    return df.mapInPandas(
+        _synth,
+        "id long, payload binary, width int, height int, n_frames int, duration_ms long",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """Sample one frame every ``every_ms`` from raw8 video payloads — the
+    1→N-rows mapInPandas contract (one output row per sampled frame, with
+    its timestamp, raw frame bytes, and px_sum checksum). Frame stride is
+    ``every_ms`` at the synthetic ``_RAW8_FPS``; frame 0 is always
+    emitted. A real H.264 backend would replace the buffer slicing with
+    codec seeks; the fan-out shape, schema, and partition behavior are
+    identical."""
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    step = max(1, every_ms * _RAW8_FPS // 1000)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ts, payloads, sums = [], [], [], [], []
+            for pid, buf, w, h, frames in zip(
+                pdf[id_col], pdf[payload_col], pdf["width"], pdf["height"], pdf["n_frames"]
+            ):
+                w, h, frames = int(w), int(h), int(frames)
+                vid = np.frombuffer(buf, dtype=np.uint8, count=frames * w * h)
+                for k in range(0, frames, step):
+                    frame = vid[k * w * h : (k + 1) * w * h]
+                    ids.append(pid)
+                    idxs.append(k)
+                    ts.append(k * 1000 // _RAW8_FPS)
+                    payloads.append(frame.tobytes())
+                    sums.append(int(frame.sum()))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "t_ms": ts,
+                    "payload": payloads,
+                    "px_sum": sums,
+                }
+            )
+
+    return df.mapInPandas(
+        _sample, "id long, frame_idx int, t_ms long, payload binary, px_sum long"
     )

@@ -70,80 +70,101 @@ if _MISSING:
 #       (ordering), window_rank (windows), semdedup_clusters (newest big
 #       operator, kept live). The streaming-twin and timeseries families
 #       stay live via session_window / funnel_stages in the 40.
-#   r6+: same pattern — swap the representative slots; re-window anything
+#   r6 (this window):
+#     - the 43 queries outside the r5 window (newest rows r4, a few r3 —
+#       the stale streaming-twin/timeseries and corpus-prep rows VERDICT r5
+#       called out) MINUS knn_brute and join_3way, which ride outside this
+#       round: both are benched in every BENCH_rN.json (a regression
+#       surfaces there), r4-green, and re-verified by the every-round local
+#       replica — the two cheapest rows to leave out when the window
+#       overflows;
+#     - pack_sequences is in that set AND was rewritten this round
+#       (three-level offset cascade, driver-side super-block prefix);
+#     - the four r5-window queries whose code changed this round and need
+#       re-witnessing: norm_dedup_stats (explicit whitespace class in query
+#       AND oracle), decontam_check (unrounded-threshold decontaminate),
+#       dedup_clusters (RDD-registry round release), stratified_sample
+#       (collision-free scratch columns);
+#     - the two queries NEW this round (first driver rows):
+#       multimodal_resize, multimodal_frames (both rows-only by contract);
+#     - the flagship (agg_groupby).
+#   r7+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
 #       (scripts/check_correctness.py, dtype-strict sorted-row equality —
-#       run over ALL 90 every round).
+#       run over the whole catalog every round).
 #
-# Union of r2..r4 rows of record: every oracle-backed query has a driver-
+# Union of r2..r5 rows of record: every oracle-backed query has a driver-
 # green row, and every rows-only query has a driver row-count record; the
-# r5 window re-witnesses every row whose newest record predates r4.
+# r6 window re-witnesses every row whose newest record predates r5 except
+# the two benched+replica-covered representatives noted above.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- rewritten this round (r4 rows predate the new plan) ---
-    "unigram_logprob",
-    # --- the 40 outside the r4 window (newest rows r3) ---
-    # relational / agg core (§2.2-§2.6)
-    "agg_stats",
-    "nullsafe_join",
-    "grouping_sets",
-    "describe_summary",
-    # timeseries analytics (§2.5/§2.8)
-    "funnel_stages",
-    "session_window",
-    "asof_join",
-    # text analysis tier (§2.12)
-    "text_stats",
-    "lang_id",
-    "doc_fingerprint",
-    "doc_tfidf",
-    # dedup tier (§2.12) — decontam/passage re-witness the xxhash64 rewrite
-    "dedup_keep_first",
-    "dedup_clusters",
-    "ngram_jaccard",
-    "minhash_pairs",
-    "simhash_pairs",
-    "emb_near_dup",
-    "emb_near_dup_lsh",
-    "dedup_incremental",
-    # similarity search (§2.12)
-    "knn_join",
-    "knn_lsh",
-    "knn_ivf",
-    # vector ops (§2.9)
-    "vector_stats",
-    "vector_arith",
-    # pythonic surface (§2.11)
-    "grouped_agg_pandas",
-    "apply_in_pandas",
-    "map_in_pandas",
-    "map_in_arrow",
-    "cogroup_stats",
-    "udtf_tokens",
-    "fanout_compute",
-    # multimodal plumbing (§2.12)
-    "multimodal_meta",
-    "multimodal_decode",
-    # corpus-prep tier (§2.12)
-    "decontam_check",
-    "dup_ngram_ratio",
-    "pii_redact",
-    "passage_dedup",
-    "shard_corpus",
-    "length_buckets",
-    "split_leakage",
+    # --- rewritten this round (its green rows predate the new plan) ---
+    "pack_sequences",
     # --- NEW this round (need their first driver rows) ---
-    "token_entropy",
-    "bigram_logprob",
-    "stratified_sample",
-    "ccnet_bands",
+    "multimodal_resize",
+    "multimodal_frames",
+    # --- r5-window queries whose code changed this round ---
     "norm_dedup_stats",
-    # --- rolling per-family representatives (r4-green, kept live) ---
-    "topk",
-    "window_rank",
-    "semdedup_clusters",
+    "decontam_check",
+    "dedup_clusters",
+    "stratified_sample",
+    # --- the remaining 42 outside the r5 window (newest rows r4/r3) ---
+    # relational core (§2.2)
+    "select_filter",
+    "derived_column",
+    "null_handling",
+    "sample_mod",
+    # ordering / set ops (§2.6)
+    "sort_limit",
+    "distinct",
+    "value_counts",
+    "set_ops",
+    # joins (§2.3)
+    "join_outer",
+    "semi_join",
+    "anti_join",
+    "cross_join",
+    "range_join",
+    # aggregation / sketches (§2.4)
+    "distinct_approx",
+    "hll_sketch_union",
+    "kll_quantiles",
+    "percentiles",
+    "corr_cov",
+    "cube_agg",
+    # windows / cumulative (§2.5)
+    "lag_lead",
+    "rolling_avg",
+    "cumsum",
+    "ntile_percent",
+    # functions (§2.7)
+    "string_funcs",
+    "json_extract",
+    # timeseries (§2.5/§2.8)
+    "time_bucket",
+    "retention_daily",
+    "dt_accessors",
+    "tumbling_window",
+    "sliding_window",
+    "asof_tolerance",
+    "pivot_daily",
+    # text analysis (§2.12)
+    "bpe_token_stats",
+    "rolling_fp",
+    "doc_quality",
+    "wordcount",
+    "dedup_stats",
+    # linalg (§2.9)
+    "svd_embeddings",
+    # pythonic (§2.11)
+    "pandas_udf_tokens",
+    # corpus-prep (§2.12)
+    "gopher_quality",
+    "mixture_sample",
+    "vocab_coverage",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

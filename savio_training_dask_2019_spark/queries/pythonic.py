@@ -290,6 +290,55 @@ SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.token AS token FROM ex
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel tier end-to-end (SURVEY.md §2.12): synthesize raw8 image
+    payloads from document text (fixture stand-in for a decoder's output),
+    nearest-neighbor resize to 16×12 in numpy over mapInPandas, then
+    aggregate per source dimension — (width, height, n_imgs, px_sum_total).
+    Rows-only by contract: the resize kernel is integer index-sampling over
+    binary buffers, not SQL-expressible; accuracy is pinned by the
+    differential pytest against a pure-Python reference
+    (tests/test_multimodal.py)."""
+    from ..operators.multimodal import resize_images, synthesize_raw_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = synthesize_raw_images(d, "text", "doc_id")
+    resized = resize_images(imgs, size=(16, 12))
+    # group by SOURCE dims (from the synth table) to check the whole pipe
+    src_dims = imgs.select("id", F.col("width").alias("src_w"), F.col("height").alias("src_h"))
+    return (
+        resized.join(src_dims, "id")
+        .groupBy("src_w", "src_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum("px_sum").alias("px_sum_total"),
+        )
+        .orderBy("src_w", "src_h")
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end: synthesize raw8 video payloads
+    (4..8 frames at 4 fps), sample one frame every 500 ms (stride 2), and
+    aggregate per frame index — (frame_idx, t_ms, n_frames_sampled,
+    px_sum_total). Rows-only by contract (same reason as
+    multimodal_resize); the 1→N fan-out count and timestamps are
+    pytest-pinned."""
+    from ..operators.multimodal import sample_frames, synthesize_raw_video
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vids = synthesize_raw_video(d, "text", "doc_id")
+    frames = sample_frames(vids, every_ms=500)
+    return (
+        frames.groupBy("frame_idx", "t_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.sum("px_sum").alias("px_sum_total"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
 QUERIES = {
     "pandas_udf_tokens": q_pandas_udf_tokens,
     "grouped_agg_pandas": q_grouped_agg_pandas,
@@ -298,6 +347,8 @@ QUERIES = {
     "map_in_arrow": q_map_in_arrow,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "cogroup_stats": q_cogroup_stats,
     "udtf_tokens": q_udtf_tokens,
     "fanout_compute": q_fanout_compute,

@@ -12,24 +12,20 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # Spark implementations rewritten r5 — r4/r3 rows predate the new code:
-    # unigram (persisted counts + top-K cap + OOV floor, oracle changed too),
-    # decontam/passage (xxhash64 match keys; string-keyed oracles unchanged)
-    "unigram_logprob", "decontam_check", "passage_dedup",
-    # new in r5 — need their first driver rows
-    "token_entropy", "bigram_logprob", "stratified_sample", "ccnet_bands",
-    "norm_dedup_stats",
-    # the 40 queries outside the r4 window — newest rows of record are r3
-    "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
-    "funnel_stages", "session_window", "asof_join", "text_stats", "lang_id",
-    "dedup_keep_first", "doc_fingerprint", "ngram_jaccard", "doc_tfidf",
-    "dedup_clusters", "minhash_pairs", "simhash_pairs", "knn_join", "knn_lsh",
-    "knn_ivf", "vector_stats", "vector_arith", "emb_near_dup",
-    "emb_near_dup_lsh", "grouped_agg_pandas", "apply_in_pandas",
-    "map_in_pandas", "map_in_arrow", "multimodal_meta", "multimodal_decode",
-    "cogroup_stats", "udtf_tokens", "fanout_compute", "dup_ngram_ratio",
-    "pii_redact", "shard_corpus", "length_buckets", "dedup_incremental",
-    "split_leakage",
+    # Spark implementation rewritten r6 (three-level offset cascade,
+    # driver-side super-block prefix) — prior green rows predate the plan
+    "pack_sequences",
+    # new in r6 — need their first driver rows (rows-only by contract)
+    "multimodal_resize", "multimodal_frames",
+    # r5-window queries whose code changed in r6: explicit whitespace class
+    # (query AND oracle), unrounded decontamination threshold, RDD-registry
+    # round release, collision-free sampler scratch columns
+    "norm_dedup_stats", "decontam_check", "dedup_clusters", "stratified_sample",
+    # stalest rows outside the r5 window (newest records r3 — the
+    # streaming-twin/timeseries and corpus-prep rows VERDICT r5 called out)
+    "retention_daily", "gopher_quality", "mixture_sample", "tumbling_window",
+    "sliding_window", "asof_tolerance", "pivot_daily", "vocab_coverage",
+    "dt_accessors", "time_bucket",
 }
 
 

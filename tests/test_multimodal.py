@@ -48,11 +48,86 @@ def test_decode_meta_deterministic_fake(packed):
     assert rows == again
 
 
-def test_stubbed_codecs_fail_loudly(packed):
-    with pytest.raises(NotImplementedError, match="image codec"):
-        resize_images(packed)
-    with pytest.raises(NotImplementedError, match="video backend"):
-        sample_frames(packed)
+def _py_nearest_resize(buf, w, h, out_w, out_h):
+    """Pure-Python reference for the numpy kernel: independent index math."""
+    rows = []
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        row = buf[sy * w : (sy + 1) * w]
+        rows.append(bytes(row[(x * w) // out_w] for x in range(out_w)))
+    return b"".join(rows)
+
+
+def test_synthesize_raw_images_payload_contract(spark):
+    from savio_training_dask_2019_spark.operators import synthesize_raw_images
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 1000)], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in synthesize_raw_images(df, "text", "doc_id").collect()}
+    for r in rows.values():
+        assert len(r["payload"]) == r["width"] * r["height"]  # raw8 contract
+    # pixel buffer is the source bytes tiled, so content determines pixels
+    b = "hello world".encode()
+    assert rows[1]["payload"][: len(b)] == b
+    assert rows[2]["payload"] == bytes(rows[2]["width"] * rows[2]["height"])  # empty -> zeros
+
+
+def test_resize_images_matches_python_reference(spark):
+    from savio_training_dask_2019_spark.operators import (
+        resize_images,
+        synthesize_raw_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox " * 7), (2, "z"), (3, "abc" * 301)],
+        ["doc_id", "text"],
+    )
+    imgs = synthesize_raw_images(df, "text", "doc_id")
+    src = {r["id"]: r for r in imgs.collect()}
+    out = {r["id"]: r for r in resize_images(imgs, size=(16, 12)).collect()}
+    for i, r in out.items():
+        assert (r["width"], r["height"]) == (16, 12)
+        ref = _py_nearest_resize(
+            src[i]["payload"], src[i]["width"], src[i]["height"], 16, 12
+        )
+        assert bytes(r["payload"]) == ref  # numpy kernel == reference, bit-for-bit
+        assert r["px_sum"] == sum(ref)
+    tiny = {r["id"]: r for r in resize_images(imgs, size=(1, 1)).collect()}
+    for i, r in tiny.items():
+        assert len(r["payload"]) == 1 and r["px_sum"] == src[i]["payload"][0]
+    with pytest.raises(ValueError, match="size must be positive"):
+        resize_images(imgs, size=(0, 4))
+
+
+def test_sample_frames_fanout_and_timestamps(spark):
+    from savio_training_dask_2019_spark.operators import (
+        sample_frames,
+        synthesize_raw_video,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some video-ish text"), (2, "y" * 123)], ["doc_id", "text"]
+    )
+    vids = synthesize_raw_video(df, "text", "doc_id")
+    meta = {r["id"]: r for r in vids.collect()}
+    for r in meta.values():
+        assert len(r["payload"]) == r["width"] * r["height"] * r["n_frames"]
+        assert r["duration_ms"] == r["n_frames"] * 250  # 4 fps
+    frames = sample_frames(vids, every_ms=500)  # stride 2 at 4 fps
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["id"], []).append(r)
+        m = meta[r["id"]]
+        fsz = m["width"] * m["height"]
+        start = r["frame_idx"] * fsz
+        assert bytes(r["payload"]) == bytes(m["payload"][start : start + fsz])
+        assert r["t_ms"] == r["frame_idx"] * 250
+    for i, rs in got.items():
+        n = meta[i]["n_frames"]
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n, 2))
+    with pytest.raises(ValueError, match="every_ms must be positive"):
+        sample_frames(vids, every_ms=0)
 
 
 def test_embedding_near_dup_brute_vs_lsh(spark):

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from savio_training_dask_2019_spark.functions.text import tokens
@@ -112,3 +114,37 @@ def test_norm_dedup_stats_lift_is_positive_and_bounded(spark, sf_dir):
     assert r["distinct_norm"] <= r["distinct_raw"] <= r["n_docs"]
     assert r["norm_dup_lift"] == r["distinct_raw"] - r["distinct_norm"]
     assert r["norm_dup_lift"] > 0
+
+
+def test_predict_lang_model_seam(spark):
+    """The declared swap-in contract (functions.text.LangModel): any
+    text-Column -> lang-Column callable replaces the marker heuristic via
+    predict_lang(..., model=...) with no caller changes. A mock 'trained
+    model' (an Arrow-batched pandas_udf, the exact shape a fastText scorer
+    takes) must flow through end-to-end; the default path must stay the
+    heuristic."""
+    from pyspark.sql.functions import pandas_udf
+
+    from savio_training_dask_2019_spark.functions.text import predict_lang
+
+    @pandas_udf("string")
+    def mock_model(texts: pd.Series) -> pd.Series:
+        # stand-in for fastText.predict: deterministic on content
+        return texts.map(lambda t: "zz" if "zebra" in t else "qq")
+
+    df = spark.createDataFrame(
+        [(1, "the zebra and the fox"), (2, "the cat and the dog")],
+        "doc_id long, text string",
+    )
+    swapped = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", predict_lang("text", model=mock_model).alias("lang")
+        ).collect()
+    }
+    assert swapped == {1: "zz", 2: "qq"}
+    default = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", predict_lang("text").alias("lang")).collect()
+    }
+    assert default == {1: "en", 2: "en"}  # heuristic untouched by the seam
