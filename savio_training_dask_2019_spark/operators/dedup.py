@@ -576,6 +576,16 @@ def connected_components(
         )
     ).persist()
     sc = edges.sparkSession.sparkContext
+    # Materialize both persisted inputs BEFORE the first registry snapshot:
+    # persist() is lazy, and a cache RDD only appears in getPersistentRDDs
+    # once its first action runs. Without this count, round 1's eager
+    # localCheckpoint is what first computes sym and the round-0 labels, so
+    # their cache-RDD ids land in `new_ids`, round 2's _release_rdds evicts
+    # the shared adjacency cache, and every later round silently recomputes
+    # the edge union (perf-only — lineage stays intact). One bounded action
+    # over (id, label) longs; scanning labels also populates sym's cache.
+    # Pinned by tests/test_operators.py::test_cc_releases_only_checkpoints.
+    labels.count()
     held: set = set()  # checkpoint RDD ids backing the CURRENT labels frame
     try:
         for _ in range(max_iter):

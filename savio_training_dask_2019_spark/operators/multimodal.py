@@ -239,6 +239,9 @@ def sample_frames(
     every_ms: int = 1000,
     payload_col: str = "payload",
     id_col: str = "id",
+    width_col: str = "width",
+    height_col: str = "height",
+    n_frames_col: str = "n_frames",
 ) -> DataFrame:
     """Sample one frame every ``every_ms`` from raw8 video payloads — the
     1→N-rows mapInPandas contract (one output row per sampled frame, with
@@ -257,7 +260,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, ts, payloads, sums = [], [], [], [], []
             for pid, buf, w, h, frames in zip(
-                pdf[id_col], pdf[payload_col], pdf["width"], pdf["height"], pdf["n_frames"]
+                pdf[id_col], pdf[payload_col], pdf[width_col], pdf[height_col], pdf[n_frames_col]
             ):
                 w, h, frames = int(w), int(h), int(frames)
                 vid = np.frombuffer(buf, dtype=np.uint8, count=frames * w * h)

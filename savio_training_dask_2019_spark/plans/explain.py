@@ -78,25 +78,48 @@ def bnlj_count(df: DataFrame) -> int:
     return len(_operator_ids(plan, r"BroadcastNestedLoopJoin"))
 
 
+def _first_spec_arg(text: str, start: int) -> str:
+    """First TOP-LEVEL argument of the call opening at ``start`` (index just
+    past its '('): scan to the first comma at paren depth 0, so a leading
+    ``specifiedwindowframe(a, b, c)`` is returned whole, commas and all."""
+    depth = 0
+    for i in range(start, len(text)):
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return text[start:i]
+            depth -= 1
+        elif c == "," and depth == 0:
+            return text[start:i]
+    return text[start:]
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Window operators with an EMPTY partition spec — the shape that moves
     every row to one task (WindowExec's own WARN). Detected from the
     formatted explain's per-operator detail blocks: inside
-    ``windowspecdefinition(...)`` the first top-level argument of an
-    unpartitioned spec is an ordering expression (``... ASC/DESC NULLS
-    ...``) while a partitioned spec leads with its partition columns."""
+    ``windowspecdefinition(...)`` a partitioned spec leads with its
+    partition columns, while an unpartitioned spec leads with either an
+    ordering expression (``... ASC/DESC NULLS ...``) or — when there is no
+    ORDER BY at all, e.g. a global unordered aggregate window — directly
+    with ``specifiedwindowframe(...)``. Every spec in the block is
+    inspected (one Window operator can evaluate several specs); the
+    operator counts once if ANY of its specs is unpartitioned."""
     plan = formatted_plan(df)
     count = 0
     for block in plan.split("\n\n"):
         lines = block.strip().splitlines()
         if not lines or not re.match(r"\(\d+\) Window", lines[0].strip()):
             continue
-        spec = re.search(r"windowspecdefinition\(([^,]*(?:, [^,]*)?)", block)
-        if spec is None:
-            continue
-        first_arg = spec.group(1).split(",")[0]
-        if re.search(r" (?:ASC|DESC)\b", first_arg):
-            count += 1
+        for m in re.finditer(r"windowspecdefinition\(", block):
+            first_arg = _first_spec_arg(block, m.end()).strip()
+            if re.search(r" (?:ASC|DESC)\b", first_arg) or first_arg.startswith(
+                "specifiedwindowframe("
+            ):
+                count += 1
+                break
     return count
 
 

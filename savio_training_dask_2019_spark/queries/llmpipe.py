@@ -232,6 +232,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_blocks = (
         Window.partitionBy("super").orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
     )
+    # localCheckpoint the bounded offset table (n/B rows of two longs) and
+    # release the blocks cache NOW: without this, blocks.persist() outlived
+    # the call — one leaked n/B-row cache per invocation until
+    # clearCache(). The checkpoint blocks back the returned frame and are
+    # GC'd by the ContextCleaner once the caller drops it; the eager job
+    # reads the already-cached blocks, so no extra corpus scan is paid.
     offsets = (
         supered.join(F.broadcast(super_off), "super")
         .select(
@@ -240,7 +246,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("super_off") + F.coalesce(F.sum("block_tok").over(w_blocks), F.lit(0))
             ).alias("block_off"),
         )
+        .localCheckpoint(eager=True)
     )
+    blocks.unpersist()
     w_intra = (
         Window.partitionBy("block").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -41,6 +41,18 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     assert sorted(r["bin"] for r in bins) == list(range(len(bins)))  # contiguous bins
 
 
+def test_pack_sequences_leaves_no_cached_frame(spark, sf_dir):
+    """q_pack_sequences persists its block-sum table internally; the call
+    must release that cache before returning (checkpointed offsets are RDD
+    registry entries GC'd with the returned frame — a *Dataset* cache left
+    behind would accumulate one n/B-row frame per invocation)."""
+    from pyspark.sql import SparkSession
+
+    jsm = spark._jsparkSession.sharedState().cacheManager()
+    llmpipe.q_pack_sequences(spark, sf_dir).collect()
+    assert jsm.isEmpty(), "q_pack_sequences leaked a Dataset-level cache"
+
+
 def test_decontam_excludes_eval_and_bounds(spark, sf_dir):
     rows = llmpipe.q_decontam_check(spark, sf_dir).collect()
     assert rows, "fixture should contain at least one contaminated doc"

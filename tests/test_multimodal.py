@@ -130,6 +130,32 @@ def test_sample_frames_fanout_and_timestamps(spark):
         sample_frames(vids, every_ms=0)
 
 
+def test_sample_frames_renamed_metadata_columns(spark):
+    """The metadata columns are parameterized like payload/id: a frame
+    table with renamed width/height/n_frames columns must sample
+    identically to the canonical schema."""
+    from savio_training_dask_2019_spark.operators import (
+        sample_frames,
+        synthesize_raw_video,
+    )
+
+    df = spark.createDataFrame([(7, "renamed-cols clip")], ["doc_id", "text"])
+    vids = synthesize_raw_video(df, "text", "doc_id")
+    base = sorted(tuple(r) for r in sample_frames(vids, every_ms=500).collect())
+    renamed = (
+        vids.withColumnRenamed("width", "w")
+        .withColumnRenamed("height", "h")
+        .withColumnRenamed("n_frames", "nf")
+    )
+    got = sorted(
+        tuple(r)
+        for r in sample_frames(
+            renamed, every_ms=500, width_col="w", height_col="h", n_frames_col="nf"
+        ).collect()
+    )
+    assert got == base
+
+
 def test_embedding_near_dup_brute_vs_lsh(spark):
     # two planted near-dup clusters + noise
     vecs = [

@@ -217,6 +217,38 @@ def test_connected_components_chain_triangle_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_cc_releases_only_checkpoints(spark, monkeypatch):
+    """Per-round block release must free ONLY the superseded round's
+    localCheckpoint RDD — never the shared adjacency cache. persist() is
+    lazy, so without the pre-loop materialization in connected_components
+    the round-1 eager checkpoint is what first computes the sym/labels
+    caches and their cache-RDD ids leak into the release set; round 2 then
+    evicts the shared edge union and every later round recomputes it.
+    Pin: each _release_rdds call receives exactly one id (the checkpoint)."""
+    from savio_training_dask_2019_spark.operators import dedup
+
+    released = []
+    real = dedup._release_rdds
+
+    def recording(sc, ids):
+        released.append(set(ids))
+        real(sc, ids)
+
+    monkeypatch.setattr(dedup, "_release_rdds", recording)
+    # 6-node chain: diameter forces >=3 propagation rounds, so release fires
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.connected_components(edges).collect()}
+    assert got == {i: 1 for i in range(1, 7)}
+    assert len(released) >= 2, "expected multiple rounds to release blocks"
+    for ids in released:
+        assert len(ids) == 1, (
+            f"release set {ids} should hold only the superseded checkpoint RDD; "
+            "extra ids mean a lazily-persisted cache was captured and evicted"
+        )
+
+
 def test_rp_lsh_finds_planted_near_dups_and_prunes(spark):
     """Hand-rolled sign-band rp-LSH: every planted near-dup pair (cos≈0.985)
     must survive banding at a real near-dup threshold, with no false

@@ -219,6 +219,22 @@ def test_unpartitioned_window_detector_is_not_vacuous(spark):
     assert plans.unpartitioned_window_count(bad) == 1
     assert plans.unpartitioned_window_count(good) == 0
     assert plans.unpartitioned_window_count(df) == 0  # no window at all
+    # no-ORDER-BY global window: the spec's first arg is the frame itself
+    # (specifiedwindowframe(...)), not an ASC/DESC ordering — previously a
+    # false negative
+    unordered = df.select(
+        F.sum("v").over(Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("c")
+    )
+    assert plans.unpartitioned_window_count(unordered) == 1
+    # a partitioned spec planned in the same operator as an unpartitioned
+    # one must not mask it — every spec in the block is inspected
+    mixed = df.select(
+        F.sum("v").over(Window.partitionBy("g").orderBy("s")).alias("a"),
+        F.sum("v").over(Window.orderBy("s")).alias("b"),
+    )
+    assert plans.unpartitioned_window_count(mixed) >= 1
 
 
 def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
