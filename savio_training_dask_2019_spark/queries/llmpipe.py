@@ -179,7 +179,27 @@ FROM s GROUP BY lang
 # --- sequence packing --------------------------------------------------------
 
 _PACK_BUDGET = 2048  # context-window token budget per training bin
-_PACK_BLOCK = 2048  # docs per cumsum block (scale knob, result-invariant)
+# Docs per cumsum block (scale knob, result-invariant). None = adaptive:
+# B = max(2048, ceil(n^(1/3))), which keeps all three cascade levels
+# balanced at ~n^(1/3) rows forever — with a FIXED B the driver-side
+# super-block prefix is O(n/B²) and quadratic block math would push it to
+# ~2.4M rows at 10¹³ docs, while adaptive B holds it at ~21.5k there
+# (SCALING.md "sequence packing"). Tests monkeypatch an int to pin the
+# physical plan at a specific block size.
+_PACK_BLOCK: int | None = None
+
+
+def _pack_block_for(n_docs: int) -> int:
+    """Adaptive block size: ~ceil(n^(1/3)) floored at 2048, so small corpora
+    keep the single-super fast path and the three levels (blocks = n/B
+    distributed rows, supers = n/B² driver rows, windows <= B rows per
+    partition) all stay <= max(2048, ~n^(1/3)) rows at any n. The float
+    cube root is bumped until its cube covers n (exactness is irrelevant —
+    only the magnitude balance matters, and B never affects results)."""
+    b = max(2048, int(max(n_docs, 0) ** (1.0 / 3.0)))
+    while b * b * b < n_docs:
+        b += 1
+    return b
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,11 +212,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cumulative offset is computed as a three-level cascade with NO
     unpartitioned window anywhere:
 
-    1. per-block token sums (block = doc_id DIV B, B = ``_PACK_BLOCK``) —
-       n/B rows, persisted so the prefix job and the final query share
-       one corpus scan;
+    1. per-block token sums (block = doc_id DIV B; B is adaptive,
+       max(2048, ~n^(1/3)) via :func:`_pack_block_for`, or the
+       ``_PACK_BLOCK`` test override) — n/B rows, persisted so the prefix
+       job and the final query share one corpus scan;
     2. per-super-block sums (super = block DIV B) — n/B² rows (~24k at
-       10¹¹ docs with B = 2048), prefix-summed DRIVER-SIDE the way
+       10¹¹ docs with B = 2048, and <= ~B rows at ANY n under adaptive
+       B), prefix-summed DRIVER-SIDE the way
        ``RDD.zipWithIndex`` finishes its per-partition counts: an O(n/B²)
        collect of longs replaces the single-partition WindowExec a naive
        cascade ends with (which would move the same rows through one task
@@ -211,13 +233,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-joins otherwise. Block size changes the physical plan only,
     never the offsets.
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    # adaptive B needs n; a zero-column parquet count is metadata-cheap and
+    # the only extra action the adaptive path pays
+    block = _PACK_BLOCK if _PACK_BLOCK is not None else _pack_block_for(docs.count())
+    d = docs.select(
         "doc_id",
-        F.expr(f"doc_id DIV {_PACK_BLOCK}").alias("block"),
+        F.expr(f"doc_id DIV {block}").alias("block"),
         token_count("text").alias("n_tok"),
     )
     blocks = d.groupBy("block").agg(F.sum("n_tok").alias("block_tok")).persist()
-    supered = blocks.withColumn("super", F.expr(f"block DIV {_PACK_BLOCK}"))
+    supered = blocks.withColumn("super", F.expr(f"block DIV {block}"))
     super_rows = (
         supered.groupBy("super")
         .agg(F.sum("block_tok").alias("super_tok"))

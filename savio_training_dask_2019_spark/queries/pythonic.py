@@ -317,6 +317,46 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of :func:`q_multimodal_resize`: run the SAME real
+    pipeline (synthesize raw8 payloads → numpy nearest-neighbor resize over
+    mapInPandas → join back to source dims) but project only the
+    SQL-expressible outputs — source dimensions, image count per dimension
+    group, and total resized payload bytes. The synth dims are closed-form
+    in the utf-8 byte length (w = 16 + n % 17, h = 12 + 31n % 13,
+    operators/multimodal.py synthesize_raw_images) and every resized
+    payload is exactly 16*12 bytes, so DuckDB can recompute all three
+    columns from ``strlen(text)`` alone — a driver-green check that the
+    Python fan-out, dim propagation, and output buffer sizes are right.
+    Only the pixel checksum (px_sum, not SQL-expressible) stays in the
+    rows-only twin."""
+    from ..operators.multimodal import resize_images, synthesize_raw_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = synthesize_raw_images(d, "text", "doc_id")
+    resized = resize_images(imgs, size=(16, 12))
+    src_dims = imgs.select("id", F.col("width").alias("src_w"), F.col("height").alias("src_h"))
+    return (
+        resized.join(src_dims, "id")
+        .groupBy("src_w", "src_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum(F.octet_length("payload").cast("long")).alias("out_bytes"),
+        )
+        .orderBy("src_w", "src_h")
+    )
+
+
+_MULTIMODAL_DIMS_SQL = """
+WITH n AS (SELECT strlen(text) AS b FROM documents)
+SELECT CAST(16 + b % 17 AS INTEGER) AS src_w,
+       CAST(12 + (b * 31) % 13 AS INTEGER) AS src_h,
+       count(*) AS n_imgs,
+       CAST(count(*) * 16 * 12 AS BIGINT) AS out_bytes
+FROM n GROUP BY 1, 2 ORDER BY src_w, src_h
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling end-to-end: synthesize raw8 video payloads
     (4..8 frames at 4 fps), sample one frame every 500 ms (stride 2), and
@@ -348,6 +388,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_dims": q_multimodal_dims,
     "multimodal_frames": q_multimodal_frames,
     "cogroup_stats": q_cogroup_stats,
     "udtf_tokens": q_udtf_tokens,
@@ -362,6 +403,7 @@ ORACLE = {
     "map_in_arrow": _MAP_IN_ARROW_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+    "multimodal_dims": _MULTIMODAL_DIMS_SQL,
     "cogroup_stats": _COGROUP_STATS_SQL,
     "udtf_tokens": _UDTF_TOKENS_SQL,
     "fanout_compute": _FANOUT_COMPUTE_SQL,

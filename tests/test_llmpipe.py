@@ -41,6 +41,22 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     assert sorted(r["bin"] for r in bins) == list(range(len(bins)))  # contiguous bins
 
 
+def test_pack_block_adaptive_bounds():
+    """Adaptive B keeps every cascade level bounded by max(2048, ~n^(1/3)):
+    blocks/B and supers = n/B² never exceed ~B, so the driver-side prefix
+    stays ~cube-root-sized at any corpus size (no quadratic creep the fixed
+    B=2048 had beyond ~10¹¹ docs)."""
+    from savio_training_dask_2019_spark.queries.llmpipe import _pack_block_for
+
+    assert _pack_block_for(0) == 2048
+    assert _pack_block_for(60_000) == 2048  # fixture scale: unchanged plan
+    assert _pack_block_for(2048**3) == 2048  # boundary: cube exactly covers
+    for n in (10**11, 10**13, 10**15):
+        b = _pack_block_for(n)
+        assert b * b * b >= n  # supers = n/B² <= B
+        assert b <= int(n ** (1.0 / 3.0)) + 2  # ...and not meaningfully more
+
+
 def test_pack_sequences_leaves_no_cached_frame(spark, sf_dir):
     """q_pack_sequences persists its block-sum table internally; the call
     must release that cache before returning (checkpointed offsets are RDD

@@ -387,6 +387,19 @@ def test_semantic_dedup_plan_has_no_cartesian(spark, sf_dir):
     plan = plans.formatted_plan(QUERIES["semdedup_clusters"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # ...and the pairwise stage must be EQUI-keyed on the cluster column on
+    # BOTH sides (a cosine-only or id-only condition would still plan as a
+    # hash join if some other equi key existed, silently going quadratic on
+    # the corpus). semantic_dedup aliases the cluster column to __c.
+    import re
+
+    cluster_keyed_inner = any(
+        "Join type: Inner" in block
+        and re.search(r"Left keys \[\d+\]: \[.*__c#", block)
+        and re.search(r"Right keys \[\d+\]: \[.*__c#", block)
+        for block in plan.split("\n\n")
+    )
+    assert cluster_keyed_inner, "pairwise self-join lost its cluster equi-key"
 
 
 def test_semantic_dedup_over_kmeans_assignment(spark, sf_dir):
