@@ -24,10 +24,12 @@ from .dedup import (
 )
 from .multimodal import (
     MEDIA_META_SCHEMA,
+    audio_features,
     decode_meta,
     pack_payload,
     resize_images,
     sample_frames,
+    synthesize_raw_audio,
     synthesize_raw_images,
     synthesize_raw_video,
 )
@@ -103,4 +105,6 @@ __all__ = [
     "sample_frames",
     "synthesize_raw_images",
     "synthesize_raw_video",
+    "synthesize_raw_audio",
+    "audio_features",
 ]

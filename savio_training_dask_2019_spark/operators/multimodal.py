@@ -284,3 +284,105 @@ def sample_frames(
     return df.mapInPandas(
         _sample, "id long, frame_idx int, t_ms long, payload binary, px_sum long"
     )
+
+
+#: Raw uncompressed audio model: signed 16-bit little-endian PCM, mono, at
+#: _PCM16_RATE Hz — what a real codec (MP3/FLAC/Opus → PCM) hands downstream.
+#: Same scope split as raw8 video: compressed-codec DECODE stays out (no
+#: codec libs in this container), every feature op below decode is real
+#: numpy over PCM buffers.
+RAW_PCM16_MIME = "audio/x-raw-pcm16"
+_PCM16_RATE = 8000  # synthetic sample rate (Hz)
+
+
+def synthesize_raw_audio(df: DataFrame, src_col: str, id_col: str) -> DataFrame:
+    """Deterministic PCM16 audio payloads from any source column — the
+    fixture stand-in for a real audio decoder's output (same role as
+    :func:`synthesize_raw_images` for the pixel tier). Consecutive source
+    byte pairs become little-endian int16 samples, tiled to 512..2047
+    samples (64..256 ms at 8 kHz) so every payload byte is genuine
+    addressable signal; zero-mean shift keeps RMS meaningful. Arrow-batched
+    mapInPandas; one narrow pass, no shuffle."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, ns, durs = [], [], [], []
+            for pid, s in zip(pdf[id_col], pdf[src_col]):
+                b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+                n_bytes = len(b)
+                n_samples = 512 + (n_bytes * 7) % 1536
+                if n_bytes:
+                    src = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
+                    wave = np.resize((src - 128) * 256, n_samples)  # zero-mean int16
+                else:
+                    wave = np.zeros(n_samples, np.int16)  # empty source -> silence
+                ids.append(pid)
+                payloads.append(wave.astype("<i2").tobytes())
+                ns.append(n_samples)
+                durs.append(n_samples * 1000 // _PCM16_RATE)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": payloads,
+                    "n_samples": ns,
+                    "duration_ms": durs,
+                }
+            )
+
+    return df.mapInPandas(
+        _synth, "id long, payload binary, n_samples int, duration_ms long"
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    frame_len: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "id",
+) -> DataFrame:
+    """Frame-level audio features over PCM16 payloads — the audio twin of
+    :func:`resize_images`'s pixel kernel: per non-overlapping ``frame_len``-
+    sample frame, RMS energy and zero-crossing rate, plus per-payload
+    totals. Real numpy (int32 accumulation so a full-scale frame cannot
+    overflow); one output row per payload with per-frame arrays, so the
+    1→1 shape keeps downstream joins trivial. A real feature extractor
+    (MFCC, mel filterbank) replaces the two kernel lines and none of the
+    plumbing."""
+    if frame_len < 2:
+        raise ValueError(f"frame_len must be >= 2, got {frame_len}")
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, rms_arrs, zcr_arrs, rms_all = [], [], [], [], []
+            for pid, buf in zip(pdf[id_col], pdf[payload_col]):
+                wave = np.frombuffer(buf, dtype="<i2")
+                n_frames = len(wave) // frame_len
+                frames = wave[: n_frames * frame_len].reshape(n_frames, frame_len)
+                f64 = frames.astype(np.float64)
+                rms = np.sqrt((f64 * f64).mean(axis=1))
+                sign_flips = np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1])
+                zcr = sign_flips.mean(axis=1)
+                ids.append(pid)
+                nf.append(n_frames)
+                rms_arrs.append([float(x) for x in np.round(rms, 4)])
+                zcr_arrs.append([float(x) for x in np.round(zcr, 4)])
+                all64 = wave.astype(np.float64)
+                rms_all.append(float(np.round(np.sqrt((all64 * all64).mean()), 4)) if len(wave) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_frames": nf,
+                    "frame_rms": rms_arrs,
+                    "frame_zcr": zcr_arrs,
+                    "rms": rms_all,
+                }
+            )
+
+    return df.mapInPandas(
+        _features,
+        "id long, n_frames int, frame_rms array<double>, frame_zcr array<double>, rms double",
+    )

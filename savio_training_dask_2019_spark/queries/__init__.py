@@ -93,9 +93,15 @@ if _MISSING:
 #       and join_3way / knn_brute carry r4 rows after riding outside two
 #       consecutive rounds on the benched+replica-covered exemption
 #       (VERDICT r6 asked for exactly this re-windowing);
-#     - the query NEW this round (first driver row): multimodal_dims, the
-#       oracle-backed twin of multimodal_resize (SQL-expressible dims and
-#       output-byte columns of the real pixel pipeline);
+#     - the queries NEW this round (first driver rows): multimodal_dims
+#       (oracle-backed twin of multimodal_resize — SQL-expressible dims and
+#       output-byte columns of the real pixel pipeline), multimodal_audio
+#       (PCM16 audio tier, rows-only by contract), and span_scrub (C4-style
+#       duplicate-span removal with document reconstruction, oracle-backed);
+#       to fit them, minhash_pairs and simhash_pairs ride outside this
+#       round on the same exemption join_3way/knn_brute used r5-r6 — both
+#       rows-only, benched in every BENCH_rN.json, replica-checked — and
+#       rotate back r8;
 #     - pack_sequences — its offset table is localCheckpoint-ed this round
 #       (cache-leak fix), the one r7 code change with a new physical plan;
 #     - the flagship (agg_groupby).
@@ -119,6 +125,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_dims",
     # --- code changed this round (new physical plan) ---
     "pack_sequences",
+    # --- also NEW this round: the audio tier and C4-style span scrub ---
+    "multimodal_audio",
+    "span_scrub",
     # --- the 47 outside the r6 window ---
     # ordering / joins / aggs (§2.3/§2.4/§2.6) — incl. the two r4-aged reps
     "topk",
@@ -142,8 +151,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "doc_tfidf",
     # dedup tiers (§2.12)
     "ngram_jaccard",
-    "minhash_pairs",
-    "simhash_pairs",
     "emb_near_dup",
     "emb_near_dup_lsh",
     "semdedup_clusters",

@@ -624,6 +624,108 @@ FROM rk GROUP BY source
 """
 
 
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL with document reconstruction — the step
+    :func:`q_passage_dedup` only reports on: strip every tumbling 8-word
+    chunk whose corpus-wide first occurrence (ordered by doc_id,
+    chunk_idx) lies elsewhere, then rebuild each document from its
+    surviving chunks in order (C4's remove-the-repeated-lines pass,
+    re-cut on word chunks because fixture text has no newlines). Output:
+    per-language doc counts, how many docs survive fully intact, total
+    surviving characters, and the scrubbed-token fraction.
+
+    Scale: chunking is codegen'd; keep-first ranks over the 8-byte
+    ``xxhash64(chunk)`` key (one shuffle — the chunk STRING rides as
+    payload because reconstruction needs it back); the rebuild is one
+    doc_id-keyed agg whose state is the doc's own surviving chunks (bounded
+    by doc length, the same state any per-doc agg carries). Two shuffles
+    total, both on uniform keys."""
+    d = (
+        load_table_spread(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") > 0)
+    )
+    n_chunks = F.ceil(F.size("tk") / F.lit(_CHUNK_W)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * _CHUNK_W + 1, _CHUNK_W), " "),
+    )
+    ch = d.select(
+        "doc_id", "lang", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    w = Window.partitionBy(F.xxhash64("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = ch.select(
+        "doc_id", "lang", "chunk_idx", "chunk", (F.row_number().over(w) == 1).alias("keep")
+    )
+    rebuilt = (
+        ranked.groupBy("doc_id", "lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("scrubbed"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).alias("kept_chunks"),
+        )
+    )
+    return (
+        rebuilt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("kept_chunks") == F.col("n_chunks")).cast("long")).alias(
+                "docs_intact"
+            ),
+            F.sum(F.octet_length("scrubbed").cast("long")).alias("scrubbed_chars"),
+            F.round(
+                1.0 - F.sum("kept_chunks") / F.sum("n_chunks"), 4
+            ).alias("scrub_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SPAN_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) > 0
+),
+b AS (
+  SELECT doc_id, lang,
+         list_transform(range(0, CAST(ceil(len(tk) / {_CHUNK_W}.0) AS BIGINT)),
+            i -> {{'chunk_idx': i,
+                   'chunk': array_to_string(tk[(i*{_CHUNK_W}+1):(i*{_CHUNK_W}+{_CHUNK_W})], ' ')}}) AS lst
+  FROM t
+),
+u AS (SELECT doc_id, lang, unnest(lst) AS s FROM b),
+ch AS (SELECT doc_id, lang, s.chunk_idx AS chunk_idx, s.chunk AS chunk FROM u),
+rk AS (
+  SELECT doc_id, lang, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1 AS keep
+  FROM ch
+),
+rebuilt AS (
+  SELECT doc_id, lang,
+         array_to_string(list(chunk ORDER BY chunk_idx) FILTER (WHERE keep), ' ') AS scrubbed,
+         count(*) AS n_chunks,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_chunks
+  FROM rk GROUP BY doc_id, lang
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept_chunks = n_chunks THEN 1 ELSE 0 END) AS BIGINT) AS docs_intact,
+       CAST(sum(strlen(coalesce(scrubbed, ''))) AS BIGINT) AS scrubbed_chars,
+       round(1.0 - sum(kept_chunks) / sum(n_chunks), 4) AS scrub_frac
+FROM rebuilt GROUP BY lang ORDER BY lang
+"""
+
+
 # --- deterministic corpus sharding -------------------------------------------
 
 _N_SHARDS = 32
@@ -1226,6 +1328,7 @@ QUERIES = {
     "dup_ngram_ratio": q_dup_ngram_ratio,
     "pii_redact": q_pii_redact,
     "passage_dedup": q_passage_dedup,
+    "span_scrub": q_span_scrub,
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
@@ -1246,6 +1349,7 @@ ORACLE = {
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
     "pii_redact": _PII_SQL,
     "passage_dedup": _PASSAGE_SQL,
+    "span_scrub": _SPAN_SCRUB_SQL,
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
     "bigram_logprob": _BIGRAM_SQL,

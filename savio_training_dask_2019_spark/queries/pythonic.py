@@ -357,6 +357,36 @@ FROM n GROUP BY 1, 2 ORDER BY src_w, src_h
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio tier end-to-end (SURVEY.md §2.12): synthesize PCM16 payloads
+    from document text (fixture stand-in for an audio decoder's output),
+    extract frame-level RMS energy + zero-crossing rate as real numpy
+    kernels over mapInPandas, then aggregate per duration bucket —
+    (duration_bucket_ms, n_clips, n_frames_total, avg_rms, avg_zcr).
+    Rows-only by contract: the signal math isn't SQL-expressible; accuracy
+    is pinned by the differential pytest against a pure-Python reference
+    (tests/test_multimodal.py). Structural columns (sample counts /
+    durations) follow the same closed-form-in-strlen design the
+    oracle-backed multimodal_dims twin verifies for the pixel tier."""
+    from ..operators.multimodal import audio_features, synthesize_raw_audio
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clips = synthesize_raw_audio(d, "text", "doc_id")
+    feats = audio_features(clips, frame_len=256)
+    meta = clips.select("id", "duration_ms")
+    return (
+        feats.join(meta, "id")
+        .groupBy((F.floor(F.col("duration_ms") / 50) * 50).alias("duration_bucket_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").cast("long").alias("n_frames_total"),
+            F.round(F.avg("rms"), 2).alias("avg_rms"),
+            F.round(F.avg(F.expr("aggregate(frame_zcr, 0.0D, (a, x) -> a + x)") / F.greatest("n_frames", F.lit(1))), 4).alias("avg_zcr"),
+        )
+        .orderBy("duration_bucket_ms")
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling end-to-end: synthesize raw8 video payloads
     (4..8 frames at 4 fps), sample one frame every 500 ms (stride 2), and
@@ -390,6 +420,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_dims": q_multimodal_dims,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_audio": q_multimodal_audio,
     "cogroup_stats": q_cogroup_stats,
     "udtf_tokens": q_udtf_tokens,
     "fanout_compute": q_fanout_compute,

@@ -12,20 +12,17 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # Spark implementation rewritten r6 (three-level offset cascade,
-    # driver-side super-block prefix) — prior green rows predate the plan
+    # new in r7 — need their first driver rows (multimodal_dims and
+    # span_scrub oracle-backed, multimodal_audio rows-only by contract)
+    "multimodal_dims", "multimodal_audio", "span_scrub",
+    # Spark plan changed r7 (offset table localCheckpoint-ed) — re-witness
     "pack_sequences",
-    # new in r6 — need their first driver rows (rows-only by contract)
-    "multimodal_resize", "multimodal_frames",
-    # r5-window queries whose code changed in r6: explicit whitespace class
-    # (query AND oracle), unrounded decontamination threshold, RDD-registry
-    # round release, collision-free sampler scratch columns
-    "norm_dedup_stats", "decontam_check", "dedup_clusters", "stratified_sample",
-    # stalest rows outside the r5 window (newest records r3 — the
-    # streaming-twin/timeseries and corpus-prep rows VERDICT r5 called out)
-    "retention_daily", "gopher_quality", "mixture_sample", "tumbling_window",
-    "sliding_window", "asof_tolerance", "pivot_daily", "vocab_coverage",
-    "dt_accessors", "time_bucket",
+    # rode outside the window r5 AND r6 on the benched+replica exemption;
+    # VERDICT r6 required their re-windowing (newest driver rows are r4)
+    "join_3way", "knn_brute",
+    # stalest rows outside the r6 window VERDICT r6 called out by name
+    "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
+    "window_rank", "funnel_stages", "asof_join",
 }
 
 

@@ -61,10 +61,12 @@ def test_pack_sequences_leaves_no_cached_frame(spark, sf_dir):
     """q_pack_sequences persists its block-sum table internally; the call
     must release that cache before returning (checkpointed offsets are RDD
     registry entries GC'd with the returned frame — a *Dataset* cache left
-    behind would accumulate one n/B-row frame per invocation)."""
-    from pyspark.sql import SparkSession
-
+    behind would accumulate one n/B-row frame per invocation). Start from a
+    clean cache manager so a cache legitimately held by an earlier test in
+    the shared session can't masquerade as a pack leak."""
+    spark.catalog.clearCache()
     jsm = spark._jsparkSession.sharedState().cacheManager()
+    assert jsm.isEmpty()
     llmpipe.q_pack_sequences(spark, sf_dir).collect()
     assert jsm.isEmpty(), "q_pack_sequences leaked a Dataset-level cache"
 

@@ -174,3 +174,67 @@ def test_embedding_near_dup_brute_vs_lsh(spark):
     assert lsh <= brute  # LSH never invents pairs (distances are exact)
     with pytest.raises(ValueError, match="unknown method"):
         embedding_near_dup_pairs(df, "embedding", "vec_id", 0.9, "bogus")
+
+
+def _py_pcm16(text: str) -> bytes:
+    """Pure-Python reference for synthesize_raw_audio's PCM contract."""
+    import struct
+
+    b = text.encode("utf-8")
+    n_samples = 512 + (len(b) * 7) % 1536
+    src = list(b) if b else [0]
+    if b:
+        wave = [((x - 128) * 256 + 2**15) % 2**16 - 2**15 for x in src]
+    else:
+        wave = [0]
+    tiled = [wave[i % len(wave)] for i in range(n_samples)]
+    return struct.pack(f"<{n_samples}h", *tiled)
+
+
+def test_synthesize_raw_audio_matches_python_reference(spark):
+    from savio_training_dask_2019_spark.operators import synthesize_raw_audio
+
+    df = spark.createDataFrame(
+        [(1, "pcm sixteen little endian"), (2, ""), (3, "q" * 777)],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in synthesize_raw_audio(df, "text", "doc_id").collect()}
+    texts = {1: "pcm sixteen little endian", 2: "", 3: "q" * 777}
+    for i, r in rows.items():
+        ref = _py_pcm16(texts[i])
+        assert bytes(r["payload"]) == ref  # bit-for-bit PCM contract
+        assert len(r["payload"]) == 2 * r["n_samples"]
+        assert r["duration_ms"] == r["n_samples"] * 1000 // 8000
+
+
+def test_audio_features_match_python_reference(spark):
+    """Frame RMS / zero-crossing numpy kernels == a pure-Python reference
+    (math module only), per frame, to the rounded 4 decimals shipped."""
+    import math
+    import struct
+
+    from savio_training_dask_2019_spark.operators import (
+        audio_features,
+        synthesize_raw_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 5), (2, "yo")], ["doc_id", "text"]
+    )
+    clips = synthesize_raw_audio(df, "text", "doc_id")
+    src = {r["id"]: bytes(r["payload"]) for r in clips.collect()}
+    out = {r["id"]: r for r in audio_features(clips, frame_len=256).collect()}
+    for i, r in out.items():
+        wave = struct.unpack(f"<{len(src[i]) // 2}h", src[i])
+        n_frames = len(wave) // 256
+        assert r["n_frames"] == n_frames
+        for k in range(n_frames):
+            fr = wave[k * 256 : (k + 1) * 256]
+            rms = math.sqrt(sum(x * x for x in fr) / 256)
+            assert abs(r["frame_rms"][k] - round(rms, 4)) < 1e-9
+            flips = sum(1 for a, b in zip(fr, fr[1:]) if (a < 0) != (b < 0))
+            assert abs(r["frame_zcr"][k] - round(flips / 255, 4)) < 1e-9
+        full_rms = math.sqrt(sum(x * x for x in wave) / len(wave))
+        assert abs(r["rms"] - round(full_rms, 4)) < 1e-9
+    with pytest.raises(ValueError, match="frame_len"):
+        audio_features(clips, frame_len=1)
