@@ -46,6 +46,7 @@ from .similarity import (
     RPIndex,
     brute_knn,
     brute_knn_join,
+    hard_negative_mining,
     build_ivf_index,
     build_rp_index,
     ivf_knn,
@@ -88,6 +89,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "brute_knn",
     "brute_knn_join",
+    "hard_negative_mining",
     "lsh_knn",
     "ivf_knn",
     "IVFIndex",

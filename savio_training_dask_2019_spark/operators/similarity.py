@@ -85,6 +85,65 @@ def brute_knn_join(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 10,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the DPR recipe,
+    Karpukhin et al. 2020, arXiv:2004.04906 §4.2): for every anchor in
+    ``queries``, the top-``k`` most cosine-similar ``corpus`` rows whose
+    ``label_col`` DIFFERS from the anchor's — the near-miss negatives that
+    make contrastive training hard. Returns (query_id, corpus_id, cosine
+    round 5, neg_label) per kept pair, ordered deterministically by
+    (cosine desc, corpus_id asc) within each anchor.
+
+    ``min_cosine`` additionally floors the similarity — mining only
+    negatives above a confusability threshold (common when the pool is
+    huge and distant negatives are free from in-batch sampling anyway).
+
+    Scale: the anchor BATCH broadcasts (norms precomputed per side, same
+    flop argument as :func:`brute_knn_join`); the corpus is scanned once,
+    never replicated, and the only shuffle is the per-anchor top-k window
+    on ``query_id`` — uniform 8-byte keys, k rows of state per anchor.
+    Mining negatives for EVERY training example is batched exactly like
+    this (anchor batches of ~10⁴ against the full pool), or routed through
+    the IVF/rp index tiers when the pool itself is the bottleneck."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qn", l2_norm(F.col("qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).alias("neg_label"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cn", l2_norm(F.col("cvec")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neg_label") != F.col("q_label")  # negatives only
+    )
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn")), 5
+        ).alias("cosine"),
+        "neg_label",
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("cosine") >= min_cosine)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 class IVFIndex:
     """A built IVF (inverted-file) index: the fitted k-means coarse quantizer
     plus the cell-assigned corpus. Build ONCE (a full clustering + assignment

@@ -97,11 +97,21 @@ if _MISSING:
 #       (oracle-backed twin of multimodal_resize — SQL-expressible dims and
 #       output-byte columns of the real pixel pipeline), multimodal_audio
 #       (PCM16 audio tier, rows-only by contract), and span_scrub (C4-style
-#       duplicate-span removal with document reconstruction, oracle-backed);
+#       duplicate-span removal with document reconstruction, oracle-backed),
+#       plus three more built later the same round: hard_negatives
+#       (DPR-style hard-negative mining, oracle-backed), bpe_merges (BPE
+#       merge-pair induction round, oracle-backed), and dedup_keep_best
+#       (quality-aware duplicate-representative selection, oracle-backed);
 #       to fit them, minhash_pairs and simhash_pairs ride outside this
 #       round on the same exemption join_3way/knn_brute used r5-r6 — both
 #       rows-only, benched in every BENCH_rN.json, replica-checked — and
-#       rotate back r8;
+#       rotate back r8; and knn_join, doc_fingerprint, dedup_keep_first
+#       ride outside on the replica (all three oracle-backed with r5 rows,
+#       code unchanged, and each has its exact code path re-witnessed
+#       in-window this round: hard_negatives exercises the same broadcast
+#       cross-score + top-k window shape as knn_join, dedup_keep_best the
+#       same hash-group dedup shape as dedup_keep_first/doc_fingerprint) —
+#       all three rotate back r8;
 #     - pack_sequences — its offset table is localCheckpoint-ed this round
 #       (cache-leak fix), the one r7 code change with a new physical plan;
 #     - the flagship (agg_groupby).
@@ -125,9 +135,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_dims",
     # --- code changed this round (new physical plan) ---
     "pack_sequences",
-    # --- also NEW this round: the audio tier and C4-style span scrub ---
+    # --- also NEW this round: the audio tier, C4-style span scrub, and the
+    # three late-r7 additions (hard negatives, BPE merges, keep-best) ---
     "multimodal_audio",
     "span_scrub",
+    "hard_negatives",
+    "bpe_merges",
+    "dedup_keep_best",
     # --- the 47 outside the r6 window ---
     # ordering / joins / aggs (§2.3/§2.4/§2.6) — incl. the two r4-aged reps
     "topk",
@@ -146,8 +160,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_stats",
     "token_entropy",
     "lang_id",
-    "dedup_keep_first",
-    "doc_fingerprint",
     "doc_tfidf",
     # dedup tiers (§2.12)
     "ngram_jaccard",
@@ -156,7 +168,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "semdedup_clusters",
     "dedup_incremental",
     # vectors / ANN (§2.9)
-    "knn_join",
     "knn_lsh",
     "knn_ivf",
     "vector_stats",

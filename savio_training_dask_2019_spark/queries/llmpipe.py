@@ -979,6 +979,96 @@ FROM d
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-group representative selection: group by the
+    NORMALIZED content hash (the C4/RefinedWeb canon — case/punctuation/
+    whitespace variants collapse together) and keep the LONGEST variant
+    (most original characters), not the first-seen — RefinedWeb's
+    keep-the-most-content convention (arXiv:2306.01116 §3.3) instead of
+    ``dedup_keep_first``'s lowest-id rule. Output per group: content hash,
+    kept doc, copy count, kept length, the keep-first answer, and whether
+    the two policies diverge (the number a pipeline reads to decide if
+    policy choice matters on its corpus).
+
+    Planted-content convention (same constants as ``norm_dedup_stats``):
+    the fixture corpus has no cross-format variants, so the demo plants the
+    same two variant families — punctuated Title-Case and whitespace-padded
+    lowercase — identically in query and oracle; keep-best then picks the
+    padded variant (longer) where keep-first picks whichever id came first.
+    The selection logic itself never plants.
+
+    Scale: one scan → one shuffle on the 128-bit content hash; both the
+    argmax (row_number by length desc) and the group stats (count, min id)
+    ride the SAME hash-partitioned window — no second shuffle. Same cost
+    class as exact dedup; skew-free (hash keys)."""
+    did = F.col("doc_id")
+    k = (did % 5).cast("string")
+    planted = (
+        F.when(
+            did % _NORM_PLANT_A == 0,
+            F.concat(F.lit("Shared Passage, Number "), k, F.lit("!")),
+        )
+        .when(
+            did % _NORM_PLANT_B == 0,
+            F.concat(F.lit("  shared   passage number "), k, F.lit(" ")),
+        )
+        .otherwise(F.col("text"))
+    )
+    d = load_table_spread(spark, sf_dir, "documents").select("doc_id", planted.alias("t"))
+    g = d.select(
+        F.md5(normalize_for_dedup(F.col("t"))).alias("content_hash"),
+        "doc_id",
+        F.length("t").alias("len"),
+    )
+    w = Window.partitionBy("content_hash")
+    ranked = g.select(
+        "content_hash",
+        "doc_id",
+        "len",
+        F.row_number()
+        .over(w.orderBy(F.col("len").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        F.min("doc_id").over(w).alias("first_id"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "content_hash",
+        F.col("doc_id").alias("keep_id"),
+        "n_copies",
+        F.col("len").alias("kept_chars"),
+        "first_id",
+        (F.col("doc_id") != F.col("first_id")).alias("policy_diverges"),
+    )
+
+
+_KEEP_BEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % {_NORM_PLANT_A} = 0
+             THEN 'Shared Passage, Number ' || CAST(doc_id % 5 AS VARCHAR) || '!'
+           WHEN doc_id % {_NORM_PLANT_B} = 0
+             THEN '  shared   passage number ' || CAST(doc_id % 5 AS VARCHAR) || ' '
+           ELSE text
+         END AS t
+  FROM documents
+),
+g AS (
+  SELECT md5({_DUCK_NORM}) AS content_hash, doc_id, length(t) AS len FROM d
+),
+ranked AS (
+  SELECT content_hash, doc_id, len,
+         row_number() OVER (PARTITION BY content_hash ORDER BY len DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY content_hash) AS n_copies,
+         min(doc_id) OVER (PARTITION BY content_hash) AS first_id
+  FROM g
+)
+SELECT content_hash, doc_id AS keep_id, n_copies, CAST(len AS INTEGER) AS kept_chars,
+       first_id, doc_id <> first_id AS policy_diverges
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- CCNet head/middle/tail banding ------------------------------------------
 
 _N_BANDS = 3  # head (lowest NLL) / middle / tail — CCNet keeps the middle
@@ -1334,6 +1424,7 @@ QUERIES = {
     "bigram_logprob": q_bigram_logprob,
     "ccnet_bands": q_ccnet_bands,
     "norm_dedup_stats": q_norm_dedup_stats,
+    "dedup_keep_best": q_dedup_keep_best,
     "length_buckets": q_length_buckets,
     "dedup_incremental": q_dedup_incremental,
     "vocab_coverage": q_vocab_coverage,
@@ -1355,6 +1446,7 @@ ORACLE = {
     "bigram_logprob": _BIGRAM_SQL,
     "ccnet_bands": _CCNET_BANDS_SQL,
     "norm_dedup_stats": _NORM_DEDUP_SQL,
+    "dedup_keep_best": _KEEP_BEST_SQL,
     "length_buckets": _LENBUCKET_SQL,
     "dedup_incremental": _INCR_SQL,
     "vocab_coverage": _COVERAGE_SQL,

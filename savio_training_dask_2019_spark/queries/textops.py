@@ -335,6 +335,51 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round of tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909 §3.2): corpus-frequency-weighted counts of adjacent
+    character pairs inside words, top-30 merge candidates. The full trainer
+    iterates this count→merge loop; round one is the corpus-scale step — each
+    later round works the same aggregate shape over the re-segmented vocab.
+
+    Scale: the pair explosion runs over the DISTINCT-WORD table (vocab-sized,
+    ~Heaps' law √corpus, not corpus-sized) with each word's corpus count
+    carried as a weight — the token stream collapses FIRST (map-side combine
+    into the word groupBy), so the expensive per-position explode touches
+    ~10⁶ vocab rows even at 100 TB. Two shuffles (word agg, pair agg), then
+    TakeOrdered for the top-k. Deterministic tie-break on the pair string."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = wc.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+_BPE_MERGES_SQL = f"""
+WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
+wc AS (SELECT word, count(*) AS wc FROM w GROUP BY word),
+p AS (
+  SELECT unnest(list_transform(range(1, length(word)), i -> word[i:i+1])) AS pair, wc
+  FROM wc WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30
+"""
+
+
 # the pattern contains a single quote → doubled for the SQL string literal
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
@@ -424,6 +469,7 @@ def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
+    "bpe_merges": q_bpe_merges,
     "token_entropy": q_token_entropy,
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
@@ -442,6 +488,7 @@ QUERIES = {
 ORACLE = {
     "text_stats": _TEXT_STATS_SQL,
     "bpe_token_stats": _BPE_TOKEN_STATS_SQL,
+    "bpe_merges": _BPE_MERGES_SQL,
     "token_entropy": _TOKEN_ENTROPY_SQL,
     # rolling_fp: rows-only (engine-specific hash)
     "doc_quality": _DOC_QUALITY_SQL,

@@ -17,6 +17,7 @@ from ..operators.similarity import (
     brute_knn,
     brute_knn_join,
     build_ivf_index,
+    hard_negative_mining,
     ivf_query,
     lsh_knn,
 )
@@ -102,6 +103,34 @@ SELECT query_id, corpus_id, cosine FROM (
                                         {_DD.format(col='q.embedding')}), 5) AS cosine
     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < 5
+  )
+) WHERE rn <= 3
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training (DPR, arXiv:2004.04906):
+    per anchor (vec_id < 8), the top-3 most cosine-similar corpus vectors
+    with a DIFFERENT label. Broadcast anchor batch, one corpus scan, one
+    per-anchor top-k shuffle — see operators.similarity.hard_negative_mining
+    for the full scale argument."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(
+        emb.filter(F.col("vec_id") < 8), emb, "embedding", "vec_id", "label", k=3
+    )
+
+
+_HARD_NEGATIVES_SQL = f"""
+SELECT query_id, corpus_id, cosine, neg_label FROM (
+  SELECT query_id, corpus_id, cosine, neg_label,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round(list_cosine_similarity({_DD.format(col='c.embedding')},
+                                        {_DD.format(col='q.embedding')}), 5) AS cosine,
+           c.label AS neg_label
+    FROM embeddings q JOIN embeddings c ON q.label <> c.label
+    WHERE q.vec_id < 8
   )
 ) WHERE rn <= 3
 """
@@ -303,6 +332,7 @@ QUERIES = {
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
+    "hard_negatives": q_hard_negatives,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "vector_stats": q_vector_stats,
@@ -315,6 +345,7 @@ QUERIES = {
 ORACLE = {
     "knn_brute": _KNN_BRUTE_SQL,
     "knn_join": _KNN_JOIN_SQL,
+    "hard_negatives": _HARD_NEGATIVES_SQL,
     # knn_lsh: rows-only by design (engine-specific bucketing)
     "vector_stats": _VECTOR_STATS_SQL,
     "vector_arith": _VECTOR_ARITH_SQL,

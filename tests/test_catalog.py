@@ -12,9 +12,11 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # new in r7 — need their first driver rows (multimodal_dims and
-    # span_scrub oracle-backed, multimodal_audio rows-only by contract)
+    # new in r7 — need their first driver rows (multimodal_dims, span_scrub,
+    # hard_negatives, bpe_merges, and dedup_keep_best oracle-backed,
+    # multimodal_audio rows-only by contract)
     "multimodal_dims", "multimodal_audio", "span_scrub",
+    "hard_negatives", "bpe_merges", "dedup_keep_best",
     # Spark plan changed r7 (offset table localCheckpoint-ed) — re-witness
     "pack_sequences",
     # rode outside the window r5 AND r6 on the benched+replica exemption;

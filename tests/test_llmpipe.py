@@ -385,3 +385,30 @@ def test_ccnet_bands_partition_each_language(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1  # ntile balance
         for lo_band, hi_band in zip(bands, bands[1:]):
             assert lo_band["band_hi"] <= hi_band["band_lo"]  # ordered ranges
+
+
+def test_dedup_keep_best_prefers_longest_variant(spark, sf_dir):
+    """Keep-best picks the maximum-length variant per normalized group
+    (doc_id tie-break), reports the keep-first answer alongside, and
+    policy_diverges flags exactly the groups where the two disagree. The
+    planted whitespace-padded variants are longer than the Title-Case ones,
+    so every mixed group must keep a padded (%37) doc over a %31 doc."""
+    rows = llmpipe.q_dedup_keep_best(spark, sf_dir).collect()
+    assert rows
+    from savio_training_dask_2019_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_copies"] for r in rows) == n_docs  # total mass conserved
+    for r in rows:
+        assert r["keep_id"] >= r["first_id"]
+        assert r["policy_diverges"] == (r["keep_id"] != r["first_id"])
+        assert r["n_copies"] >= 1 and r["kept_chars"] >= 0
+    # the planted groups: padded lowercase (' shared passage number k ', 28+
+    # chars) must beat Title-Case ('Shared Passage, Number k!', 25 chars)
+    planted = [
+        r for r in rows
+        if r["n_copies"] > 1 and r["keep_id"] % llmpipe._NORM_PLANT_B == 0
+        and r["first_id"] % llmpipe._NORM_PLANT_A == 0
+    ]
+    assert planted, "expected at least one mixed planted group"
+    assert all(r["policy_diverges"] for r in planted)

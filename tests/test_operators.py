@@ -183,6 +183,46 @@ def test_brute_knn_join_topk_per_query(spark):
     assert per_q[0][0] == 10  # nearest neighbor of e0 is the planted near-dup
 
 
+def test_hard_negative_mining_excludes_anchor_label(spark):
+    """Mined negatives never share the anchor's label, rank by cosine with
+    the id tie-break, respect k, and min_cosine floors the pool."""
+    from savio_training_dask_2019_spark.operators import hard_negative_mining
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.99, 0.1, 0.0, 0.0]),   # same label: NEVER a negative
+        (2, 1, [0.95, 0.3, 0.0, 0.0]),   # hardest true negative for anchor 0
+        (3, 1, [0.0, 1.0, 0.0, 0.0]),    # easy negative
+        (4, 2, [0.5, 0.5, 0.0, 0.0]),    # middling negative, other label
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = hard_negative_mining(
+        emb.filter(F.col("vec_id") == 0), emb, "embedding", "vec_id", "label", k=2
+    ).collect()
+    assert [r["corpus_id"] for r in out] == [2, 4]  # hardest-first, k=2
+    assert all(r["neg_label"] != 0 for r in out)
+    assert out[0]["cosine"] > out[1]["cosine"]
+    floored = hard_negative_mining(
+        emb.filter(F.col("vec_id") == 0), emb, "embedding", "vec_id", "label",
+        k=5, min_cosine=0.9,
+    ).collect()
+    assert [r["corpus_id"] for r in floored] == [2]  # only the hard one survives
+
+
+def test_hard_negative_mining_broadcasts_anchor_side(spark, sf_dir):
+    """The anchor batch must broadcast (corpus never replicated): the pair
+    stage plans as a BroadcastNestedLoopJoin — correct here because the
+    label-inequality condition is non-equi and the broadcast side is the
+    bounded anchor BATCH, never the corpus — and no CartesianProduct (both
+    sides shuffled) may appear."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    plan = plans.formatted_plan(QUERIES["hard_negatives"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_ivf_knn_recall_increases_with_nprobe(spark):
     """IVF ANN: probing all cells must reproduce brute-force exactly, and
     recall must be usable at partial probe (the nprobe/nlist scan-fraction

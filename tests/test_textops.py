@@ -148,3 +148,26 @@ def test_predict_lang_model_seam(spark):
         for r in df.select("doc_id", predict_lang("text").alias("lang")).collect()
     }
     assert default == {1: "en", 2: "en"}  # heuristic untouched by the seam
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """Round-one BPE pair counts == a pure-Python recount over the same
+    fixture corpus (frequency-weighted, per-position overlapping pairs)."""
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc: Counter[str] = Counter()
+    for t in texts:
+        wc.update(w for w in t.split() if w)
+    pc: Counter[str] = Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += n
+    expected = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [
+        (r["pair"], r["cnt"]) for r in textops.q_bpe_merges(spark, sf_dir).collect()
+    ]
+    assert got == expected
