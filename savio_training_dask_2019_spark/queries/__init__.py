@@ -111,7 +111,13 @@ if _MISSING:
 #       in-window this round: hard_negatives exercises the same broadcast
 #       cross-score + top-k window shape as knn_join, dedup_keep_best the
 #       same hash-group dedup shape as dedup_keep_first/doc_fingerprint) —
-#       all three rotate back r8;
+#       all three rotate back r8; two further late-r7 additions,
+#       domain_filter (C4-style domain-reputation filtering) and
+#       mixture_weights (XLM-R temperature mixture), enter in place of
+#       text_stats and ngram_jaccard, which ride outside on the SAME
+#       bench+replica exemption as minhash/simhash (both benched in every
+#       BENCH_rN.json as text_tokens / ngram_jaccard, r5-green, replica-
+#       checked) and rotate back r8;
 #     - pack_sequences — its offset table is localCheckpoint-ed this round
 #       (cache-leak fix), the one r7 code change with a new physical plan;
 #     - the flagship (agg_groupby).
@@ -142,6 +148,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "hard_negatives",
     "bpe_merges",
     "dedup_keep_best",
+    "domain_filter",
+    "mixture_weights",
     # --- the 47 outside the r6 window ---
     # ordering / joins / aggs (§2.3/§2.4/§2.6) — incl. the two r4-aged reps
     "topk",
@@ -157,12 +165,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "session_window",
     "asof_join",
     # text analysis (§2.12)
-    "text_stats",
     "token_entropy",
     "lang_id",
     "doc_tfidf",
     # dedup tiers (§2.12)
-    "ngram_jaccard",
     "emb_near_dup",
     "emb_near_dup_lsh",
     "semdedup_clusters",

@@ -1069,6 +1069,130 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --- domain-reputation filtering ---------------------------------------------
+
+#: Static blocklist, the C4 §2.2 "bad domains" config — in production this is
+#: a broadcast list/Bloom filter of URLs; the fixture corpus keys it on the
+#: `source` column. Chosen from real fixture sources so the decision table
+#: exercises both drop paths.
+_DOMAIN_BLOCKLIST = ("src3", "src17")
+#: Sources whose mean stopword density falls below this read as non-natural
+#: text (keyword lists, code dumps, navigation boilerplate) — the
+#: domain-level reputation rule RefinedWeb applies before any per-doc gate.
+_DOMAIN_MIN_STOP_RATIO = 0.055
+
+
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level (URL-reputation) filtering — the step C4 (arXiv:
+    1910.10683 §2.2) and RefinedWeb (arXiv:2306.01116 §3.1) run BEFORE any
+    per-document gate: aggregate a cheap quality signal per domain, then
+    drop whole domains by (a) a static blocklist and (b) a reputation rule
+    (mean stopword density below :data:`_DOMAIN_MIN_STOP_RATIO` reads as
+    non-natural text). One decision row per source: doc/char mass, the
+    signal, which rule fired, and the verdict.
+
+    Scale: ONE groupBy(source) whose payload is three scalars — domains are
+    ~10⁷ at web scale, so the decision table is small and APPLYING it is a
+    broadcast anti-join back to the corpus (`docs.join(broadcast(dropped),
+    "source", "left_anti")`) — the corpus never shuffles. Giant-domain skew
+    is absorbed by map-side partial aggregation (per-partition partials are
+    O(distinct sources), commutative sums)."""
+    d = load_table_spread(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.avg(stopword_ratio("text")).alias("_sr"),
+    )
+    blocked = F.col("source").isin(*_DOMAIN_BLOCKLIST)
+    low_quality = F.col("_sr") < _DOMAIN_MIN_STOP_RATIO
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round("_sr", 4).alias("avg_stop_ratio"),
+        blocked.alias("blocked"),
+        low_quality.alias("low_quality"),
+        (~blocked & ~low_quality).alias("kept"),
+    ).orderBy("source")
+
+
+_DOMAIN_FILTER_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         avg(CAST(len(list_filter({_DUCK_TOKENS},
+               x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+             / len({_DUCK_TOKENS})) AS sr
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       round(sr, 4) AS avg_stop_ratio,
+       source IN {_DOMAIN_BLOCKLIST!r} AS blocked,
+       sr < {_DOMAIN_MIN_STOP_RATIO} AS low_quality,
+       NOT (source IN {_DOMAIN_BLOCKLIST!r}) AND NOT (sr < {_DOMAIN_MIN_STOP_RATIO}) AS kept
+FROM per_src ORDER BY source
+"""
+
+
+# --- temperature-scaled language mixture weights ------------------------------
+
+_MIX_ALPHA = 0.7  # the multilingual exponential-smoothing exponent
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language — the multilingual
+    mixture recipe (XLM-R, arXiv:1911.02116 §3.1: sample languages
+    ∝ tokens^α with α≈0.7, which up-weights low-resource languages against
+    raw frequency): per language, its token mass, raw share, smoothed
+    share, and the implied epochs-per-corpus-pass
+    (= smoothed/raw — how many times each language's data is seen when the
+    total budget equals one corpus epoch).
+
+    Scale: ONE groupBy(lang) token aggregation (payload: one long per
+    language); the two global normalizers (Σ tokens, Σ tokens^α) come from
+    a 1-row aggregate of that O(langs) table, joined back broadcast — no
+    driver round-trip, no unpartitioned window."""
+    d = load_table_spread(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("bigint").alias("lang_tokens")
+    )
+    smoothed = F.pow(F.col("lang_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    per_lang = per_lang.withColumn("_sm", smoothed)
+    totals = per_lang.agg(
+        F.sum("lang_tokens").cast("double").alias("_tot"),
+        F.sum("_sm").alias("_sm_tot"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "lang_tokens",
+            F.round(F.col("lang_tokens") / F.col("_tot"), 4).alias("share_raw"),
+            F.round(F.col("_sm") / F.col("_sm_tot"), 4).alias("share_temp"),
+            F.round(
+                (F.col("_sm") / F.col("_sm_tot")) / (F.col("lang_tokens") / F.col("_tot")),
+                4,
+            ).alias("implied_epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIXTURE_WEIGHTS_SQL = f"""
+WITH per_lang AS (
+  SELECT lang, CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+sm AS (SELECT lang, lang_tokens, pow(CAST(lang_tokens AS DOUBLE), {_MIX_ALPHA}) AS s FROM per_lang),
+tot AS (SELECT CAST(sum(lang_tokens) AS DOUBLE) AS t, sum(s) AS st FROM sm)
+SELECT lang, lang_tokens,
+       round(lang_tokens / t, 4) AS share_raw,
+       round(s / st, 4) AS share_temp,
+       round((s / st) / (lang_tokens / t), 4) AS implied_epochs
+FROM sm CROSS JOIN tot ORDER BY lang
+"""
+
+
 # --- CCNet head/middle/tail banding ------------------------------------------
 
 _N_BANDS = 3  # head (lowest NLL) / middle / tail — CCNet keeps the middle
@@ -1425,6 +1549,8 @@ QUERIES = {
     "ccnet_bands": q_ccnet_bands,
     "norm_dedup_stats": q_norm_dedup_stats,
     "dedup_keep_best": q_dedup_keep_best,
+    "domain_filter": q_domain_filter,
+    "mixture_weights": q_mixture_weights,
     "length_buckets": q_length_buckets,
     "dedup_incremental": q_dedup_incremental,
     "vocab_coverage": q_vocab_coverage,
@@ -1447,6 +1573,8 @@ ORACLE = {
     "ccnet_bands": _CCNET_BANDS_SQL,
     "norm_dedup_stats": _NORM_DEDUP_SQL,
     "dedup_keep_best": _KEEP_BEST_SQL,
+    "domain_filter": _DOMAIN_FILTER_SQL,
+    "mixture_weights": _MIXTURE_WEIGHTS_SQL,
     "length_buckets": _LENBUCKET_SQL,
     "dedup_incremental": _INCR_SQL,
     "vocab_coverage": _COVERAGE_SQL,

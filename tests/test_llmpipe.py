@@ -412,3 +412,37 @@ def test_dedup_keep_best_prefers_longest_variant(spark, sf_dir):
     ]
     assert planted, "expected at least one mixed planted group"
     assert all(r["policy_diverges"] for r in planted)
+
+
+def test_domain_filter_decisions_consistent(spark, sf_dir):
+    """Decision rows partition the source set: blocklist membership is
+    exact, low_quality tracks the threshold against the unrounded signal,
+    kept == neither rule fired, and doc mass is conserved."""
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_domain_filter(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert len(rows) == d.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    for r in rows:
+        assert r["blocked"] == (r["source"] in llmpipe._DOMAIN_BLOCKLIST)
+        assert r["kept"] == (not r["blocked"] and not r["low_quality"])
+    # both drop paths and the keep path must actually fire on the fixture
+    assert any(r["blocked"] for r in rows)
+    assert any(r["low_quality"] and not r["blocked"] for r in rows)
+    assert any(r["kept"] for r in rows)
+
+
+def test_mixture_weights_temperature_flattens(spark, sf_dir):
+    """α<1 smoothing: both share columns sum to 1, low-resource languages
+    are up-weighted (implied_epochs > 1) and the largest language is
+    down-weighted (< 1) — the XLM-R flattening property."""
+    rows = llmpipe.q_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r["share_raw"] for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r["share_temp"] for r in rows) - 1.0) < 1e-2
+    biggest = max(rows, key=lambda r: r["lang_tokens"])
+    smallest = min(rows, key=lambda r: r["lang_tokens"])
+    assert biggest["implied_epochs"] < 1.0 < smallest["implied_epochs"]
+    for r in rows:
+        # epochs = share_temp / share_raw on the unrounded values
+        assert r["implied_epochs"] > 0
