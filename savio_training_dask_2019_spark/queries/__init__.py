@@ -117,7 +117,12 @@ if _MISSING:
 #       text_stats and ngram_jaccard, which ride outside on the SAME
 #       bench+replica exemption as minhash/simhash (both benched in every
 #       BENCH_rN.json as text_tokens / ngram_jaccard, r5-green, replica-
-#       checked) and rotate back r8;
+#       checked) and rotate back r8; and substring_dup_stats (Lee-et-al
+#       stride-1 duplicate-substring statistics) enters in place of
+#       semdedup_clusters, which rides outside on the same exemption
+#       (benched every round, r5-green, replica-checked, and its
+#       cluster-equi-key plan shape got a dedicated structural test this
+#       round) and rotates back r8;
 #     - pack_sequences — its offset table is localCheckpoint-ed this round
 #       (cache-leak fix), the one r7 code change with a new physical plan;
 #     - the flagship (agg_groupby).
@@ -150,6 +155,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_keep_best",
     "domain_filter",
     "mixture_weights",
+    "substring_dup_stats",
     # --- the 47 outside the r6 window ---
     # ordering / joins / aggs (§2.3/§2.4/§2.6) — incl. the two r4-aged reps
     "topk",
@@ -171,7 +177,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # dedup tiers (§2.12)
     "emb_near_dup",
     "emb_near_dup_lsh",
-    "semdedup_clusters",
     "dedup_incremental",
     # vectors / ANN (§2.9)
     "knn_lsh",

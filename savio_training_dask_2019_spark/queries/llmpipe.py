@@ -726,6 +726,99 @@ FROM rebuilt GROUP BY lang ORDER BY lang
 """
 
 
+# --- exact duplicate-substring statistics (stride-1 windows) -----------------
+
+_SPAN_W = 8  # token-window length (production: ~50 BPE tokens per Lee et al.)
+
+
+def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SUBSTRING statistics — the Lee et al. 2021 criterion
+    (arXiv:2107.06499 §4.1: a span duplicated anywhere in the corpus,
+    including elsewhere in the same document) at token-window granularity:
+    every stride-1 window of ``_SPAN_W`` tokens, counted corpus-wide; a
+    window occurrence is duplicated iff its content occurs ≥2 times
+    anywhere. Unlike ``passage_dedup``'s tumbling chunks (which miss
+    duplicates at unaligned offsets), stride-1 windows catch a copied
+    passage at ANY offset — the property the paper's suffix array buys.
+    Per language: docs, docs containing ≥1 duplicated span, window totals,
+    and the duplicated-window fraction.
+
+    Scale: the window stream is one row per token position (8-byte
+    xxhash64 + ids — the window STRING never leaves the map stage), which
+    is the same order as the token stream a suffix array would sort;
+    three shuffles: (hash, doc) pre-group, hash totals, totals join-back.
+    Boilerplate hot keys (one span repeated 10⁸ times) are absorbed by
+    map-side combine in both groupBys; the join-back is AQE skew-split.
+    A full production substring-REMOVER would keep window positions and
+    merge overlapping dup windows into maximal spans per doc (a per-doc
+    sort, bounded by doc length) — the reporting cut here shares all the
+    heavy stages with it."""
+    d = (
+        load_table_spread(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") >= _SPAN_W)
+    )
+    idx = F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1)
+    wins = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.array_join(F.slice(F.col("tk"), i, _SPAN_W), " ")),
+            )
+        ).alias("h"),
+    )
+    per_doc_h = wins.groupBy("h", "doc_id", "lang").agg(F.count(F.lit(1)).alias("k"))
+    totals = per_doc_h.groupBy("h").agg(F.sum("k").alias("tot"))
+    per_doc = (
+        per_doc_h.join(totals, "h")
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.sum("k").alias("nw"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("k")).otherwise(0)).alias("dw"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dw") > 0).cast("long")).alias("docs_with_dup_span"),
+            F.sum("nw").cast("bigint").alias("total_windows"),
+            F.sum("dw").cast("bigint").alias("dup_windows"),
+            F.round(F.sum("dw") / F.sum("nw"), 4).alias("dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SUBSTRING_DUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) >= {_SPAN_W}
+),
+w AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk) - {_SPAN_W} + 2),
+                i -> array_to_string(tk[i:i+{_SPAN_W - 1}], ' '))) AS s
+  FROM t
+),
+pdh AS (SELECT s, doc_id, lang, count(*) AS k FROM w GROUP BY 1, 2, 3),
+tot AS (SELECT s, sum(k) AS tot FROM pdh GROUP BY s),
+pd AS (
+  SELECT lang, doc_id, sum(k) AS nw,
+         sum(CASE WHEN tot >= 2 THEN k ELSE 0 END) AS dw
+  FROM pdh JOIN tot USING (s) GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN dw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup_span,
+       CAST(sum(nw) AS BIGINT) AS total_windows,
+       CAST(sum(dw) AS BIGINT) AS dup_windows,
+       round(CAST(sum(dw) AS DOUBLE) / sum(nw), 4) AS dup_frac
+FROM pd GROUP BY lang ORDER BY lang
+"""
+
+
 # --- deterministic corpus sharding -------------------------------------------
 
 _N_SHARDS = 32
@@ -1543,6 +1636,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "passage_dedup": q_passage_dedup,
     "span_scrub": q_span_scrub,
+    "substring_dup_stats": q_substring_dup_stats,
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
@@ -1567,6 +1661,7 @@ ORACLE = {
     "pii_redact": _PII_SQL,
     "passage_dedup": _PASSAGE_SQL,
     "span_scrub": _SPAN_SCRUB_SQL,
+    "substring_dup_stats": _SUBSTRING_DUP_SQL,
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
     "bigram_logprob": _BIGRAM_SQL,

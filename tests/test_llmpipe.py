@@ -446,3 +446,49 @@ def test_mixture_weights_temperature_flattens(spark, sf_dir):
     for r in rows:
         # epochs = share_temp / share_raw on the unrounded values
         assert r["implied_epochs"] > 0
+
+
+def test_substring_dup_stats_match_python_reference(spark, sf_dir):
+    """Per-language stride-1 window dup stats == a pure-Python recount
+    (collections.Counter over every window string, corpus-wide ≥2 rule) —
+    pins both the window cut (stride 1, length _SPAN_W) and the
+    duplicated-occurrence accounting, including intra-document repeats."""
+    from collections import Counter, defaultdict
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    W = llmpipe._SPAN_W
+    docs = [
+        (r["doc_id"], r["lang"], r["text"].split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    occ: Counter[str] = Counter()
+    per_doc: dict[tuple, list] = {}
+    for did, lang, tk in docs:
+        if len(tk) < W:
+            continue
+        wins = [" ".join(tk[i : i + W]) for i in range(len(tk) - W + 1)]
+        per_doc[(lang, did)] = wins
+        occ.update(wins)
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0])  # docs, dupdocs, nw, dw
+    for (lang, _did), wins in per_doc.items():
+        dw = sum(1 for s in wins if occ[s] >= 2)
+        a = agg[lang]
+        a[0] += 1
+        a[1] += 1 if dw > 0 else 0
+        a[2] += len(wins)
+        a[3] += dw
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["docs_with_dup_span"], r["total_windows"],
+            r["dup_windows"], r["dup_frac"],
+        )
+        for r in llmpipe.q_substring_dup_stats(spark, sf_dir).collect()
+    }
+    want = {
+        lang: (a[0], a[1], a[2], a[3], round(a[3] / a[2], 4)) for lang, a in agg.items()
+    }
+    assert got == want
+    # stride-1 must see at least the duplication the tumbling chunks see:
+    # the fixture contains duplicate chunks, so dup windows must exist
+    assert any(v[3] > 0 for v in got.values())
