@@ -9,6 +9,10 @@ layout a tokenizer sharder would consume.
 
 Stages (each one scan + at most one shuffle; 100 TB shapes noted inline):
 
+  0. domain filter  — C4/RefinedWeb domain-reputation gate: per-source
+                      decision table (blocklist + stopword-density rule),
+                      applied as a broadcast anti-join — the corpus never
+                      shuffles to be filtered
   1. decontaminate  — drop docs sharing a word 5-gram with the eval split
                       (eval shingles broadcast; corpus never replicated)
   2. quality gate   — Gopher-style rules + model-based profiles (token
@@ -39,6 +43,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = get_spark(app_name="corpus-prep")
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
+
+    # 0. domain-reputation filter: the decision table is O(domains) — tiny —
+    #    so APPLYING it is a broadcast anti-join on the drop list; at web
+    #    scale this is the only shape that works (the corpus never shuffles)
+    decisions = llmpipe.q_domain_filter(spark, sf_dir)
+    dropped_sources = decisions.where(~F.col("kept")).select("source")
+    docs = docs.join(F.broadcast(dropped_sources), "source", "left_anti")
+    n_after_domains = docs.count()
+    print(f"domain filter: {n_docs} -> {n_after_domains} docs "
+          f"({dropped_sources.count()} sources dropped)")
 
     # 1. decontamination: drop training docs overlapping the held-out split
     #    (the two-corpus operator surface — train frame vs eval frame)
@@ -79,13 +93,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # on nothing and the oracle parity proved nothing
     assert hits["d"] > 0 and hits["c"] > 0, "planted PII branch did not fire"
 
-    # 4. passage-level dedup retention (post-strip token survival)
+    # 4. passage-level dedup retention (post-strip token survival), plus
+    #    the stride-1 duplicate-substring audit (Lee et al. criterion —
+    #    catches copied passages at unaligned offsets tumbling chunks miss)
     pd_rows = llmpipe.q_passage_dedup(spark, sf_dir).collect()
     kept = sum(r["n_chunks"] - r["dup_chunks"] for r in pd_rows)
     total_ch = sum(r["n_chunks"] for r in pd_rows)
     print(f"passage dedup: {kept}/{total_ch} chunks kept ({kept/total_ch:.1%})")
+    sub = llmpipe.q_substring_dup_stats(spark, sf_dir).collect()
+    dupw = sum(r["dup_windows"] for r in sub)
+    totw = sum(r["total_windows"] for r in sub)
+    print(f"substring audit: {dupw}/{totw} stride-1 windows duplicated "
+          f"({dupw/totw:.1%})")
 
-    # 5. mixture-weighted sampling (deterministic hash gate per language)
+    # 5. mixture-weighted sampling (deterministic hash gate per language) —
+    #    preceded by the XLM-R temperature weights a production run would
+    #    derive its per-language rates FROM (tokens^0.7 smoothing)
+    wts = llmpipe.q_mixture_weights(spark, sf_dir).collect()
+    print("temperature mixture (alpha=%.1f):" % llmpipe._MIX_ALPHA)
+    for r in sorted(wts, key=lambda r: r["lang"]):
+        print(f"  {r['lang']}: raw {r['share_raw']:.1%} -> temp "
+              f"{r['share_temp']:.1%} ({r['implied_epochs']:.2f} epochs)")
     mix = {r["lang"]: r for r in llmpipe.q_mixture_sample(spark, sf_dir).collect()}
     rates = spark.createDataFrame(
         [(lang, r["rate_pct"]) for lang, r in mix.items()], "lang string, rate_pct int"
