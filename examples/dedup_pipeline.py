@@ -9,6 +9,8 @@ output is one canonical doc per near-dup cluster plus quality/token columns.
 Stages (cheapest first, 100 TB shapes noted inline):
 
   1. exact dedup         — one shuffle on a 128-bit content hash
+                           (keep-first here; keep_best_by_hash swaps in a
+                           quality-argmax representative at the same cost)
   2. near-dup pairs      — MinHash banding (sub-quadratic bucket join)
   3. cluster collapse    — connected components (min-label propagation)
   4. canonical selection — keep min doc_id per cluster
@@ -46,7 +48,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
-    # 1. exact tier: collapse byte-identical copies (keep lowest doc_id)
+    # 1. exact tier: collapse byte-identical copies (keep lowest doc_id).
+    #    A quality-aware pipeline swaps in keep_best_by_hash(docs, "text",
+    #    "doc_id", score=...) — same single hash shuffle, argmax instead of
+    #    first-seen, and a policy_diverges column to audit the difference.
     exact = keep_first_by_hash(docs, "text", "doc_id")
     survivors = docs.join(
         exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
@@ -108,6 +113,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_emb = emb.count()
     n_sem = semantic_dedup(emb, "embedding", "vec_id", "label", min_cosine=0.30).count()
     print(f"semantic tier:       {n_emb} vectors -> {n_sem} kept (cos >= 0.30 within cluster)")
+
+    # 7. training-data product from the SAME embedding corpus: DPR-style
+    #    hard negatives per anchor (broadcast anchor batch, one corpus scan,
+    #    one per-anchor top-k shuffle) — what the contrastive-training run
+    #    downstream of this pipeline consumes
+    from savio_training_dask_2019_spark.operators import hard_negative_mining
+
+    negs = hard_negative_mining(
+        emb.filter(F.col("vec_id") < 4), emb, "embedding", "vec_id", "label", k=2
+    )
+    print("hard negatives (anchor -> negatives):")
+    for r in negs.collect():
+        print(f"  {r['query_id']} -> {r['corpus_id']} (cos {r['cosine']:.3f}, label {r['neg_label']})")
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from .dedup import (
     connected_components_star,
     embedding_near_dup_pairs,
     exact_dedup_stats,
+    keep_best_by_hash,
     keep_first_by_hash,
     minhash_banded_pairs,
     minhash_near_dup_pairs,
@@ -76,6 +77,7 @@ __all__ = [
     "project_principal",
     "asof_join",
     "exact_dedup_stats",
+    "keep_best_by_hash",
     "keep_first_by_hash",
     "word_shingles",
     "ngram_jaccard_pairs",

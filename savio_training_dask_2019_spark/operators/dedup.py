@@ -35,6 +35,61 @@ def keep_first_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def keep_best_by_hash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score,
+    normalize: bool = True,
+) -> DataFrame:
+    """Quality-aware dedup: per (by default NORMALIZED) content group, keep
+    the row maximizing ``score`` (a Column; ties break on lowest id) — the
+    RefinedWeb keep-the-most-content convention (arXiv:2306.01116 §3.3)
+    generalized to any scoring column, vs :func:`keep_first_by_hash`'s
+    first-seen rule. Returns one row per group: (content_hash, keep_id,
+    n_copies, kept_score, first_id, policy_diverges), where ``first_id``
+    is the keep-first answer and ``policy_diverges`` flags groups where
+    the two rules disagree.
+
+    One shuffle on the 128-bit content hash; the argmax (row_number by
+    score desc) and the group stats (count, min id) ride the SAME
+    hash-partitioned window, so there is no second exchange. Group state
+    streams (rank is O(1)); a billion-copy boilerplate group costs one
+    task's sort of its copies' (hash, id, score) triples — text never
+    rides past the hash projection."""
+    from pyspark.sql import Window
+
+    content = F.col(text_col)
+    if normalize:
+        from ..functions.text import normalize_for_dedup
+
+        content = normalize_for_dedup(content)
+    g = df.select(
+        F.md5(content).alias("content_hash"),
+        F.col(id_col).alias("_id"),
+        score.alias("_score"),
+    )
+    w = Window.partitionBy("content_hash")
+    ranked = g.select(
+        "content_hash",
+        "_id",
+        "_score",
+        F.row_number()
+        .over(w.orderBy(F.col("_score").desc(), F.col("_id").asc()))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        F.min("_id").over(w).alias("first_id"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "content_hash",
+        F.col("_id").alias("keep_id"),
+        "n_copies",
+        F.col("_score").alias("kept_score"),
+        "first_id",
+        (F.col("_id") != F.col("first_id")).alias("policy_diverges"),
+    )
+
+
 def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus-level dedup summary: total docs, distinct texts, redundant docs."""
     return df.agg(

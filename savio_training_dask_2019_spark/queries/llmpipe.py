@@ -1107,31 +1107,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
+    from ..operators.dedup import keep_best_by_hash
+
     d = load_table_spread(spark, sf_dir, "documents").select("doc_id", planted.alias("t"))
-    g = d.select(
-        F.md5(normalize_for_dedup(F.col("t"))).alias("content_hash"),
-        "doc_id",
-        F.length("t").alias("len"),
-    )
-    w = Window.partitionBy("content_hash")
-    ranked = g.select(
-        "content_hash",
-        "doc_id",
-        "len",
-        F.row_number()
-        .over(w.orderBy(F.col("len").desc(), F.col("doc_id").asc()))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n_copies"),
-        F.min("doc_id").over(w).alias("first_id"),
-    )
-    return ranked.filter(F.col("rn") == 1).select(
-        "content_hash",
-        F.col("doc_id").alias("keep_id"),
-        "n_copies",
-        F.col("len").alias("kept_chars"),
-        "first_id",
-        (F.col("doc_id") != F.col("first_id")).alias("policy_diverges"),
-    )
+    return keep_best_by_hash(
+        d, "t", "doc_id", score=F.length("t")
+    ).withColumnRenamed("kept_score", "kept_chars")
 
 
 _KEEP_BEST_SQL = f"""

@@ -463,3 +463,29 @@ def test_semantic_dedup_over_kmeans_assignment(spark, sf_dir):
         assert n_kept_global <= n_kept
     finally:
         idx.unpersist()
+
+
+def test_keep_best_by_hash_argmax_and_normalization(spark):
+    """keep_best_by_hash keeps the max-score row per content group (lowest
+    id on ties), reports the keep-first answer + divergence flag, and
+    normalize=True collapses case/punctuation variants into one group."""
+    from savio_training_dask_2019_spark.operators import keep_best_by_hash
+
+    rows = [
+        (1, "Hello, World!", 5.0),
+        (2, "hello   world", 9.0),   # same normalized content, higher score
+        (3, "hello world", 9.0),     # tie with id 2 -> id 2 wins
+        (4, "unique doc", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    out = {
+        r["keep_id"]: r
+        for r in keep_best_by_hash(df, "text", "doc_id", score=F.col("score")).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["n_copies"] == 3 and out[2]["kept_score"] == 9.0
+    assert out[2]["first_id"] == 1 and out[2]["policy_diverges"]
+    assert out[4]["n_copies"] == 1 and not out[4]["policy_diverges"]
+    # raw hashing (normalize=False): every variant is its own group
+    raw = keep_best_by_hash(df, "text", "doc_id", score=F.col("score"), normalize=False)
+    assert raw.count() == 4
