@@ -122,7 +122,11 @@ if _MISSING:
 #       semdedup_clusters, which rides outside on the same exemption
 #       (benched every round, r5-green, replica-checked, and its
 #       cluster-equi-key plan shape got a dedicated structural test this
-#       round) and rotates back r8;
+#       round) and rotates back r8; substring_scrub (the Lee-et-al
+#       REMOVAL accounting, interval-merged) enters in place of
+#       emb_near_dup_lsh (rows-only — its driver row records only a row
+#       count — benched every round, recall pytest-pinned, replica-
+#       checked; rotates back r8);
 #     - pack_sequences — its offset table is localCheckpoint-ed this round
 #       (cache-leak fix), the one r7 code change with a new physical plan;
 #     - the flagship (agg_groupby).
@@ -156,6 +160,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "domain_filter",
     "mixture_weights",
     "substring_dup_stats",
+    "substring_scrub",
     # --- the 47 outside the r6 window ---
     # ordering / joins / aggs (§2.3/§2.4/§2.6) — incl. the two r4-aged reps
     "topk",
@@ -176,7 +181,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "doc_tfidf",
     # dedup tiers (§2.12)
     "emb_near_dup",
-    "emb_near_dup_lsh",
     "dedup_incremental",
     # vectors / ANN (§2.9)
     "knn_lsh",

@@ -819,6 +819,146 @@ FROM pd GROUP BY lang ORDER BY lang
 """
 
 
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 duplicate-substring REMOVAL accounting — the production
+    counterpart of :func:`q_substring_dup_stats` (Lee et al. 2021 §4.2:
+    keep the FIRST occurrence of every duplicated substring, remove the
+    rest): every non-first occurrence of a duplicated ``_SPAN_W``-token
+    window (global order: doc_id, position) marks its covered token range
+    for removal; overlapping ranges within a doc merge into maximal spans
+    via the gaps-and-islands pattern, so the removed-token count is exact
+    even when thousands of overlapping windows cover one copied passage.
+    Per language: docs, docs touched, token totals, tokens removed, and
+    the removed fraction.
+
+    Scale: the ranking shuffle is the stats query's (hash-keyed window
+    stream, 8-byte keys); the interval merge adds ONE doc-partitioned
+    window over only the non-first occurrences (≪ token stream — exactly
+    the duplicated tail), with O(1) running-max state per row. No W×
+    position explosion: ranges stay as (start, end) pairs throughout.
+    The rebuild (emit surviving text) would anti-join the merged spans
+    back per doc — same doc-keyed shape as ``span_scrub``'s rebuild."""
+    d = (
+        load_table_spread(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") >= _SPAN_W)
+    )
+    idx = F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1)
+    wins = d.select(
+        "doc_id",
+        "lang",
+        F.size("tk").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.array_join(F.slice(F.col("tk"), i, _SPAN_W), " ")),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", "lang", "n_tok", (F.col("p0") + 1).alias("pos"), "h")
+    wr = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dup_occ = (
+        wins.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") >= 2)
+        .select(
+            "doc_id", "lang", "n_tok",
+            F.col("pos").alias("s"),
+            (F.col("pos") + _SPAN_W - 1).alias("e"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup_occ.withColumn(
+        "new_island", (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long")
+    ).withColumn("island", F.sum("new_island").over(wd))
+    merged = islands.groupBy("doc_id", "lang", "n_tok", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("span_len")
+    )
+    per_doc = merged.groupBy("doc_id", "lang", "n_tok").agg(
+        F.sum("span_len").alias("removed")
+    )
+    tot = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tk")).cast("bigint").alias("tokens_total"),
+    )
+    rem = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_touched"),
+        F.sum("removed").cast("bigint").alias("tokens_removed"),
+    )
+    return (
+        tot.join(rem, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("docs_touched", F.lit(0)).alias("docs_touched"),
+            "tokens_total",
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            F.round(
+                F.coalesce("tokens_removed", F.lit(0)) / F.col("tokens_total"), 4
+            ).alias("removed_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SUBSTRING_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) >= {_SPAN_W}
+),
+w AS (
+  SELECT doc_id, lang, len(tk) AS n_tok, i AS pos,
+         array_to_string(tk[i:i+{_SPAN_W - 1}], ' ') AS s
+  FROM t, unnest(range(1, len(tk) - {_SPAN_W} + 2)) AS u(i)
+),
+dup_occ AS (
+  SELECT doc_id, lang, n_tok, pos AS st, pos + {_SPAN_W} - 1 AS e
+  FROM (
+    SELECT doc_id, lang, n_tok, pos,
+           row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn >= 2
+),
+isl AS (
+  SELECT doc_id, lang, n_tok, st, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY st, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR st > max(e) OVER (PARTITION BY doc_id ORDER BY st, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup_occ
+),
+isl2 AS (
+  SELECT doc_id, lang, n_tok, st, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY st, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, lang, n_tok, island, max(e) - min(st) + 1 AS span_len
+  FROM isl2 GROUP BY 1, 2, 3, 4
+),
+per_doc AS (
+  SELECT doc_id, lang, n_tok, sum(span_len) AS removed
+  FROM merged GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens_total
+  FROM t GROUP BY lang
+),
+rem AS (
+  SELECT lang, count(*) AS docs_touched, CAST(sum(removed) AS BIGINT) AS tokens_removed
+  FROM per_doc GROUP BY lang
+)
+SELECT tot.lang, n_docs,
+       coalesce(docs_touched, 0) AS docs_touched,
+       tokens_total,
+       coalesce(tokens_removed, 0) AS tokens_removed,
+       round(CAST(coalesce(tokens_removed, 0) AS DOUBLE) / tokens_total, 4) AS removed_frac
+FROM tot LEFT JOIN rem ON tot.lang = rem.lang ORDER BY tot.lang
+"""
+
+
 # --- deterministic corpus sharding -------------------------------------------
 
 _N_SHARDS = 32
@@ -1618,6 +1758,7 @@ QUERIES = {
     "passage_dedup": q_passage_dedup,
     "span_scrub": q_span_scrub,
     "substring_dup_stats": q_substring_dup_stats,
+    "substring_scrub": q_substring_scrub,
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
@@ -1643,6 +1784,7 @@ ORACLE = {
     "passage_dedup": _PASSAGE_SQL,
     "span_scrub": _SPAN_SCRUB_SQL,
     "substring_dup_stats": _SUBSTRING_DUP_SQL,
+    "substring_scrub": _SUBSTRING_SCRUB_SQL,
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
     "bigram_logprob": _BIGRAM_SQL,

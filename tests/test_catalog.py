@@ -18,6 +18,7 @@ MUST_BE_DRIVER_CHECKED = {
     "multimodal_dims", "multimodal_audio", "span_scrub",
     "hard_negatives", "bpe_merges", "dedup_keep_best",
     "domain_filter", "mixture_weights", "substring_dup_stats",
+    "substring_scrub",
     # Spark plan changed r7 (offset table localCheckpoint-ed) — re-witness
     "pack_sequences",
     # rode outside the window r5 AND r6 on the benched+replica exemption;
