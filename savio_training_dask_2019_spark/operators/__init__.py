@@ -21,6 +21,7 @@ from .dedup import (
     shingle_array,
     simhash,
     simhash_near_dup_pairs,
+    substring_dup_removal,
     word_shingles,
 )
 from .multimodal import (
@@ -89,6 +90,7 @@ __all__ = [
     "semantic_dedup",
     "simhash",
     "simhash_near_dup_pairs",
+    "substring_dup_removal",
     "brute_knn",
     "brute_knn_join",
     "hard_negative_mining",

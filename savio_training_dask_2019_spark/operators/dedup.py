@@ -90,6 +90,70 @@ def keep_best_by_hash(
     )
 
 
+def substring_dup_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_w: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stride-1 duplicate-substring removal accounting (Lee et al. 2021,
+    arXiv:2107.06499 §4.2: keep the globally FIRST occurrence of every
+    duplicated substring, remove the rest), at token-window granularity:
+    every non-first occurrence (global order: id, position) of a
+    ``span_w``-token window that appears ≥2 times anywhere marks its
+    covered token range; overlapping ranges within a doc merge into
+    maximal spans via gaps-and-islands. Returns one row per TOUCHED doc:
+    (id, *keep_cols, n_tok, removed) — removed is exact even when
+    thousands of overlapping windows cover one copied passage.
+
+    Scale: one hash-keyed ranking shuffle over the window stream (one row
+    per token position, 8-byte xxhash64 — the window string never leaves
+    the map stage), then one id-partitioned window over ONLY the
+    non-first occurrences (the duplicated tail, ≪ token stream) with O(1)
+    running-max state. Ranges stay (start, end) pairs — no span_w×
+    position explosion."""
+    if span_w < 2:
+        raise ValueError(f"span_w must be >= 2, got {span_w}")
+    keep = [F.col(c) for c in keep_cols]
+    d = df.select(
+        F.col(id_col).alias("id"), *keep, _tokens(F.col(text_col)).alias("tk")
+    ).where(F.size("tk") >= span_w)
+    idx = F.sequence(F.lit(1), F.size("tk") - span_w + 1)
+    wins = d.select(
+        "id",
+        *keep_cols,
+        F.size("tk").alias("n_tok"),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.array_join(F.slice(F.col("tk"), i, span_w), " ")),
+            )
+        ).alias("p0", "h"),
+    ).select("id", *keep_cols, "n_tok", (F.col("p0") + 1).alias("pos"), "h")
+    wr = Window.partitionBy("h").orderBy("id", "pos")
+    dup_occ = (
+        wins.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") >= 2)
+        .select(
+            "id", *keep_cols, "n_tok",
+            F.col("pos").alias("s"),
+            (F.col("pos") + span_w - 1).alias("e"),
+        )
+    )
+    wd = Window.partitionBy("id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islands = dup_occ.withColumn(
+        "new_island", (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long")
+    ).withColumn("island", F.sum("new_island").over(wd))
+    merged = islands.groupBy("id", *keep_cols, "n_tok", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("span_len")
+    )
+    return merged.groupBy("id", *keep_cols, "n_tok").agg(
+        F.sum("span_len").alias("removed")
+    )
+
+
 def exact_dedup_stats(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus-level dedup summary: total docs, distinct texts, redundant docs."""
     return df.agg(

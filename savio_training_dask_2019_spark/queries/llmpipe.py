@@ -821,60 +821,27 @@ FROM pd GROUP BY lang ORDER BY lang
 
 def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-1 duplicate-substring REMOVAL accounting — the production
-    counterpart of :func:`q_substring_dup_stats` (Lee et al. 2021 §4.2:
-    keep the FIRST occurrence of every duplicated substring, remove the
-    rest): every non-first occurrence of a duplicated ``_SPAN_W``-token
-    window (global order: doc_id, position) marks its covered token range
-    for removal; overlapping ranges within a doc merge into maximal spans
-    via the gaps-and-islands pattern, so the removed-token count is exact
-    even when thousands of overlapping windows cover one copied passage.
-    Per language: docs, docs touched, token totals, tokens removed, and
-    the removed fraction.
+    counterpart of :func:`q_substring_dup_stats`: keep the globally FIRST
+    occurrence of every duplicated window, remove the rest, with
+    overlapping removal ranges merged per doc (gaps-and-islands). Core
+    logic lives in :func:`operators.dedup.substring_dup_removal` (full
+    scale argument there); this query aggregates its per-touched-doc rows
+    per language: docs, docs touched, token totals, tokens removed, and
+    the removed fraction. The lang-level join is O(langs) rows — the
+    per-doc table never joins back to the corpus."""
+    from ..operators.dedup import substring_dup_removal
 
-    Scale: the ranking shuffle is the stats query's (hash-keyed window
-    stream, 8-byte keys); the interval merge adds ONE doc-partitioned
-    window over only the non-first occurrences (≪ token stream — exactly
-    the duplicated tail), with O(1) running-max state per row. No W×
-    position explosion: ranges stay as (start, end) pairs throughout.
-    The rebuild (emit surviving text) would anti-join the merged spans
-    back per doc — same doc-keyed shape as ``span_scrub``'s rebuild."""
     d = (
         load_table_spread(spark, sf_dir, "documents")
         .select("doc_id", "lang", tokens("text").alias("tk"))
         .where(F.size("tk") >= _SPAN_W)
     )
-    idx = F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1)
-    wins = d.select(
+    per_doc = substring_dup_removal(
+        load_table_spread(spark, sf_dir, "documents"),
+        "text",
         "doc_id",
-        "lang",
-        F.size("tk").alias("n_tok"),
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.xxhash64(F.array_join(F.slice(F.col("tk"), i, _SPAN_W), " ")),
-            )
-        ).alias("p0", "h"),
-    ).select("doc_id", "lang", "n_tok", (F.col("p0") + 1).alias("pos"), "h")
-    wr = Window.partitionBy("h").orderBy("doc_id", "pos")
-    dup_occ = (
-        wins.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") >= 2)
-        .select(
-            "doc_id", "lang", "n_tok",
-            F.col("pos").alias("s"),
-            (F.col("pos") + _SPAN_W - 1).alias("e"),
-        )
-    )
-    wd = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_max_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    islands = dup_occ.withColumn(
-        "new_island", (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long")
-    ).withColumn("island", F.sum("new_island").over(wd))
-    merged = islands.groupBy("doc_id", "lang", "n_tok", "island").agg(
-        (F.max("e") - F.min("s") + 1).alias("span_len")
-    )
-    per_doc = merged.groupBy("doc_id", "lang", "n_tok").agg(
-        F.sum("span_len").alias("removed")
+        span_w=_SPAN_W,
+        keep_cols=("lang",),
     )
     tot = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

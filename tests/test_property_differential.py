@@ -228,3 +228,97 @@ def test_window_functions_match_duckdb(fn, part, order, desc, spark, duck):
     s = sorted(tuple(r) for r in sdf.collect())
     d = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert s == d, f"{fn} over {part}/{order} {dir_sql}"
+
+
+# --- dedup operators vs pure-Python references --------------------------------
+
+# Tiny alphabet + short docs force duplicated windows and hash-group ties —
+# the regimes where keep-first ordering and interval merging can drift.
+_words = st.sampled_from(["aa", "bb", "cc"])
+_doc_texts = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+_corpora = st.lists(_doc_texts, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpora, span_w=st.sampled_from([2, 3]))
+def test_substring_dup_removal_matches_python(texts, span_w, spark):
+    """Operator == reference: global keep-first rank over (id, pos), mark
+    non-first duplicated-window ranges, merge overlaps per doc."""
+    from savio_training_dask_2019_spark.operators import substring_dup_removal
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_tok"], r["removed"])
+        for r in substring_dup_removal(df, "text", "doc_id", span_w=span_w).collect()
+    }
+
+    first_seen: set[str] = set()
+    ranges: dict[int, list] = {}
+    n_tok: dict[int, int] = {}
+    for did, text in sorted(enumerate(texts)):
+        tk = text.split()
+        if len(tk) < span_w:
+            continue
+        n_tok[did] = len(tk)
+        for i in range(len(tk) - span_w + 1):
+            s = " ".join(tk[i : i + span_w])
+            if s in first_seen:
+                ranges.setdefault(did, []).append((i + 1, i + span_w))
+            else:
+                first_seen.add(s)
+    want = {}
+    for did, rs in ranges.items():
+        rs.sort()
+        removed, cs, ce = 0, None, None
+        for s, e in rs:
+            if ce is None or s > ce:
+                if ce is not None:
+                    removed += ce - cs + 1
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        removed += ce - cs + 1
+        want[did] = (n_tok[did], removed)
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(_doc_texts, st.integers(min_value=0, max_value=3)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_keep_best_by_hash_matches_python(rows, spark):
+    """Operator == reference argmax by (score desc, id asc) per exact text
+    group, with first_id = min id and divergence flagged."""
+    from savio_training_dask_2019_spark.operators import keep_best_by_hash
+
+    data = [(i, t, float(sc)) for i, (t, sc) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "text", "score"])
+    got = {
+        r["keep_id"]: (r["n_copies"], r["kept_score"], r["first_id"], r["policy_diverges"])
+        for r in keep_best_by_hash(
+            df, "text", "doc_id", score=F.col("score"), normalize=False
+        ).collect()
+    }
+    groups: dict[str, list] = {}
+    for i, t, sc in data:
+        groups.setdefault(t, []).append((i, sc))
+    want = {}
+    for members in groups.values():
+        keep_id, keep_sc = min(members, key=lambda m: (-m[1], m[0]))
+        first_id = min(m[0] for m in members)
+        want[keep_id] = (len(members), keep_sc, first_id, keep_id != first_id)
+    assert got == want
