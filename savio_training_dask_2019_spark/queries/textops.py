@@ -112,6 +112,98 @@ SELECT doc_id, lang AS pred_lang FROM (
 """
 
 
+_COLLOC_MIN_COUNT = 5  # PMI is unstable on rare pairs — the standard floor
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations (Church & Hanks 1990; the word2vec-era
+    phrase-detection preprocessing, Mikolov et al. 2013 arXiv:1310.4546
+    §4): adjacent word pairs scored by pointwise mutual information
+    ln(p(ab) / (p(a)·p(b))) with a min-count floor, top-20. High-PMI pairs
+    are the multiword units ("new york") a phrasing pass would merge into
+    single tokens before embedding training.
+
+    Scale: bigram and unigram counts are each ONE token-stream aggregation
+    with map-side combine (payloads collapse to vocab-/vocab²-sized
+    tables); the two count joins are plain equi-joins on word keys that
+    AQE broadcasts when the unigram table is small; the corpus totals join
+    in as a broadcast 1-row aggregate. Top-k is TakeOrdered. Determinism:
+    PMI rounds to 4 decimals on BOTH engines and the sort breaks ties on
+    the pair strings, so the cut is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(tokens("text").alias("tk")).where(F.size("tk") >= 2)
+    bi = (
+        tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("double").alias("t_uni"),
+    ).crossJoin(bi.agg(F.sum("n_ab").cast("double").alias("t_bi")))
+    scored = (
+        bi.filter(F.col("n_ab") >= _COLLOC_MIN_COUNT)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("t_bi"))
+                    / ((F.col("n_a") / F.col("t_uni")) * (F.col("n_b") / F.col("t_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+
+
+_COLLOCATIONS_SQL = f"""
+WITH t AS (SELECT {_DUCK_TOKENS} AS tk FROM documents WHERE len({_DUCK_TOKENS}) >= 2),
+bi AS (
+  SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_ab FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS s
+    FROM t
+  ) GROUP BY 1, 2
+),
+uni AS (
+  SELECT w, count(*) AS n_w FROM (
+    SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+  ) GROUP BY w
+),
+tot AS (
+  SELECT (SELECT CAST(sum(n_w) AS DOUBLE) FROM uni) AS t_uni,
+         (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bi) AS t_bi
+)
+SELECT w1, w2, n_ab,
+       round(ln((n_ab / t_bi) / ((a.n_w / t_uni) * (b.n_w / t_uni))), 4) AS pmi
+FROM bi
+JOIN uni a ON a.w = bi.w1
+JOIN uni b ON b.w = bi.w2
+CROSS JOIN tot
+WHERE n_ab >= {_COLLOC_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dask.bag frequencies/topk: top-20 corpus words (explode → count)."""
     d = load_table(spark, sf_dir, "documents")
@@ -474,6 +566,7 @@ QUERIES = {
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
+    "collocations": q_collocations,
     "wordcount": q_wordcount,
     "dedup_stats": q_dedup_stats,
     "dedup_keep_first": q_dedup_keep_first,
@@ -493,6 +586,7 @@ ORACLE = {
     # rolling_fp: rows-only (engine-specific hash)
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
+    "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,
     "dedup_stats": _DEDUP_STATS_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

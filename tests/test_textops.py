@@ -171,3 +171,34 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         (r["pair"], r["cnt"]) for r in textops.q_bpe_merges(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_collocations_match_python_reference(spark, sf_dir):
+    """Top-20 PMI collocations == a pure-Python recount (bigram/unigram
+    frequencies, natural-log PMI, min-count floor, rounded-PMI ordering
+    with pair tie-breaks)."""
+    import math
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    uni: Counter[str] = Counter()
+    bi: Counter[tuple] = Counter()
+    for t in texts:
+        tk = [w for w in t.split() if w]
+        uni.update(tk)
+        bi.update(zip(tk, tk[1:]))
+    t_uni, t_bi = sum(uni.values()), sum(bi.values())
+    scored = [
+        (w1, w2, n, round(math.log((n / t_bi) / ((uni[w1] / t_uni) * (uni[w2] / t_uni))), 4))
+        for (w1, w2), n in bi.items()
+        if n >= textops._COLLOC_MIN_COUNT
+    ]
+    expected = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:20]
+    got = [
+        (r["w1"], r["w2"], r["n_ab"], r["pmi"])
+        for r in textops.q_collocations(spark, sf_dir).collect()
+    ]
+    assert got == expected
