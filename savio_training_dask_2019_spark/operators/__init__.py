@@ -28,6 +28,7 @@ from .multimodal import (
     MEDIA_META_SCHEMA,
     audio_features,
     decode_meta,
+    image_features,
     pack_payload,
     resize_images,
     sample_frames,
@@ -113,4 +114,5 @@ __all__ = [
     "synthesize_raw_video",
     "synthesize_raw_audio",
     "audio_features",
+    "image_features",
 ]

@@ -286,6 +286,49 @@ def sample_frames(
     )
 
 
+def image_features(
+    df: DataFrame,
+    n_bins: int = 8,
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-image feature extraction over raw8 payloads — the normalization
+    statistics (mean, std) a training loader precomputes per image plus an
+    ``n_bins``-bin intensity histogram (the cheap perceptual signature used
+    for exposure filtering and as a near-dup prefilter). Real numpy: float64
+    accumulation so a 2³²-pixel image cannot overflow; histogram bins are
+    equal-width over [0, 256). A real embedding extractor (CLIP et al.)
+    replaces the two kernel lines and none of the plumbing. One narrow
+    mapInPandas pass, no shuffle; 1→1 rows."""
+    if not 1 <= n_bins <= 256:
+        raise ValueError(f"n_bins must be in [1, 256], got {n_bins}")
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, means, stds, hists = [], [], [], []
+            for pid, buf, w, h in zip(
+                pdf[id_col], pdf[payload_col], pdf[width_col], pdf[height_col]
+            ):
+                px = np.frombuffer(buf, dtype=np.uint8, count=int(w) * int(h))
+                f = px.astype(np.float64)
+                ids.append(pid)
+                means.append(float(np.round(f.mean(), 4)))
+                stds.append(float(np.round(f.std(), 4)))
+                hist, _ = np.histogram(px, bins=n_bins, range=(0, 256))
+                hists.append([int(x) for x in hist])
+            yield pd.DataFrame(
+                {"id": ids, "px_mean": means, "px_std": stds, "hist": hists}
+            )
+
+    return df.mapInPandas(
+        _features, "id long, px_mean double, px_std double, hist array<long>"
+    )
+
+
 #: Raw uncompressed audio model: signed 16-bit little-endian PCM, mono, at
 #: _PCM16_RATE Hz — what a real codec (MP3/FLAC/Opus → PCM) hands downstream.
 #: Same scope split as raw8 video: compressed-codec DECODE stays out (no

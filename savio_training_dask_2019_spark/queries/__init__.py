@@ -130,9 +130,10 @@ if _MISSING:
 #     - pack_sequences — its offset table is localCheckpoint-ed this round
 #       (cache-leak fix), the one r7 code change with a new physical plan;
 #     - the flagship (agg_groupby).
-#     collocations (PMI collocation extraction, also late-r7,
-#     oracle-backed) was built after the window filled; it is replica-
-#     checked this round and takes its first driver row r8.
+#     collocations (PMI collocation extraction, oracle-backed) and
+#     multimodal_imgstats (image mean/std/histogram kernels, rows-only
+#     by contract) were built after the window filled; both are replica-
+#     checked this round and take their first driver rows r8.
 #     That fills 50 exactly. The other two r7 code touches ride outside on
 #     the replica: dedup_clusters (perf-only pre-loop materialization in
 #     connected_components, r6-green) and multimodal_frames (parameter

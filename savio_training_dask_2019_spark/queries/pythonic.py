@@ -357,6 +357,34 @@ FROM n GROUP BY 1, 2 ORDER BY src_w, src_h
 """
 
 
+def q_multimodal_imgstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature-extraction tier end-to-end (SURVEY.md §2.12):
+    synthesize raw8 payloads, extract per-image normalization stats (mean,
+    std) and an 8-bin intensity histogram as real numpy kernels over
+    mapInPandas, then aggregate per source width — (src_w, n_imgs,
+    avg_px_mean, avg_px_std, dark_bin_total = Σ histogram[0]). Rows-only
+    by contract: the pixel math runs over binary buffers; accuracy is
+    pinned by the differential pytest against a pure-Python reference
+    (tests/test_multimodal.py)."""
+    from ..operators.multimodal import image_features, synthesize_raw_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = synthesize_raw_images(d, "text", "doc_id")
+    feats = image_features(imgs, n_bins=8)
+    dims = imgs.select("id", F.col("width").alias("src_w"))
+    return (
+        feats.join(dims, "id")
+        .groupBy("src_w")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.round(F.avg("px_mean"), 2).alias("avg_px_mean"),
+            F.round(F.avg("px_std"), 2).alias("avg_px_std"),
+            F.sum(F.element_at("hist", 1)).cast("long").alias("dark_bin_total"),
+        )
+        .orderBy("src_w")
+    )
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio tier end-to-end (SURVEY.md §2.12): synthesize PCM16 payloads
     from document text (fixture stand-in for an audio decoder's output),
@@ -420,6 +448,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_dims": q_multimodal_dims,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_imgstats": q_multimodal_imgstats,
     "multimodal_audio": q_multimodal_audio,
     "cogroup_stats": q_cogroup_stats,
     "udtf_tokens": q_udtf_tokens,

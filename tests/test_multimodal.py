@@ -238,3 +238,36 @@ def test_audio_features_match_python_reference(spark):
         assert abs(r["rms"] - round(full_rms, 4)) < 1e-9
     with pytest.raises(ValueError, match="frame_len"):
         audio_features(clips, frame_len=1)
+
+
+def test_image_features_match_python_reference(spark):
+    """Per-image mean/std/histogram kernels == a pure-Python reference
+    (math module only), to the rounded 4 decimals shipped."""
+    import math
+
+    from savio_training_dask_2019_spark.operators import (
+        image_features,
+        synthesize_raw_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "histogram of tiled utf8 bytes"), (2, "x"), (3, "é" * 40)],
+        ["doc_id", "text"],
+    )
+    imgs = synthesize_raw_images(df, "text", "doc_id")
+    src = {r["id"]: (bytes(r["payload"]), r["width"], r["height"]) for r in imgs.collect()}
+    out = {r["id"]: r for r in image_features(imgs, n_bins=8).collect()}
+    for i, (buf, w, h) in src.items():
+        px = list(buf[: w * h])
+        mean = sum(px) / len(px)
+        std = math.sqrt(sum((x - mean) ** 2 for x in px) / len(px))
+        hist = [0] * 8
+        for x in px:
+            hist[x * 8 // 256] += 1
+        r = out[i]
+        assert abs(r["px_mean"] - round(mean, 4)) < 1e-9
+        assert abs(r["px_std"] - round(std, 4)) < 1e-9
+        assert list(r["hist"]) == hist
+        assert sum(r["hist"]) == w * h
+    with pytest.raises(ValueError, match="n_bins"):
+        image_features(imgs, n_bins=0)
