@@ -1338,7 +1338,12 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count("text")).cast("bigint").alias("lang_tokens")
     )
     smoothed = F.pow(F.col("lang_tokens").cast("double"), F.lit(_MIX_ALPHA))
-    per_lang = per_lang.withColumn("_sm", smoothed)
+    # localCheckpoint the O(langs) table so the corpus token aggregation runs
+    # ONCE — without it, both the totals branch and the final projection
+    # re-execute the full scan+tokenize lineage (two corpus passes for one
+    # aggregate). The checkpoint is a handful of rows; the RDD is GC'd with
+    # the returned frame (same pattern as pack_sequences' offset table).
+    per_lang = per_lang.withColumn("_sm", smoothed).localCheckpoint(eager=True)
     totals = per_lang.agg(
         F.sum("lang_tokens").cast("double").alias("_tot"),
         F.sum("_sm").alias("_sm_tot"),
