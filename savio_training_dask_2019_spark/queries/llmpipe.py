@@ -828,7 +828,10 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale argument there); this query aggregates its per-touched-doc rows
     per language: docs, docs touched, token totals, tokens removed, and
     the removed fraction. The lang-level join is O(langs) rows — the
-    per-doc table never joins back to the corpus."""
+    per-doc table never joins back to the corpus. The denominator branch
+    re-scans the corpus for per-language token totals — deliberate: the
+    alternative (dedup the window stream back to doc grain) is a second
+    token-stream shuffle, strictly worse than a columnar re-scan."""
     from ..operators.dedup import substring_dup_removal
 
     d = (
