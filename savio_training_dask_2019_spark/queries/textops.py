@@ -149,9 +149,18 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    totals = uni.agg(
-        F.sum("n_w").cast("double").alias("t_uni"),
-    ).crossJoin(bi.agg(F.sum("n_ab").cast("double").alias("t_bi")))
+    # totals come from doc token COUNTS (one cheap narrow scan — no token
+    # explode): Σ|doc| unigrams, Σ max(|doc|-1, 0) bigrams — identical to
+    # summing the count tables, without re-executing their aggregations
+    sizes = d.select(F.size(tokens("text")).alias("n"))
+    totals = sizes.agg(
+        F.sum("n").cast("double").alias("t_uni"),
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).cast("double").alias("t_bi"),
+    )
+    # the unigram table joins in twice (left and right word); checkpoint the
+    # vocab-sized table so the token-stream aggregation runs once, not per
+    # consumer (same pattern as mixture_weights' per-language table)
+    uni = uni.localCheckpoint(eager=True)
     scored = (
         bi.filter(F.col("n_ab") >= _COLLOC_MIN_COUNT)
         .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
