@@ -205,6 +205,24 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
 #                    TakeOrdered cut, so it sees <= max(K) rows (constant).
 _BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage"}
 
+# Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
+# documented inherent reason — NOT a lineage-re-execution bug:
+#   set_ops        — union/intersect/except demo needs 6 branch scans of
+#                    the same table by definition of the set algebra demo
+#   join_3way      — four distinct tables
+#   semdedup_clusters — embeddings self-join (2) + anti-join back (1) +
+#                    norms side (1); pinned tighter in _HEADLINE_SHAPE
+#   split_leakage  — train side, val side, and the planted-group probe
+#   doc_tfidf      — corpus df branch, filtered tf branch, and the 1-row
+#                    corpus count (cheap columnar count scan)
+_MAX_PARQUET_SCANS = {
+    "set_ops": 6,
+    "join_3way": 4,
+    "semdedup_clusters": 4,
+    "split_leakage": 3,
+    "doc_tfidf": 3,
+}
+
 
 def test_unpartitioned_window_detector_is_not_vacuous(spark):
     """The sweep below is only meaningful if the detector actually fires on
@@ -247,15 +265,24 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     from savio_training_dask_2019_spark.queries import vectorops
 
     offenders = {}
+    scan_offenders = {}
     for qname, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
         n = plans.unpartitioned_window_count(df)
         limit = 1 if qname in _BOUNDED_WINDOW_ALLOWLIST else 0
         if n > limit:
             offenders[qname] = n
+        sc = plans.scan_count(df)
+        if sc > _MAX_PARQUET_SCANS.get(qname, 2):
+            scan_offenders[qname] = sc
         spark.catalog.clearCache()
         vectorops.invalidate_cached_indexes()
     assert not offenders, f"unpartitioned Window in: {offenders}"
+    # r7 audit: every catalog query reads its parquet inputs at most twice
+    # per execution unless allowlisted with a documented reason — a new
+    # branch silently re-executing corpus lineage (the mixture_weights /
+    # collocations bug class, fixed via localCheckpoint) fails here.
+    assert not scan_offenders, f"parquet scan count over budget: {scan_offenders}"
 
 
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
