@@ -115,6 +115,11 @@ def substring_dup_removal(
     position explosion."""
     if span_w < 2:
         raise ValueError(f"span_w must be >= 2, got {span_w}")
+    reserved = {"id", "n_tok", "pos", "h", "s", "e", "new_island", "island",
+                "span_len", "removed", "p0", "tk", "rn"}
+    clash = reserved & set(keep_cols)
+    if clash:
+        raise ValueError(f"keep_cols collide with internal columns: {sorted(clash)}")
     keep = [F.col(c) for c in keep_cols]
     d = df.select(
         F.col(id_col).alias("id"), *keep, _tokens(F.col(text_col)).alias("tk")

@@ -489,3 +489,13 @@ def test_keep_best_by_hash_argmax_and_normalization(spark):
     # raw hashing (normalize=False): every variant is its own group
     raw = keep_best_by_hash(df, "text", "doc_id", score=F.col("score"), normalize=False)
     assert raw.count() == 4
+
+
+def test_substring_dup_removal_rejects_reserved_keep_cols(spark):
+    from savio_training_dask_2019_spark.operators import substring_dup_removal
+
+    df = spark.createDataFrame([(1, "a b c", 1)], ["doc_id", "text", "pos"])
+    with pytest.raises(ValueError, match="keep_cols collide"):
+        substring_dup_removal(df, "text", "doc_id", span_w=2, keep_cols=("pos",))
+    with pytest.raises(ValueError, match="span_w"):
+        substring_dup_removal(df, "text", "doc_id", span_w=1)
