@@ -88,56 +88,42 @@ if _MISSING:
 #     - the two queries NEW this round (first driver rows):
 #       multimodal_resize, multimodal_frames (both rows-only by contract);
 #     - the flagship (agg_groupby).
-#   r7 (this window):
-#     - ALL 47 queries outside the r6 window — 45 carry r5 rows of record,
-#       and join_3way / knn_brute carry r4 rows after riding outside two
-#       consecutive rounds on the benched+replica-covered exemption
-#       (VERDICT r6 asked for exactly this re-windowing);
-#     - the queries NEW this round (first driver rows): multimodal_dims
-#       (oracle-backed twin of multimodal_resize — SQL-expressible dims and
-#       output-byte columns of the real pixel pipeline), multimodal_audio
-#       (PCM16 audio tier, rows-only by contract), and span_scrub (C4-style
-#       duplicate-span removal with document reconstruction, oracle-backed),
-#       plus three more built later the same round: hard_negatives
-#       (DPR-style hard-negative mining, oracle-backed), bpe_merges (BPE
-#       merge-pair induction round, oracle-backed), and dedup_keep_best
-#       (quality-aware duplicate-representative selection, oracle-backed);
-#       to fit them, minhash_pairs and simhash_pairs ride outside this
-#       round on the same exemption join_3way/knn_brute used r5-r6 — both
-#       rows-only, benched in every BENCH_rN.json, replica-checked — and
-#       rotate back r8; and knn_join, doc_fingerprint, dedup_keep_first
-#       ride outside on the replica (all three oracle-backed with r5 rows,
-#       code unchanged, and each has its exact code path re-witnessed
-#       in-window this round: hard_negatives exercises the same broadcast
-#       cross-score + top-k window shape as knn_join, dedup_keep_best the
-#       same hash-group dedup shape as dedup_keep_first/doc_fingerprint) —
-#       all three rotate back r8; two further late-r7 additions,
-#       domain_filter (C4-style domain-reputation filtering) and
-#       mixture_weights (XLM-R temperature mixture), enter in place of
-#       text_stats and ngram_jaccard, which ride outside on the SAME
-#       bench+replica exemption as minhash/simhash (both benched in every
-#       BENCH_rN.json as text_tokens / ngram_jaccard, r5-green, replica-
-#       checked) and rotate back r8; and substring_dup_stats (Lee-et-al
-#       stride-1 duplicate-substring statistics) enters in place of
-#       semdedup_clusters, which rides outside on the same exemption
-#       (benched every round, r5-green, replica-checked, and its
-#       cluster-equi-key plan shape got a dedicated structural test this
-#       round) and rotates back r8; substring_scrub (the Lee-et-al
-#       REMOVAL accounting, interval-merged) enters in place of
-#       emb_near_dup_lsh (rows-only — its driver row records only a row
-#       count — benched every round, recall pytest-pinned, replica-
-#       checked; rotates back r8);
-#     - pack_sequences — its offset table is localCheckpoint-ed this round
-#       (cache-leak fix), the one r7 code change with a new physical plan;
+#   r7 (this window): 50 = 38 re-witnesses + 10 new + pack_sequences +
+#       the flagship.
+#     - 38 re-witnesses: the queries outside the r6 window (r5 rows of
+#       record; join_3way / knn_brute r4 — VERDICT r6 asked for exactly
+#       their re-windowing) MINUS the nine listed below;
+#     - 10 NEW this round, each earning its first driver row:
+#       multimodal_dims (oracle twin of the pixel pipeline),
+#       multimodal_audio (PCM16 tier, rows-only by contract), span_scrub
+#       (C4 duplicate-span removal + reconstruction), hard_negatives
+#       (DPR mining), bpe_merges (BPE merge induction), dedup_keep_best
+#       (quality-argmax representatives), domain_filter (domain-reputation
+#       gate), mixture_weights (XLM-R temperature mixture),
+#       substring_dup_stats + substring_scrub (Lee-et-al stride-1
+#       duplicate-substring statistics and removal accounting);
+#     - pack_sequences: its offset table is localCheckpoint-ed this round
+#       (cache-leak fix) — a changed physical plan needs re-witnessing;
 #     - the flagship (agg_groupby).
-#     collocations (PMI collocation extraction, oracle-backed) and
-#     multimodal_imgstats (image mean/std/histogram kernels, rows-only
-#     by contract) were built after the window filled; both are replica-
-#     checked this round and take their first driver rows r8.
-#     That fills 50 exactly. The other two r7 code touches ride outside on
-#     the replica: dedup_clusters (perf-only pre-loop materialization in
-#     connected_components, r6-green) and multimodal_frames (parameter
-#     defaults added to sample_frames, byte-identical behavior, r6 row).
+#     The nine displaced re-witnesses all ride outside on the exemption
+#     precedent (r5-green or better, replica-checked every round by
+#     scripts/check_correctness.py's full-value equality, and rotate back
+#     r8): minhash_pairs, simhash_pairs, ngram_jaccard, text_stats,
+#     semdedup_clusters, emb_near_dup_lsh — additionally benched in every
+#     BENCH_rN.json, so a regression surfaces there; knn_join,
+#     doc_fingerprint, dedup_keep_first — their exact code paths are
+#     re-witnessed in-window this round by the new entries
+#     (hard_negatives shares knn_join's broadcast cross-score + top-k
+#     shape; dedup_keep_best the hash-group dedup shape), and
+#     semdedup_clusters also gained a dedicated cluster-equi-key plan
+#     test this round.
+#     collocations (PMI collocations, oracle-backed) and
+#     multimodal_imgstats (image mean/std/histogram kernels, rows-only by
+#     contract) were built after the window filled; both are
+#     replica-checked this round and take their first driver rows r8.
+#     The other two r7 code touches ride outside on the replica:
+#     dedup_clusters (perf-only pre-loop materialization, r6-green) and
+#     multimodal_frames (parameter defaults only, byte-identical, r6 row).
 #   r8+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
