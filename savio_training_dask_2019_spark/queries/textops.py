@@ -112,6 +112,97 @@ SELECT doc_id, lang AS pred_lang FROM (
 """
 
 
+_BM25_TERMS = ("hash", "join", "window")  # deterministic fixture query
+_BM25_K1, _BM25_B = 1.2, 0.75  # the standard Okapi defaults
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson et al.; Lucene's non-negative IDF
+    variant ln(1 + (N-df+0.5)/(df+0.5))): top-10 documents for a fixed
+    query-term set — the lexical-retrieval surface a targeted
+    data-selection pass (find corpus docs matching an eval/benchmark
+    profile) or a dedup-forensics lookup runs at corpus scale.
+
+    Scale: the term filter lands BEFORE the tf aggregation, so the
+    exploded token stream collapses to query-term hits only (|terms| ≈
+    10¹, the stream shrinks by ~vocab/|terms|); df and the (N, avgdl)
+    corpus stats are O(|terms|) and O(1) aggregates joined back broadcast;
+    doc lengths ride a separate narrow scan (no explode) joined on doc_id.
+    Top-k is TakeOrdered. Scores round to 4 decimals with a doc_id
+    tie-break, so the cut is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(token_count("text")).alias("avgdl"),
+    )
+    # doc length rides the hit stream (constant per doc, part of the tf
+    # key) so no separate corpus-sized lengths join is needed; the tf
+    # table is checkpointed because BOTH the df branch and the scoring
+    # branch consume it — without that, each re-executes the explode scan
+    # (the scan-budget guard in test_plans.py exists for exactly this)
+    base = d.select("doc_id", tokens("text").alias("tk"))
+    hits = base.select(
+        "doc_id", F.size("tk").alias("dl"), F.explode("tk").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = (
+        hits.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+_BM25_SQL = f"""
+WITH lengths AS (SELECT doc_id, len({_DUCK_TOKENS}) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lengths),
+hits AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+  ) WHERE t IN {_BM25_TERMS_SQL}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, round(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({_BM25_K1} + 1))
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+       ), 4) AS bm25
+FROM tf
+JOIN dfreq USING (term)
+JOIN lengths USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 _COLLOC_MIN_COUNT = 5  # PMI is unstable on rare pairs — the standard floor
 
 
@@ -575,6 +666,7 @@ QUERIES = {
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
+    "bm25_search": q_bm25_search,
     "collocations": q_collocations,
     "wordcount": q_wordcount,
     "dedup_stats": q_dedup_stats,
@@ -595,6 +687,7 @@ ORACLE = {
     # rolling_fp: rows-only (engine-specific hash)
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
+    "bm25_search": _BM25_SQL,
     "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,
     "dedup_stats": _DEDUP_STATS_SQL,

@@ -202,3 +202,35 @@ def test_collocations_match_python_reference(spark, sf_dir):
         for r in textops.q_collocations(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_bm25_search_matches_python_reference(spark, sf_dir):
+    """Top-10 BM25 == a pure-Python Okapi implementation (Lucene IDF
+    variant, k1=1.2, b=0.75) over the same fixture corpus."""
+    import math
+    from collections import Counter
+
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    tf = {did: Counter(w for w in tk if w in textops._BM25_TERMS) for did, tk in docs.items()}
+    df = Counter(term for c in tf.values() for term in c)
+    k1, b = textops._BM25_K1, textops._BM25_B
+    scores = {}
+    for did, c in tf.items():
+        if not c:
+            continue
+        dl = len(docs[did])
+        s = sum(
+            math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            * (n * (k1 + 1))
+            / (n + k1 * (1 - b + b * dl / avgdl))
+            for t, n in c.items()
+        )
+        scores[did] = round(s, 4)
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["bm25"]) for r in textops.q_bm25_search(spark, sf_dir).collect()]
+    assert got == expected
