@@ -117,11 +117,12 @@ if _MISSING:
 #     shape; dedup_keep_best the hash-group dedup shape), and
 #     semdedup_clusters also gained a dedicated cluster-equi-key plan
 #     test this round.
-#     collocations (PMI collocations, oracle-backed), bm25_search (Okapi
-#     BM25 retrieval, oracle-backed), and multimodal_imgstats (image
-#     mean/std/histogram kernels, rows-only by contract) were built after
-#     the window filled; all three are replica-checked this round and
-#     take their first driver rows r8.
+#     collocations (PMI collocations), bm25_search (Okapi BM25
+#     retrieval), dsir_weights (DSIR importance weighting) — all
+#     oracle-backed — and multimodal_imgstats (image mean/std/histogram
+#     kernels, rows-only by contract) were built after the window filled;
+#     all four are replica-checked this round and take their first driver
+#     rows r8.
 #     The other two r7 code touches ride outside on the replica:
 #     dedup_clusters (perf-only pre-loop materialization, r6-green) and
 #     multimodal_frames (parameter defaults only, byte-identical, r6 row).

@@ -1034,6 +1034,98 @@ FROM scored GROUP BY lang
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for targeted data selection (Xie et
+    al. 2023, arXiv:2302.03169: select pretraining data whose distribution
+    matches a small target set by importance = log p_target(x) −
+    log p_source(x) under cheap n-gram models): fit one unigram LM on the
+    TARGET slice (the held-out-eval convention, ``doc_id % _EVAL_MOD ==
+    0``) and one on the SOURCE remainder, score every source doc's mean
+    per-token log ratio, and report the per-language selection profile —
+    docs, mean importance, how many docs score target-like (importance >
+    0), and the range. A production pass keeps the top-importance slice
+    as the matched pretraining subset.
+
+    Scale: three corpus reads total — the two fits (each ONE token-agg
+    shuffle onto a persisted vocab-sized count table, exactly
+    ``fit_unigram_lm``'s plan) plus ONE scoring pass: the source token
+    stream joins BOTH broadcast models in the same pass (left joins +
+    OOV floors), so the corpus is never tokenized per-model for scoring.
+    Per-doc importance is rounded to 4 decimals BEFORE the > 0 selection
+    test and the aggregates, so selection is engine-independent even for
+    docs near the boundary."""
+    from ..operators.lm import fit_unigram_lm
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    is_target = F.col("doc_id") % _EVAL_MOD == 0
+    target, source = d.where(is_target), d.where(~is_target)
+    m_t, tot_t = fit_unigram_lm(target, "text", top_k=_VOCAB_TOP_K)
+    m_s, tot_s = fit_unigram_lm(source, "text", top_k=_VOCAB_TOP_K)
+    tok = source.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+    per_doc = (
+        tok.join(F.broadcast(m_t.withColumnRenamed("nll_tok", "nll_t")), "token", "left")
+        .join(F.broadcast(m_s.withColumnRenamed("nll_tok", "nll_s")), "token", "left")
+        .crossJoin(F.broadcast(tot_t.withColumnRenamed("s", "s_t")))
+        .crossJoin(F.broadcast(tot_s.withColumnRenamed("s", "s_s")))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.coalesce("nll_s", F.ln("s_s")) - F.coalesce("nll_t", F.ln("s_t"))
+            ).alias("imp_tok"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("imp_tok"), 4).alias("imp"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("imp"), 4).alias("avg_imp"),
+            F.sum((F.col("imp") > 0).cast("long")).alias("n_selected"),
+            F.round(F.avg((F.col("imp") > 0).cast("double")), 4).alias("sel_rate"),
+            F.round(F.min("imp"), 4).alias("min_imp"),
+            F.round(F.max("imp"), 4).alias("max_imp"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DSIR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) > 0
+),
+tgt_tok AS (SELECT unnest(tk) AS token FROM t WHERE doc_id % {_EVAL_MOD} = 0),
+src AS (SELECT doc_id, lang, tk FROM t WHERE doc_id % {_EVAL_MOD} <> 0),
+src_tok AS (SELECT doc_id, lang, unnest(tk) AS token FROM src),
+counts_t AS (SELECT token, count(*) AS c FROM tgt_tok GROUP BY token),
+total_t AS (SELECT sum(c) AS s_t FROM counts_t),
+vocab_t AS (SELECT token, c FROM counts_t ORDER BY c DESC, token LIMIT {_VOCAB_TOP_K}),
+model_t AS (SELECT token, -ln(c / s_t) AS nll_t FROM vocab_t, total_t),
+counts_s AS (SELECT token, count(*) AS c FROM src_tok GROUP BY token),
+total_s AS (SELECT sum(c) AS s_s FROM counts_s),
+vocab_s AS (SELECT token, c FROM counts_s ORDER BY c DESC, token LIMIT {_VOCAB_TOP_K}),
+model_s AS (SELECT token, -ln(c / s_s) AS nll_s FROM vocab_s, total_s),
+per_doc AS (
+  SELECT doc_id, lang,
+         round(avg(coalesce(nll_s, ln(s_s)) - coalesce(nll_t, ln(s_t))), 4) AS imp
+  FROM src_tok
+  LEFT JOIN model_t USING (token)
+  LEFT JOIN model_s USING (token)
+  CROSS JOIN total_t CROSS JOIN total_s
+  GROUP BY doc_id, lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(imp), 4) AS avg_imp,
+       CAST(sum(CASE WHEN imp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       round(avg(CASE WHEN imp > 0 THEN 1.0 ELSE 0.0 END), 4) AS sel_rate,
+       round(min(imp), 4) AS min_imp,
+       round(max(imp), 4) AS max_imp
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 # --- bigram-LM quality score -------------------------------------------------
 
 _BIGRAM_TOP_K = 200_000  # model cap; fixture bigram vocab is far smaller
@@ -1736,6 +1828,7 @@ QUERIES = {
     "substring_scrub": q_substring_scrub,
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
+    "dsir_weights": q_dsir_weights,
     "bigram_logprob": q_bigram_logprob,
     "ccnet_bands": q_ccnet_bands,
     "norm_dedup_stats": q_norm_dedup_stats,
@@ -1762,6 +1855,7 @@ ORACLE = {
     "substring_scrub": _SUBSTRING_SCRUB_SQL,
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
+    "dsir_weights": _DSIR_SQL,
     "bigram_logprob": _BIGRAM_SQL,
     "ccnet_bands": _CCNET_BANDS_SQL,
     "norm_dedup_stats": _NORM_DEDUP_SQL,

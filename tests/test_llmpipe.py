@@ -558,3 +558,26 @@ def test_substring_scrub_matches_python_reference(spark, sf_dir):
     # sanity: removed <= total
     for v in got.values():
         assert 0 <= v[3] <= v[2]
+
+
+def test_dsir_weights_selection_properties(spark, sf_dir):
+    """Importance selection invariants: only source docs are scored (the
+    target slice never ranks itself), shares are consistent, and the
+    fixture produces BOTH selected and rejected docs (the >0 cut is
+    non-degenerate). Eval-convention parity with decontam: same
+    _EVAL_MOD slice plays the target."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = llmpipe.q_dsir_weights(spark, sf_dir).collect()
+    assert rows
+    d = load_table(spark, sf_dir, "documents")
+    n_source = d.where(F.col("doc_id") % llmpipe._EVAL_MOD != 0).count()
+    assert sum(r["n_docs"] for r in rows) == n_source
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+        assert abs(r["sel_rate"] - round(r["n_selected"] / r["n_docs"], 4)) < 1e-9
+        assert r["min_imp"] <= r["avg_imp"] <= r["max_imp"]
+    assert any(r["n_selected"] > 0 for r in rows)
+    assert any(r["n_selected"] < r["n_docs"] for r in rows)

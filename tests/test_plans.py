@@ -217,6 +217,8 @@ _BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage"}
 #                    corpus count (cheap columnar count scan)
 _MAX_PARQUET_SCANS = {
     "set_ops": 6,
+    # two-corpus LM fits (target + source) + one shared scoring pass
+    "dsir_weights": 3,
     "join_3way": 4,
     "semdedup_clusters": 4,
     "split_leakage": 3,
