@@ -62,6 +62,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     clean = decontaminate(docs.where(~is_eval), docs.where(is_eval))
     n_clean = clean.count()
 
+    # 1b. targeted selection: DSIR importance profile against the same
+    #     held-out slice (who in the corpus looks like the target?) — a
+    #     production run keeps the top-importance slice per language
+    dsir = llmpipe.q_dsir_weights(spark, sf_dir).collect()
+    print("DSIR selection profile (importance > 0 = target-like):")
+    for r in sorted(dsir, key=lambda r: r["lang"]):
+        print(f"  {r['lang']}: {r['n_selected']}/{r['n_docs']} selected "
+              f"(avg imp {r['avg_imp']:+.3f})")
+
     # 2. quality gate (per-language pass rates, then the surviving docs),
     #    with the three model-based quality profiles next to the rule gate:
     #    token entropy (repetition), unigram NLL (rare-token noise), and
