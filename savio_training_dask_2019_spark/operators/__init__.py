@@ -7,6 +7,7 @@ strategy is Catalyst's job; ours is expressing the logical plan well).
 
 from .asof import asof_join
 from .decontam import contamination_report, decontaminate
+from .bpe import bpe_train, word_frequency_table
 from .dedup import (
     connected_components,
     connected_components_star,
@@ -62,6 +63,8 @@ from .similarity import (
 from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
+    "bpe_train",
+    "word_frequency_table",
     "connected_components_star",
     "stratified_sample_exact",
     "stratified_sample_cropped",

@@ -120,9 +120,10 @@ if _MISSING:
 #     collocations (PMI collocations), bm25_search (Okapi BM25
 #     retrieval), dsir_weights (DSIR importance weighting) — all
 #     oracle-backed — and multimodal_imgstats (image mean/std/histogram
-#     kernels, rows-only by contract) were built after the window filled;
-#     all four are replica-checked this round and take their first driver
-#     rows r8.
+#     kernels, rows-only by contract) were built after the window filled,
+#     as was bpe_train_merges (the full iterative BPE trainer, rows-only
+#     by contract — k data-dependent rounds admit no SQL twin); all five
+#     are replica-checked this round and take their first driver rows r8.
 #     The other two r7 code touches ride outside on the replica:
 #     dedup_clusters (perf-only pre-loop materialization, r6-green) and
 #     multimodal_frames (parameter defaults only, byte-identical, r6 row).

@@ -572,6 +572,32 @@ FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30
 """
 
 
+_BPE_N_MERGES = 10
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training end-to-end (the full loop
+    ``q_bpe_merges`` only runs round one of): learn the first
+    ``_BPE_N_MERGES`` merges from the corpus word frequencies and return
+    the merge table in application order — (step, left, right, merged,
+    weight). Rows-only by contract: each round's transform depends on the
+    previous round's data-dependent argmax, so no single SQL expression
+    exists; the merge sequence is pinned by the differential pytest
+    against a pure-Python trainer (tests/test_bpe.py). Corpus touched
+    once; every round runs on the vocab-sized table — see operators/bpe.py."""
+    from ..operators.bpe import bpe_train, word_frequency_table
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _seg = bpe_train(word_frequency_table(d, "text"), n_merges=_BPE_N_MERGES)
+    rows = [
+        (i + 1, left, right, left + right, int(w))
+        for i, (left, right, w) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, merged string, weight bigint"
+    )
+
+
 # the pattern contains a single quote → doubled for the SQL string literal
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
@@ -662,6 +688,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
     "bpe_merges": q_bpe_merges,
+    "bpe_train_merges": q_bpe_train_merges,
     "token_entropy": q_token_entropy,
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
