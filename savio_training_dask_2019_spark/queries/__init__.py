@@ -46,7 +46,7 @@ if _MISSING:
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
 # dict insertion order decides which queries earn a driver-green row each
-# round.  ROTATION SCHEDULE (the catalog is 90 queries, the window 50, so no
+# round.  ROTATION SCHEDULE (the catalog is 112 queries at r7, the window 50, so no
 # single round can witness everything):
 #
 #   r2: first 50 of the natural module order        -> CORRECTNESS_r02.json
