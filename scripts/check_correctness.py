@@ -85,6 +85,16 @@ def main() -> int:
     failures: list[str] = []
 
     for name in names:
+        # per-query cache hygiene, mirroring bench.py: caches a query
+        # legitimately persists (LM counts, inverted indexes) must not leak
+        # into the next query's run — cached-plan reuse once masked a
+        # recompute bug (the r3 ngram_jaccard lesson), and fitted ANN
+        # indexes must not survive the clearCache that invalidates their
+        # persisted assignment
+        spark.catalog.clearCache()
+        from savio_training_dask_2019_spark.queries import vectorops
+
+        vectorops.invalidate_cached_indexes()
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
