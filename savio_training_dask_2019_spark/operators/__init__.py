@@ -8,6 +8,7 @@ strategy is Catalyst's job; ours is expressing the logical plan well).
 from .asof import asof_join
 from .decontam import contamination_report, decontaminate
 from .bpe import bpe_train, word_frequency_table
+from .packing import assign_bins, pack_block_for, pack_offsets
 from .dedup import (
     connected_components,
     connected_components_star,
@@ -65,6 +66,9 @@ from .skew import salted_agg, salted_join, with_salt
 __all__ = [
     "bpe_train",
     "word_frequency_table",
+    "pack_offsets",
+    "pack_block_for",
+    "assign_bins",
     "connected_components_star",
     "stratified_sample_exact",
     "stratified_sample_cropped",

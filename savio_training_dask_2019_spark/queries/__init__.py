@@ -121,9 +121,11 @@ if _MISSING:
 #     retrieval), dsir_weights (DSIR importance weighting) — all
 #     oracle-backed — and multimodal_imgstats (image mean/std/histogram
 #     kernels, rows-only by contract) were built after the window filled,
-#     as was bpe_train_merges (the full iterative BPE trainer, rows-only
-#     by contract — k data-dependent rounds admit no SQL twin); all five
-#     are replica-checked this round and take their first driver rows r8.
+#     as were bpe_train_merges (the full iterative BPE trainer, rows-only
+#     by contract — k data-dependent rounds admit no SQL twin) and
+#     pack_multimodal (interleaved text+image packing over the factored
+#     cascade operator, oracle-backed); all six are replica-checked this
+#     round and take their first driver rows r8.
 #     The other two r7 code touches ride outside on the replica:
 #     dedup_clusters (perf-only pre-loop materialization, r6-green) and
 #     multimodal_frames (parameter defaults only, byte-identical, r6 row).

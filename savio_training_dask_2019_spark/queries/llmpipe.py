@@ -190,16 +190,13 @@ _PACK_BLOCK: int | None = None
 
 
 def _pack_block_for(n_docs: int) -> int:
-    """Adaptive block size: ~ceil(n^(1/3)) floored at 2048, so small corpora
-    keep the single-super fast path and the three levels (blocks = n/B
-    distributed rows, supers = n/B² driver rows, windows <= B rows per
-    partition) all stay <= max(2048, ~n^(1/3)) rows at any n. The float
-    cube root is bumped until its cube covers n (exactness is irrelevant —
-    only the magnitude balance matters, and B never affects results)."""
-    b = max(2048, int(max(n_docs, 0) ** (1.0 / 3.0)))
-    while b * b * b < n_docs:
-        b += 1
-    return b
+    """Adaptive block size — delegates to operators.packing.pack_block_for
+    (the cascade itself was factored there in r7 so any cost column packs
+    the same way); kept as a module name because the adaptive-bounds test
+    and the docstring contract live here."""
+    from ..operators.packing import pack_block_for
+
+    return pack_block_for(n_docs)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,84 +206,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and token mass (docs straddling a boundary count toward their
     start bin).
 
-    The cumulative offset is computed as a three-level cascade with NO
-    unpartitioned window anywhere:
-
-    1. per-block token sums (block = doc_id DIV B; B is adaptive,
-       max(2048, ~n^(1/3)) via :func:`_pack_block_for`, or the
-       ``_PACK_BLOCK`` test override) — n/B rows, persisted so the prefix
-       job and the final query share one corpus scan;
-    2. per-super-block sums (super = block DIV B) — n/B² rows (~24k at
-       10¹¹ docs with B = 2048, and <= ~B rows at ANY n under adaptive
-       B), prefix-summed DRIVER-SIDE the way
-       ``RDD.zipWithIndex`` finishes its per-partition counts: an O(n/B²)
-       collect of longs replaces the single-partition WindowExec a naive
-       cascade ends with (which would move the same rows through one task
-       anyway, plus a shuffle);
-    3. intra-super block offsets — window *partitioned by super*, ≤B rows
-       per partition, plus the broadcast super-offset dim;
-    4. intra-block doc offsets — window *partitioned by block*, ≤B rows.
-
-    The block-offset table (n/B rows — ~48M at 10¹¹ docs, far past any
-    broadcast threshold) joins back to the corpus BY KEY with no broadcast
-    hint: AQE broadcasts it automatically when it is actually small and
-    shuffle-joins otherwise. Block size changes the physical plan only,
-    never the offsets.
+    The cumulative offset is the three-level cascade implemented in
+    :func:`operators.packing.pack_offsets` (per-block sums → driver-side
+    prefix over n/B² super-blocks, the zipWithIndex pattern → two windows
+    partitioned by super/block with ≤B rows each — NO unpartitioned window
+    anywhere; the full shape rationale lives on the operator). Adaptive
+    B = max(2048, ~n^(1/3)); the ``_PACK_BLOCK`` test override pins
+    block-size invariance of the offsets. The corpus row count for sizing
+    comes from the parquet metadata (cheap), not from executing the cost
+    lineage twice.
     """
+    from ..operators.packing import assign_bins, pack_offsets
+
     docs = load_table(spark, sf_dir, "documents")
-    # adaptive B needs n; a zero-column parquet count is metadata-cheap and
-    # the only extra action the adaptive path pays
-    block = _PACK_BLOCK if _PACK_BLOCK is not None else _pack_block_for(docs.count())
-    d = docs.select(
-        "doc_id",
-        F.expr(f"doc_id DIV {block}").alias("block"),
-        token_count("text").alias("n_tok"),
+    d = docs.select("doc_id", token_count("text").alias("n_tok"))
+    offs = pack_offsets(
+        d, "doc_id", "n_tok", block=_PACK_BLOCK, n_rows=docs.count()
     )
-    blocks = d.groupBy("block").agg(F.sum("n_tok").alias("block_tok")).persist()
-    supered = blocks.withColumn("super", F.expr(f"block DIV {block}"))
-    super_rows = (
-        supered.groupBy("super")
-        .agg(F.sum("block_tok").alias("super_tok"))
-        .orderBy("super")
-        .collect()
-    )
-    acc, prefix = 0, []
-    for r in super_rows:
-        prefix.append((r["super"], acc))
-        acc += r["super_tok"]
-    super_off = spark.createDataFrame(prefix or [(0, 0)], "super long, super_off long")
-    w_blocks = (
-        Window.partitionBy("super").orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # localCheckpoint the bounded offset table (n/B rows of two longs) and
-    # release the blocks cache NOW: without this, blocks.persist() outlived
-    # the call — one leaked n/B-row cache per invocation until
-    # clearCache(). The checkpoint blocks back the returned frame and are
-    # GC'd by the ContextCleaner once the caller drops it; the eager job
-    # reads the already-cached blocks, so no extra corpus scan is paid.
-    offsets = (
-        supered.join(F.broadcast(super_off), "super")
-        .select(
-            "block",
-            (
-                F.col("super_off") + F.coalesce(F.sum("block_tok").over(w_blocks), F.lit(0))
-            ).alias("block_off"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    blocks.unpersist()
-    w_intra = (
-        Window.partitionBy("block").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    placed = d.join(offsets, "block").select(
-        "n_tok",
-        (F.col("block_off") + F.coalesce(F.sum("n_tok").over(w_intra), F.lit(0))).alias("offset"),
-    )
-    return (
-        placed.select(F.floor(F.col("offset") / _PACK_BUDGET).alias("bin"), "n_tok")
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
-    )
+    return assign_bins(offs, "n_tok", _PACK_BUDGET)
 
 
 _PACK_SQL = f"""
@@ -300,6 +237,67 @@ c AS (
 SELECT CAST(floor(off / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
 FROM c GROUP BY bin
+"""
+
+
+_PATCH = 8  # image patch edge (pixels) — each patch costs one sequence slot
+
+
+def q_pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal sequence packing (the interleaved text+image pretraining
+    layout, Flamingo/LLaVA-style): each document's sequence cost is its
+    text tokens PLUS its image's patch count (``ceil(w/P)·ceil(h/P)``,
+    P=8, over the real raw8 dims from ``synthesize_raw_images`` — the
+    fixture stand-in for a decoder), laid end-to-end and cut every
+    ``_PACK_BUDGET`` slots. Exercises :func:`operators.packing.pack_offsets`
+    with a joined media+text cost — the media table joins the text table
+    BY id (the standard multimodal corpus layout: payloads and text live
+    in separate tables), and the cascade itself is cost-agnostic.
+
+    Oracle-able because the synthetic dims are closed-form in the utf8
+    byte length (the ``multimodal_dims`` equivalence, driver-green r7);
+    the Spark side still runs the REAL binary pipeline for its dims."""
+    from ..operators.multimodal import synthesize_raw_images
+    from ..operators.packing import assign_bins, pack_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_cost = docs.select("doc_id", token_count("text").alias("n_tok"))
+    dims = synthesize_raw_images(docs.select("doc_id", "text"), "text", "doc_id")
+    patches = (
+        F.ceil(F.col("width") / float(_PATCH)) * F.ceil(F.col("height") / float(_PATCH))
+    ).cast("bigint")
+    media_cost = dims.select(F.col("id").alias("doc_id"), patches.alias("n_patch"))
+    cost = text_cost.join(media_cost, "doc_id").select(
+        "doc_id", (F.col("n_tok") + F.col("n_patch")).alias("cost")
+    )
+    offs = pack_offsets(cost, "doc_id", "cost", block=_PACK_BLOCK, n_rows=docs.count())
+    return (
+        assign_bins(offs, "cost", _PACK_BUDGET)
+        .withColumnRenamed("bin_tokens", "bin_cost")
+        .orderBy("bin")
+    )
+
+
+_PACK_MM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok, strlen(text) AS b
+  FROM documents
+),
+c0 AS (
+  SELECT doc_id,
+         n_tok + CAST(ceil((16 + b % 17) / {_PATCH}.0)
+                      * ceil((12 + (b * 31) % 13) / {_PATCH}.0) AS BIGINT) AS cost
+  FROM t
+),
+c AS (
+  SELECT cost,
+         coalesce(sum(cost) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM c0
+)
+SELECT CAST(floor(off / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(cost) AS BIGINT) AS bin_cost
+FROM c GROUP BY bin ORDER BY bin
 """
 
 
@@ -1818,6 +1816,7 @@ QUERIES = {
     "decontam_check": q_decontam_check,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
+    "pack_multimodal": q_pack_multimodal,
     "mixture_sample": q_mixture_sample,
     "stratified_sample": q_stratified_sample,
     "dup_ngram_ratio": q_dup_ngram_ratio,
@@ -1845,6 +1844,7 @@ ORACLE = {
     "decontam_check": _DECONTAM_SQL,
     "gopher_quality": _GOPHER_SQL,
     "pack_sequences": _PACK_SQL,
+    "pack_multimodal": _PACK_MM_SQL,
     "mixture_sample": _MIXTURE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,

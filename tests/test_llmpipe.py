@@ -13,11 +13,14 @@ def _rows(df):
 
 
 def test_pack_sequences_block_size_invariant(spark, sf_dir, monkeypatch):
-    """The two-phase cumsum's block size is a physical-plan knob only: any
-    block size must yield identical (bin, n_docs, bin_tokens) rows."""
+    """The cascade's block size is a physical-plan knob only: any block
+    size must yield identical rows — for the text packing AND the
+    multimodal cost variant riding the same operator."""
     base = _rows(llmpipe.q_pack_sequences(spark, sf_dir))
+    base_mm = _rows(llmpipe.q_pack_multimodal(spark, sf_dir))
     monkeypatch.setattr(llmpipe, "_PACK_BLOCK", 7)
     assert _rows(llmpipe.q_pack_sequences(spark, sf_dir)) == base
+    assert _rows(llmpipe.q_pack_multimodal(spark, sf_dir)) == base_mm
     monkeypatch.setattr(llmpipe, "_PACK_BLOCK", 10_000)  # single block: plain cumsum
     assert _rows(llmpipe.q_pack_sequences(spark, sf_dir)) == base
 
@@ -69,6 +72,8 @@ def test_pack_sequences_leaves_no_cached_frame(spark, sf_dir):
     assert jsm.isEmpty()
     llmpipe.q_pack_sequences(spark, sf_dir).collect()
     assert jsm.isEmpty(), "q_pack_sequences leaked a Dataset-level cache"
+    llmpipe.q_pack_multimodal(spark, sf_dir).collect()
+    assert jsm.isEmpty(), "q_pack_multimodal leaked a Dataset-level cache"
 
 
 def test_decontam_excludes_eval_and_bounds(spark, sf_dir):
