@@ -322,3 +322,33 @@ def test_keep_best_by_hash_matches_python(rows, spark):
         first_id = min(m[0] for m in members)
         want[keep_id] = (len(members), keep_sc, first_id, keep_id != first_id)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    costs=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    block=st.sampled_from([2, 3, 2048]),
+    sparse=st.booleans(),
+)
+def test_pack_offsets_match_python_cumsum(costs, block, sparse, spark):
+    """The three-level cascade == a plain Python exclusive cumsum in id
+    order, for any block size, including SPARSE ids (id DIV B blocks may
+    be empty or ragged — the cascade must not assume dense ids)."""
+    from savio_training_dask_2019_spark.operators import pack_offsets
+
+    ids = [i * 7 + 3 for i in range(len(costs))] if sparse else list(range(len(costs)))
+    df = spark.createDataFrame(list(zip(ids, costs)), "doc_id long, cost long")
+    got = {
+        r["doc_id"]: r["offset"]
+        for r in pack_offsets(df, "doc_id", "cost", block=block).collect()
+    }
+    acc, want = 0, {}
+    for i, c in sorted(zip(ids, costs)):
+        want[i] = acc
+        acc += c
+    assert got == want
