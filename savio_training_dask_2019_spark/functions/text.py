@@ -51,7 +51,10 @@ def avg_word_len(text: Column | str) -> Column:
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     toks = tokens(text)
     hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
-    return hits.cast("double") / F.size(toks)
+    # greatest(.., 1) guard: a zero-token doc must yield 0.0 on BOTH engines
+    # (unguarded, Spark gives NULL but DuckDB's IEEE float division gives NaN,
+    # which would poison any avg() over the ratio). Oracle twins mirror this.
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -112,7 +112,20 @@ def substring_dup_removal(
     the map stage), then one id-partitioned window over ONLY the
     non-first occurrences (the duplicated tail, ≪ token stream) with O(1)
     running-max state. Ranges stay (start, end) pairs — no span_w×
-    position explosion."""
+    position explosion.
+
+    APPROXIMATION — hash-keyed duplicate identity: two windows are
+    "duplicates" when their 64-bit xxhash64 values collide, not when
+    their contents match. At the fixture/oracle scale (≤~10^6 windows)
+    a collision is ~2^-25-improbable, so this matches the string-keyed
+    exact-content oracle; at 100 TB (~10^12 windows) the birthday bound
+    (~2^32 windows for a 64-bit key) makes a few false duplicate marks
+    statistically certain. That is the standard Lee-et-al trade (removal
+    of a rare non-duplicate window is benign for corpus prep). Callers
+    needing an exact-match guarantee at that scale should widen the key —
+    e.g. ``F.unhex(F.md5(win))`` (128-bit, collision-free in practice)
+    at 2× shuffle-key bytes. The same trade applies to every hash-keyed
+    dedup in this module and to q_span_scrub/q_substring_dup_stats."""
     if span_w < 2:
         raise ValueError(f"span_w must be >= 2, got {span_w}")
     reserved = {"id", "n_tok", "pos", "h", "s", "e", "new_island", "island",

@@ -388,8 +388,9 @@ def audio_features(
     """Frame-level audio features over PCM16 payloads — the audio twin of
     :func:`resize_images`'s pixel kernel: per non-overlapping ``frame_len``-
     sample frame, RMS energy and zero-crossing rate, plus per-payload
-    totals. Real numpy (int32 accumulation so a full-scale frame cannot
-    overflow); one output row per payload with per-frame arrays, so the
+    totals. Real numpy (samples are widened to float64 before the square/
+    accumulate, so a full-scale int16 frame cannot overflow); one output
+    row per payload with per-frame arrays, so the
     1→1 shape keeps downstream joins trivial. A real feature extractor
     (MFCC, mel filterbank) replaces the two kernel lines and none of the
     plumbing."""

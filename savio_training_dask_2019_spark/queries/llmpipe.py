@@ -160,7 +160,7 @@ WITH s AS (
                    BETWEEN 3.0 AND 10.0
                AND CAST(len(list_filter(tk,
                      x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
-                   / len(tk) >= 0.05
+                   / greatest(len(tk), 1) >= 0.05
                AND (CASE WHEN len(tk) < 2 THEN 0.0
                     ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END) <= 0.10
               THEN 1 ELSE 0 END AS pass
@@ -637,7 +637,10 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload because reconstruction needs it back); the rebuild is one
     doc_id-keyed agg whose state is the doc's own surviving chunks (bounded
     by doc length, the same state any per-doc agg carries). Two shuffles
-    total, both on uniform keys."""
+    total, both on uniform keys. Duplicate identity is the 64-bit hash,
+    not chunk content — exact at fixture scale, birthday-bounded at
+    ~10^12 chunks; see ``operators.dedup.substring_dup_removal`` for the
+    documented trade and the 128-bit upgrade path."""
     d = (
         load_table_spread(spark, sf_dir, "documents")
         .select("doc_id", "lang", tokens("text").alias("tk"))
@@ -750,7 +753,10 @@ def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     A full production substring-REMOVER would keep window positions and
     merge overlapping dup windows into maximal spans per doc (a per-doc
     sort, bounded by doc length) — the reporting cut here shares all the
-    heavy stages with it."""
+    heavy stages with it. Duplicate identity is the 64-bit hash, not
+    window content — exact at fixture scale, birthday-bounded at ~10^12
+    windows; see ``operators.dedup.substring_dup_removal`` for the
+    documented trade and the 128-bit upgrade path."""
     d = (
         load_table_spread(spark, sf_dir, "documents")
         .select("doc_id", "lang", tokens("text").alias("tk"))
@@ -1396,7 +1402,7 @@ WITH per_src AS (
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
          avg(CAST(len(list_filter({_DUCK_TOKENS},
                x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
-             / len({_DUCK_TOKENS})) AS sr
+             / greatest(len({_DUCK_TOKENS}), 1)) AS sr
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, total_chars,

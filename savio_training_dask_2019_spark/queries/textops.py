@@ -76,7 +76,7 @@ SELECT doc_id,
              / len({_DUCK_TOKENS}), 4) AS avg_word_len,
        round(CAST(len(list_filter({_DUCK_TOKENS},
                x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
-             / len({_DUCK_TOKENS}), 4) AS stop_ratio,
+             / greatest(len({_DUCK_TOKENS}), 1), 4) AS stop_ratio,
        round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1), 4) AS punct_ratio
 FROM documents
