@@ -262,6 +262,113 @@ def ivf_knn(
     return ivf_query(index, query_vec, k=k, nprobe=nprobe)
 
 
+def _cell_sims(vec, cents):
+    """array<struct(s, negcid)> of rounded cosine vs every centroid.
+
+    ``negcid`` (= -cid) makes struct ordering break similarity ties toward
+    the SMALLEST centroid id under both ``array_max`` and descending sort —
+    the deterministic tie rule every oracle twin can replicate."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(cosine_similarity(vec, c["ce"]), 5).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+
+
+def cell_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF cell-join k-NN for a LARGE query set: exact top-``k`` within the
+    ``nprobe`` probed cells per query, with NEITHER fact side broadcast —
+    the corpus×corpus scale path :func:`brute_knn_join` (broadcast query
+    batch) and :func:`ivf_query` (one driver-side probe) cannot cover.
+
+    Mechanics: ``centroids`` (cid, ce double-vector — the model, O(nlist)
+    rows) is folded into ONE sorted array row and broadcast to both fact
+    sides; cell assignment is then a narrow per-row fold — corpus rows take
+    their argmax-cosine cell, query rows explode into their top-``nprobe``
+    cells (ties break to the smallest cid via the negcid struct trick).
+    Probes ⋈ corpus is a plain equi join ON THE CELL ID, hinted
+    ``shuffle_hash`` so Catalyst never broadcasts a fact side; scoring
+    happens only within probed cells (Σ|cell|·|probes(cell)| pairs, never
+    |Q|·|C|), and the per-query top-k window is the only other shuffle.
+
+    Scale levers: nlist is the join parallelism — at 1000 executors pick
+    nlist ≥ cores (the IVF sizing rule nlist ≈ √n gives this for free);
+    a skewed hot cell is an AQE skew-split case, same as any hot join key.
+    Returns (query_id, corpus_id, cosine round 5), top-k per query by
+    (cosine desc, corpus_id)."""
+    cent_arr = F.broadcast(
+        centroids.select(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("ce")))
+            ).alias("cents")
+        )
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
+        )
+        .crossJoin(cent_arr)
+        .withColumn("best", F.array_max(_cell_sims(F.col("cvec"), F.col("cents"))))
+        .select(
+            "corpus_id", "cvec", l2_norm(F.col("cvec")).alias("cn"),
+            (-F.col("best.negcid")).alias("cell"),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+        )
+        .crossJoin(cent_arr)
+        .withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_sims(F.col("qvec"), F.col("cents")))),
+                    1,
+                    nprobe,
+                )
+            ),
+        )
+        .select(
+            "query_id", "qvec", l2_norm(F.col("qvec")).alias("qn"),
+            (-F.col("probe.negcid")).alias("cell"),
+        )
+    )
+    pairs = q.join(c.hint("shuffle_hash"), "cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("corpus_id"))
+    # norms were computed once per side pre-join (each corpus row meets every
+    # probe in its cell); dot/(cn*qn) is cosine bit-for-bit
+    scored = pairs.select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("cn") * F.col("qn")), 5
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 class RPIndex:
     """A built sign-band random-projection index for ANN point lookups:
     fixed unit hyperplanes + the banded corpus (one packed long key per

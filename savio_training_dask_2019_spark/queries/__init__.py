@@ -46,8 +46,9 @@ if _MISSING:
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
 # dict insertion order decides which queries earn a driver-green row each
-# round.  ROTATION SCHEDULE (the catalog is 112 queries at r7, the window 50, so no
-# single round can witness everything):
+# round.  ROTATION SCHEDULE (the catalog is 115 queries at r8 — it was 113
+# at r7; the r7 comment's "112" was a miscount, ADVICE r7 — the window 50,
+# so no single round can witness everything):
 #
 #   r2: first 50 of the natural module order        -> CORRECTNESS_r02.json
 #   r3: the 33 never-witnessed + r3 additions       -> CORRECTNESS_r03.json
@@ -129,79 +130,110 @@ if _MISSING:
 #     The other two r7 code touches ride outside on the replica:
 #     dedup_clusters (perf-only pre-loop materialization, r6-green) and
 #     multimodal_frames (parameter defaults only, byte-identical, r6 row).
-#   r8+: same pattern — swap the representative slots; re-window anything
+#   r8 (this window): 50 = flagship + 6 first-rows + 9 stale re-witnesses
+#       + 3 changed-this-round + 2 new + 29 r6-record re-witnesses —
+#       exactly VERDICT r7's top-2 asks plus this round's own changes:
+#     - the 6 never-driver-witnessed queries take their first rows:
+#       bm25_search, collocations, dsir_weights, pack_multimodal
+#       (oracle-backed), bpe_train_merges, multimodal_imgstats (rows-only
+#       by contract);
+#     - the 9 rows-of-record-r5 exemption riders rotate back in:
+#       minhash_pairs, simhash_pairs, ngram_jaccard, text_stats,
+#       semdedup_clusters, emb_near_dup_lsh, knn_join, doc_fingerprint,
+#       dedup_keep_first;
+#     - 3 queries whose code/oracle changed this round (the zero-token
+#       stopword_ratio guard landed in query AND oracle): doc_quality,
+#       gopher_quality, domain_filter;
+#     - 2 NEW this round, each earning its first driver row: knn_cells
+#       (two-sided IVF cell join — neither fact side broadcast,
+#       oracle-checked) and dedup_within_lag (bounded-event-lag dedup, the
+#       batch-expressible twin of dropDuplicatesWithinWatermark semantics,
+#       oracle-checked — the streaming tier's first driver row);
+#     - 29 re-witnesses from the 46 non-forced queries whose rows of
+#       record are r6 (two rounds old at judging — the normal cadence).
+#     The 17 r6-record queries riding outside, by documented rationale:
+#     distinct_approx, json_extract, time_bucket, semi_join,
+#     decontam_check — benched in every BENCH_rN.json (a regression
+#     surfaces there) and replica-checked; rolling_fp, svd_embeddings,
+#     multimodal_resize, multimodal_frames, hll_sketch_union,
+#     kll_quantiles — rows-only by contract with differential/accuracy
+#     pytest pins (their driver row is only a row-count record);
+#     select_filter, derived_column, null_handling, sample_mod,
+#     sort_limit, cross_join — trivial relational shapes that are
+#     constituent pieces of nearly every in-window query.  The substring
+#     tier (span_scrub, substring_dup_stats, substring_scrub) got
+#     docstring-only edits this round — byte-identical plans, r7 rows
+#     stand.  Every r7-witnessed query rides its r7 row (one round old).
+#   r9+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
 #       (scripts/check_correctness.py, dtype-strict sorted-row equality —
 #       run over the whole catalog every round).
 #
-# Union of r2..r6 rows of record: every oracle-backed query has a driver-
+# Union of r2..r8 rows of record: every oracle-backed query has a driver-
 # green row, and every rows-only query has a driver row-count record; the
-# r7 window re-witnesses every row whose newest record predates r6.
+# r8 window re-witnesses every row whose newest record predates r6 and
+# closes the first-row gap to zero.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- NEW this round (needs its first driver row) ---
-    "multimodal_dims",
-    # --- code changed this round (new physical plan) ---
-    "pack_sequences",
-    # --- also NEW this round: the audio tier, C4-style span scrub, and the
-    # three late-r7 additions (hard negatives, BPE merges, keep-best) ---
-    "multimodal_audio",
-    "span_scrub",
-    "hard_negatives",
-    "bpe_merges",
-    "dedup_keep_best",
+    # --- first driver rows: the 6 built after the r7 window filled ---
+    "bm25_search",
+    "collocations",
+    "dsir_weights",
+    "pack_multimodal",
+    "bpe_train_merges",
+    "multimodal_imgstats",
+    # --- first driver rows: NEW this round ---
+    "knn_cells",
+    "dedup_within_lag",
+    # --- r5-stale exemption riders rotating back in (VERDICT r7 #2) ---
+    "minhash_pairs",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "text_stats",
+    "semdedup_clusters",
+    "emb_near_dup_lsh",
+    "knn_join",
+    "doc_fingerprint",
+    "dedup_keep_first",
+    # --- code/oracle changed this round (stopword_ratio zero guard) ---
+    "doc_quality",
+    "gopher_quality",
     "domain_filter",
-    "mixture_weights",
-    "substring_dup_stats",
-    "substring_scrub",
-    # --- the 47 outside the r6 window ---
-    # ordering / joins / aggs (§2.3/§2.4/§2.6) — incl. the two r4-aged reps
-    "topk",
-    "join_3way",
-    "knn_brute",
-    "agg_stats",
-    "nullsafe_join",
-    "grouping_sets",
-    "describe_summary",
-    "window_rank",
+    # --- 29 re-witnesses of r6-record rows ---
+    # relational / aggregation (§2.2/§2.4/§2.6)
+    "distinct",
+    "value_counts",
+    "set_ops",
+    "join_outer",
+    "anti_join",
+    "range_join",
+    "percentiles",
+    "corr_cov",
+    "cube_agg",
+    "lag_lead",
+    "rolling_avg",
+    "cumsum",
+    "ntile_percent",
+    "string_funcs",
     # timeseries / streaming twins (§2.5/§2.8)
-    "funnel_stages",
-    "session_window",
-    "asof_join",
-    # text analysis (§2.12)
-    "token_entropy",
-    "lang_id",
-    "doc_tfidf",
-    # dedup tiers (§2.12)
-    "emb_near_dup",
-    "dedup_incremental",
-    # vectors / ANN (§2.9)
-    "knn_lsh",
-    "knn_ivf",
-    "vector_stats",
-    "vector_arith",
-    # pythonic (§2.11)
-    "grouped_agg_pandas",
-    "apply_in_pandas",
-    "map_in_pandas",
-    "map_in_arrow",
-    "multimodal_meta",
-    "multimodal_decode",
-    "cogroup_stats",
-    "udtf_tokens",
-    "fanout_compute",
-    # corpus-prep (§2.12)
-    "dup_ngram_ratio",
-    "pii_redact",
-    "passage_dedup",
-    "shard_corpus",
-    "unigram_logprob",
-    "bigram_logprob",
-    "ccnet_bands",
-    "length_buckets",
-    "split_leakage",
+    "retention_daily",
+    "dt_accessors",
+    "tumbling_window",
+    "sliding_window",
+    "asof_tolerance",
+    "pivot_daily",
+    # text / corpus-prep (§2.10/§2.12)
+    "bpe_token_stats",
+    "wordcount",
+    "dedup_stats",
+    "dedup_clusters",
+    "pandas_udf_tokens",
+    "mixture_sample",
+    "stratified_sample",
+    "norm_dedup_stats",
+    "vocab_coverage",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

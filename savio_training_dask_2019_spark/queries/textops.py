@@ -584,7 +584,14 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous round's data-dependent argmax, so no single SQL expression
     exists; the merge sequence is pinned by the differential pytest
     against a pure-Python trainer (tests/test_bpe.py). Corpus touched
-    once; every round runs on the vocab-sized table — see operators/bpe.py."""
+    once; every round runs on the vocab-sized table — see operators/bpe.py.
+
+    Driver-window wall-time bound (measured r8, sf0.01): the 10-round loop
+    is ~2.3 s warm / ~10 s in a cold JVM — per-round cost is job-scheduling
+    latency on a vocab-sized (31-row fixture) table, not data volume, so
+    raising the fixture SF does not grow it. ``_BPE_N_MERGES`` is the
+    catalog's bound; the differential pytest pins the full loop
+    independently of this cap."""
     from ..operators.bpe import bpe_train, word_frequency_table
 
     d = load_table(spark, sf_dir, "documents")

@@ -127,6 +127,45 @@ FROM numbered GROUP BY user_id, sess_id
 """
 
 
+_DEBOUNCE_LAG_S = 1800  # 30 minutes
+
+
+def q_dedup_within_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-event-lag dedup — the batch-expressible, oracle-checkable
+    twin of the streaming tier's ``dedup_within_watermark``
+    (dropDuplicatesWithinWatermark): suppress an event when the previous
+    event with the same (user_id, event_type) lies within 30 minutes (the
+    double-fire/retransmit debounce). Returns the KEPT rows. Deterministic:
+    event-time order with event_id tie-break; the suppression state per key
+    is one timestamp — exactly the bounded state the streaming op keeps
+    under its watermark horizon (see streaming/windows.debounce for the
+    first-kept vs previous-observed semantic difference). One shuffle on
+    the dedup key, O(1) window state."""
+    from ..streaming.windows import debounce
+
+    e = load_table(spark, sf_dir, "events")
+    return debounce(
+        e.select("event_id", "user_id", "event_type", "ts"),
+        keys=("user_id", "event_type"),
+        ts="ts",
+        lag_seconds=_DEBOUNCE_LAG_S,
+        order_tiebreak="event_id",
+    )
+
+
+_DEDUP_WITHIN_LAG_SQL = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM lagged
+WHERE prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {_DEBOUNCE_LAG_S}
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (pandas merge_asof semantics, custom operator — Spark has no
     native asof): attach the latest prior click's value to every purchase of
@@ -321,6 +360,7 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
+    "dedup_within_lag": q_dedup_within_lag,
     "asof_join": q_asof_join,
     "asof_tolerance": q_asof_tolerance,
     "pivot_daily": q_pivot_daily,
@@ -334,6 +374,7 @@ ORACLE = {
     "tumbling_window": _TUMBLING_WINDOW_SQL,
     "sliding_window": _SLIDING_WINDOW_SQL,
     "session_window": _SESSION_WINDOW_SQL,
+    "dedup_within_lag": _DEDUP_WITHIN_LAG_SQL,
     "asof_join": _ASOF_JOIN_SQL,
     "asof_tolerance": _ASOF_TOLERANCE_SQL,
     "pivot_daily": _PIVOT_DAILY_SQL,

@@ -162,6 +162,84 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_query(index, qv, k=10, nprobe=8)
 
 
+_CELL_MOD = 31  # vec_id % 31 == 0 rows are the demo centroids (~n/31 cells)
+_CELL_QUERY_MOD = 50  # vec_id % 50 == 0 rows are the query set
+
+
+def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided IVF cell-join k-NN — the corpus×corpus scale path where
+    the query set is TOO BIG to broadcast (``knn_join``'s model) and too
+    numerous for per-query driver probes (``knn_ivf``'s model): probe rows
+    and corpus rows are both assigned to centroid cells by a narrow fold
+    over ONE broadcast centroid array, then joined cell ⋈ cell with a
+    shuffle_hash hint so neither fact side ever broadcasts (plan-pinned).
+    Exact within the probed cells, and fully oracle-checkable because the
+    demo centroids are a deterministic corpus subset (vec_id % 31 == 0)
+    rather than fitted k-means — the assignment replays in SQL. Top-3 per
+    query over nprobe=2 cells; see operators.similarity.cell_knn_join for
+    the 100 TB argument (nlist = join parallelism, hot cell = AQE skew
+    case)."""
+    from ..operators.similarity import cell_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
+    )
+    return cell_knn_join(
+        emb.where((F.col("vec_id") % _CELL_QUERY_MOD) == 0),
+        emb,
+        cents,
+        "embedding",
+        "vec_id",
+        k=3,
+        nprobe=2,
+        exclude_self=True,
+    )
+
+
+_KNN_CELLS_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, {_DD.format(col='embedding')} AS ce
+  FROM embeddings WHERE vec_id % {_CELL_MOD} = 0
+),
+scored_cells AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity({_DD.format(col='e.embedding')}, c.ce), 5) AS s,
+         c.cid
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scored_cells WHERE vec_id % {_CELL_QUERY_MOD} = 0
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS corpus_id,
+         round(list_cosine_similarity({_DD.format(col='q.embedding')},
+                                      {_DD.format(col='x.embedding')}), 5) AS cosine
+  FROM probes p
+  JOIN assigned a USING (cell)
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, corpus_id, cosine FROM (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dask.array-style grouped reductions over vectors: per-label count,
     mean L2 norm, mean first component."""
@@ -335,6 +413,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_cells": q_knn_cells,
     "vector_stats": q_vector_stats,
     "vector_arith": q_vector_arith,
     "emb_near_dup": q_emb_near_dup,
@@ -347,6 +426,7 @@ ORACLE = {
     "knn_join": _KNN_JOIN_SQL,
     "hard_negatives": _HARD_NEGATIVES_SQL,
     # knn_lsh: rows-only by design (engine-specific bucketing)
+    "knn_cells": _KNN_CELLS_SQL,
     "vector_stats": _VECTOR_STATS_SQL,
     "vector_arith": _VECTOR_ARITH_SQL,
     "emb_near_dup": _EMB_NEAR_DUP_SQL,
