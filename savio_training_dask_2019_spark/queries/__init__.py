@@ -141,17 +141,20 @@ if _MISSING:
 #       minhash_pairs, simhash_pairs, ngram_jaccard, text_stats,
 #       semdedup_clusters, emb_near_dup_lsh, knn_join, doc_fingerprint,
 #       dedup_keep_first;
-#     - 3 queries whose code/oracle changed this round (the zero-token
-#       stopword_ratio guard landed in query AND oracle): doc_quality,
-#       gopher_quality, domain_filter;
+#     - 4 queries whose code/oracle changed this round: doc_quality,
+#       gopher_quality, domain_filter (the zero-token stopword_ratio guard
+#       landed in query AND oracle) and substring_dup_stats (totals
+#       join-back rewritten to a deterministic doc_id-salted join after the
+#       r8 finding that AQE's skew-split cannot fire on the pipelined-agg
+#       join shape — tests/test_skew.py);
 #     - 2 NEW this round, each earning its first driver row: knn_cells
 #       (two-sided IVF cell join — neither fact side broadcast,
 #       oracle-checked) and dedup_within_lag (bounded-event-lag dedup, the
 #       batch-expressible twin of dropDuplicatesWithinWatermark semantics,
 #       oracle-checked — the streaming tier's first driver row);
-#     - 29 re-witnesses from the 46 non-forced queries whose rows of
+#     - 28 re-witnesses from the 46 non-forced queries whose rows of
 #       record are r6 (two rounds old at judging — the normal cadence).
-#     The 17 r6-record queries riding outside, by documented rationale:
+#     The 18 r6-record queries riding outside, by documented rationale:
 #     distinct_approx, json_extract, time_bucket, semi_join,
 #     decontam_check — benched in every BENCH_rN.json (a regression
 #     surfaces there) and replica-checked; rolling_fp, svd_embeddings,
@@ -159,11 +162,12 @@ if _MISSING:
 #     kll_quantiles — rows-only by contract with differential/accuracy
 #     pytest pins (their driver row is only a row-count record);
 #     select_filter, derived_column, null_handling, sample_mod,
-#     sort_limit, cross_join — trivial relational shapes that are
-#     constituent pieces of nearly every in-window query.  The substring
-#     tier (span_scrub, substring_dup_stats, substring_scrub) got
-#     docstring-only edits this round — byte-identical plans, r7 rows
-#     stand.  Every r7-witnessed query rides its r7 row (one round old).
+#     sort_limit, cross_join, cumsum — trivial relational/window shapes
+#     that are constituent pieces of (or covered by) in-window queries
+#     (cumsum's running-frame shape rides on rolling_avg + lag_lead).
+#     span_scrub and substring_scrub got docstring-only edits this round —
+#     byte-identical plans, r7 rows stand.  Every r7-witnessed query rides
+#     its r7 row (one round old).
 #   r9+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
@@ -197,10 +201,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "knn_join",
     "doc_fingerprint",
     "dedup_keep_first",
-    # --- code/oracle changed this round (stopword_ratio zero guard) ---
+    # --- code/oracle changed this round (stopword_ratio zero guard; the
+    # salted totals join-back for substring_dup_stats) ---
     "doc_quality",
     "gopher_quality",
     "domain_filter",
+    "substring_dup_stats",
     # --- 29 re-witnesses of r6-record rows ---
     # relational / aggregation (§2.2/§2.4/§2.6)
     "distinct",
@@ -214,7 +220,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "cube_agg",
     "lag_lead",
     "rolling_avg",
-    "cumsum",
     "ntile_percent",
     "string_funcs",
     # timeseries / streaming twins (§2.5/§2.8)

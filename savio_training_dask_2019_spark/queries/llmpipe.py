@@ -730,6 +730,7 @@ FROM rebuilt GROUP BY lang ORDER BY lang
 # --- exact duplicate-substring statistics (stride-1 windows) -----------------
 
 _SPAN_W = 8  # token-window length (production: ~50 BPE tokens per Lee et al.)
+_JOIN_SALTS = 16  # salt fan-out for hot-key join-backs (prod: >= executor count)
 
 
 def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,7 +750,9 @@ def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same order as the token stream a suffix array would sort;
     three shuffles: (hash, doc) pre-group, hash totals, totals join-back.
     Boilerplate hot keys (one span repeated 10⁸ times) are absorbed by
-    map-side combine in both groupBys; the join-back is AQE skew-split.
+    map-side combine in both groupBys; the join-back is SALTED on doc_id
+    (deterministic skew handling — AQE's skew-split provably cannot fire
+    on this plan shape, see the inline comment and tests/test_skew.py).
     A full production substring-REMOVER would keep window positions and
     merge overlapping dup windows into maximal spans per doc (a per-doc
     sort, bounded by doc length) — the reporting cut here shares all the
@@ -775,8 +778,24 @@ def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc_h = wins.groupBy("h", "doc_id", "lang").agg(F.count(F.lit(1)).alias("k"))
     totals = per_doc_h.groupBy("h").agg(F.sum("k").alias("tot"))
+    # SALTED join-back (boilerplate-proof): a span repeated in 10^8 docs is
+    # ONE hot h carrying 10^8 per-doc rows into this join. AQE's skew-split
+    # CANNOT save it here — the totals side is a HashAggregate already
+    # partitioned on h, pipelined into the join with no shuffle stage of its
+    # own, and OptimizeSkewedJoin needs both children to be re-readable
+    # shuffle stages (verified empirically r8: raw ⋈ agg-totals never
+    # splits, raw ⋈ table does — see tests/test_skew.py). So the skew
+    # handling is deterministic instead: the probe side salts on doc_id,
+    # the 1-row-per-key totals side explodes across all _JOIN_SALTS salts
+    # (tiny: S× a 16-byte row), and the hot key spreads over S partitions
+    # by construction. S is the scale lever (≥ executor count in prod).
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(_JOIN_SALTS)).cast("int")
+    salted_totals = totals.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1)))
+    )
     per_doc = (
-        per_doc_h.join(totals, "h")
+        per_doc_h.withColumn("salt", salt)
+        .join(salted_totals, ["h", "salt"])
         .groupBy("lang", "doc_id")
         .agg(
             F.sum("k").alias("nw"),
