@@ -139,8 +139,8 @@ def test_passage_dedup_single_chunk_shuffle(spark, sf_dir):
 
 # --- mechanical shape pins for every benched query --------------------------
 #
-# Three cheap structural ceilings per headline query so a comment/plan
-# divergence (like r4's unigram triple-scan) cannot land silently:
+# Five structural pins per headline query so a comment/plan divergence (like
+# r4's unigram triple-scan) cannot land silently:
 #   max_scans       — parquet scan operators in the static plan (a persisted
 #                     subtree counts its build scan once; ceilings, not
 #                     equalities, so cache-materialization state can't flake)
@@ -151,52 +151,71 @@ def test_passage_dedup_single_chunk_shuffle(spark, sf_dir):
 #   max_single_part — Exchange SinglePartition allowance. Non-zero ONLY for
 #                     scalar aggregates (1 row per upstream partition);
 #                     an unpartitioned Window/Sort would trip this.
-_HEADLINE_SHAPE: dict[str, tuple[int, int, int]] = {
-    #                      (max_scans, max_bnlj, max_single_part)
-    "agg_groupby": (1, 0, 0),
-    "join_3way": (4, 0, 0),
-    "window_rank": (1, 0, 0),
-    "topk": (1, 0, 0),
-    "distinct_approx": (1, 0, 1),  # scalar agg → one 1-row-per-part exchange
-    "json_extract": (1, 0, 0),
-    "time_bucket": (1, 0, 0),
-    "semi_join": (2, 0, 0),
-    "text_stats": (1, 0, 0),
-    "knn_brute": (1, 0, 0),
-    "knn_ivf": (1, 0, 0),
-    "ngram_jaccard": (2, 0, 0),
-    "minhash_pairs": (1, 0, 0),
-    "simhash_pairs": (1, 0, 0),
-    "emb_near_dup_lsh": (2, 0, 0),
-    "decontam_check": (2, 0, 0),
-    "passage_dedup": (1, 0, 0),
-    "unigram_logprob": (2, 2, 2),  # 2 × broadcast 1-row total; 2 scalar aggs
-    "bigram_logprob": (2, 1, 1),  # broadcast 1-row total; 1 scalar agg
-    "semdedup_clusters": (4, 0, 0),
+#   max_shuffles    — Exchange operators in the static plan (r8, VERDICT r7
+#                     #8: the PLANS.md inventory as a committed expectation,
+#                     not prose). Includes the toy-input spread exchanges,
+#                     so the ceiling == the designed count at test SF; a new
+#                     shuffle (the 100 TB cost unit) fails the sweep.
+#   bcast           — (min, max) BroadcastHashJoin count. min pins the
+#                     broadcasts the design REQUIRES (dimension tables, eval
+#                     shingle sets, fitted models); max catches a fact side
+#                     silently crossing the auto-broadcast threshold.
+_HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
+    #        (max_scans, max_bnlj, max_single_part, max_shuffles, (bcast_min, bcast_max))
+    "agg_groupby": (1, 0, 0, 1, (0, 0)),
+    "join_3way": (4, 0, 0, 3, (2, 2)),  # nation+customer broadcast; orders shuffle-hash by hint
+    "window_rank": (1, 0, 0, 1, (0, 0)),
+    "topk": (1, 0, 0, 0, (0, 0)),  # TakeOrdered: zero shuffles
+    "distinct_approx": (1, 0, 1, 1, (0, 0)),  # scalar agg → one 1-row-per-part exchange
+    "json_extract": (1, 0, 0, 1, (0, 0)),
+    "time_bucket": (1, 0, 0, 1, (0, 0)),
+    "semi_join": (2, 0, 0, 0, (1, 1)),  # broadcast semi join, no shuffle
+    "text_stats": (1, 0, 0, 1, (0, 0)),
+    "knn_brute": (1, 0, 0, 0, (0, 0)),  # narrow score + TakeOrdered
+    "knn_ivf": (1, 0, 0, 0, (0, 0)),  # pure probe of the cached index
+    "ngram_jaccard": (2, 0, 0, 4, (2, 2)),  # cached index; size tables broadcast
+    "minhash_pairs": (1, 0, 0, 1, (3, 3)),  # ids-only pair exchange; sig/band joins broadcast
+    "simhash_pairs": (1, 0, 0, 1, (1, 1)),
+    "emb_near_dup_lsh": (2, 0, 0, 2, (3, 3)),
+    "decontam_check": (2, 0, 0, 4, (1, 1)),  # eval shingles broadcast
+    "passage_dedup": (1, 0, 0, 3, (0, 0)),  # chunk-hash keep-first + agg
+    "unigram_logprob": (2, 2, 2, 7, (3, 3)),  # 2 × broadcast 1-row total; model broadcast
+    "bigram_logprob": (2, 1, 1, 7, (3, 3)),
+    "semdedup_clusters": (4, 0, 0, 4, (2, 2)),
 }
 
 
 def test_headline_plan_shapes_pinned(spark, sf_dir):
     """Every query in bench.py's HEADLINE set must stay inside its pinned
-    structural ceilings — scan count, nested-loop allowance, single-partition
-    exchange allowance. Fails loudly if bench.py grows a query this table
-    doesn't know about."""
+    structural expectations — scan/shuffle/nested-loop/single-partition
+    ceilings and the exact broadcast-join band. Fails loudly if bench.py
+    grows a query this table doesn't know about."""
     import bench
 
     assert set(bench.HEADLINE.values()) == set(_HEADLINE_SHAPE)
-    for qname, (max_scans, max_bnlj, max_single) in _HEADLINE_SHAPE.items():
+    for qname, (max_scans, max_bnlj, max_single, max_shuf, bcast) in (
+        _HEADLINE_SHAPE.items()
+    ):
+        # defined cache state per query (same contract as the bench loop)
+        spark.catalog.clearCache()
+        from savio_training_dask_2019_spark.queries import vectorops
+
+        vectorops.invalidate_cached_indexes()
         df = QUERIES[qname](spark, sf_dir)
         assert plans.scan_count(df) <= max_scans, f"{qname}: scans"
         assert plans.bnlj_count(df) <= max_bnlj, f"{qname}: nested-loop joins"
         assert (
             plans.single_partition_exchange_count(df) <= max_single
         ), f"{qname}: single-partition exchanges"
-        spark.catalog.clearCache()
-        # retire fitted ANN indexes with the blanket cache clear (same
-        # contract as the bench loop — see invalidate_cached_indexes)
-        from savio_training_dask_2019_spark.queries import vectorops
+        n_shuf = plans.shuffle_count(df)
+        assert n_shuf <= max_shuf, f"{qname}: {n_shuf} shuffles > {max_shuf}"
+        n_bcast = plans.broadcast_join_count(df)
+        lo, hi = bcast
+        assert lo <= n_bcast <= hi, f"{qname}: {n_bcast} broadcasts outside {bcast}"
+    spark.catalog.clearCache()
+    from savio_training_dask_2019_spark.queries import vectorops
 
-        vectorops.invalidate_cached_indexes()
+    vectorops.invalidate_cached_indexes()
 
 
 # Queries allowed to keep ONE unpartitioned Window, each with a documented
@@ -217,6 +236,11 @@ _BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage"}
 #                    corpus count (cheap columnar count scan)
 _MAX_PARQUET_SCANS = {
     "set_ops": 6,
+    # query side + corpus side + the centroid-model subtree, which the
+    # static plan prints under BOTH fact branches (physically built once —
+    # ReusedExchange on the broadcast, verified r8); at prod scale the
+    # centroids come from a separate model table anyway
+    "knn_cells": 4,
     # two-corpus LM fits (target + source) + one shared scoring pass
     "dsir_weights": 3,
     "join_3way": 4,
@@ -285,6 +309,24 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     # branch silently re-executing corpus lineage (the mixture_weights /
     # collocations bug class, fixed via localCheckpoint) fails here.
     assert not scan_offenders, f"parquet scan count over budget: {scan_offenders}"
+
+
+def test_knn_cells_no_fact_broadcast_shuffle_hash_on_cell(spark, sf_dir):
+    """The two-sided IVF cell join's contract: the ONLY broadcasts are the
+    1-row centroid-model array (BroadcastNestedLoopJoin Cross onto each fact
+    side); the probes ⋈ corpus join itself is a ShuffledHashJoin on the cell
+    id — neither fact side rides a BroadcastHashJoin, whatever its toy-scale
+    size, because at 100 TB neither side fits one."""
+    import re
+
+    df = QUERIES["knn_cells"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert re.search(r"Left keys \[1\]: \[cell#\d+L\]", plan), "join not keyed on cell"
+    # broadcast_join_count includes BNLJ: the only broadcasts allowed are the
+    # two 1-row centroid-model attaches (BNLJ Cross) — zero BroadcastHashJoin
+    assert plans.bnlj_count(df) == 2
+    assert plans.broadcast_join_count(df) == 2  # == bnlj: no BHJ on a fact side
 
 
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
