@@ -21,6 +21,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens as _tokens
 
+# Salt fan-out for hot-key join-backs whose build side is 1 row per key
+# (keep-first / totals lookups): the probe side salts on its id, the build
+# side explodes ×JOIN_SALTS, and a boilerplate hot key spreads across
+# JOIN_SALTS partitions BY CONSTRUCTION. Production guidance: >= executor
+# count. Kept deliberately deterministic — AQE's skew-split cannot fire on
+# agg-fed join shapes (verified empirically; tests/test_skew.py).
+JOIN_SALTS = 16
+
 
 def keep_first_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per distinct text (hash key).
@@ -107,12 +115,15 @@ def substring_dup_removal(
     (id, *keep_cols, n_tok, removed) — removed is exact even when
     thousands of overlapping windows cover one copied passage.
 
-    Scale: one hash-keyed ranking shuffle over the window stream (one row
-    per token position, 8-byte xxhash64 — the window string never leaves
-    the map stage), then one id-partitioned window over ONLY the
-    non-first occurrences (the duplicated tail, ≪ token stream) with O(1)
-    running-max state. Ranges stay (start, end) pairs — no span_w×
-    position explosion.
+    Scale: the global-first occurrence per window hash is a plain
+    min-aggregation over the window stream (one row per token position,
+    8-byte xxhash64 — the window string never leaves the map stage; map-
+    side combine absorbs boilerplate hot spans), tested back against the
+    stream via a SALTED join (build side is 1 row per h — no rank window,
+    so no hot-key single-task sort; see JOIN_SALTS). Then one
+    id-partitioned window over ONLY the non-first occurrences (the
+    duplicated tail, ≪ token stream) with O(1) running-max state. Ranges
+    stay (start, end) pairs — no span_w× position explosion.
 
     APPROXIMATION — hash-keyed duplicate identity: two windows are
     "duplicates" when their 64-bit xxhash64 values collide, not when
@@ -129,7 +140,7 @@ def substring_dup_removal(
     if span_w < 2:
         raise ValueError(f"span_w must be >= 2, got {span_w}")
     reserved = {"id", "n_tok", "pos", "h", "s", "e", "new_island", "island",
-                "span_len", "removed", "p0", "tk", "rn"}
+                "span_len", "removed", "p0", "tk", "rn", "p1", "salt"}
     clash = reserved & set(keep_cols)
     if clash:
         raise ValueError(f"keep_cols collide with internal columns: {sorted(clash)}")
@@ -149,10 +160,25 @@ def substring_dup_removal(
             )
         ).alias("p0", "h"),
     ).select("id", *keep_cols, "n_tok", (F.col("p0") + 1).alias("pos"), "h")
-    wr = Window.partitionBy("h").orderBy("id", "pos")
+    # Keep-first WITHOUT a rank window: a Window.partitionBy(h) would drag
+    # every occurrence of a boilerplate hot span (10^8 at corpus scale) into
+    # ONE sort task. Instead the global first occurrence per h is a plain
+    # min-of-(id,pos) aggregation — map-side combine absorbs the hot key —
+    # and the "is this the first?" test is a join-back. The join-back is
+    # SALTED on id for the same reason the stats query's totals join is:
+    # its build side is 1 row per h, so exploding it ×JOIN_SALTS is cheap,
+    # and AQE's skew-split cannot fire on an agg-fed join shape anyway
+    # (tests/test_skew.py).
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("p1")
+    )
+    salted_firsts = firsts.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1)))
+    )
     dup_occ = (
-        wins.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") >= 2)
+        wins.withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(JOIN_SALTS)).cast("int"))
+        .join(salted_firsts, ["h", "salt"])
+        .where(F.struct(F.col("id"), F.col("pos")) != F.col("p1"))
         .select(
             "id", *keep_cols, "n_tok",
             F.col("pos").alias("s"),

@@ -141,20 +141,22 @@ if _MISSING:
 #       minhash_pairs, simhash_pairs, ngram_jaccard, text_stats,
 #       semdedup_clusters, emb_near_dup_lsh, knn_join, doc_fingerprint,
 #       dedup_keep_first;
-#     - 4 queries whose code/oracle changed this round: doc_quality,
+#     - 6 queries whose code/oracle changed this round: doc_quality,
 #       gopher_quality, domain_filter (the zero-token stopword_ratio guard
-#       landed in query AND oracle) and substring_dup_stats (totals
-#       join-back rewritten to a deterministic doc_id-salted join after the
-#       r8 finding that AQE's skew-split cannot fire on the pipelined-agg
-#       join shape — tests/test_skew.py);
+#       landed in query AND oracle); substring_dup_stats (totals join-back
+#       rewritten to a deterministic doc_id-salted join after the r8
+#       finding that AQE's skew-split cannot fire on the pipelined-agg
+#       join shape — tests/test_skew.py); substring_scrub and span_scrub
+#       (keep-first rewritten from a hot-key rank window to min-agg +
+#       salted join-back — same boilerplate threat, same fix);
 #     - 2 NEW this round, each earning its first driver row: knn_cells
 #       (two-sided IVF cell join — neither fact side broadcast,
 #       oracle-checked) and dedup_within_lag (bounded-event-lag dedup, the
 #       batch-expressible twin of dropDuplicatesWithinWatermark semantics,
 #       oracle-checked — the streaming tier's first driver row);
-#     - 28 re-witnesses from the 46 non-forced queries whose rows of
+#     - 26 re-witnesses from the 46 non-forced queries whose rows of
 #       record are r6 (two rounds old at judging — the normal cadence).
-#     The 18 r6-record queries riding outside, by documented rationale:
+#     The 20 r6-record queries riding outside, by documented rationale:
 #     distinct_approx, json_extract, time_bucket, semi_join,
 #     decontam_check — benched in every BENCH_rN.json (a regression
 #     surfaces there) and replica-checked; rolling_fp, svd_embeddings,
@@ -162,12 +164,12 @@ if _MISSING:
 #     kll_quantiles — rows-only by contract with differential/accuracy
 #     pytest pins (their driver row is only a row-count record);
 #     select_filter, derived_column, null_handling, sample_mod,
-#     sort_limit, cross_join, cumsum — trivial relational/window shapes
-#     that are constituent pieces of (or covered by) in-window queries
-#     (cumsum's running-frame shape rides on rolling_avg + lag_lead).
-#     span_scrub and substring_scrub got docstring-only edits this round —
-#     byte-identical plans, r7 rows stand.  Every r7-witnessed query rides
-#     its r7 row (one round old).
+#     sort_limit, cross_join, cumsum, lag_lead, tumbling_window — trivial
+#     relational/window shapes that are constituent pieces of (or covered
+#     by) in-window queries (cumsum/lag_lead's frame shapes ride on
+#     rolling_avg + ntile_percent; tumbling_window is the special case of
+#     in-window sliding_window).  Every r7-witnessed query rides its r7
+#     row (one round old).
 #   r9+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
@@ -207,6 +209,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "gopher_quality",
     "domain_filter",
     "substring_dup_stats",
+    "substring_scrub",
+    "span_scrub",
     # --- 29 re-witnesses of r6-record rows ---
     # relational / aggregation (§2.2/§2.4/§2.6)
     "distinct",
@@ -218,14 +222,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "percentiles",
     "corr_cov",
     "cube_agg",
-    "lag_lead",
     "rolling_avg",
     "ntile_percent",
     "string_funcs",
     # timeseries / streaming twins (§2.5/§2.8)
     "retention_daily",
     "dt_accessors",
-    "tumbling_window",
     "sliding_window",
     "asof_tolerance",
     "pivot_daily",

@@ -632,15 +632,17 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language doc counts, how many docs survive fully intact, total
     surviving characters, and the scrubbed-token fraction.
 
-    Scale: chunking is codegen'd; keep-first ranks over the 8-byte
-    ``xxhash64(chunk)`` key (one shuffle — the chunk STRING rides as
-    payload because reconstruction needs it back); the rebuild is one
+    Scale: chunking is codegen'd; keep-first is a min-of-(doc_id, idx)
+    aggregation over the 8-byte ``xxhash64(chunk)`` key (map-side combine
+    absorbs hot boilerplate chunks) tested back via a SALTED join — no
+    rank window, so no hot-key single-task sort; the chunk STRING rides as
+    payload because reconstruction needs it back; the rebuild is one
     doc_id-keyed agg whose state is the doc's own surviving chunks (bounded
-    by doc length, the same state any per-doc agg carries). Two shuffles
-    total, both on uniform keys. Duplicate identity is the 64-bit hash,
-    not chunk content — exact at fixture scale, birthday-bounded at
-    ~10^12 chunks; see ``operators.dedup.substring_dup_removal`` for the
-    documented trade and the 128-bit upgrade path."""
+    by doc length, the same state any per-doc agg carries). Duplicate
+    identity is the 64-bit hash, not chunk content — exact at fixture
+    scale, birthday-bounded at ~10^12 chunks; see
+    ``operators.dedup.substring_dup_removal`` for the documented trade and
+    the 128-bit upgrade path."""
     d = (
         load_table_spread(spark, sf_dir, "documents")
         .select("doc_id", "lang", tokens("text").alias("tk"))
@@ -653,10 +655,28 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = d.select(
         "doc_id", "lang", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("h", F.xxhash64("chunk"))
+    # keep-first via min-aggregation + salted join-back, not a rank window:
+    # a Window.partitionBy(hash) would sort every occurrence of a hot
+    # boilerplate chunk in ONE task at corpus scale. The min-of-(doc_id,
+    # chunk_idx) groupBy is combiner-absorbed; the 1-row-per-hash firsts
+    # table explodes across the salts (operators.dedup.JOIN_SALTS — AQE's
+    # skew-split cannot fire on agg-fed joins, tests/test_skew.py).
+    firsts = ch.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("chunk_idx"))).alias("p1")
     )
-    w = Window.partitionBy(F.xxhash64("chunk")).orderBy("doc_id", "chunk_idx")
-    ranked = ch.select(
-        "doc_id", "lang", "chunk_idx", "chunk", (F.row_number().over(w) == 1).alias("keep")
+    salted_firsts = firsts.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1)))
+    )
+    ranked = (
+        ch.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(_JOIN_SALTS)).cast("int")
+        )
+        .join(salted_firsts, ["h", "salt"])
+        .select(
+            "doc_id", "lang", "chunk_idx", "chunk",
+            (F.struct(F.col("doc_id"), F.col("chunk_idx")) == F.col("p1")).alias("keep"),
+        )
     )
     rebuilt = (
         ranked.groupBy("doc_id", "lang")

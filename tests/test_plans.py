@@ -243,6 +243,10 @@ _MAX_PARQUET_SCANS = {
     "knn_cells": 4,
     # two-corpus LM fits (target + source) + one shared scoring pass
     "dsir_weights": 3,
+    # window-stream branch ×2 (keep-first min-agg side + salted probe side
+    # — recomputing the token stream beats materializing it; r8 keep-first
+    # refactor) + the per-language token-total denominator re-scan
+    "substring_scrub": 3,
     "join_3way": 4,
     "semdedup_clusters": 4,
     "split_leakage": 3,
