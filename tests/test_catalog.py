@@ -12,21 +12,21 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # new in r7 — need their first driver rows (multimodal_dims, span_scrub,
-    # hard_negatives, bpe_merges, and dedup_keep_best oracle-backed,
-    # multimodal_audio rows-only by contract)
-    "multimodal_dims", "multimodal_audio", "span_scrub",
-    "hard_negatives", "bpe_merges", "dedup_keep_best",
-    "domain_filter", "mixture_weights", "substring_dup_stats",
-    "substring_scrub",
-    # Spark plan changed r7 (offset table localCheckpoint-ed) — re-witness
-    "pack_sequences",
-    # rode outside the window r5 AND r6 on the benched+replica exemption;
-    # VERDICT r6 required their re-windowing (newest driver rows are r4)
-    "join_3way", "knn_brute",
-    # stalest rows outside the r6 window VERDICT r6 called out by name
-    "agg_stats", "nullsafe_join", "grouping_sets", "describe_summary",
-    "window_rank", "funnel_stages", "asof_join",
+    # never driver-witnessed (built after the r7 window filled) — first rows
+    "bm25_search", "collocations", "dsir_weights", "pack_multimodal",
+    "bpe_train_merges", "multimodal_imgstats",
+    # new in r8 — first rows
+    "knn_cells", "dedup_within_lag",
+    # rows of record r5 (rode outside r6+r7 on the exemption precedent);
+    # VERDICT r7 required their re-windowing by name
+    "minhash_pairs", "simhash_pairs", "ngram_jaccard", "text_stats",
+    "semdedup_clusters", "emb_near_dup_lsh", "knn_join", "doc_fingerprint",
+    "dedup_keep_first",
+    # Spark code / oracle changed r8 — re-witness: the zero-token
+    # stopword_ratio guard (first three) and the salted keep-first/totals
+    # join-backs in the substring tier (last three)
+    "doc_quality", "gopher_quality", "domain_filter",
+    "substring_dup_stats", "substring_scrub", "span_scrub",
 }
 
 

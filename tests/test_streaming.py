@@ -354,3 +354,46 @@ def test_incremental_ingest_watermark_bounded_state(spark, tmp_path):
     assert q.awaitTermination(120)
     admitted = sorted(r["doc_id"] for r in spark.table("ingested_wm").collect())
     assert admitted == [1, 4]
+
+
+def test_debounce_boundary_and_previous_observed_semantics(spark):
+    """The bounded-lag debounce keys suppression on the previous OBSERVED
+    same-key event (not the previous KEPT one — the documented difference
+    from dropDuplicatesWithinWatermark's first-kept model), and the lag
+    comparison is strict: a gap of exactly lag_seconds is still a
+    duplicate."""
+    from savio_training_dask_2019_spark.streaming.windows import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key A: 0s kept; +1800s exactly at the lag -> dropped (strict >);
+        # +1801s only 1s after the previous OBSERVED event -> dropped too,
+        # even though it is 1801s after the last KEPT event
+        (1, 7, "A", t0),
+        (2, 7, "A", t0 + dt.timedelta(seconds=1800)),
+        (3, 7, "A", t0 + dt.timedelta(seconds=1801)),
+        # key A, far later: kept again
+        (4, 7, "A", t0 + dt.timedelta(seconds=9000)),
+        # key B on the same user: independent state
+        (5, 7, "B", t0 + dt.timedelta(seconds=100)),
+        # same key A but a different user: independent state
+        (6, 8, "A", t0 + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = debounce(
+        df, keys=("user_id", "event_type"), ts="ts",
+        lag_seconds=1800, order_tiebreak="event_id",
+    )
+    assert sorted(r["event_id"] for r in kept.collect()) == [1, 4, 5, 6]
+    # exact-duplicate timestamps collapse to the lowest event_id
+    dup_rows = [(10, 1, "C", t0), (11, 1, "C", t0)]
+    dup = spark.createDataFrame(
+        dup_rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept_dup = debounce(
+        dup, keys=("user_id", "event_type"), ts="ts",
+        lag_seconds=1800, order_tiebreak="event_id",
+    )
+    assert [r["event_id"] for r in kept_dup.collect()] == [10]
