@@ -352,3 +352,119 @@ def test_pack_offsets_match_python_cumsum(costs, block, sparse, spark):
         want[i] = acc
         acc += c
     assert got == want
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user_id (small key space)
+        st.sampled_from(["a", "b"]),                # event_type
+        st.integers(min_value=0, max_value=4000),   # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_events, lag=st.sampled_from([60, 900]))
+def test_debounce_matches_python(evs, lag, spark):
+    """Operator == reference: per (user, type) in (ts, event_id) order, keep
+    a row iff the previous OBSERVED same-key row is more than lag seconds
+    older (strict)."""
+    import datetime as dt
+
+    from savio_training_dask_2019_spark.streaming.windows import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, e, t0 + dt.timedelta(seconds=s)) for i, (u, e, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = sorted(
+        r["event_id"]
+        for r in debounce(
+            df, keys=("user_id", "event_type"), ts="ts",
+            lag_seconds=lag, order_tiebreak="event_id",
+        ).collect()
+    )
+
+    want = []
+    prev: dict[tuple, dt.datetime] = {}
+    for eid, u, e, ts in sorted(rows, key=lambda r: (r[1], r[2], r[3], r[0])):
+        k = (u, e)
+        if k not in prev or (ts - prev[k]).total_seconds() > lag:
+            want.append(eid)
+        prev[k] = ts  # previous OBSERVED, kept or not
+    assert got == sorted(want)
+
+
+# Integer-component vectors: dot products and norms are exact in float64
+# regardless of summation order, so Spark's sequential fold, numpy, and
+# DuckDB agree bit-for-bit — the property can assert full equality.
+_vec_sets = st.lists(
+    st.lists(st.integers(min_value=-3, max_value=3), min_size=6, max_size=6),
+    min_size=8,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_vec_sets)
+def test_cell_knn_join_matches_python(vecs, spark):
+    """Operator == reference: cells = argmax rounded cosine vs centroid
+    (ties to smallest cid), probes take the top-nprobe cells, candidates
+    join within cells only, top-k per query by (cosine desc, corpus_id)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.similarity import cell_knn_join
+
+    vecs = [v if any(v) else [1] + v[1:] for v in vecs]  # no zero vectors
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent_ids = [i for i in range(len(vecs)) if i % 5 == 0]
+    query_ids = [i for i in range(len(vecs)) if i % 3 == 0]
+    cents = df.where(F.col("vec_id").isin(cent_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    got = {
+        (r["query_id"], r["corpus_id"], r["cosine"])
+        for r in cell_knn_join(
+            df.where(F.col("vec_id").isin(query_ids)), df, cents,
+            "embedding", "vec_id", k=2, nprobe=2, exclude_self=True,
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    def cell_of(v):
+        return min(cent_ids, key=lambda c: (-round(cos(v, vecs[c]), 5), c))
+
+    assigned = {i: cell_of(v) for i, v in enumerate(vecs)}
+    want = set()
+    for q in query_ids:
+        ranked = sorted(cent_ids, key=lambda c: (-round(cos(vecs[q], vecs[c]), 5), c))
+        probes = set(ranked[:2])
+        cands = [
+            c for c in range(len(vecs)) if c != q and assigned[c] in probes
+        ]
+        top = sorted(
+            cands, key=lambda c: (-round(cos(vecs[q], vecs[c]), 5), c)
+        )[:2]
+        want |= {(q, c, round(cos(vecs[q], vecs[c]), 5)) for c in top}
+    assert got == want
