@@ -24,6 +24,7 @@ from .dedup import (
     simhash,
     simhash_near_dup_pairs,
     substring_dup_removal,
+    substring_dup_scrub,
     word_shingles,
 )
 from .multimodal import (
@@ -99,6 +100,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "substring_dup_removal",
+    "substring_dup_scrub",
     "brute_knn",
     "brute_knn_join",
     "hard_negative_mining",

@@ -98,22 +98,23 @@ def keep_best_by_hash(
     )
 
 
-def substring_dup_removal(
+def _dup_span_islands(
     df: DataFrame,
     text_col: str,
     id_col: str,
     span_w: int = 8,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Stride-1 duplicate-substring removal accounting (Lee et al. 2021,
-    arXiv:2107.06499 §4.2: keep the globally FIRST occurrence of every
-    duplicated substring, remove the rest), at token-window granularity:
-    every non-first occurrence (global order: id, position) of a
-    ``span_w``-token window that appears ≥2 times anywhere marks its
+    """Shared core of stride-1 duplicate-substring removal (Lee et al.
+    2021, arXiv:2107.06499 §4.2: keep the globally FIRST occurrence of
+    every duplicated substring, remove the rest), at token-window
+    granularity: every non-first occurrence (global order: id, position)
+    of a ``span_w``-token window that appears ≥2 times anywhere marks its
     covered token range; overlapping ranges within a doc merge into
-    maximal spans via gaps-and-islands. Returns one row per TOUCHED doc:
-    (id, *keep_cols, n_tok, removed) — removed is exact even when
-    thousands of overlapping windows cover one copied passage.
+    maximal spans via gaps-and-islands. Returns the MERGED SPANS — one row
+    per (touched doc, island): (id, *keep_cols, n_tok, island, st, en) —
+    consumed by :func:`substring_dup_removal` (accounting) and
+    :func:`substring_dup_scrub` (document reconstruction).
 
     Scale: the global-first occurrence per window hash is a plain
     min-aggregation over the window stream (one row per token position,
@@ -190,11 +191,66 @@ def substring_dup_removal(
     islands = dup_occ.withColumn(
         "new_island", (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long")
     ).withColumn("island", F.sum("new_island").over(wd))
-    merged = islands.groupBy("id", *keep_cols, "n_tok", "island").agg(
-        (F.max("e") - F.min("s") + 1).alias("span_len")
+    return islands.groupBy("id", *keep_cols, "n_tok", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
     )
+
+
+def substring_dup_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_w: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Removal ACCOUNTING over :func:`_dup_span_islands` (full semantics and
+    scale argument there): one row per TOUCHED doc — (id, *keep_cols,
+    n_tok, removed), removed = Σ merged-span lengths, exact even when
+    thousands of overlapping windows cover one copied passage."""
+    merged = _dup_span_islands(df, text_col, id_col, span_w, keep_cols)
     return merged.groupBy("id", *keep_cols, "n_tok").agg(
-        F.sum("span_len").alias("removed")
+        F.sum(F.col("en") - F.col("st") + 1).alias("removed")
+    )
+
+
+def substring_dup_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_w: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The PRODUCTION output of Lee-et-al removal — the scrubbed documents
+    themselves, not just the accounting: one row per TOUCHED doc with
+    (id, *keep_cols, n_tok, removed, scrubbed_text), where scrubbed_text
+    is the document rebuilt from the tokens OUTSIDE every merged duplicate
+    span (a fully-duplicated doc comes back as the empty string).
+
+    Scale: the span pipeline is :func:`_dup_span_islands` (hot-span-proof:
+    min-agg keep-first + salted join-back, islands window over the
+    duplicated tail only); spans collapse to ONE row per touched doc
+    (collect_list state bounded by the doc's own island count ≤ n_tok/2),
+    the token arrays join back id-keyed, and the rebuild is a narrow
+    higher-order filter — position-indexed lambda against the doc's own
+    span array, no Python boundary, no extra shuffle beyond the id join."""
+    merged = _dup_span_islands(df, text_col, id_col, span_w, keep_cols)
+    spans = merged.groupBy("id", *keep_cols, "n_tok").agg(
+        F.sum(F.col("en") - F.col("st") + 1).alias("removed"),
+        F.collect_list(F.struct(F.col("st"), F.col("en"))).alias("spans"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("tk")
+    )
+    in_span = lambda sp, p: (p >= sp["st"]) & (p <= sp["en"])  # noqa: E731
+    kept = F.filter(
+        "tk", lambda t, i: ~F.exists("spans", lambda sp: in_span(sp, i + F.lit(1)))
+    )
+    return spans.join(toks, "id").select(
+        "id",
+        *keep_cols,
+        "n_tok",
+        "removed",
+        F.array_join(kept, " ").alias("scrubbed_text"),
     )
 
 

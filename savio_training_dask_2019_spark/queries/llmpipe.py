@@ -913,7 +913,11 @@ def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUBSTRING_SCRUB_SQL = f"""
+# Shared CTE pipeline (string-keyed twin of operators.dedup._dup_span_islands):
+# window stream -> keep-first duplicate occurrences -> gaps-and-islands merged
+# spans per doc. Consumed by the scrub (accounting) and rebuild (document
+# reconstruction) oracles below.
+_SUBSTRING_CTES = f"""
 WITH t AS (
   SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
   WHERE len({_DUCK_TOKENS}) >= {_SPAN_W}
@@ -948,13 +952,15 @@ isl2 AS (
   FROM isl
 ),
 merged AS (
-  SELECT doc_id, lang, n_tok, island, max(e) - min(st) + 1 AS span_len
+  SELECT doc_id, lang, n_tok, island, min(st) AS st, max(e) AS en
   FROM isl2 GROUP BY 1, 2, 3, 4
 ),
 per_doc AS (
-  SELECT doc_id, lang, n_tok, sum(span_len) AS removed
+  SELECT doc_id, lang, n_tok, CAST(sum(en - st + 1) AS BIGINT) AS removed
   FROM merged GROUP BY 1, 2, 3
-),
+)"""
+
+_SUBSTRING_SCRUB_SQL = _SUBSTRING_CTES + """,
 tot AS (
   SELECT lang, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS tokens_total
   FROM t GROUP BY lang
@@ -969,6 +975,45 @@ SELECT tot.lang, n_docs,
        coalesce(tokens_removed, 0) AS tokens_removed,
        round(CAST(coalesce(tokens_removed, 0) AS DOUBLE) / tokens_total, 4) AS removed_frac
 FROM tot LEFT JOIN rem ON tot.lang = rem.lang ORDER BY tot.lang
+"""
+
+
+def q_substring_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al removal's PRODUCTION output — the scrubbed documents
+    themselves: one row per touched doc with the text rebuilt from the
+    tokens outside every merged duplicate span (the step
+    :func:`q_substring_scrub` only accounts for; a fully-duplicated doc
+    comes back empty). Whole scrubbed strings are oracle-compared, so the
+    reconstruction — not just its token counts — is pinned cross-engine.
+    Core: ``operators.dedup.substring_dup_scrub`` (hot-span-proof keep-
+    first + salted join-back; the rebuild is a narrow position-indexed
+    higher-order filter against the doc's own span list — no Python
+    boundary, one id-keyed join beyond the accounting pipeline)."""
+    from ..operators.dedup import substring_dup_scrub
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    out = substring_dup_scrub(d, "text", "doc_id", span_w=_SPAN_W, keep_cols=("lang",))
+    return out.select(
+        F.col("id").alias("doc_id"), "lang", "n_tok", "removed", "scrubbed_text"
+    )
+
+
+_SUBSTRING_REBUILD_SQL = _SUBSTRING_CTES + """,
+pos AS (
+  SELECT t.doc_id, u.i, tk[u.i] AS tok
+  FROM t, unnest(range(1, len(tk) + 1)) AS u(i)
+  WHERE t.doc_id IN (SELECT doc_id FROM per_doc)
+),
+kept AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS scrubbed_text
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = p.doc_id AND p.i BETWEEN m.st AND m.en)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, d.lang, CAST(d.n_tok AS INTEGER) AS n_tok, d.removed,
+       coalesce(k.scrubbed_text, '') AS scrubbed_text
+FROM per_doc d LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -1870,6 +1915,7 @@ QUERIES = {
     "span_scrub": q_span_scrub,
     "substring_dup_stats": q_substring_dup_stats,
     "substring_scrub": q_substring_scrub,
+    "substring_rebuild": q_substring_rebuild,
     "shard_corpus": q_shard_corpus,
     "unigram_logprob": q_unigram_logprob,
     "dsir_weights": q_dsir_weights,
@@ -1898,6 +1944,7 @@ ORACLE = {
     "span_scrub": _SPAN_SCRUB_SQL,
     "substring_dup_stats": _SUBSTRING_DUP_SQL,
     "substring_scrub": _SUBSTRING_SCRUB_SQL,
+    "substring_rebuild": _SUBSTRING_REBUILD_SQL,
     "shard_corpus": _SHARD_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
     "dsir_weights": _DSIR_SQL,

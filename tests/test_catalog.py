@@ -16,7 +16,7 @@ MUST_BE_DRIVER_CHECKED = {
     "bm25_search", "collocations", "dsir_weights", "pack_multimodal",
     "bpe_train_merges", "multimodal_imgstats",
     # new in r8 — first rows
-    "knn_cells", "dedup_within_lag",
+    "knn_cells", "dedup_within_lag", "substring_rebuild",
     # rows of record r5 (rode outside r6+r7 on the exemption precedent);
     # VERDICT r7 required their re-windowing by name
     "minhash_pairs", "simhash_pairs", "ngram_jaccard", "text_stats",

@@ -247,6 +247,8 @@ _MAX_PARQUET_SCANS = {
     # — recomputing the token stream beats materializing it; r8 keep-first
     # refactor) + the per-language token-total denominator re-scan
     "substring_scrub": 3,
+    # same window-stream ×2 + the token-array branch the rebuild joins back
+    "substring_rebuild": 3,
     "join_3way": 4,
     "semdedup_clusters": 4,
     "split_leakage": 3,
