@@ -7,7 +7,7 @@ strategy is Catalyst's job; ours is expressing the logical plan well).
 
 from .asof import asof_join
 from .decontam import contamination_report, decontaminate
-from .bpe import bpe_train, word_frequency_table
+from .bpe import bpe_train, corpus_piece_stats, word_frequency_table
 from .packing import assign_bins, pack_block_for, pack_offsets
 from .dedup import (
     connected_components,
@@ -66,6 +66,7 @@ from .skew import salted_agg, salted_join, with_salt
 
 __all__ = [
     "bpe_train",
+    "corpus_piece_stats",
     "word_frequency_table",
     "pack_offsets",
     "pack_block_for",

@@ -110,3 +110,40 @@ def bpe_train(
         ).localCheckpoint(eager=True)
         del prev
     return merges, seg
+
+
+def corpus_piece_stats(
+    df: DataFrame, text_col: str, group_col: str, seg: DataFrame
+) -> DataFrame:
+    """Apply a trained segmentation to the corpus — the tokenizer-APPLY
+    step :func:`bpe_train` feeds: per ``group_col``, total words, total
+    BPE pieces, and pieces-per-word under the learned merges (the
+    compression-rate curve tokenizer sizing reads).
+
+    Scale: the corpus tokenizes once and pre-aggregates to (group, word)
+    — vocab-sized per group — BEFORE touching the vocab map, so the join
+    input is never the raw token stream; the (word → piece count) map is
+    model-sized and broadcasts. One shuffle for the pre-agg (map-side
+    combine absorbs Zipf-head words), one O(groups) final agg."""
+    pieces = seg.select("word", F.size("syms").alias("n_pieces"))
+    gw = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(_tokens(F.col(text_col))).alias("word"),
+        )
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return (
+        gw.join(F.broadcast(pieces), "word")
+        .groupBy("grp")
+        .agg(
+            F.sum("wc").cast("bigint").alias("total_words"),
+            F.sum(F.col("wc") * F.col("n_pieces")).cast("bigint").alias("total_pieces"),
+            F.round(
+                F.sum(F.col("wc") * F.col("n_pieces")) / F.sum("wc"), 4
+            ).alias("pieces_per_word"),
+        )
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )

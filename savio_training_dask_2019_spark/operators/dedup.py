@@ -26,7 +26,11 @@ from ..functions.text import tokens as _tokens
 # side explodes ×JOIN_SALTS, and a boilerplate hot key spreads across
 # JOIN_SALTS partitions BY CONSTRUCTION. Production guidance: >= executor
 # count. Kept deliberately deterministic — AQE's skew-split cannot fire on
-# agg-fed join shapes (verified empirically; tests/test_skew.py).
+# agg-fed join shapes (verified empirically; tests/test_skew.py). The
+# generic caller-facing surface of the same pattern is
+# ``operators.skew.salted_join``; the joins below inline it because their
+# probe side has a single known-good salt basis (the doc id) and the build
+# side is derived mid-pipeline.
 JOIN_SALTS = 16
 
 

@@ -46,7 +46,7 @@ if _MISSING:
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
 # dict insertion order decides which queries earn a driver-green row each
-# round.  ROTATION SCHEDULE (the catalog is 116 queries at r8 — it was 113
+# round.  ROTATION SCHEDULE (the catalog is 117 queries at r8 — it was 113
 # at r7; the r7 comment's "112" was a miscount, ADVICE r7 — the window 50,
 # so no single round can witness everything):
 #
@@ -131,7 +131,7 @@ if _MISSING:
 #     dedup_clusters (perf-only pre-loop materialization, r6-green) and
 #     multimodal_frames (parameter defaults only, byte-identical, r6 row).
 #   r8 (this window): 50 = flagship + 6 first-rows + 9 stale re-witnesses
-#       + 3 changed-this-round + 2 new + 29 r6-record re-witnesses —
+#       + 6 changed-this-round + 3 new + 25 r6-record re-witnesses —
 #       exactly VERDICT r7's top-2 asks plus this round's own changes:
 #     - the 6 never-driver-witnessed queries take their first rows:
 #       bm25_search, collocations, dsir_weights, pack_multimodal
@@ -173,6 +173,10 @@ if _MISSING:
 #     case of in-window sliding_window; distinct's dropDuplicates shape
 #     rides on dedup_stats + value_counts).  Every r7-witnessed query rides its r7
 #     row (one round old).
+#     bpe_apply (tokenizer application — per-language pieces-per-word
+#     under the learned merges, rows-only by contract with the train→apply
+#     path differentially pinned) was built after the r8 window filled and
+#     takes its first driver row r9 (the r7 precedent for late additions).
 #   r9+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica

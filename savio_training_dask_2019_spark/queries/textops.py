@@ -605,6 +605,23 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — segment the corpus under the merges
+    ``q_bpe_train_merges`` learns: per language, total words, total BPE
+    pieces, and pieces-per-word (the compression-rate curve that drives
+    vocab sizing). Rows-only by contract (the learned segmentation depends
+    on the k data-dependent training rounds, so no SQL twin exists); the
+    end-to-end train→apply path is differentially pinned against the
+    pure-Python trainer+apply in tests/test_bpe.py. Scale: see
+    operators/bpe.corpus_piece_stats — the corpus pre-aggregates to
+    (lang, word) before meeting the broadcast vocab map."""
+    from ..operators.bpe import bpe_train, corpus_piece_stats, word_frequency_table
+
+    d = load_table(spark, sf_dir, "documents")
+    _merges, seg = bpe_train(word_frequency_table(d, "text"), n_merges=_BPE_N_MERGES)
+    return corpus_piece_stats(d, "text", "lang", seg)
+
+
 # the pattern contains a single quote → doubled for the SQL string literal
 _BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
 
@@ -696,6 +713,7 @@ QUERIES = {
     "bpe_token_stats": q_bpe_token_stats,
     "bpe_merges": q_bpe_merges,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_apply": q_bpe_apply,
     "token_entropy": q_token_entropy,
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,

@@ -79,3 +79,36 @@ def test_bpe_train_merges_query_shape(spark, sf_dir):
     for r in rows:
         assert r["merged"] == r["left"] + r["right"]
         assert r["weight"] > 0
+
+
+def test_corpus_piece_stats_matches_python(spark):
+    """Train→apply end-to-end: per-group piece totals under the learned
+    merges must equal the pure-Python trainer + segmenter."""
+    from savio_training_dask_2019_spark.operators import corpus_piece_stats
+
+    rows = [
+        (0, "aba abab ab aba", "en"),
+        (1, "abab abab bb a", "en"),
+        (2, "ba bab aba abba", "fr"),
+        (3, "a b ab ba abab", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    wc = Counter(w for _, t, _ in rows for w in t.split())
+    _merges, seg = __import__(
+        "savio_training_dask_2019_spark.operators.bpe", fromlist=["bpe_train"]
+    ).bpe_train(word_frequency_table(df, "text"), n_merges=4)
+    got = {
+        r["lang"]: (r["total_words"], r["total_pieces"], r["pieces_per_word"])
+        for r in corpus_piece_stats(df, "text", "lang", seg).collect()
+    }
+
+    _pm, pseg = _py_train(dict(wc), 4)
+    want = {}
+    for _, t, lang in rows:
+        for w in t.split():
+            tw, tp = want.get(lang, (0, 0))
+            want[lang] = (tw + 1, tp + len(pseg[w][0]))
+    want = {
+        lang: (tw, tp, round(tp / tw, 4)) for lang, (tw, tp) in want.items()
+    }
+    assert got == want
