@@ -13,8 +13,11 @@ Note on ``transformWithStateInPandas`` (the newer typed-state API,
 ValueState/ListState/MapState + RocksDB): present in this PySpark build but
 its streaming Python driver worker requires the ``protobuf`` package, which
 is absent in this container (round 2: ``google.protobuf.descriptor`` import
-failed; round-5 re-probe 2026-08-13: the ``google`` package is still missing
-entirely). ``applyInPandasWithState`` below is the
+failed; round-5 re-probe 2026-08-13 and round-8 re-probe 2026-08-14: the
+``google`` package is still missing entirely, while the
+``StatefulProcessor`` API surface itself imports fine —
+the blocker is purely the wire-protocol dependency).
+``applyInPandasWithState`` below is the
 supported arbitrary-stateful path here; the TWS upgrade is mechanical once
 the dependency exists.
 """
