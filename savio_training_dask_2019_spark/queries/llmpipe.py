@@ -120,6 +120,58 @@ GROUP BY s.doc_id
 """
 
 
+def q_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination END-TO-END — the removal :func:`q_decontam_check`
+    only reports on: drop every training doc with ANY eval-set 5-gram
+    overlap (GPT-3's policy, ``operators.decontam.decontaminate`` with
+    ``max_contam_frac=0.0``) and summarize the SURVIVING corpus per
+    language (doc count + total chars — the post-hygiene token budget).
+    Same broadcast shapes as the report (eval shingles broadcast, flagged
+    ids broadcast into a left-anti join; the corpus never shuffles), so
+    the oracle pins the survivor set exactly."""
+    from ..operators.decontam import decontaminate
+
+    base = load_table_spread(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    survivors = decontaminate(
+        base.where(~is_eval), base.where(is_eval), "text", "doc_id",
+        n=_SHINGLE_N, max_contam_frac=0.0,
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DECONTAM_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+  WHERE len({_DUCK_TOKENS}) >= {_SHINGLE_N}
+),
+shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - {_SHINGLE_N - 2}),
+                                      i -> array_to_string(tk[i:i + {_SHINGLE_N - 1}], ' '))) AS shs
+  FROM t
+),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+  WHERE s.doc_id % {_EVAL_MOD} <> 0
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents d
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --- Gopher-style quality gate ----------------------------------------------
 
 
@@ -1904,6 +1956,7 @@ FROM d GROUP BY split
 
 QUERIES = {
     "decontam_check": q_decontam_check,
+    "decontam_scrub": q_decontam_scrub,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "pack_multimodal": q_pack_multimodal,
@@ -1933,6 +1986,7 @@ QUERIES = {
 
 ORACLE = {
     "decontam_check": _DECONTAM_SQL,
+    "decontam_scrub": _DECONTAM_SCRUB_SQL,
     "gopher_quality": _GOPHER_SQL,
     "pack_sequences": _PACK_SQL,
     "pack_multimodal": _PACK_MM_SQL,

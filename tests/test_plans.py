@@ -249,6 +249,9 @@ _MAX_PARQUET_SCANS = {
     "substring_scrub": 3,
     # same window-stream ×2 + the token-array branch the rebuild joins back
     "substring_rebuild": 3,
+    # train-side shingles + eval-side shingles (exchange-reused scan) + the
+    # survivor anti-join branch back onto the train frame
+    "decontam_scrub": 3,
     "join_3way": 4,
     "semdedup_clusters": 4,
     "split_leakage": 3,
