@@ -290,6 +290,31 @@ def test_unpartitioned_window_detector_is_not_vacuous(spark):
     assert plans.unpartitioned_window_count(mixed) >= 1
 
 
+# Catalog-wide BroadcastNestedLoopJoin budget (default 0 — BNLJ is the
+# O(n·m) fallback and a scale killer anywhere unplanned). Non-zero entries
+# are the documented bounded cases (r8 sweep): 1-row scalar totals or
+# model arrays attached by crossJoin, broadcast query/anchor batches whose
+# size is the operator's documented lever, and the two intentional
+# non-equi demos.
+_MAX_BNLJ = {
+    "bigram_logprob": 1,    # 1-row corpus total
+    "bm25_search": 1,       # 1-row corpus stats (N, avgdl)
+    "ccnet_bands": 2,       # 1-row total ×2 (unigram fit + band thresholds)
+    "collocations": 1,      # 1-row corpus totals
+    "cross_join": 1,        # the intentional 5×25-row cross-join demo
+    "doc_tfidf": 1,         # 1-row corpus doc count
+    "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
+    "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
+    "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
+    "knn_cells": 2,         # 1-row centroid-model array onto each fact side
+    "knn_join": 1,          # broadcast query batch (size = caller's lever)
+    "mixture_weights": 1,   # 1-row normalizer
+    "range_join": 1,        # intentional theta/range join demo
+    "unigram_logprob": 2,   # 1-row corpus total ×2 (model + scoring)
+    "vocab_coverage": 1,    # 1-row total token mass
+}
+
+
 def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     """Catalog-wide sweep: NO query may plan an unpartitioned Window (the
     all-rows-through-one-task scale killer) — not just the benched
@@ -301,6 +326,7 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
 
     offenders = {}
     scan_offenders = {}
+    bnlj_offenders = {}
     for qname, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
         n = plans.unpartitioned_window_count(df)
@@ -310,6 +336,9 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
         sc = plans.scan_count(df)
         if sc > _MAX_PARQUET_SCANS.get(qname, 2):
             scan_offenders[qname] = sc
+        nb = plans.bnlj_count(df)
+        if nb > _MAX_BNLJ.get(qname, 0):
+            bnlj_offenders[qname] = nb
         spark.catalog.clearCache()
         vectorops.invalidate_cached_indexes()
     assert not offenders, f"unpartitioned Window in: {offenders}"
@@ -318,6 +347,11 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     # branch silently re-executing corpus lineage (the mixture_weights /
     # collocations bug class, fixed via localCheckpoint) fails here.
     assert not scan_offenders, f"parquet scan count over budget: {scan_offenders}"
+    # r8: catalog-wide nested-loop budget — a BroadcastNestedLoopJoin outside
+    # the documented bounded cases (1-row scalar/model attaches, broadcast
+    # query batches, the two non-equi demos) is the O(n·m) fallback landing
+    # silently and fails here.
+    assert not bnlj_offenders, f"nested-loop joins over budget: {bnlj_offenders}"
 
 
 def test_knn_cells_no_fact_broadcast_shuffle_hash_on_cell(spark, sf_dir):
