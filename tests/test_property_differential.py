@@ -468,3 +468,44 @@ def test_cell_knn_join_matches_python(vecs, spark):
         )[:2]
         want |= {(q, c, round(cos(vecs[q], vecs[c]), 5)) for c in top}
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpora, span_w=st.sampled_from([2, 3]))
+def test_substring_dup_scrub_matches_python(texts, span_w, spark):
+    """The document RECONSTRUCTION must equal the reference: rebuild each
+    touched doc from the tokens outside its merged keep-first duplicate
+    spans (a fully-duplicated doc comes back empty)."""
+    from savio_training_dask_2019_spark.operators import substring_dup_scrub
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_tok"], r["removed"], r["scrubbed_text"])
+        for r in substring_dup_scrub(df, "text", "doc_id", span_w=span_w).collect()
+    }
+
+    first_seen: set[str] = set()
+    covered: dict[int, set] = {}
+    toks: dict[int, list] = {}
+    for did, text in sorted(enumerate(texts)):
+        tk = text.split()
+        if len(tk) < span_w:
+            continue
+        toks[did] = tk
+        for i in range(len(tk) - span_w + 1):
+            s = " ".join(tk[i : i + span_w])
+            if s in first_seen:
+                covered.setdefault(did, set()).update(range(i, i + span_w))
+            else:
+                first_seen.add(s)
+    want = {}
+    for did, cov in covered.items():
+        tk = toks[did]
+        kept = [t for i, t in enumerate(tk) if i not in cov]
+        want[did] = (len(tk), len(cov), " ".join(kept))
+    assert got == want
