@@ -315,6 +315,23 @@ _MAX_BNLJ = {
 }
 
 
+# Catalog-wide Exchange SinglePartition budget (default 0). A single-
+# partition exchange is safe ONLY below a scalar aggregate (its input is
+# one row per upstream partition); anywhere else it is the all-rows-
+# through-one-task funnel. The entries below are the documented scalar
+# cases (r8 sweep): corpus totals/counts, sketch merges, the 1-row
+# centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
+_MAX_SINGLE_PARTITION = {
+    "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
+    "collocations": 1, "corr_cov": 1, "dedup_stats": 1,
+    "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
+    "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
+    "hll_sketch_union": 1, "kll_quantiles": 1, "knn_cells": 2,
+    "mixture_weights": 1, "norm_dedup_stats": 1, "sample_mod": 1,
+    "unigram_logprob": 2, "vocab_coverage": 1,
+}
+
+
 def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     """Catalog-wide sweep: NO query may plan an unpartitioned Window (the
     all-rows-through-one-task scale killer) — not just the benched
@@ -327,6 +344,7 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     offenders = {}
     scan_offenders = {}
     bnlj_offenders = {}
+    sp_offenders = {}
     for qname, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
         n = plans.unpartitioned_window_count(df)
@@ -339,6 +357,9 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
         nb = plans.bnlj_count(df)
         if nb > _MAX_BNLJ.get(qname, 0):
             bnlj_offenders[qname] = nb
+        ns = plans.single_partition_exchange_count(df)
+        if ns > _MAX_SINGLE_PARTITION.get(qname, 0):
+            sp_offenders[qname] = ns
         spark.catalog.clearCache()
         vectorops.invalidate_cached_indexes()
     assert not offenders, f"unpartitioned Window in: {offenders}"
@@ -352,6 +373,9 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     # query batches, the two non-equi demos) is the O(n·m) fallback landing
     # silently and fails here.
     assert not bnlj_offenders, f"nested-loop joins over budget: {bnlj_offenders}"
+    # r8: catalog-wide single-partition-exchange budget — a global funnel
+    # outside the documented scalar aggregates fails here.
+    assert not sp_offenders, f"single-partition exchanges over budget: {sp_offenders}"
 
 
 def test_knn_cells_no_fact_broadcast_shuffle_hash_on_cell(spark, sf_dir):
