@@ -46,7 +46,7 @@ if _MISSING:
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
 # dict insertion order decides which queries earn a driver-green row each
-# round.  ROTATION SCHEDULE (the catalog is 118 queries at r8 — it was 113
+# round.  ROTATION SCHEDULE (the catalog is 119 queries at r8 — it was 113
 # at r7; the r7 comment's "112" was a miscount, ADVICE r7 — the window 50,
 # so no single round can witness everything):
 #
@@ -178,7 +178,9 @@ if _MISSING:
 #     path differentially pinned) and decontam_scrub (decontamination
 #     removal end-to-end — per-language survivor corpus, oracle-backed)
 #     were built after the r8 window filled and take their first driver
-#     rows r9 (the r7 precedent for late additions).
+#     rows r9 (the r7 precedent for late additions), as do
+#     substring_rebuild-era stragglers zipf_curve (Zipf rank-frequency
+#     diagnostic, oracle-backed).
 #   r9+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica

@@ -634,6 +634,55 @@ FROM documents GROUP BY lang
 """
 
 
+_ZIPF_TOP_K = 50
+
+
+def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve of the corpus vocabulary: the top-50
+    tokens by frequency with rank and log-log coordinates — the standard
+    corpus-statistics diagnostic behind vocab sizing and data-quality
+    sanity checks (natural text shows ln_freq ≈ -slope·ln_rank with slope
+    near 1; boilerplate-heavy or synthetic corpora flatten or step).
+
+    Scale: one token-count aggregation (map-side combine absorbs the Zipf
+    head itself), a TakeOrdered top-K cut — never a global sort — and a
+    ranking window over ≤ K rows (constant-bounded, the vocab_coverage
+    pattern, allowlisted in the catalog window sweep)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok")).limit(_ZIPF_TOP_K)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "tok",
+        "freq",
+        F.round(F.log(F.col("rank").cast("double")), 4).alias("ln_rank"),
+        F.round(F.log(F.col("freq").cast("double")), 4).alias("ln_freq"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+),
+top AS (
+  SELECT tok, freq,
+         row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM counts ORDER BY freq DESC, tok LIMIT {_ZIPF_TOP_K}
+)
+SELECT rank, tok, freq,
+       round(ln(CAST(rank AS DOUBLE)), 4) AS ln_rank,
+       round(ln(CAST(freq AS DOUBLE)), 4) AS ln_freq
+FROM top
+"""
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document token entropy (Shannon, natural log) per language:
     H(doc) = -Σ p(token) ln p(token) over the doc's OWN token distribution.
@@ -721,6 +770,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "collocations": q_collocations,
     "wordcount": q_wordcount,
+    "zipf_curve": q_zipf_curve,
     "dedup_stats": q_dedup_stats,
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,
@@ -742,6 +792,7 @@ ORACLE = {
     "bm25_search": _BM25_SQL,
     "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,
+    "zipf_curve": _ZIPF_SQL,
     "dedup_stats": _DEDUP_STATS_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,

@@ -222,7 +222,9 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
 # row bound that makes the single task safe at any corpus size:
 #   vocab_coverage — residual ranking window runs strictly above a
 #                    TakeOrdered cut, so it sees <= max(K) rows (constant).
-_BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage"}
+#   zipf_curve     — ranking window runs strictly above a TakeOrdered
+#                    top-K cut, so it sees <= _ZIPF_TOP_K rows (constant).
+_BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage", "zipf_curve"}
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
 # documented inherent reason — NOT a lineage-re-execution bug:
