@@ -262,8 +262,12 @@ def ivf_knn(
     return ivf_query(index, query_vec, k=k, nprobe=nprobe)
 
 
-def _cell_sims(vec, cents):
-    """array<struct(s, negcid)> of rounded cosine vs every centroid.
+def _cell_sims(vec, vn, cents):
+    """array<struct(s, negcid)> of rounded cosine vs every centroid, with
+    both norms PRECOMPUTED (``vn`` = the row's norm as a column computed
+    once, ``c.cn`` = each centroid's norm baked into the broadcast array)
+    — recomputing them inside the fold costs ~2× the assignment flops.
+    ``dot/(vn*cn)`` is cosine bit-for-bit.
 
     ``negcid`` (= -cid) makes struct ordering break similarity ties toward
     the SMALLEST centroid id under both ``array_max`` and descending sort —
@@ -271,7 +275,7 @@ def _cell_sims(vec, cents):
     return F.transform(
         cents,
         lambda c: F.struct(
-            F.round(cosine_similarity(vec, c["ce"]), 5).alias("s"),
+            F.round(dot(vec, c["ce"]) / (vn * c["cn"]), 5).alias("s"),
             (-c["cid"]).alias("negcid"),
         ),
     )
@@ -310,7 +314,9 @@ def cell_knn_join(
     cent_arr = F.broadcast(
         centroids.select(
             F.sort_array(
-                F.collect_list(F.struct(F.col("cid"), F.col("ce")))
+                F.collect_list(
+                    F.struct(F.col("cid"), F.col("ce"), l2_norm(F.col("ce")).alias("cn"))
+                )
             ).alias("cents")
         )
     )
@@ -318,32 +324,35 @@ def cell_knn_join(
         corpus.select(
             F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
         )
+        .withColumn("cn", l2_norm(F.col("cvec")))
         .crossJoin(cent_arr)
-        .withColumn("best", F.array_max(_cell_sims(F.col("cvec"), F.col("cents"))))
-        .select(
-            "corpus_id", "cvec", l2_norm(F.col("cvec")).alias("cn"),
-            (-F.col("best.negcid")).alias("cell"),
+        .withColumn(
+            "best",
+            F.array_max(_cell_sims(F.col("cvec"), F.col("cn"), F.col("cents"))),
         )
+        .select("corpus_id", "cvec", "cn", (-F.col("best.negcid")).alias("cell"))
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
         )
+        .withColumn("qn", l2_norm(F.col("qvec")))
         .crossJoin(cent_arr)
         .withColumn(
             "probe",
             F.explode(
                 F.slice(
-                    F.reverse(F.array_sort(_cell_sims(F.col("qvec"), F.col("cents")))),
+                    F.reverse(
+                        F.array_sort(
+                            _cell_sims(F.col("qvec"), F.col("qn"), F.col("cents"))
+                        )
+                    ),
                     1,
                     nprobe,
                 )
             ),
         )
-        .select(
-            "query_id", "qvec", l2_norm(F.col("qvec")).alias("qn"),
-            (-F.col("probe.negcid")).alias("cell"),
-        )
+        .select("query_id", "qvec", "qn", (-F.col("probe.negcid")).alias("cell"))
     )
     pairs = q.join(c.hint("shuffle_hash"), "cell")
     if exclude_self:
