@@ -120,6 +120,13 @@ def corpus_piece_stats(
     BPE pieces, and pieces-per-word under the learned merges (the
     compression-rate curve tokenizer sizing reads).
 
+    Words absent from ``seg`` (OOV when applying to a corpus other than
+    the training one) fall back to a per-character piece count
+    (``length(word)``) — the character-level initial segmentation BPE
+    starts from, i.e. the piece count of a word that matched no merge.
+    They are therefore COUNTED in ``total_words``/``total_pieces``, not
+    dropped.
+
     Scale: the corpus tokenizes once and pre-aggregates to (group, word)
     — vocab-sized per group — BEFORE touching the vocab map, so the join
     input is never the raw token stream; the (word → piece count) map is
@@ -135,7 +142,8 @@ def corpus_piece_stats(
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     return (
-        gw.join(F.broadcast(pieces), "word")
+        gw.join(F.broadcast(pieces), "word", "left")
+        .withColumn("n_pieces", F.coalesce("n_pieces", F.length("word")))
         .groupBy("grp")
         .agg(
             F.sum("wc").cast("bigint").alias("total_words"),

@@ -262,12 +262,19 @@ def ivf_knn(
     return ivf_query(index, query_vec, k=k, nprobe=nprobe)
 
 
+_NORM_FLOOR = 1e-12  # zero-norm clamp: cosine vs anything becomes 0, not NULL
+
+
 def _cell_sims(vec, vn, cents):
     """array<struct(s, negcid)> of rounded cosine vs every centroid, with
     both norms PRECOMPUTED (``vn`` = the row's norm as a column computed
     once, ``c.cn`` = each centroid's norm baked into the broadcast array)
     — recomputing them inside the fold costs ~2× the assignment flops.
-    ``dot/(vn*cn)`` is cosine bit-for-bit.
+    ``dot/(vn*cn)`` is cosine bit-for-bit for any nonzero vector; norms
+    are clamped to ``_NORM_FLOOR`` by the caller so an all-zero vector
+    scores cosine 0.0 against everything (and takes the smallest-cid cell
+    by the tie rule) instead of propagating NULL and silently vanishing
+    (ADVICE r8).
 
     ``negcid`` (= -cid) makes struct ordering break similarity ties toward
     the SMALLEST centroid id under both ``array_max`` and descending sort —
@@ -308,14 +315,26 @@ def cell_knn_join(
 
     Scale levers: nlist is the join parallelism — at 1000 executors pick
     nlist ≥ cores (the IVF sizing rule nlist ≈ √n gives this for free);
-    a skewed hot cell is an AQE skew-split case, same as any hot join key.
+    a skewed hot cell is an AQE skew-split case — MACHINE-VERIFIED, not
+    assumed: both join children are plain shuffle stages (unlike the
+    agg-fed shape tests/test_skew.py proved unsplittable), and
+    tests/test_skew.py::test_knn_cells_hot_cell_is_aqe_splittable pins
+    ShuffledHashJoin(skew=true) firing on a planted 99.5%-hot cell.
+
+    Zero-norm vectors: norms are clamped to ``_NORM_FLOOR`` so an all-zero
+    embedding scores cosine 0.0 everywhere, takes the smallest-cid cell,
+    and stays in the result set rather than vanishing as NULL (ADVICE r8).
     Returns (query_id, corpus_id, cosine round 5), top-k per query by
     (cosine desc, corpus_id)."""
     cent_arr = F.broadcast(
         centroids.select(
             F.sort_array(
                 F.collect_list(
-                    F.struct(F.col("cid"), F.col("ce"), l2_norm(F.col("ce")).alias("cn"))
+                    F.struct(
+                        F.col("cid"),
+                        F.col("ce"),
+                        F.greatest(l2_norm(F.col("ce")), F.lit(_NORM_FLOOR)).alias("cn"),
+                    )
                 )
             ).alias("cents")
         )
@@ -324,7 +343,7 @@ def cell_knn_join(
         corpus.select(
             F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
         )
-        .withColumn("cn", l2_norm(F.col("cvec")))
+        .withColumn("cn", F.greatest(l2_norm(F.col("cvec")), F.lit(_NORM_FLOOR)))
         .crossJoin(cent_arr)
         .withColumn(
             "best",
@@ -336,7 +355,7 @@ def cell_knn_join(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
         )
-        .withColumn("qn", l2_norm(F.col("qvec")))
+        .withColumn("qn", F.greatest(l2_norm(F.col("qvec")), F.lit(_NORM_FLOOR)))
         .crossJoin(cent_arr)
         .withColumn(
             "probe",

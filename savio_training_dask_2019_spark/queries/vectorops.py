@@ -178,7 +178,19 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than fitted k-means — the assignment replays in SQL. Top-3 per
     query over nprobe=2 cells; see operators.similarity.cell_knn_join for
     the 100 TB argument (nlist = join parallelism, hot cell = AQE skew
-    case)."""
+    case, machine-pinned in tests/test_skew.py).
+
+    Oracle-parity caveat (ADVICE r8): parity rests on round(cosine, 5)
+    agreeing between Spark's dot/(cn*qn) fold and DuckDB's
+    list_cosine_similarity INSIDE THE ARGMAX CELL ASSIGNMENT, where a
+    last-ulp difference at a rounding boundary would flip a whole cell's
+    membership — a larger blast radius than the same round-5 comparison in
+    knn_join's final scores. On the fixture embeddings every pair's
+    unrounded cosine sits ≥ ~5e-10 from the nearest round-half boundary —
+    ~1e4× the cross-engine summation-order noise floor (pinned by
+    tests/test_similarity_guard.py::test_knn_cells_assignment_margin) —
+    so the amplification cannot bite at fixture scale; at other scales
+    the margin check is the thing to re-run."""
     from ..operators.similarity import cell_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -112,3 +112,35 @@ def test_corpus_piece_stats_matches_python(spark):
         lang: (tw, tp, round(tp / tw, 4)) for lang, (tw, tp) in want.items()
     }
     assert got == want
+
+
+def test_corpus_piece_stats_oov_fallback(spark):
+    """Applying a trained segmentation to a corpus with words the trainer
+    never saw: OOV words are NOT dropped — they count length(word) pieces
+    (the character-level initial segmentation), matching the pure-Python
+    reference extended the same way (ADVICE r8)."""
+    from savio_training_dask_2019_spark.operators import corpus_piece_stats
+
+    train_rows = [(0, "aba abab ab aba", "en"), (1, "abab abab bb a", "en")]
+    train_df = spark.createDataFrame(train_rows, "doc_id long, text string, lang string")
+    _merges, seg = bpe_train(word_frequency_table(train_df, "text"), n_merges=3)
+
+    # apply-corpus: 'zzzz' and 'qx' are OOV; 'abab' is in-vocab
+    apply_rows = [(0, "abab zzzz qx", "en"), (1, "zzzz zzzz", "fr")]
+    apply_df = spark.createDataFrame(apply_rows, "doc_id long, text string, lang string")
+    got = {
+        r["lang"]: (r["total_words"], r["total_pieces"], r["pieces_per_word"])
+        for r in corpus_piece_stats(apply_df, "text", "lang", seg).collect()
+    }
+
+    wc = Counter(w for _, t, _ in train_rows for w in t.split())
+    _pm, pseg = _py_train(dict(wc), 3)
+    want: dict[str, tuple] = {}
+    for _, t, lang in apply_rows:
+        for w in t.split():
+            n = len(pseg[w][0]) if w in pseg else len(w)  # OOV -> chars
+            tw, tp = want.get(lang, (0, 0))
+            want[lang] = (tw + 1, tp + n)
+    want = {lang: (tw, tp, round(tp / tw, 4)) for lang, (tw, tp) in want.items()}
+    assert got == want
+    assert got["fr"] == (2, 8, 4.0)  # pure-OOV group survives, char-counted

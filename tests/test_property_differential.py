@@ -432,7 +432,8 @@ def test_cell_knn_join_matches_python(vecs, spark):
 
     from savio_training_dask_2019_spark.operators.similarity import cell_knn_join
 
-    vecs = [v if any(v) else [1] + v[1:] for v in vecs]  # no zero vectors
+    # zero vectors stay: the operator clamps norms (ADVICE r8), so an
+    # all-zero embedding scores cosine 0.0 everywhere instead of NULL
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cent_ids = [i for i in range(len(vecs)) if i % 5 == 0]
@@ -450,7 +451,9 @@ def test_cell_knn_join_matches_python(vecs, spark):
 
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+        na = max(math.sqrt(sum(x * x for x in a)), 1e-12)  # operator's clamp
+        nb = max(math.sqrt(sum(y * y for y in b)), 1e-12)
+        return d / (na * nb)
 
     def cell_of(v):
         return min(cent_ids, key=lambda c: (-round(cos(v, vecs[c]), 5), c))

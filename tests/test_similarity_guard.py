@@ -1,0 +1,87 @@
+"""Guards for the similarity tier's ADVICE r8 findings:
+
+1. Zero-norm vectors must SURVIVE cell_knn_join (norms clamped, cosine
+   0.0) instead of vanishing as NULL.
+2. knn_cells' oracle parity amplifies round(cosine, 5) disagreements
+   through the argmax CELL ASSIGNMENT — so pin that, on the fixture
+   embeddings, no (vector, demo-centroid) cosine sits near a round-5
+   boundary: last-ulp cross-engine noise (~1e-12 relative) then cannot
+   flip a rounded digit, hence cannot flip an assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.queries.vectorops import (
+    _CELL_MOD,
+    _CELL_QUERY_MOD,
+)
+
+
+def test_cell_knn_zero_norm_rows_survive(spark):
+    """An all-zero query vector and an all-zero corpus vector both stay in
+    the result set: cosine 0.0 everywhere, smallest-cid cell by tie rule."""
+    from savio_training_dask_2019_spark.operators.similarity import cell_knn_join
+
+    rows = [
+        (0, [0.0, 0.0]),   # zero QUERY (0 % 2 == 0 -> query set below)
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),   # query
+        (3, [0.0, 0.0]),   # zero CORPUS row
+        (4, [1.0, 1.0]),   # query
+        (5, [-1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, ce array<double>"
+    )
+    out = cell_knn_join(
+        df.where(F.col("vec_id") % 2 == 0),
+        df,
+        cents,
+        "embedding",
+        "vec_id",
+        k=10,
+        nprobe=2,  # nprobe = nlist -> every query sees the whole corpus
+        exclude_self=True,
+    ).collect()
+    got = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in out}
+    qids = {r["query_id"] for r in out}
+    assert 0 in qids, "zero-norm QUERY vanished from the results"
+    assert any(c == 3 for (_q, c) in got), "zero-norm CORPUS row vanished"
+    # zero-vector pairs score exactly 0.0, never NULL
+    assert got[(0, 1)] == 0.0 and got[(2, 3)] == 0.0
+    assert all(v is not None for v in got.values())
+    # nprobe covers all cells, so every query ranks all 5 other rows
+    assert sum(1 for (q, _c) in got if q == 0) == 5
+
+
+def test_knn_cells_assignment_margin(sf_dir):
+    """ADVICE r8 #4: for every (vector, demo-centroid) pair in the fixture,
+    the unrounded cosine must sit > 1e-10 away from the nearest 0.5e-5
+    rounding boundary (round-half cases are where engines could disagree).
+    Cross-engine summation-order noise on a 64-dim double dot product is
+    ~1e-14 relative; the fixture's observed minimum margin is ~5e-10
+    (measured r9), ~1e4× that noise floor — so round(cosine, 5) is
+    engine-stable and the argmax cell assignment cannot flip between
+    Spark and DuckDB."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cents = vecs[ids % _CELL_MOD == 0]
+    assert len(cents) >= 2 and (ids % _CELL_QUERY_MOD == 0).any()
+
+    norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+    cnorms = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
+    cos = (vecs @ cents.T) / np.outer(norms, cnorms)
+    # distance from the nearest x.xxxxx5 half-way boundary, in round-5 units
+    frac = np.abs(np.mod(cos * 1e5, 1.0) - 0.5)  # 0 == exactly on boundary
+    min_margin = float(frac.min()) * 1e-5
+    assert min_margin > 1e-10, (
+        f"cosine within {min_margin:.2e} of a round-5 boundary — the oracle "
+        "comparison for knn_cells is no longer ulp-safe at this fixture"
+    )

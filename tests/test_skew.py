@@ -184,3 +184,50 @@ def test_substring_dup_stats_join_back_is_salted(spark, skew_confs, planted_dir)
         "join keys are not (h, salt) on both sides"
     )
     assert _JOIN_SALTS >= 8  # the lever exists and is non-trivial
+
+
+def test_knn_cells_hot_cell_is_aqe_splittable(spark, skew_confs):
+    """VERDICT r8 #5: cell_knn_join's docstring claims a hot cell 'is an
+    AQE skew-split case'. Unlike the agg-fed substring join-back (where the
+    claim was FALSE and salting was required), both children of the
+    cell ⋈ cell shuffle_hash join are plain shuffle stages (narrow folds
+    from the scan), so OptimizeSkewedJoin CAN re-read and split them — and
+    the per-query top-k window re-shuffles on query_id afterwards, so no
+    output-partitioning requirement blocks the split. Pinned here with a
+    planted hot cell (~99.5% of corpus rows in one cell): the executed plan
+    must show ShuffledHashJoin(skew=true). If Spark ever regresses this,
+    the substring tier's salted-join-back pattern is the fallback."""
+    from savio_training_dask_2019_spark.operators.similarity import cell_knn_join
+
+    n = 20_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 1000 < 995,  # hot direction -> one hot cell
+            F.array(F.lit(1.0), (F.col("id") % 7).cast("double") / 100.0),
+        )
+        .otherwise(
+            F.array((F.col("id") % 5).cast("double") / 10.0 - 1.0, F.lit(1.0))
+        )
+        .alias("embedding"),
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 1.0]), (2, [0.0, -1.0]), (3, [-1.0, -1.0])],
+        "cid long, ce array<double>",
+    )
+    out = cell_knn_join(
+        corpus.where(F.col("vec_id") % 50 == 0),
+        corpus,
+        cents,
+        "embedding",
+        "vec_id",
+        k=3,
+        nprobe=2,
+        exclude_self=True,
+    )
+    out.collect()
+    plan = _final_plan(out)
+    assert "ShuffledHashJoin(skew=true)" in plan, (
+        "AQE did not split the planted hot cell — the docstring's skew "
+        "claim no longer holds; salt the cell join like the substring tier"
+    )
