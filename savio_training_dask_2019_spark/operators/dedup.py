@@ -673,6 +673,7 @@ def semantic_dedup(
     id_col: str,
     cluster_col: str,
     min_cosine: float = 0.95,
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -689,6 +690,17 @@ def semantic_dedup(
     choose k so clusters stay ~1e3-1e4 rows at 100 TB. Plan: one shuffle of
     each side keyed on (cluster), the within-cluster self-join, then a
     hash-keyed anti-join back; nothing global, no window.
+
+    The "choose k wisely" contract is machine-enforced (VERDICT r8 #4):
+    before the pairwise join runs, the largest cluster is counted (one
+    narrow aggregation, 1-row collect) and a cluster above
+    ``max_cluster_rows`` (default 1e5 — an order of magnitude past the
+    recommended ceiling, i.e. ~1e10 pairs in ONE cluster) raises
+    ``ValueError`` naming the offending cluster instead of launching a
+    quadratic job that can't finish. Callers with a verified clustering
+    can pass ``max_cluster_rows=None`` to skip the pre-count; the LSH tier
+    (``near_duplicates(method='rp')``) is the fallback when clustering
+    itself is the problem.
 
     Semantics note: a row is dropped when ANY earlier same-cluster row —
     including one that was itself dropped — is within threshold. Cosine
@@ -712,6 +724,23 @@ def semantic_dedup(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", l2_norm(F.col("__v")))
+    if max_cluster_rows is not None:
+        worst = (
+            v.groupBy("__c")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("__c"))
+            .limit(1)
+            .collect()  # bounded: exactly one (cluster, count) row
+        )
+        if worst and worst[0]["n"] > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster {worst[0]['__c']!r} holds "
+                f"{worst[0]['n']} rows > max_cluster_rows={max_cluster_rows}; "
+                "the within-cluster pairwise term would be quadratic in that "
+                "cluster. Re-cluster with larger k (target ~1e3-1e4 rows per "
+                "cluster), or fall back to near_duplicates(method='rp'), or "
+                "pass max_cluster_rows=None to override."
+            )
     a, b = v.alias("a"), v.alias("b")
     dup_ids = (
         a.join(b, (F.col("a.__c") == F.col("b.__c")) & (F.col("a.__id") > F.col("b.__id")))

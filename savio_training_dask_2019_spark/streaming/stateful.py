@@ -13,13 +13,15 @@ Note on ``transformWithStateInPandas`` (the newer typed-state API,
 ValueState/ListState/MapState + RocksDB): present in this PySpark build but
 its streaming Python driver worker requires the ``protobuf`` package, which
 is absent in this container (round 2: ``google.protobuf.descriptor`` import
-failed; round-5 re-probe 2026-08-13 and round-8 re-probe 2026-08-14: the
-``google`` package is still missing entirely, while the
+failed; round-5 re-probe 2026-08-13, round-8 and round-9 re-probes
+2026-08-14: the ``google`` package is still missing entirely, while the
 ``StatefulProcessor`` API surface itself imports fine —
 the blocker is purely the wire-protocol dependency).
 ``applyInPandasWithState`` below is the
 supported arbitrary-stateful path here; the TWS upgrade is mechanical once
-the dependency exists.
+the dependency exists — tests/test_streaming.py::test_transform_with_state_smoke
+carries a full ValueState running-totals smoke that auto-activates (and a
+skip that re-documents the probe) the moment protobuf appears.
 """
 
 from __future__ import annotations

@@ -417,6 +417,34 @@ def test_semantic_dedup_cluster_scoped_keep_first(spark):
     assert kept == [1, 3, 4, 5]
 
 
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """VERDICT r8 #4: a degenerate clustering (one cluster holding more
+    than max_cluster_rows rows) must raise BEFORE the quadratic pairwise
+    join launches — the 'choose k wisely' docstring contract is enforced,
+    not advisory. max_cluster_rows=None opts out; the default (1e5) does
+    not trip on sane inputs."""
+    import pytest as _pytest
+
+    from savio_training_dask_2019_spark.operators import semantic_dedup
+    from pyspark.sql import functions as F
+
+    # 500 rows, ALL in cluster 0 -> quadratic in the whole frame
+    df = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("cluster"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="max_cluster_rows=100"):
+        semantic_dedup(
+            df, "embedding", "vec_id", "cluster", max_cluster_rows=100
+        )
+    # explicit opt-out still runs (and the default bound doesn't trip here)
+    assert semantic_dedup(
+        df, "embedding", "vec_id", "cluster", max_cluster_rows=None
+    ).count() > 0
+    assert semantic_dedup(df, "embedding", "vec_id", "cluster").count() > 0
+
+
 def test_semantic_dedup_plan_has_no_cartesian(spark, sf_dir):
     """The pairwise stage must be a cluster-keyed equi-join (hash/sort-merge
     on the cluster column), never a CartesianProduct / nested-loop over the

@@ -397,3 +397,89 @@ def test_debounce_boundary_and_previous_observed_semantics(spark):
         lag_seconds=1800, order_tiebreak="event_id",
     )
     assert [r["event_id"] for r in kept_dup.collect()] == [10]
+
+
+_HAS_PROTOBUF = __import__("importlib.util", fromlist=["util"]).find_spec(
+    "google"
+) is not None and __import__("importlib.util", fromlist=["util"]).find_spec(
+    "google.protobuf"
+) is not None
+
+
+def test_transform_with_state_smoke(spark, tmp_path):
+    """transformWithStateInPandas (SURVEY §2.8 stretch — the typed-state
+    ValueState API): per-key running count/sum across two micro-batches,
+    RocksDB state store. The streaming Python worker speaks a protobuf wire
+    protocol; the ``protobuf`` package is ABSENT in this container (probed
+    r2/r5/r8, re-probed r9 2026-08-14 — ``google`` namespace missing
+    entirely while the StatefulProcessor API itself imports fine), so the
+    body executes for real the moment the dependency appears and skips with
+    the probe result until then. The supported arbitrary-stateful path here
+    remains applyInPandasWithState (test_stateful_running_totals...)."""
+    import pytest as _pytest
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    if not _HAS_PROTOBUF:
+        _pytest.skip(
+            "transformWithStateInPandas needs the protobuf wire protocol; "
+            "google.protobuf absent in this container (re-probed r9)"
+        )
+
+    src = str(tmp_path / "tws_src")
+    now = time.time()
+    b1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double")
+    b2 = spark.createDataFrame([(1, 2.5), (3, 7.0)], "user_id long, value double")
+    for name, df, mt in [("b1", b1, now - 20), ("b2", b2, now - 10)]:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    old_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream(spark, f"{src}/*", "user_id long, value double")
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = memory_sink(out, "tws_totals", output_mode="update", available_now=True)
+        assert q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM tws_totals").collect()
+        updates = {(r["user_id"], r["n_events"], r["total_value"]) for r in rows}
+        assert (1, 3, 17.5) in updates  # state carried across batches
+        assert (2, 1, 1.0) in updates and (3, 1, 7.0) in updates
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old_provider)
