@@ -68,6 +68,13 @@ HEADLINE = {
     "bigram_logprob": "bigram_logprob",
     # semantic dedup (within-cluster pairwise is the dominant term)
     "semdedup_clusters": "semdedup_clusters",
+    # r7/r8 heavy tier (first frozen r9 — VERDICT r8 #3: the most expensive
+    # plans in the catalog previously had no perf-regression tripwire)
+    "substring_dup_stats": "substring_dup_stats",
+    "substring_rebuild": "substring_rebuild",
+    "knn_cells": "knn_cells",
+    "dsir_weights": "dsir_weights",
+    "bm25_search": "bm25_search",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

@@ -288,6 +288,46 @@ def _cell_sims(vec, vn, cents):
     )
 
 
+def _centroid_array(centroids: DataFrame):
+    """Fold the (cid, ce) centroid model — O(nlist) rows — into ONE sorted
+    array row (with each centroid's clamped norm baked in) and mark it for
+    broadcast: both fact sides of a cell join consume the same tiny build
+    side, so neither ever shuffles for the assignment."""
+    return F.broadcast(
+        centroids.select(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"),
+                        F.col("ce"),
+                        F.greatest(l2_norm(F.col("ce")), F.lit(_NORM_FLOOR)).alias("cn"),
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+
+
+def assign_cells(
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Argmax-cosine cell assignment as a NARROW per-row fold over the
+    broadcast centroid array — the corpus side of :func:`cell_knn_join`,
+    exposed for occupancy diagnostics (``q_ivf_balance``) and custom cell
+    pipelines. Returns (id, v double-vector, n clamped-l2-norm, cell);
+    ties break to the smallest cid, zero-norm rows take cosine 0.0
+    everywhere and land in the smallest-cid cell. No shuffle."""
+    return (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", F.greatest(l2_norm(F.col("v")), F.lit(_NORM_FLOOR)))
+        .crossJoin(_centroid_array(centroids))
+        .withColumn(
+            "best", F.array_max(_cell_sims(F.col("v"), F.col("n"), F.col("cents")))
+        )
+        .select("id", "v", "n", (-F.col("best.negcid")).alias("cell"))
+    )
+
+
 def cell_knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -326,30 +366,12 @@ def cell_knn_join(
     and stays in the result set rather than vanishing as NULL (ADVICE r8).
     Returns (query_id, corpus_id, cosine round 5), top-k per query by
     (cosine desc, corpus_id)."""
-    cent_arr = F.broadcast(
-        centroids.select(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("cid"),
-                        F.col("ce"),
-                        F.greatest(l2_norm(F.col("ce")), F.lit(_NORM_FLOOR)).alias("cn"),
-                    )
-                )
-            ).alias("cents")
-        )
-    )
-    c = (
-        corpus.select(
-            F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cvec")
-        )
-        .withColumn("cn", F.greatest(l2_norm(F.col("cvec")), F.lit(_NORM_FLOOR)))
-        .crossJoin(cent_arr)
-        .withColumn(
-            "best",
-            F.array_max(_cell_sims(F.col("cvec"), F.col("cn"), F.col("cents"))),
-        )
-        .select("corpus_id", "cvec", "cn", (-F.col("best.negcid")).alias("cell"))
+    cent_arr = _centroid_array(centroids)
+    c = assign_cells(corpus, vec_col, id_col, centroids).select(
+        F.col("id").alias("corpus_id"),
+        F.col("v").alias("cvec"),
+        F.col("n").alias("cn"),
+        "cell",
     )
     q = (
         queries.select(

@@ -466,6 +466,100 @@ def q_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP2_FLAG = 0.2  # Gopher Table A1: top-2-gram char fraction > 0.20 -> drop
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021, arXiv:2112.11446,
+    Table A1): per document, the fraction of characters covered by
+    occurrences of the MOST FREQUENT 2-gram, rolled up per language with
+    the > 0.20 drop-rule count. Complements ``q_dup_ngram_ratio`` (which
+    measures the DISTINCT-bigram fraction) with Gopher's character-mass
+    formulation — the two catch different spam shapes (one long repeated
+    phrase vs many small repeats).
+
+    Definitions pinned for the oracle: doc chars = len(join(tokens, ' '));
+    the top 2-gram breaks count ties lexicographically; char fraction =
+    least(1.0, cnt · len(top_bg) / chars), capped because OVERLAPPING
+    occurrences ('a a a a' → bigram 'a a' × 3) can push the product past
+    the doc length; docs with < 2 tokens score 0 and still count in
+    n_docs.
+
+    Scale: bigram explode → (doc, bigram) count (map-side combine absorbs
+    the repeats being measured) → per-doc argmin(struct) agg → hash join
+    back to the doc list on doc_id → O(langs) final agg. No windows,
+    nothing global, nothing collected."""
+    d = load_table_spread(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", tokens("text").alias("tk"))
+    bg = base.where(F.size("tk") >= 2).select(
+        "doc_id",
+        F.length(F.array_join("tk", " ")).alias("chars"),
+        F.explode(_word_shingles(F.col("tk"), 2)).alias("bg"),
+    )
+    top = (
+        bg.groupBy("doc_id", "chars", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "chars")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("bg"))).alias("t"))
+        .select(
+            "doc_id",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (-F.col("t.negc")) * F.length(F.col("t.bg")) / F.col("chars"),
+                ),
+                4,
+            ).alias("frac"),
+        )
+    )
+    per_doc = (
+        base.select("doc_id", "lang")
+        .join(top, "doc_id", "left")
+        .select("lang", F.coalesce("frac", F.lit(0.0)).alias("frac"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("frac"), 4).alias("avg_top2_frac"),
+        F.max("frac").alias("max_top2_frac"),
+        F.sum((F.col("frac") > _TOP2_FLAG).cast("bigint")).alias("n_flagged"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id, len(array_to_string(tk, ' ')) AS chars,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> array_to_string(tk[i:i + 1], ' '))) AS bg
+  FROM base WHERE len(tk) >= 2
+),
+cnt AS (
+  SELECT doc_id, chars, bg, count(*) AS cnt FROM bg GROUP BY doc_id, chars, bg
+),
+top AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(cnt * length(bg) AS DOUBLE) / chars), 4) AS frac
+  FROM (
+    SELECT doc_id, chars, bg, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+),
+per_doc AS (
+  SELECT b.lang, coalesce(t.frac, 0.0) AS frac
+  FROM base b LEFT JOIN top t USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(frac), 4) AS avg_top2_frac,
+       max(frac) AS max_top2_frac,
+       CAST(sum(CASE WHEN frac > {_TOP2_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc GROUP BY lang
+"""
+
+
 _DUP_NGRAM_SQL = f"""
 WITH r AS (
   SELECT lang,
@@ -1963,6 +2057,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "stratified_sample": q_stratified_sample,
     "dup_ngram_ratio": q_dup_ngram_ratio,
+    "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "passage_dedup": q_passage_dedup,
     "span_scrub": q_span_scrub,
@@ -1993,6 +2088,7 @@ ORACLE = {
     "mixture_sample": _MIXTURE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
+    "repetition_stats": _REPETITION_SQL,
     "pii_redact": _PII_SQL,
     "passage_dedup": _PASSAGE_SQL,
     "span_scrub": _SPAN_SCRUB_SQL,

@@ -683,6 +683,132 @@ FROM top
 """
 
 
+_WINNOW_K = 3  # tokens per k-gram key
+_WINNOW_W = 4  # winnowing window: w consecutive k-gram keys
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    SIGMOD '03 — the MOSS local fingerprinting algorithm): slide a window
+    of ``w`` consecutive k-gram keys over each document and select each
+    window's minimum key; any substring match of length >= w + k - 1
+    between two documents then shares at least one selected fingerprint,
+    at expected density 2/(w+1) — the guarantee that makes fingerprint
+    indexes sub-linear in corpus size.
+
+    The total order is (key asc, position desc) — the paper's "rightmost
+    minimum" robust-winnowing tie rule. Production would order by
+    xxhash64(key) for uniform density; the catalog query orders by the
+    k-gram STRING itself so the selection replays exactly in ANSI SQL
+    (winnowing's correctness guarantee is order-agnostic; only selection
+    density changes). Docs with fewer than w k-grams (< w + k - 1 tokens)
+    are not fingerprintable and are excluded.
+
+    Per language: fingerprintable docs, avg selected (key, pos) pairs per
+    doc, avg distinct keys per doc, and corpus-wide distinct keys — the
+    dedup-index size the fingerprints would occupy.
+
+    Scale: shingling, window-min selection, and dedup are ALL narrow
+    per-row array folds (the w-fold window expansion never leaves the
+    row); the only shuffles are the O(langs) stats agg and the per-lang
+    distinct-key agg (partial aggregation absorbs repeated keys). Nothing
+    global, no windows, no driver loop."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", "lang", tokens("text").alias("tk"))
+        .where(F.size("tk") >= _WINNOW_K + _WINNOW_W - 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (_WINNOW_K - 1)),
+                lambda i: F.array_join(F.slice(F.col("tk"), i, _WINNOW_K), " "),
+            ).alias("sh"),
+        )
+    )
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("sh") - (_WINNOW_W - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(j, j + (_WINNOW_W - 1)),
+                lambda p: F.struct(
+                    F.element_at(F.col("sh"), p).alias("key"), (-p).alias("negp")
+                ),
+            )
+        ),
+    )
+    # dedup by POSITION, not by (key, pos) struct: each position carries
+    # exactly one key, so the sets are identical — and position-dedup is the
+    # form DuckDB can replay (list_distinct over structs is unimplemented
+    # there; over BIGINT it is fine)
+    doc = base.select(
+        "lang",
+        "sh",
+        F.array_distinct(F.transform(sel, lambda s: s["negp"])).alias("pos"),
+    ).select(
+        "lang",
+        F.size("pos").alias("n_sel"),
+        F.transform(F.col("pos"), lambda np: F.element_at(F.col("sh"), -np)).alias(
+            "keys"
+        ),
+    ).select(
+        "lang",
+        "n_sel",
+        "keys",
+        F.size(F.array_distinct(F.col("keys"))).alias("n_keys"),
+    )
+    stats = doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_sel"), 4).alias("avg_selected"),
+        F.round(F.avg("n_keys"), 4).alias("avg_distinct"),
+    )
+    uniq = (
+        doc.select("lang", F.explode("keys").alias("k"))
+        .groupBy("lang")
+        .agg(F.count_distinct(F.col("k")).alias("corpus_unique_keys"))
+    )
+    return stats.join(uniq, "lang")
+
+
+_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, len(tk) - {_WINNOW_K - 2}),
+                        i -> array_to_string(tk[i:i + {_WINNOW_K - 1}], ' ')) AS sh
+  FROM (SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents)
+  WHERE len(tk) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+sel AS (
+  SELECT doc_id, lang, sh,
+         list_distinct(list_transform(
+           list_transform(range(1, len(sh) - {_WINNOW_W - 2}),
+             j -> (list_sort(list_transform(range(j, j + {_WINNOW_W}),
+                    p -> {{'key': sh[p], 'negp': -p}})))[1]),
+           s -> s.negp)) AS pos
+  FROM base
+),
+doc AS (
+  SELECT lang, len(pos) AS n_sel,
+         list_transform(pos, np -> sh[-np]) AS keys,
+         len(list_distinct(list_transform(pos, np -> sh[-np]))) AS n_keys
+  FROM sel
+),
+stats AS (
+  SELECT lang, count(*) AS n_docs,
+         round(avg(n_sel), 4) AS avg_selected,
+         round(avg(n_keys), 4) AS avg_distinct
+  FROM doc GROUP BY lang
+),
+uniq AS (
+  SELECT lang, count(DISTINCT k) AS corpus_unique_keys
+  FROM (SELECT lang, unnest(keys) AS k FROM doc)
+  GROUP BY lang
+)
+SELECT s.lang, s.n_docs, s.avg_selected, s.avg_distinct, u.corpus_unique_keys
+FROM stats s JOIN uniq u USING (lang)
+"""
+
+
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document token entropy (Shannon, natural log) per language:
     H(doc) = -Σ p(token) ln p(token) over the doc's OWN token distribution.
@@ -771,6 +897,7 @@ QUERIES = {
     "collocations": q_collocations,
     "wordcount": q_wordcount,
     "zipf_curve": q_zipf_curve,
+    "winnow_fp": q_winnow_fp,
     "dedup_stats": q_dedup_stats,
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,
@@ -793,6 +920,7 @@ ORACLE = {
     "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,
     "zipf_curve": _ZIPF_SQL,
+    "winnow_fp": _WINNOW_SQL,
     "dedup_stats": _DEDUP_STATS_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,

@@ -418,6 +418,70 @@ def q_svd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy balance — the pre-flight diagnostic for every
+    cell-partitioned ANN plan (``knn_cells``, ``knn_ivf``): assign the
+    corpus to its argmax-cosine cells (same demo vec_id % 31 centroids as
+    ``knn_cells``, so the assignment replays in SQL) and report the
+    occupancy distribution in one row: non-empty cells, rows, min/max/avg
+    cell size, and skew_ratio = max/avg — the number that says whether the
+    cell ⋈ cell join needs AQE's skew split (tests/test_skew.py pins that
+    it fires) or a bigger nlist.
+
+    Scale: one narrow broadcast-fold assignment (no shuffle), one
+    groupBy(cell) count (map-side combine), one O(n_cells) final agg to a
+    single row. This is the cheapest possible look at the quantizer before
+    committing to a corpus×corpus join."""
+    from ..operators.similarity import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
+    )
+    per_cell = (
+        assign_cells(emb, "embedding", "vec_id", cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        F.round(F.avg("n"), 4).alias("avg_cell"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
+_IVF_BALANCE_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, {_DD.format(col='embedding')} AS ce
+  FROM embeddings WHERE vec_id % {_CELL_MOD} = 0
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        {_DD.format(col='e.embedding')}, c.ce), 5) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+per_cell AS (
+  SELECT cell, count(*) AS n FROM assigned GROUP BY cell
+)
+SELECT count(*) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       min(n) AS min_cell,
+       max(n) AS max_cell,
+       round(avg(n), 4) AS avg_cell,
+       round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_ratio
+FROM per_cell
+"""
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
@@ -431,6 +495,7 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "semdedup_clusters": q_semdedup_clusters,
+    "ivf_balance": q_ivf_balance,
 }
 
 ORACLE = {
@@ -444,4 +509,5 @@ ORACLE = {
     "emb_near_dup": _EMB_NEAR_DUP_SQL,
     # emb_near_dup_lsh: rows-only (approximate recall)
     "semdedup_clusters": _SEMDEDUP_SQL,
+    "ivf_balance": _IVF_BALANCE_SQL,
 }

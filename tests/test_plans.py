@@ -182,6 +182,15 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     "unigram_logprob": (2, 2, 2, 7, (3, 3)),  # 2 × broadcast 1-row total; model broadcast
     "bigram_logprob": (2, 1, 1, 7, (3, 3)),
     "semdedup_clusters": (4, 0, 0, 4, (2, 2)),
+    # r7/r8 heavy tier, first benched r9 (VERDICT r8 #3). BNLJ/single-part
+    # allowances are the documented 1-row broadcast crossJoins (centroid
+    # array, corpus totals, fitted-model rows) already in the catalog
+    # BNLJ allowlist below — never a fact-side nested loop.
+    "substring_dup_stats": (2, 0, 0, 8, (1, 1)),
+    "substring_rebuild": (3, 0, 0, 5, (2, 2)),
+    "knn_cells": (4, 2, 2, 5, (2, 2)),  # 2× broadcast centroid-array fold
+    "dsir_weights": (3, 4, 4, 12, (6, 6)),  # 2 unigram LMs + totals, all 1-row/model broadcasts
+    "bm25_search": (1, 1, 1, 3, (2, 2)),  # (N, avgdl) scalar-stats crossJoin
 }
 
 
@@ -308,6 +317,7 @@ _MAX_BNLJ = {
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
+    "ivf_balance": 1,       # 1-row centroid-model array (assignment fold)
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
     "mixture_weights": 1,   # 1-row normalizer
@@ -328,7 +338,8 @@ _MAX_SINGLE_PARTITION = {
     "collocations": 1, "corr_cov": 1, "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
-    "hll_sketch_union": 1, "kll_quantiles": 1, "knn_cells": 2,
+    "hll_sketch_union": 1, "ivf_balance": 2, "kll_quantiles": 1,
+    "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1, "sample_mod": 1,
     "unigram_logprob": 2, "vocab_coverage": 1,
 }
