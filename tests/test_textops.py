@@ -234,3 +234,111 @@ def test_bm25_search_matches_python_reference(spark, sf_dir):
     expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = [(r["doc_id"], r["bm25"]) for r in textops.q_bm25_search(spark, sf_dir).collect()]
     assert got == expected
+
+
+def test_winnow_fp_matches_python_reference(spark):
+    """Winnowing selection == the paper's algorithm run in pure Python:
+    per window of _WINNOW_W consecutive k-gram keys, select the minimum by
+    (key asc, position desc) — rightmost minimal — then dedup positions.
+    Includes a tie-heavy doc (all-same tokens) and a too-short doc."""
+    from savio_training_dask_2019_spark.queries import textops
+
+    k, w = textops._WINNOW_K, textops._WINNOW_W
+    rows = [
+        (0, "b a c a b a c a b d e f", "en"),
+        (1, "x x x x x x x x", "en"),          # all ties -> rightmost wins
+        (2, "only five tokens right here", "fr"),  # 5 < k+w-1=6: excluded
+        (3, "m n o p q r s t u v", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def ref_doc(toks):
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(sh) < w:
+            return None
+        sel = set()
+        for j in range(len(sh) - w + 1):
+            # min by (key asc, pos desc): max position among minimal keys
+            win = list(range(j, j + w))
+            mkey = min(sh[p] for p in win)
+            sel.add(max(p for p in win if sh[p] == mkey))
+        return sorted(sel), [sh[p] for p in sorted(sel)]
+
+    want = {}
+    for _did, text, lang in rows:
+        r = ref_doc(text.split())
+        if r is None:
+            continue
+        pos, keys = r
+        st = want.setdefault(lang, {"n": 0, "sel": 0, "dist": 0, "keys": set()})
+        st["n"] += 1
+        st["sel"] += len(pos)
+        st["dist"] += len(set(keys))
+        st["keys"] |= set(keys)
+
+    # route through the catalog query against a planted parquet dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.withColumn("source", F.lit("s")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["lang"]: (
+                r["n_docs"],
+                r["avg_selected"],
+                r["avg_distinct"],
+                r["corpus_unique_keys"],
+            )
+            for r in textops.q_winnow_fp(spark, d).collect()
+        }
+    assert got == {
+        lang: (
+            st["n"],
+            round(st["sel"] / st["n"], 4),
+            round(st["dist"] / st["n"], 4),
+            len(st["keys"]),
+        )
+        for lang, st in want.items()
+    }
+    # density sanity: expected ~2/(w+1) of windows for random-ish text, and
+    # the all-ties doc collapses to ONE fingerprint per run of w
+    assert got["en"][0] == 2
+
+
+def test_repetition_stats_pinned_examples(spark):
+    """The Gopher top-2-gram char fraction on hand-computable docs,
+    including the overlap cap ('a a a a' -> capped at 1.0), a no-repeat
+    doc, and a one-token doc (frac 0, still counted)."""
+    from savio_training_dask_2019_spark.queries.llmpipe import q_repetition_stats
+
+    rows = [
+        # 'a a' x3 (overlapping), len('a a')=3, chars=7 -> 9/7 capped 1.0
+        (0, "a a a a", "en"),
+        # top bigram 'x y' x2, len 3, chars = len('x y z x y')=9 -> 6/9=0.6667
+        (1, "x y z x y", "en"),
+        (2, "p q r s", "fr"),  # all bigrams unique: 1*3/7 = 0.4286
+        (3, "solo", "fr"),     # <2 tokens -> 0.0, still in n_docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.withColumn("source", F.lit("s")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r["lang"]: (
+                r["n_docs"],
+                r["avg_top2_frac"],
+                r["max_top2_frac"],
+                r["n_flagged"],
+            )
+            for r in q_repetition_stats(spark, d).collect()
+        }
+    en = round((1.0 + round(6 / 9, 4)) / 2, 4)
+    fr = round((round(3 / 7, 4) + 0.0) / 2, 4)
+    assert got == {
+        "en": (2, en, 1.0, 2),
+        "fr": (2, fr, round(3 / 7, 4), 1),
+    }
