@@ -883,6 +883,27 @@ def q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling_fingerprint("text").alias("rfp"))
 
 
+_HH_K = 32  # Misra-Gries summary size per partition
+_HH_TOP = 20
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top tokens via per-partition Misra-Gries(k) summaries
+    merged associatively (Agarwal et al. 2012, "Mergeable Summaries") —
+    the frequency member of the sketch family (HLL cardinality, KLL
+    quantiles). The token stream NEVER shuffles: each partition reduces to
+    <= k counters in one Arrow-batched pass, and only the O(parts·k)
+    summary rows move; the returned estimates carry the deterministic
+    contract est <= true <= est + err_bound (pinned with exact counts in
+    tests/test_sketches.py). Rows-only by contract: the per-item estimate
+    depends on partition boundaries, like every mergeable sketch here."""
+    from ..operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=_HH_K, top=_HH_TOP)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
@@ -898,6 +919,7 @@ QUERIES = {
     "wordcount": q_wordcount,
     "zipf_curve": q_zipf_curve,
     "winnow_fp": q_winnow_fp,
+    "heavy_hitters": q_heavy_hitters,
     "dedup_stats": q_dedup_stats,
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,

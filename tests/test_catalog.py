@@ -12,21 +12,20 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed (built after the r7 window filled) — first rows
-    "bm25_search", "collocations", "dsir_weights", "pack_multimodal",
-    "bpe_train_merges", "multimodal_imgstats",
-    # new in r8 — first rows
-    "knn_cells", "dedup_within_lag", "substring_rebuild",
-    # rows of record r5 (rode outside r6+r7 on the exemption precedent);
-    # VERDICT r7 required their re-windowing by name
-    "minhash_pairs", "simhash_pairs", "ngram_jaccard", "text_stats",
-    "semdedup_clusters", "emb_near_dup_lsh", "knn_join", "doc_fingerprint",
-    "dedup_keep_first",
-    # Spark code / oracle changed r8 — re-witness: the zero-token
-    # stopword_ratio guard (first three) and the salted keep-first/totals
-    # join-backs in the substring tier (last three)
-    "doc_quality", "gopher_quality", "domain_filter",
-    "substring_dup_stats", "substring_scrub", "span_scrub",
+    # never driver-witnessed (built after the r8 window filled) — first
+    # rows r9 (VERDICT r8 #1)
+    "bpe_apply", "zipf_curve", "decontam_scrub",
+    # physical plan changed r9 — re-witness: the zero-norm clamp in
+    # cell_knn_join and the semantic_dedup max-cluster guard
+    "knn_cells", "semdedup_clusters",
+    # rows of record r6 — the oldest in the catalog; VERDICT r8 #2
+    # required their re-windowing by name
+    "select_filter", "derived_column", "null_handling", "sample_mod",
+    "sort_limit", "cross_join", "cumsum", "lag_lead", "tumbling_window",
+    "distinct", "distinct_approx", "json_extract", "time_bucket",
+    "semi_join", "decontam_check", "rolling_fp", "svd_embeddings",
+    "multimodal_resize", "multimodal_frames", "hll_sketch_union",
+    "kll_quantiles",
 }
 
 

@@ -317,6 +317,7 @@ _MAX_BNLJ = {
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
+    "heavy_hitters": 1,     # 1-row error-bound scalar
     "ivf_balance": 1,       # 1-row centroid-model array (assignment fold)
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
@@ -338,7 +339,8 @@ _MAX_SINGLE_PARTITION = {
     "collocations": 1, "corr_cov": 1, "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
-    "hll_sketch_union": 1, "ivf_balance": 2, "kll_quantiles": 1,
+    "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
+    "kll_quantiles": 1,
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1, "sample_mod": 1,
     "unigram_logprob": 2, "vocab_coverage": 1,
