@@ -115,3 +115,135 @@ def assign_bins(offsets: DataFrame, cost_col: str, budget: int) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(cost_col).alias("bin_tokens"))
     )
+
+
+# --- histogram packing (SPFHP) ----------------------------------------------
+#
+# Krell et al. 2021, "Efficient Sequence Packing without Cross-contamination"
+# (arXiv:2107.02027): solve the bin-packing problem ON THE LENGTH HISTOGRAM
+# (<= max_len rows, whatever the corpus size), then map documents to pack
+# slots arithmetically. Concat-and-chunk (pack_offsets/assign_bins above)
+# splits documents across bin boundaries; histogram packing never splits a
+# document — each pack is a set of whole documents with total length
+# <= max_len — at the cost of some residual padding, which the strategy
+# solver minimizes. The driver-side solve is O(histogram), NOT O(corpus):
+# the same split as BPE training (model-sized driver work, corpus-sized
+# distributed work).
+
+
+def spfhp_strategies(
+    hist: dict[int, int], max_len: int
+) -> list[tuple[tuple[int, ...], int]]:
+    """Shortest-pack-first histogram-packing: walk lengths DESCENDING; each
+    batch of equal-length docs goes to the open strategy with the SMALLEST
+    residual that still fits (ties: lexicographically smallest
+    composition), else opens new packs. Deterministic given the histogram.
+
+    Returns [(composition lengths desc, pack_count), ...] with
+    sum(comp) <= max_len for every strategy and
+    sum(count(L in comp) * packs) == hist[L] for every L.
+
+    Cost: each bulk step either fills an existing strategy class or opens
+    one; distinct strategy classes stay O(histogram · max_len/L) in the
+    worst case — driver-trivial next to any corpus scan."""
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    bad = {length for length in hist if length > max_len or length < 1}
+    if bad:
+        raise ValueError(f"lengths outside [1, max_len]: {sorted(bad)[:5]}")
+    open_: dict[tuple[int, ...], int] = {}  # composition -> pack count
+    for length in sorted(hist, reverse=True):
+        remaining = hist[length]
+        while remaining > 0:
+            fits = [
+                comp
+                for comp in open_
+                if max_len - sum(comp) >= length
+            ]
+            if fits:
+                comp = min(fits, key=lambda c: (max_len - sum(c), c))
+                take = min(remaining, open_[comp])
+                new_comp = tuple(sorted(comp + (length,), reverse=True))
+                open_[comp] -= take
+                if open_[comp] == 0:
+                    del open_[comp]
+                open_[new_comp] = open_.get(new_comp, 0) + take
+                remaining -= take
+            else:
+                open_[(length,)] = open_.get((length,), 0) + remaining
+                # the fresh packs may still fit MORE docs of this length —
+                # the loop continues and finds them via the fits branch
+                remaining = 0
+    return sorted(open_.items(), key=lambda kv: kv[0])
+
+
+def pack_assignment_segments(
+    strategies: list[tuple[tuple[int, ...], int]],
+) -> list[tuple[int, int, int, int, int]]:
+    """Flatten a strategy solution into per-length rank segments for the
+    distributed assignment join: rows of (length, seg_start, seg_end,
+    pack_base, pack_count), meaning docs of ``length`` with within-length
+    rank in (seg_start, seg_end] belong to the strategy whose global pack
+    ids start at ``pack_base``; within the segment, rank r maps to
+    pack_base + (r - seg_start - 1) % pack_count. O(Σ|composition|) rows —
+    histogram-sized, broadcastable."""
+    segs: list[tuple[int, int, int, int, int]] = []
+    cursor: dict[int, int] = {}
+    base = 0
+    for comp, count in strategies:
+        per_len: dict[int, int] = {}
+        for length in comp:
+            per_len[length] = per_len.get(length, 0) + 1
+        for length, slots in sorted(per_len.items()):
+            start = cursor.get(length, 0)
+            end = start + slots * count
+            segs.append((length, start, end, base, count))
+            cursor[length] = end
+        base += count
+    return segs
+
+
+def assign_packs_histogram(
+    df: DataFrame, id_col: str, len_col: str, max_len: int
+) -> tuple[DataFrame, list[tuple[tuple[int, ...], int]]]:
+    """End-to-end histogram packing: collect the length histogram
+    (<= max_len rows — bounded by construction), solve SPFHP driver-side,
+    and assign every row a pack id via a broadcast range join on its
+    within-length rank. Returns (df + pack_id, strategies).
+
+    Plan: one histogram agg (map-side combine), one rank window
+    PARTITIONED BY length (if one length dominates the corpus its rank
+    window is the hot partition — the pack_offsets three-level cascade is
+    the documented upgrade path for that shape), one broadcast range join,
+    narrow arithmetic. No corpus-sized driver state ever."""
+    hist_rows = (
+        df.groupBy(F.col(len_col).alias("__len"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()  # bounded: <= max_len distinct lengths by contract
+    )
+    hist = {int(r["__len"]): int(r["__cnt"]) for r in hist_rows}
+    strategies = spfhp_strategies(hist, max_len)
+    segs = pack_assignment_segments(strategies)
+    spark = df.sparkSession
+    seg_df = F.broadcast(
+        spark.createDataFrame(
+            segs,
+            "__len long, __seg_start long, __seg_end long, __base long, __packs long",
+        )
+    )
+    w = Window.partitionBy(len_col).orderBy(id_col)
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    joined = ranked.join(
+        seg_df,
+        (F.col(len_col) == F.col("__len"))
+        & (F.col("__rk") > F.col("__seg_start"))
+        & (F.col("__rk") <= F.col("__seg_end")),
+    )
+    return (
+        joined.withColumn(
+            "pack_id",
+            F.col("__base")
+            + (F.col("__rk") - F.col("__seg_start") - 1) % F.col("__packs"),
+        ).drop("__len", "__seg_start", "__seg_end", "__base", "__packs", "__rk"),
+        strategies,
+    )

@@ -292,6 +292,54 @@ FROM c GROUP BY bin
 """
 
 
+_BFD_MAX_LEN = 512  # histogram-packing context budget
+
+
+def q_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram sequence packing WITHOUT cross-document splits (Krell et
+    al. 2021, "Efficient Sequence Packing without Cross-contamination",
+    arXiv:2107.02027 — SPFHP): the complement of ``pack_sequences``'
+    concat-and-chunk. The packing problem is solved on the LENGTH
+    HISTOGRAM (<= max_len rows regardless of corpus size) driver-side —
+    the same model-sized-driver / corpus-sized-cluster split as BPE
+    training — then documents map to pack slots via one rank window
+    (partitioned by length) and a broadcast range join on histogram-sized
+    segments. Output: pack-population profile — for each docs-per-pack
+    arity, pack count, average fill ratio, token mass.
+
+    Rows-only by contract: the SPFHP solve is an iterative driver
+    algorithm with no SQL twin; validity (every doc packed exactly once,
+    no pack over budget, pack compositions == the solved strategies) and
+    efficiency are differentially pinned in tests/test_packing_hist.py.
+    Docs are truncated to the budget (cost = least(n_tok, max_len));
+    zero-token docs are excluded."""
+    from ..operators.packing import assign_packs_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.least(token_count("text"), F.lit(_BFD_MAX_LEN)).alias("n_tok"),
+    ).where(F.col("n_tok") >= 1)
+    assigned, _strategies = assign_packs_histogram(
+        d, "doc_id", "n_tok", _BFD_MAX_LEN
+    )
+    packs = assigned.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("docs_in_pack"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )
+    return (
+        packs.groupBy("docs_in_pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.round(F.avg(F.col("pack_tokens") / _BFD_MAX_LEN), 4).alias(
+                "avg_fill"
+            ),
+            F.sum("pack_tokens").cast("bigint").alias("tokens"),
+        )
+        .orderBy("docs_in_pack")
+    )
+
+
 _PATCH = 8  # image patch edge (pixels) — each patch costs one sequence slot
 
 
@@ -2053,6 +2101,7 @@ QUERIES = {
     "decontam_scrub": q_decontam_scrub,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
+    "pack_bfd": q_pack_bfd,
     "pack_multimodal": q_pack_multimodal,
     "mixture_sample": q_mixture_sample,
     "stratified_sample": q_stratified_sample,
