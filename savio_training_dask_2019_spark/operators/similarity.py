@@ -567,3 +567,113 @@ def lsh_knn(
         F.round("l2_dist", 5).alias("l2_dist"),
         F.round(1 - F.col("l2_dist") * F.col("l2_dist") / 2, 5).alias("cosine_est"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI): split each
+    vector into ``m`` subvectors of ``dim/m`` dims; each subvector is
+    replaced by the id of its nearest codebook centroid in that subspace.
+    A 64-dim float32 vector (256 B) becomes m small ints — the memory
+    compression that makes billion-scale ANN indexes (IVF-PQ) fit in RAM;
+    pair with :func:`assign_cells` for the coarse quantizer.
+
+    ``codebook``: (cid, ce) rows with ``ce`` of length ``dim`` — the
+    per-subspace codebooks are its subvector slices (a shared-centroid
+    demo formulation that replays in SQL; production fits per-subspace
+    k-means and the encode below is unchanged). Nearest = argmax of
+    round(dot(x_j, c_j) - 0.5·||c_j||², 5) — the ||x||²-free form of
+    min-L2 — ties to the smallest cid.
+
+    Returns (id, code_str 'c0-c1-...-cm-1', mse) where mse is the
+    reconstruction error round(Σ_j ||x_j - c_code_j||² / dim, 4).
+
+    Scale: the codebook folds into ONE broadcast array row (m·|codebook|
+    structs); encoding is a narrow per-row fold — no shuffle, no Python.
+    Encode cost per row is m · |codebook| · dim/m = |codebook| · dim
+    multiply-adds, the same arithmetic as one brute scan over the
+    codebook."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    cb = (
+        codebook.select(
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("cid"),
+            as_double(F.col("ce")).alias("ced"),
+        )
+        .select(
+            "sub",
+            "cid",
+            F.slice(F.col("ced"), F.col("sub") * dsub + 1, dsub).alias("cv"),
+        )
+        .withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+        .drop("ced")
+    )
+    cb_arr = F.broadcast(
+        cb.select(
+            F.sort_array(
+                F.collect_list(F.struct("sub", "cid", "cv", "cn2"))
+            ).alias("cbs")
+        )
+    )
+
+    def _xsub(v, j):
+        return F.slice(v, j * dsub + 1, dsub)
+
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_max(
+            F.transform(
+                F.filter(F.col("cbs"), lambda c: c["sub"] == j),
+                lambda c: F.struct(
+                    F.round(
+                        dot(_xsub(F.col("v"), j), c["cv"]) - 0.5 * c["cn2"], 5
+                    ).alias("s"),
+                    (-c["cid"]).alias("negcid"),
+                    (
+                        F.element_at(F.col("xn2s"), j + 1)
+                        - 2.0 * dot(_xsub(F.col("v"), j), c["cv"])
+                        + c["cn2"]
+                    ).alias("d2"),
+                ),
+            )
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .crossJoin(cb_arr)
+        .withColumn(
+            "xn2s",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: dot(_xsub(F.col("v"), j), _xsub(F.col("v"), j)),
+            ),
+        )
+        .withColumn("subs", subs)
+        .select(
+            "id",
+            F.array_join(
+                F.transform(
+                    F.col("subs"), lambda b: (-b["negcid"]).cast("string")
+                ),
+                "-",
+            ).alias("code_str"),
+            F.round(
+                F.aggregate(
+                    F.transform(F.col("subs"), lambda b: b["d2"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / float(dim),
+                4,
+            ).alias("mse"),
+        )
+    )

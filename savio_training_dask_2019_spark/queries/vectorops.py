@@ -482,6 +482,85 @@ FROM per_cell
 """
 
 
+_PQ_M = 4          # subspaces
+_PQ_DIM = 64       # embedding dim
+_PQ_CB_MOD = 29    # vec_id % 29 == 0 rows are the demo codebook
+_PQ_ROW_LIMIT = 100  # rows encoded by the catalog demo
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011, IEEE TPAMI) — the
+    memory-compression half of IVF-PQ, the billion-scale ANN layout
+    (``assign_cells``/``knn_cells`` is the coarse-quantizer half): each
+    64-dim vector becomes 4 centroid ids (one per 16-dim subspace) plus a
+    reconstruction MSE. The demo codebook is a deterministic corpus subset
+    (vec_id % {mod} == 0), so nearest-centroid selection — argmax of
+    round(dot(x_j, c_j) − ||c_j||²/2, 5), the ||x||²-free min-L2 form,
+    ties to smallest cid — replays exactly in SQL; production swaps in
+    per-subspace k-means without touching the encode.
+
+    Scale: the codebook folds into ONE broadcast array row; encoding is a
+    narrow per-row fold (|codebook|·dim multiply-adds per row, no shuffle,
+    no Python). See operators.similarity.pq_encode."""
+    from ..operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.where((F.col("vec_id") % _PQ_CB_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    return (
+        pq_encode(
+            emb.where(F.col("vec_id") < _PQ_ROW_LIMIT),
+            "embedding",
+            "vec_id",
+            cb,
+            m=_PQ_M,
+            dim=_PQ_DIM,
+        )
+        .withColumnRenamed("id", "vec_id")
+    )
+
+
+q_pq_encode.__doc__ = q_pq_encode.__doc__.format(mod=_PQ_CB_MOD)
+
+_PQ_DSUB = _PQ_DIM // _PQ_M
+
+_PQ_SQL = f"""
+WITH cb AS (
+  SELECT s.j AS sub, e.vec_id AS cid, e.embedding AS ce,
+         list_sum(list_transform(range(1 + s.j * {_PQ_DSUB}, 1 + (s.j + 1) * {_PQ_DSUB}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           AS cn2
+  FROM embeddings e, (SELECT unnest(range(0, {_PQ_M})) AS j) s
+  WHERE e.vec_id % {_PQ_CB_MOD} = 0
+),
+scored AS (
+  SELECT e.vec_id, cb.sub, cb.cid,
+         round(list_sum(list_transform(range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))
+               - 0.5 * cb.cn2, 5) AS s,
+         (list_sum(list_transform(range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          - 2.0 * list_sum(list_transform(range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))
+          + cb.cn2) AS d2
+  FROM embeddings e CROSS JOIN cb
+  WHERE e.vec_id < {_PQ_ROW_LIMIT}
+),
+best AS (
+  SELECT vec_id, sub, cid, d2 FROM (
+    SELECT vec_id, sub, cid, d2,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY s DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS code_str,
+       round(sum(d2) / {_PQ_DIM}, 4) AS mse
+FROM best GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
@@ -496,6 +575,7 @@ QUERIES = {
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "semdedup_clusters": q_semdedup_clusters,
     "ivf_balance": q_ivf_balance,
+    "pq_encode": q_pq_encode,
 }
 
 ORACLE = {
@@ -510,4 +590,5 @@ ORACLE = {
     # emb_near_dup_lsh: rows-only (approximate recall)
     "semdedup_clusters": _SEMDEDUP_SQL,
     "ivf_balance": _IVF_BALANCE_SQL,
+    "pq_encode": _PQ_SQL,
 }

@@ -85,3 +85,58 @@ def test_knn_cells_assignment_margin(sf_dir):
         f"cosine within {min_margin:.2e} of a round-5 boundary — the oracle "
         "comparison for knn_cells is no longer ulp-safe at this fixture"
     )
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    """PQ codes and reconstruction MSE == a numpy argmin-L2 reference over
+    the same demo codebook (ties to smallest cid, round-5 score order)."""
+    from savio_training_dask_2019_spark.operators.similarity import pq_encode
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _PQ_CB_MOD,
+        _PQ_DIM,
+        _PQ_M,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.where((F.col("vec_id") % _PQ_CB_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    got = {
+        r["id"]: (r["code_str"], r["mse"])
+        for r in pq_encode(
+            emb.where(F.col("vec_id") < 60), "embedding", "vec_id", cb,
+            m=_PQ_M, dim=_PQ_DIM,
+        ).collect()
+    }
+
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    cids = sorted(i for i in rows if i % _PQ_CB_MOD == 0)
+    dsub = _PQ_DIM // _PQ_M
+    for vid, x in rows.items():
+        if vid >= 60:
+            continue
+        codes, tot = [], 0.0
+        for j in range(_PQ_M):
+            xj = x[j * dsub : (j + 1) * dsub]
+            best = None
+            for cid in cids:
+                cj = rows[cid][j * dsub : (j + 1) * dsub]
+                s = round(float(xj @ cj) - 0.5 * float(cj @ cj), 5)
+                key = (-s, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, cj)
+            codes.append(best[1])
+            tot += float(((xj - best[2]) ** 2).sum())
+        want = ("-".join(str(c) for c in codes), round(tot / _PQ_DIM, 4))
+        assert got[vid] == want, (vid, got[vid], want)
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    from savio_training_dask_2019_spark.operators.similarity import pq_encode
+
+    df = spark.createDataFrame([(0, [1.0] * 6)], "vec_id long, embedding array<double>")
+    cb = spark.createDataFrame([(0, [1.0] * 6)], "cid long, ce array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(df, "embedding", "vec_id", cb, m=4, dim=6)
