@@ -592,8 +592,10 @@ def pq_encode(
     round(dot(x_j, c_j) - 0.5·||c_j||², 5) — the ||x||²-free form of
     min-L2 — ties to the smallest cid.
 
-    Returns (id, code_str 'c0-c1-...-cm-1', mse) where mse is the
-    reconstruction error round(Σ_j ||x_j - c_code_j||² / dim, 4).
+    Returns (id, codes array<bigint>, code_str 'c0-c1-...-cm-1', mse)
+    where mse is the reconstruction error
+    round(Σ_j ||x_j - c_code_j||² / dim, 4); ``codes`` feeds
+    :func:`pq_adc_topk`, ``code_str`` the cross-engine oracle compare.
 
     Scale: the codebook folds into ONE broadcast array row (m·|codebook|
     structs); encoding is a narrow per-row fold — no shuffle, no Python.
@@ -660,6 +662,7 @@ def pq_encode(
         .withColumn("subs", subs)
         .select(
             "id",
+            F.transform(F.col("subs"), lambda b: -b["negcid"]).alias("codes"),
             F.array_join(
                 F.transform(
                     F.col("subs"), lambda b: (-b["negcid"]).cast("string")
@@ -676,4 +679,65 @@ def pq_encode(
                 4,
             ).alias("mse"),
         )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook_rows: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    m: int,
+    dim: int,
+    k: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k — the search half of IVF-PQ
+    (Jégou et al. 2011 §IV): the query stays a RAW vector; each corpus
+    row's distance is approximated from its stored codes via per-subspace
+    lookup tables
+
+        adc(x) = Σ_j round(||q_j − c_{code_j}||², 5)
+
+    computed DRIVER-side over the (model-sized, O(m·|codebook|) = dozens
+    of entries) codebook and shipped as ONE map literal — so scoring a
+    corpus row is m map lookups + a 4-term fold, no vector math, no join,
+    no shuffle; top-k is TakeOrdered. This is why PQ wins at 10⁹ rows:
+    the scan touches codes (a few bytes/row), never the vectors.
+
+    ``codebook_rows``: [(cid, full-dim centroid), ...] — the same rows fed
+    to :func:`pq_encode`; per-entry distances are computed with a
+    SEQUENTIAL python-float sum so the table replays digit-for-digit in
+    SQL (list_sum order). Returns (id, adc round 4) by (adc asc, id)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    q = [float(x) for x in query_vec]
+    entries: list = []
+    for cid, ce in codebook_rows:
+        c = [float(x) for x in ce]
+        for j in range(m):
+            d2 = 0.0
+            for i in range(j * dsub, (j + 1) * dsub):  # sequential, like SQL
+                d2 += (q[i] - c[i]) * (q[i] - c[i])
+            entries.append((f"{j}:{cid}", round(d2, 5)))
+    dtab = F.create_map(
+        *[x for key, val in entries for x in (F.lit(key), F.lit(val))]
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.col("codes"),
+                lambda j, c: F.element_at(
+                    dtab, F.concat(j.cast("string"), F.lit(":"), c.cast("string"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    return (
+        codes.select(F.col("id"), adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("id").asc())
+        .limit(k)
     )

@@ -517,7 +517,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=_PQ_M,
             dim=_PQ_DIM,
         )
-        .withColumnRenamed("id", "vec_id")
+        .select(F.col("id").alias("vec_id"), "code_str", "mse")
     )
 
 
@@ -561,6 +561,79 @@ FROM best GROUP BY vec_id
 """
 
 
+_PQ_ADC_CB_CAP = 1000  # bounded codebook for the ADC demo: vec_id < 1000
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (Jégou et al. 2011 §IV) — the query
+    half of ``pq_encode``: the corpus is scanned as CODES ONLY (m small
+    ints per row); the raw query vector meets them through a driver-built
+    per-subspace distance table shipped as one map literal. Scoring a row
+    is m lookups + a fold — no vector math, no join, no shuffle; top-10 by
+    (adc asc, vec_id). This is the 10⁹-row ANN memory model: vectors live
+    nowhere hot, codes are a few bytes per row.
+
+    The demo codebook is bounded by construction (vec_id % {mod} == 0 AND
+    vec_id < {cap} → ≤ {cap}/{mod} rows at ANY scale factor) so the
+    driver-side table build is O(1), and deterministic so the whole
+    pipeline — encode AND search — replays in SQL; the SQL twin rebuilds
+    the distance table with the same sequential sums and sums the m
+    entries in subspace order (list(d2 ORDER BY sub) → list_sum)."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_df = emb.where(
+        ((F.col("vec_id") % _PQ_CB_MOD) == 0) & (F.col("vec_id") < _PQ_ADC_CB_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cb_rows = [
+        (int(r["cid"]), [float(x) for x in r["ce"]]) for r in cb_df.collect()
+    ]  # bounded: <= _PQ_ADC_CB_CAP / _PQ_CB_MOD rows by construction
+    codes = pq_encode(emb, "embedding", "vec_id", cb_df, m=_PQ_M, dim=_PQ_DIM)
+    qv = _query_vec(spark, sf_dir, 0)
+    return pq_adc_topk(
+        codes, cb_rows, qv, _PQ_M, _PQ_DIM, k=10
+    ).withColumnRenamed("id", "vec_id")
+
+
+q_pq_adc.__doc__ = q_pq_adc.__doc__.format(mod=_PQ_CB_MOD, cap=_PQ_ADC_CB_CAP)
+
+_PQ_ADC_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cb AS (
+  SELECT s.j AS sub, e.vec_id AS cid, e.embedding AS ce,
+         list_sum(list_transform(range(1 + s.j * {_PQ_DSUB}, 1 + (s.j + 1) * {_PQ_DSUB}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           AS cn2
+  FROM embeddings e, (SELECT unnest(range(0, {_PQ_M})) AS j) s
+  WHERE e.vec_id % {_PQ_CB_MOD} = 0 AND e.vec_id < {_PQ_ADC_CB_CAP}
+),
+best AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT e.vec_id, cb.sub, cb.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY round(list_sum(list_transform(
+                        range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))
+                      - 0.5 * cb.cn2, 5) DESC, cb.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT cb.sub, cb.cid,
+         round(list_sum(list_transform(range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+               i -> (CAST(q.qe[i] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                  * (CAST(q.qe[i] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE)))), 5) AS d2
+  FROM cb, q
+)
+SELECT vec_id, round(list_sum(list(d2 ORDER BY sub)), 4) AS adc
+FROM best JOIN dtab USING (sub, cid)
+GROUP BY vec_id
+ORDER BY adc ASC, vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
@@ -576,6 +649,7 @@ QUERIES = {
     "semdedup_clusters": q_semdedup_clusters,
     "ivf_balance": q_ivf_balance,
     "pq_encode": q_pq_encode,
+    "pq_adc": q_pq_adc,
 }
 
 ORACLE = {
@@ -591,4 +665,5 @@ ORACLE = {
     "semdedup_clusters": _SEMDEDUP_SQL,
     "ivf_balance": _IVF_BALANCE_SQL,
     "pq_encode": _PQ_SQL,
+    "pq_adc": _PQ_ADC_SQL,
 }

@@ -322,6 +322,7 @@ _MAX_BNLJ = {
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
     "mixture_weights": 1,   # 1-row normalizer
+    "pq_adc": 1,            # 1-row codebook-array attach (encode stage)
     "pq_encode": 1,         # 1-row codebook-array attach
     "range_join": 1,        # intentional theta/range join demo
     "unigram_logprob": 2,   # 1-row corpus total ×2 (model + scoring)
@@ -343,7 +344,8 @@ _MAX_SINGLE_PARTITION = {
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
     "kll_quantiles": 1,
     "knn_cells": 2,
-    "mixture_weights": 1, "norm_dedup_stats": 1, "pq_encode": 1,
+    "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
+    "pq_encode": 1,
     "sample_mod": 1,
     "unigram_logprob": 2, "vocab_coverage": 1,
 }

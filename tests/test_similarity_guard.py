@@ -140,3 +140,71 @@ def test_pq_encode_rejects_indivisible_dim(spark):
     cb = spark.createDataFrame([(0, [1.0] * 6)], "cid long, ce array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(df, "embedding", "vec_id", cb, m=4, dim=6)
+
+
+def test_pq_adc_matches_python_reference(spark, sf_dir):
+    """ADC distances == the reference pipeline run in pure Python: encode
+    with the round-5 argmax (ties to smallest cid), build the round-5
+    per-subspace distance table with sequential sums, sum the m entries in
+    subspace order, round 4, top-10 by (adc, id)."""
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _PQ_ADC_CB_CAP,
+        _PQ_CB_MOD,
+        _PQ_DIM,
+        _PQ_M,
+    )
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    import decimal
+
+    def rnd(x, nd):  # Spark/DuckDB round is HALF_UP; python round is half-even
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    got = [(r["vec_id"], r["adc"]) for r in QUERIES["pq_adc"](spark, sf_dir).collect()]
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(x) for x in tbl.column("vec_id").to_pylist()]
+    vecs = {i: [float(x) for x in v] for i, v in zip(ids, tbl.column("embedding").to_pylist())}
+    cids = sorted(i for i in ids if i % _PQ_CB_MOD == 0 and i < _PQ_ADC_CB_CAP)
+    dsub = _PQ_DIM // _PQ_M
+    q = vecs[0]
+
+    def seq_dot(a, b, lo, hi):
+        acc = 0.0
+        for i in range(lo, hi):
+            acc += a[i] * b[i]
+        return acc
+
+    dtab = {}
+    for cid in cids:
+        c = vecs[cid]
+        for j in range(_PQ_M):
+            d2 = 0.0
+            for i in range(j * dsub, (j + 1) * dsub):
+                d2 += (q[i] - c[i]) * (q[i] - c[i])
+            dtab[(j, cid)] = rnd(d2, 5)
+
+    scores = []
+    for vid in ids:
+        x = vecs[vid]
+        adc = 0.0
+        for j in range(_PQ_M):
+            lo, hi = j * dsub, (j + 1) * dsub
+            best = None
+            for cid in cids:
+                c = vecs[cid]
+                s = rnd(seq_dot(x, c, lo, hi) - 0.5 * seq_dot(c, c, lo, hi), 5)
+                key = (-s, cid)
+                if best is None or key < best:
+                    best, best_cid = key, cid
+            adc += dtab[(j, best_cid)]
+        scores.append((rnd(adc, 4), vid))
+    want = [(vid, adc) for adc, vid in sorted(scores)[:10]]
+    assert got == want
+    # vec 0 is itself a codebook row (0 % mod == 0): codes itself, adc 0
+    assert got[0] == (0, 0.0)
+    assert all(a >= 0 for _v, a in got)
