@@ -19,7 +19,7 @@ from .windows import (
 from .io import file_stream, foreach_batch_sink, memory_sink, rate_stream
 from .ingest import incremental_ingest
 from .joins import interval_join
-from .stateful import running_totals
+from .stateful import running_totals, streaming_heavy_hitters
 
 __all__ = [
     "tumbling_counts",
@@ -32,6 +32,7 @@ __all__ = [
     "foreach_batch_sink",
     "memory_sink",
     "running_totals",
+    "streaming_heavy_hitters",
     "interval_join",
     "incremental_ingest",
 ]

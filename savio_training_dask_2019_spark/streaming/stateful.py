@@ -65,3 +65,57 @@ def running_totals(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    group_key: str = "user_id",
+    item: str = "event_type",
+    k: int = 8,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per ``group_key``, an MG(``k``)
+    summary of ``item`` values maintained across micro-batches — the
+    streaming twin of ``operators.sketches.heavy_hitters``, carrying the
+    same contract (``est <= true <= est + err`` per group, any item with
+    true count > err survives).
+
+    State per key is EXACTLY the mergeable summary: <= k (item, est) pairs
+    plus one pruned-mass counter — O(k) scalars, never a row buffer, so
+    key cardinality × k bounds cluster state (the state-design rule at the
+    top of this module). Each batch folds in via its exact value_counts +
+    the mergeable prune, identical to the batch operator's per-partition
+    pass. Emits the full summary per updated key each batch:
+    (group, item, est, err)."""
+    from ..operators.sketches import _prune
+
+    def update(
+        key_tuple: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, ests, pruned = state.get
+            counts = pd.Series(list(ests), index=list(items), dtype="int64")
+        else:
+            counts, pruned = pd.Series(dtype="int64"), 0
+        for pdf in pdfs:
+            batch = pdf[item].dropna().value_counts()
+            counts = counts.add(batch, fill_value=0).astype("int64")
+            counts, cut = _prune(counts, k)
+            pruned += int(cut)
+        state.update((list(counts.index), [int(x) for x in counts.values], pruned))
+        yield pd.DataFrame(
+            {
+                group_key: key_tuple[0],
+                "item": counts.index.astype(str),
+                "est": counts.values.astype("int64"),
+                "err": pruned,
+            }
+        )
+
+    return df.groupBy(group_key).applyInPandasWithState(
+        update,
+        outputStructType=f"{group_key} long, item string, est long, err long",
+        stateStructType="items array<string>, ests array<long>, pruned long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

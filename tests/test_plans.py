@@ -422,3 +422,47 @@ def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert plans.broadcast_join_count(df) == 0
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Scale insurance: Spark's runtime bloom filter (InjectRuntimeFilter)
+    must still fire on the selective-dim ⋈ fact shuffle-join shape — the
+    dim side's predicate becomes a bloom filter applied to the FACT scan
+    (`might_contain(...)` above it), so at 100 TB the shuffle moves only
+    rows that can possibly join. Default thresholds are sized for real
+    clusters (application side >= 10 GB), so the test floors them; if this
+    pin breaks on a Spark upgrade, every selective fact-dim join in the
+    catalog loses its pre-shuffle pruning silently."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        ), "runtime bloom filters are disabled session-wide"
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter no longer injected on the selective "
+            "dim ⋈ fact shuffle join"
+        )
+        # and it must guard the FACT side's key, pre-shuffle
+        import re
+
+        assert re.search(r"might_contain\(.*xxhash64\(l_orderkey", plan)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -483,3 +483,61 @@ def test_transform_with_state_smoke(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old_provider)
+
+
+def test_streaming_heavy_hitters_contract_across_batches(spark, tmp_path):
+    """Misra-Gries state carried across micro-batches: after replaying two
+    batches, each key's final summary obeys est <= true <= est + err
+    against exact counts, and a dominant item (> err) must survive. k=2
+    with 5 distinct items per key forces real pruning."""
+    from collections import Counter
+
+    from savio_training_dask_2019_spark.streaming import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    now = time.time()
+    # key 1: 'A' dominates; key 2: balanced tail
+    b1 = [(1, t) for t in ["A"] * 6 + ["B", "C", "D", "E"]] + [
+        (2, t) for t in ["X", "Y", "Z"] * 2
+    ]
+    b2 = [(1, t) for t in ["A"] * 5 + ["B", "B", "C"]] + [(2, "X")] * 3
+    true = {k: Counter() for k in (1, 2)}
+    for k, t in b1 + b2:
+        true[k][t] += 1
+    for name, rows, mt in [("b1", b1, now - 20), ("b2", b2, now - 10)]:
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    stream = file_stream(spark, f"{src}/*", "user_id long, event_type string")
+    q = memory_sink(
+        streaming_heavy_hitters(stream, "user_id", "event_type", k=2),
+        "hh_stream",
+        output_mode="update",
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+    # keep each key's LAST summary: batch id not exposed, so reconstruct by
+    # taking, per (key, item), the row with max est and the max err per key
+    rows = spark.sql("SELECT * FROM hh_stream").collect()
+    last_err = {}
+    for r in rows:
+        last_err[r["user_id"]] = max(last_err.get(r["user_id"], 0), r["err"])
+    final = {}
+    for r in rows:
+        if r["err"] == last_err[r["user_id"]]:
+            final.setdefault(r["user_id"], {})[r["item"]] = r["est"]
+    for key, summary in final.items():
+        err = last_err[key]
+        assert len(summary) <= 2  # k bound on state
+        for item, est in summary.items():
+            t = true[key][item]
+            assert est <= t <= est + err, (key, item, est, t, err)
+        # dominant-item survival: A (11) for key 1, X (9) for key 2
+        dom = {1: "A", 2: "X"}[key]
+        if true[key][dom] > err:
+            assert dom in summary, (key, summary, err)
+    assert final[1].get("A", 0) >= 1 and final[2].get("X", 0) >= 1
