@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""End-to-end billion-scale ANN layout over the embeddings fixture — the
+composition the similarity tier exists for (SCALING.md "r9 additions"):
+
+    PYTHONPATH=. python examples/ann_pipeline.py [sf_dir]
+
+Stages, each the 100 TB shape:
+
+  1. quantizer sanity   — `assign_cells` + occupancy/skew diagnostic (the
+                          ivf_balance check): one narrow broadcast fold +
+                          one groupBy(cell). Run BEFORE committing to any
+                          cell-partitioned join; skew_ratio tells you
+                          whether nlist is big enough.
+  2. corpus×corpus kNN  — `cell_knn_join`: both sides cell-assigned, then
+                          cell ⋈ cell shuffle_hash — NEITHER fact side
+                          broadcasts; a hot cell is an AQE skew-split case
+                          (machine-pinned in tests/test_skew.py).
+  3. PQ compression     — `pq_encode`: 64-dim float32 (256 B) → m centroid
+                          ids (a few bytes) + reconstruction MSE. The
+                          memory half of IVF-PQ.
+  4. ADC search         — `pq_adc_topk`: raw query vs codes through a
+                          driver-built per-subspace lookup table; scoring
+                          is m map lookups + a fold per row — the corpus's
+                          vectors are never touched at query time.
+
+The demo centroids/codebook are deterministic corpus subsets so every
+stage is oracle-checkable in the catalog; production swaps in k-means
+(`build_ivf_index`) and per-subspace k-means without changing any plan.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from savio_training_dask_2019_spark.operators.similarity import (
+        assign_cells,
+        cell_knn_join,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from savio_training_dask_2019_spark.session import get_spark
+    from savio_training_dask_2019_spark.sources import load_table
+
+    spark = get_spark(app_name="ann-pipeline")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 1. coarse quantizer + balance check (demo centroids: vec_id % 31)
+    cents = emb.where(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    per_cell = (
+        assign_cells(emb, "embedding", "vec_id", cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bal = per_cell.agg(
+        F.count(F.lit(1)).alias("cells"),
+        F.max("n").alias("max"),
+        F.round(F.max("n") / F.avg("n"), 2).alias("skew"),
+    ).first()
+    print(f"quantizer: {bal['cells']} cells, max {bal['max']}, skew_ratio {bal['skew']}")
+
+    # 2. corpus×corpus kNN within probed cells (query set: vec_id % 50)
+    knn = cell_knn_join(
+        emb.where(F.col("vec_id") % 50 == 0), emb, cents,
+        "embedding", "vec_id", k=3, nprobe=2, exclude_self=True,
+    )
+    print(f"cell kNN pairs: {knn.count()}")
+
+    # 3+4. PQ encode the corpus, then ADC-search it with a raw query vector
+    cb = emb.where((F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 1000)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cb.collect()]
+    codes = pq_encode(emb, "embedding", "vec_id", cb, m=4, dim=64)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    top = pq_adc_topk(codes, cb_rows, qv, m=4, dim=64, k=5).collect()
+    print("ADC top-5:", [(r["id"], r["adc"]) for r in top])
+    print("ann pipeline complete")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -34,3 +34,10 @@ def test_corpus_prep_example_runs(spark, capsys):
     _load("corpus_prep").main("/root/testdata/sf0.001")
     out = capsys.readouterr().out
     assert "after decontamination:" in out and "corpus prep complete" in out
+
+
+def test_ann_pipeline_example_runs(spark, capsys):
+    _load("ann_pipeline").main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "quantizer:" in out and "ADC top-5:" in out
+    assert "ann pipeline complete" in out
