@@ -533,38 +533,61 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc length; docs with < 2 tokens score 0 and still count in
     n_docs.
 
-    Scale: bigram explode → (doc, bigram) count (map-side combine absorbs
-    the repeats being measured) → per-doc argmin(struct) agg → hash join
-    back to the doc list on doc_id → O(langs) final agg. No windows,
-    nothing global, nothing collected."""
+    Scale: the per-doc top bigram is found ENTIRELY IN-ROW — sort the
+    doc's bigram array and take the longest run via one JVM fold (ties
+    resolve to the lexicographically smallest bigram because the array is
+    sorted and only a STRICTLY longer run replaces the best) — so the
+    corpus never shuffles at all; the only exchange is the O(langs) final
+    agg. This replaced an r9-draft bigram-explode → groupBy(doc, bg)
+    formulation whose shuffle carried the whole bigram stream."""
     d = load_table_spread(spark, sf_dir, "documents")
-    base = d.select("doc_id", "lang", tokens("text").alias("tk"))
-    bg = base.where(F.size("tk") >= 2).select(
-        "doc_id",
-        F.length(F.array_join("tk", " ")).alias("chars"),
-        F.explode(_word_shingles(F.col("tk"), 2)).alias("bg"),
+    base = d.select("lang", tokens("text").alias("tk"))
+    # longest run in the SORTED bigram array == the most frequent bigram;
+    # strictly-greater replacement keeps the earliest (lexicographically
+    # smallest) run on count ties — the same (cnt desc, bg asc) rule the
+    # oracle's window spells out
+    # _word_shingles needs size >= 2 (descending-sequence trap); short docs
+    # get an empty array, the fold returns best_n = 0, and frac is 0.0
+    run = F.aggregate(
+        F.array_sort(
+            F.when(F.size("tk") >= 2, _word_shingles(F.col("tk"), 2)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ),
+        F.struct(
+            F.lit("").alias("cur"),
+            F.lit(0).alias("cur_n"),
+            F.lit("").alias("best"),
+            F.lit(0).alias("best_n"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("cur"),
+            F.when(x == acc["cur"], acc["cur_n"] + 1).otherwise(F.lit(1)).alias("cur_n"),
+            F.when(
+                F.when(x == acc["cur"], acc["cur_n"] + 1).otherwise(F.lit(1))
+                > acc["best_n"],
+                x,
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.greatest(
+                F.when(x == acc["cur"], acc["cur_n"] + 1).otherwise(F.lit(1)),
+                acc["best_n"],
+            ).alias("best_n"),
+        ),
     )
-    top = (
-        bg.groupBy("doc_id", "chars", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id", "chars")
-        .agg(F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("bg"))).alias("t"))
-        .select(
-            "doc_id",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    (-F.col("t.negc")) * F.length(F.col("t.bg")) / F.col("chars"),
-                ),
-                4,
-            ).alias("frac"),
+    frac = F.when(F.size("tk") < 2, F.lit(0.0)).otherwise(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("t.best_n")
+                * F.length(F.col("t.best"))
+                / F.length(F.array_join("tk", " ")),
+            ),
+            4,
         )
     )
-    per_doc = (
-        base.select("doc_id", "lang")
-        .join(top, "doc_id", "left")
-        .select("lang", F.coalesce("frac", F.lit(0.0)).alias("frac"))
-    )
+    per_doc = base.withColumn("t", run).select("lang", frac.alias("frac"))
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("frac"), 4).alias("avg_top2_frac"),
