@@ -75,6 +75,15 @@ HEADLINE = {
     "knn_cells": "knn_cells",
     "dsir_weights": "dsir_weights",
     "bm25_search": "bm25_search",
+    # r9 additions (frozen r9): winnowing, Gopher repetition, MG sketch,
+    # SPFHP packing, IVF balance, PQ encode + ADC search
+    "winnow_fp": "winnow_fp",
+    "repetition_stats": "repetition_stats",
+    "heavy_hitters": "heavy_hitters",
+    "pack_bfd": "pack_bfd",
+    "ivf_balance": "ivf_balance",
+    "pq_encode": "pq_encode",
+    "pq_adc": "pq_adc",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

@@ -580,8 +580,12 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distance table with the same sequential sums and sums the m
     entries in subspace order (list(d2 ORDER BY sub) → list_sum)."""
     from ..operators.similarity import pq_adc_topk, pq_encode
+    from ..sources import load_table_spread
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: the encode fold is expression-heavy (|codebook|·dim mults per
+    # row, interpreted HOFs), so a single-row-group fixture file must not
+    # serialize it onto one task — 6.3x on the r9 measurement
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     cb_df = emb.where(
         ((F.col("vec_id") % _PQ_CB_MOD) == 0) & (F.col("vec_id") < _PQ_ADC_CB_CAP)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))

@@ -191,6 +191,15 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     "knn_cells": (4, 2, 2, 5, (2, 2)),  # 2× broadcast centroid-array fold
     "dsir_weights": (3, 4, 4, 12, (6, 6)),  # 2 unigram LMs + totals, all 1-row/model broadcasts
     "bm25_search": (1, 1, 1, 3, (2, 2)),  # (N, avgdl) scalar-stats crossJoin
+    # r9 additions, first benched r9. bcast == bnlj where both are 1: the
+    # only broadcast is the 1-row model/scalar attach (no fact-side BHJ).
+    "winnow_fp": (2, 0, 0, 3, (1, 1)),  # stats ⋈ per-lang distinct keys
+    "repetition_stats": (1, 0, 0, 2, (0, 0)),  # in-row fold; spread + lang agg only
+    "heavy_hitters": (0, 1, 1, 2, (1, 1)),  # summaries checkpointed (scan at build); 1-row err bound
+    "pack_bfd": (1, 0, 0, 4, (1, 1)),  # rank window + broadcast segment range join
+    "ivf_balance": (2, 1, 2, 3, (1, 1)),  # centroid-array fold + scalar summary
+    "pq_encode": (2, 1, 1, 1, (1, 1)),  # codebook-array fold, narrow encode
+    "pq_adc": (2, 1, 1, 3, (1, 1)),  # encode + map-literal ADC + TakeOrdered
 }
 
 
