@@ -12,6 +12,7 @@ from .parquet import (
     load_table,
     load_table_spread,
     load_tables,
+    register_views,
 )
 from .text_json import read_csv, read_json_lines, read_text
 from .pandas_io import from_iterator, from_pandas
@@ -26,6 +27,7 @@ from .sinks import (
 )
 
 __all__ = [
+    "register_views",
     "write_bucketed_table",
     "ensure_min_partitions",
     "read_orc",

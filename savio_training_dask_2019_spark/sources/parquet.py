@@ -129,3 +129,18 @@ def load_table_spread(
         needs = df.rdd.getNumPartitions() < n
         _SPREAD_CACHE.put(key, needs)
     return df.repartition(n) if needs else df
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Register every fixture table as a temp view (``prefix + name``) so
+    the whole corpus is drivable from plain ``spark.sql`` — the same
+    registration surface the DuckDB oracle gets, and the lowest-friction
+    path for a SQL-first user switching from the reference: after one call,
+    ``spark.sql("SELECT ... FROM documents JOIN embeddings ...")`` works
+    with all the load-path normalizations (nano-timestamp handling) already
+    applied. Returns the registered view names."""
+    names = []
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+        names.append(prefix + name)
+    return names

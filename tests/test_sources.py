@@ -150,3 +150,48 @@ def test_write_sorted_parquet_disjoint_file_ranges(spark, sf_dir, tmp_path):
     want = orders.filter(F.col("o_orderdate") >= "1997-01-01").count()
     assert back.count() == want
     assert any("o_orderdate" in p for p in plans.pushed_filters(back))
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """After one register_views call the whole corpus is drivable from
+    plain spark.sql, with the load-path normalizations applied (events.ts
+    arrives as a usable timestamp, not raw nanos) — and an ANSI query over
+    the views matches the DataFrame path exactly."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.sources import (
+        FIXTURE_TABLES,
+        load_table,
+        register_views,
+    )
+
+    names = register_views(spark, sf_dir)
+    assert names == list(FIXTURE_TABLES)
+    got = spark.sql(
+        """
+        SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    ).collect()
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # nano-ts normalization reached the view: hour() works directly
+    r = spark.sql("SELECT MIN(hour(ts)) AS h FROM events").first()
+    assert r["h"] is not None and 0 <= r["h"] <= 23
+    # prefixed registration doesn't clobber
+    assert register_views(spark, sf_dir, prefix="x_")[0] == "x_region"
+    assert spark.sql("SELECT COUNT(*) AS n FROM x_region").first()["n"] == 5
