@@ -1,0 +1,122 @@
+"""Scale smokes: key operators on range-generated inputs 2–3 orders of
+magnitude above fixture size, with ANALYTICALLY known answers — no collect
+of the big side, correctness checked through aggregates. These pin that
+the shapes hold beyond toy scale (the 100× question VERDICTs grade), not
+just that they pass at 500 rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_1m_rows_known_dup_structure(spark):
+    """1M rows, text = id % 100k → exactly 100k survivors, keep-first means
+    survivor ids are exactly 0..100k-1. Checked via aggregates only."""
+    from savio_training_dask_2019_spark.operators import keep_first_by_hash
+
+    n, mod = 1_000_000, 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % mod).cast("string")).alias("text"),
+    )
+    kept = keep_first_by_hash(df, "text", "doc_id")
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("keep_id").alias("mx"),
+        F.sum("keep_id").cast("bigint").alias("s"),
+        F.sum("n_copies").cast("bigint").alias("copies"),
+        F.max("n_copies").alias("mxc"),
+    ).first()
+    assert agg["n"] == mod
+    assert agg["mx"] == mod - 1  # keep-FIRST: every survivor id < mod
+    assert agg["s"] == mod * (mod - 1) // 2
+    assert agg["copies"] == n and agg["mxc"] == n // mod
+
+
+def test_heavy_hitters_5m_tokens_analytic_distribution(spark):
+    """5M tokens: 30% one hot token, the rest uniform over 10k tails. The
+    sketch must surface the hot token with its exact-count bracket."""
+    from savio_training_dask_2019_spark.operators.sketches import heavy_hitters
+
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 9973).cast("string")))
+        .alias("tok")
+    )
+    rows = heavy_hitters(df, "tok", k=64, top=5).collect()
+    by = {r["item"]: r for r in rows}
+    assert "HOT" in by
+    true_hot = 3 * n // 10
+    r = by["HOT"]
+    assert r["est_count"] <= true_hot <= r["est_count"] + r["err_bound"]
+    assert max(rows, key=lambda x: x["est_count"])["item"] == "HOT"
+
+
+def test_pack_bfd_1m_docs_validity_via_aggregates(spark):
+    """1M docs, 511 distinct lengths: the histogram solve stays driver-tiny
+    while the assignment distributes. Validity checked without collecting
+    any doc-level data: every doc packed exactly once, no pack over budget,
+    token mass conserved, pack count == the driver solution's."""
+    from savio_training_dask_2019_spark.operators.packing import (
+        assign_packs_histogram,
+        spfhp_strategies,
+    )
+
+    n, max_len = 1_000_000, 512
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 511 + 1).alias("n_tok"),
+    )
+    assigned, strategies = assign_packs_histogram(df, "doc_id", "n_tok", max_len)
+    n_packs = sum(c for _comp, c in strategies)
+    packs = assigned.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tok").alias("toks")
+    )
+    agg = packs.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("docs").cast("bigint").alias("n_docs"),
+        F.max("toks").alias("max_fill"),
+        F.sum("toks").cast("bigint").alias("tok_mass"),
+    ).first()
+    src = df.agg(F.sum("n_tok").cast("bigint").alias("t")).first()
+    assert agg["n_docs"] == n  # every doc exactly once
+    assert agg["n_packs"] == n_packs  # distributed assignment == solution
+    assert agg["max_fill"] <= max_len
+    assert agg["tok_mass"] == src["t"]
+    # packing actually packs: average fill above 90% on this distribution
+    assert agg["tok_mass"] / (n_packs * max_len) > 0.9
+    # and the histogram the driver solved was genuinely tiny
+    assert len(strategies) < 2_000
+
+
+def test_substring_keep_first_200k_docs_boilerplate(spark):
+    """200k docs sharing one boilerplate 8-token prefix + unique tails: the
+    span pipeline's min-agg keep-first + salted join-back must flag the
+    prefix in every doc but the global first — the planted-hot-key shape at
+    40x the skew-test size, answer known analytically."""
+    from savio_training_dask_2019_spark.operators.dedup import (
+        substring_dup_removal,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta u"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    touched = substring_dup_removal(df, "text", "doc_id", span_w=8)
+    r = touched.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("removed").cast("bigint").alias("removed"),
+        F.min("removed").alias("mn"),
+        F.max("removed").alias("mx"),
+    ).first()
+    # every doc except the global first (doc_id 0) loses exactly its
+    # 8-token boilerplate prefix; the trailing window is unique per doc
+    assert r["docs"] == n - 1
+    assert r["mn"] == 8 and r["mx"] == 8
+    assert r["removed"] == 8 * (n - 1)
