@@ -6,7 +6,6 @@ just that they pass at 500 rows."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 
@@ -61,7 +60,6 @@ def test_pack_bfd_1m_docs_validity_via_aggregates(spark):
     token mass conserved, pack count == the driver solution's."""
     from savio_training_dask_2019_spark.operators.packing import (
         assign_packs_histogram,
-        spfhp_strategies,
     )
 
     n, max_len = 1_000_000, 512
