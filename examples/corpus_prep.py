@@ -114,6 +114,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     totw = sum(r["total_windows"] for r in sub)
     print(f"substring audit: {dupw}/{totw} stride-1 windows duplicated "
           f"({dupw/totw:.1%})")
+    # ...and the Gopher character-mass repetition gate (in-row fold — the
+    # whole signal costs one scan, no shuffle beyond the O(langs) agg)
+    rep = llmpipe.q_repetition_stats(spark, sf_dir).collect()
+    flagged = sum(r["n_flagged"] for r in rep)
+    print(f"repetition gate: {flagged}/{sum(r['n_docs'] for r in rep)} docs "
+          f"over the 0.20 top-2-gram char fraction")
 
     # 5. mixture-weighted sampling (deterministic hash gate per language) —
     #    preceded by the XLM-R temperature weights a production run would
@@ -135,9 +141,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     n_sampled = sampled.count()
 
-    # 6. pack into training bins (bin id = running token offset DIV budget)
+    # 6. pack into training bins — both layouts: concat-and-chunk (splits
+    #    docs at bin boundaries; zero padding) and SPFHP histogram packing
+    #    (whole docs only; the driver solves on the <= max_len-row length
+    #    histogram, the cluster assigns — some padding, no splits)
     bins = llmpipe.q_pack_sequences(spark, sf_dir)
     n_bins = bins.count()
+    bfd = llmpipe.q_pack_bfd(spark, sf_dir).collect()
+    bfd_packs = sum(r["n_packs"] for r in bfd)
+    bfd_fill = sum(r["n_packs"] * r["avg_fill"] for r in bfd) / max(bfd_packs, 1)
     tok_total = sampled.select(F.sum(token_count("text"))).collect()[0][0]
 
     # 7. train/val split with leakage audit, then writer shard balance —
@@ -152,6 +164,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"after decontamination: {n_clean} docs")
     print(f"after mixture sampling: {n_sampled} docs ({tok_total} tokens kept)")
     print(f"packed layout: {n_bins} bins of {llmpipe._PACK_BUDGET} tokens")
+    print(
+        f"SPFHP alternative: {bfd_packs} whole-doc packs of "
+        f"{llmpipe._BFD_MAX_LEN}, avg fill {bfd_fill:.1%} (no splits)"
+    )
     for name in ("train", "val"):
         r = splits[name]
         print(f"{name}: {r['n_docs']} docs, {r['n_leaked']} leaked across split")
