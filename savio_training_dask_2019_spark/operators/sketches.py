@@ -45,11 +45,17 @@ def _prune(counts: "pd.Series", k: int) -> tuple["pd.Series", int]:
 
 
 def misra_gries_summaries(
-    df: DataFrame, item_col: str, k: int = 64
+    df: DataFrame, item_col: str, k: int = 64, weight_col: str | None = None
 ) -> DataFrame:
     """Per-partition Misra-Gries(k) summaries: <= k rows of (item, est, 0)
     per partition plus ONE (NULL, 0, pruned_total) error row. Output is
-    O(partitions · k) whatever the input size."""
+    O(partitions · k) whatever the input size.
+
+    ``weight_col`` (integer) generalizes to weighted frequencies — heavy
+    DOMAINS by token mass instead of heavy tokens by occurrence — with the
+    same contract: est <= true_weight <= est + err (the weighted MG of the
+    mergeable-summaries paper; the prune subtracts the (k+1)-th largest
+    weighted mass)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -57,7 +63,16 @@ def misra_gries_summaries(
         counts = pd.Series(dtype="int64")
         pruned = 0
         for pdf in batches:
-            batch = pdf[item_col].dropna().value_counts()
+            col = pdf[item_col]
+            if weight_col is None:
+                batch = col.dropna().value_counts()
+            else:
+                batch = (
+                    pdf[[item_col, weight_col]]
+                    .dropna()
+                    .groupby(item_col, sort=False)[weight_col]
+                    .sum()
+                )
             counts = counts.add(batch, fill_value=0).astype("int64")
             counts, cut = _prune(counts, k)
             pruned += cut
@@ -68,13 +83,18 @@ def misra_gries_summaries(
         err = pd.DataFrame({"item": [None], "est": [0], "pruned": [pruned]})
         yield pd.concat([out, err], ignore_index=True)
 
-    return df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
-        summarize, _SUMMARY_SCHEMA
-    )
+    cols = [F.col(item_col).cast("string").alias(item_col)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias(weight_col))
+    return df.select(*cols).mapInPandas(summarize, _SUMMARY_SCHEMA)
 
 
 def heavy_hitters(
-    df: DataFrame, item_col: str, k: int = 64, top: int = 20
+    df: DataFrame,
+    item_col: str,
+    k: int = 64,
+    top: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Approximate top items: merge the per-partition Misra-Gries(k)
     summaries and return the ``top`` largest estimates with the global
@@ -85,7 +105,7 @@ def heavy_hitters(
     Plan: narrow one-pass summaries → O(parts·k)-row shuffle on item →
     TakeOrdered cut; the error bound rides as a broadcast 1-row scalar
     agg. The token stream itself never shuffles."""
-    summaries = misra_gries_summaries(df, item_col, k=k)
+    summaries = misra_gries_summaries(df, item_col, k=k, weight_col=weight_col)
     # one tiny frame feeds both branches; without a checkpoint each branch
     # would re-run the full per-partition summarize pass over the corpus
     summaries = summaries.localCheckpoint(eager=True)

@@ -101,3 +101,28 @@ def test_heavy_hitters_catalog_query_shape(spark, sf_dir):
     assert 1 <= len(rows) <= 20
     ests = [r["est_count"] for r in rows]
     assert ests == sorted(ests, reverse=True)
+
+
+def test_weighted_heavy_hitters_by_token_mass(spark, sf_dir):
+    """Weighted MG: heavy SOURCES by token mass. Contract against exact
+    weighted totals computable at fixture scale."""
+    from savio_training_dask_2019_spark.functions.text import token_count
+    from savio_training_dask_2019_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("w")
+    )
+    true = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum("w").alias("t")).collect()
+    }
+    rows = heavy_hitters(d, "source", k=4, top=5, weight_col="w").collect()
+    assert rows
+    err = rows[0]["err_bound"]
+    for r in rows:
+        t = true[r["item"]]
+        assert r["est_count"] <= t <= r["est_count"] + err
+    # the true heaviest source must survive and rank first if it dominates
+    top_true = max(true, key=lambda s: (true[s], s))
+    if true[top_true] > err:
+        assert any(r["item"] == top_true for r in rows)
