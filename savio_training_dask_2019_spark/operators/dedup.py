@@ -725,8 +725,12 @@ def semantic_dedup(
         as_double(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", l2_norm(F.col("__v")))
     if max_cluster_rows is not None:
+        # NULL clusters are excluded: a NULL key never matches the pairwise
+        # equi-join below, so those rows cannot create quadratic work (they
+        # always survive) — counting them would abort on valid input
         worst = (
-            v.groupBy("__c")
+            v.where(F.col("__c").isNotNull())
+            .groupBy("__c")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("__c"))
             .limit(1)

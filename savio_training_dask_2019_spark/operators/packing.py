@@ -170,10 +170,16 @@ def spfhp_strategies(
                 open_[new_comp] = open_.get(new_comp, 0) + take
                 remaining -= take
             else:
-                open_[(length,)] = open_.get((length,), 0) + remaining
-                # the fresh packs may still fit MORE docs of this length —
-                # the loop continues and finds them via the fits branch
-                remaining = 0
+                # open only as many fresh packs as the length NEEDS
+                # (ceil(remaining / per-pack capacity)), seed each with one
+                # doc, and let the loop's fits branch distribute the rest
+                # into them — opening one pack per remaining doc here would
+                # leave same-length docs one-per-pack forever (r9 review
+                # finding: {100: 10} @ 512 must pack 2×(100⁵), not 10×(100¹))
+                cap = max_len // length
+                q = min(remaining, -(-remaining // cap))
+                open_[(length,)] = open_.get((length,), 0) + q
+                remaining -= q
     return sorted(open_.items(), key=lambda kv: kv[0])
 
 

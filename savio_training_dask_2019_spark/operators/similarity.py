@@ -309,18 +309,28 @@ def _centroid_array(centroids: DataFrame):
 
 
 def assign_cells(
-    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    _cent_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Argmax-cosine cell assignment as a NARROW per-row fold over the
     broadcast centroid array — the corpus side of :func:`cell_knn_join`,
     exposed for occupancy diagnostics (``q_ivf_balance``) and custom cell
     pipelines. Returns (id, v double-vector, n clamped-l2-norm, cell);
     ties break to the smallest cid, zero-norm rows take cosine 0.0
-    everywhere and land in the smallest-cid cell. No shuffle."""
+    everywhere and land in the smallest-cid cell. No shuffle.
+
+    ``_cent_arr``: a prebuilt :func:`_centroid_array` frame — pass it when
+    ANOTHER consumer attaches the same model (``cell_knn_join``'s query
+    side) so the O(nlist) build aggregation runs once and Catalyst can
+    reuse the broadcast exchange instead of planning two (r9 review)."""
+    cent_arr = _centroid_array(centroids) if _cent_arr is None else _cent_arr
     return (
         df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("n", F.greatest(l2_norm(F.col("v")), F.lit(_NORM_FLOOR)))
-        .crossJoin(_centroid_array(centroids))
+        .crossJoin(cent_arr)
         .withColumn(
             "best", F.array_max(_cell_sims(F.col("v"), F.col("n"), F.col("cents")))
         )
@@ -367,7 +377,7 @@ def cell_knn_join(
     Returns (query_id, corpus_id, cosine round 5), top-k per query by
     (cosine desc, corpus_id)."""
     cent_arr = _centroid_array(centroids)
-    c = assign_cells(corpus, vec_col, id_col, centroids).select(
+    c = assign_cells(corpus, vec_col, id_col, centroids, _cent_arr=cent_arr).select(
         F.col("id").alias("corpus_id"),
         F.col("v").alias("cvec"),
         F.col("n").alias("cn"),

@@ -556,7 +556,7 @@ best AS (
 )
 SELECT vec_id,
        string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS code_str,
-       round(sum(d2) / {_PQ_DIM}, 4) AS mse
+       round(list_sum(list(d2 ORDER BY sub)) / {_PQ_DIM}, 4) AS mse
 FROM best GROUP BY vec_id
 """
 

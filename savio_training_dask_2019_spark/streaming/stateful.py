@@ -112,9 +112,10 @@ def streaming_heavy_hitters(
             }
         )
 
+    key_type = df.schema[group_key].dataType.simpleString()  # not just long
     return df.groupBy(group_key).applyInPandasWithState(
         update,
-        outputStructType=f"{group_key} long, item string, est long, err long",
+        outputStructType=f"{group_key} {key_type}, item string, est long, err long",
         stateStructType="items array<string>, ests array<long>, pruned long",
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,

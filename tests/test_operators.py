@@ -527,3 +527,23 @@ def test_substring_dup_removal_rejects_reserved_keep_cols(spark):
         substring_dup_removal(df, "text", "doc_id", span_w=2, keep_cols=("pos",))
     with pytest.raises(ValueError, match="span_w"):
         substring_dup_removal(df, "text", "doc_id", span_w=1)
+
+
+def test_semantic_dedup_null_clusters_bypass_guard(spark):
+    """r9 review: rows with a NULL cluster can never join pairwise (NULL
+    keys don't match an equi-join), so the mega-cluster guard must ignore
+    them — and they must all SURVIVE the dedup."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators import semantic_dedup
+
+    df = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("long").alias("cluster"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    # 500 NULL-cluster rows with max_cluster_rows=100: must NOT raise
+    kept = semantic_dedup(
+        df, "embedding", "vec_id", "cluster", max_cluster_rows=100
+    )
+    assert kept.count() == 500  # every NULL-cluster row survives

@@ -54,6 +54,21 @@ def test_spfhp_rejects_bad_inputs():
         spfhp_strategies({0: 1}, 8)
 
 
+def test_spfhp_same_length_co_packing():
+    """r9 review regression: a length class with no fitting open residual
+    must still co-pack with ITSELF — {100: 10} at budget 512 is 2 packs of
+    five, never 10 single-doc packs."""
+    assert spfhp_strategies({100: 10}, 512) == [((100,) * 5, 2)]
+    # non-divisible remainder: 7 docs must still land in ceil(7/5) = 2
+    # packs (the round-robin fill gives a 4/3 split — any split into the
+    # minimal pack count is a valid SPFHP outcome)
+    got = spfhp_strategies({100: 7}, 512)
+    assert sum(n for _c, n in got) == 2
+    assert sum(len(c) * n for c, n in got) == 7
+    # budget below 2x length still yields singles (nothing else fits)
+    assert spfhp_strategies({100: 3}, 150) == [((100,), 3)]
+
+
 def test_spfhp_perfect_fill_case():
     """Complementary lengths must pair up: 60×(5) + 60×(3) at budget 8
     packs into exactly 60 full packs."""

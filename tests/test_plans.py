@@ -422,6 +422,12 @@ def test_knn_cells_no_fact_broadcast_shuffle_hash_on_cell(spark, sf_dir):
     # two 1-row centroid-model attaches (BNLJ Cross) — zero BroadcastHashJoin
     assert plans.bnlj_count(df) == 2
     assert plans.broadcast_join_count(df) == 2  # == bnlj: no BHJ on a fact side
+    # ...and the two 1-row attaches share ONE build: the centroid array is
+    # built once and the second consumer reuses the broadcast exchange
+    # (r9 review: the refactor briefly planned two independent builds)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1, "centroid broadcast not reused"
 
 
 def test_pii_redact_no_join_no_corpus_shuffle(spark, sf_dir):

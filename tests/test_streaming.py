@@ -541,3 +541,25 @@ def test_streaming_heavy_hitters_contract_across_batches(spark, tmp_path):
         if true[key][dom] > err:
             assert dom in summary, (key, summary, err)
     assert final[1].get("A", 0) >= 1 and final[2].get("X", 0) >= 1
+
+
+def test_streaming_heavy_hitters_string_group_key(spark, tmp_path):
+    """The group-key column type is inferred from the stream schema (r9
+    review: it was hardcoded long, breaking any non-long key)."""
+    from savio_training_dask_2019_spark.streaming import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_str_src")
+    df = spark.createDataFrame(
+        [("us", "A"), ("us", "A"), ("us", "B"), ("eu", "C")],
+        "country string, token string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    stream = file_stream(spark, f"{src}/*", "country string, token string")
+    q = memory_sink(
+        streaming_heavy_hitters(stream, "country", "token", k=4),
+        "hh_str", output_mode="update", available_now=True,
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_str").collect()
+    got = {(r["country"], r["item"]): r["est"] for r in rows}
+    assert got == {("us", "A"): 2, ("us", "B"): 1, ("eu", "C"): 1}
