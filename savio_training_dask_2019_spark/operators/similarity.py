@@ -751,3 +751,84 @@ def pq_adc_topk(
         .orderBy(F.col("adc").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    m: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The full IVF-PQ search composition (Jégou et al. 2011 §V) — coarse
+    quantizer prune + PQ asymmetric distance within the probed cells:
+
+      1. corpus rows are cell-assigned (:func:`assign_cells`, narrow
+         broadcast fold) and PQ-encoded (:func:`pq_encode`) — at scale
+         BOTH are done once at ingest and stored ``partitionBy(cell)``
+         with the codes, so a query reads only its probed cells' codes;
+      2. the query's top-``nprobe`` cells are chosen driver-side against
+         the O(nlist) centroid model (same argmax rule as the corpus);
+      3. candidates = codes in probed cells, scored by the ADC lookup
+         table — m map hits + a fold per candidate, no vector math;
+      4. exact re-rank is the caller's follow-up on the short list (the
+         standard third stage; not fused here so the ADC tier stays
+         measurable on its own).
+
+    Returns (id, cell, adc round 4) for the top-``k`` by (adc asc, id).
+    Every stage is deterministic and SQL-replayable with the demo
+    centroid/codebook conventions, so the whole pipeline is
+    oracle-checkable end-to-end."""
+    import decimal
+
+    cent_rows = centroids.collect()  # O(nlist) by contract — the model
+    q = [float(x) for x in query_vec]
+
+    def _round5_half_up(x: float) -> float:
+        # FIXTURES.md gotcha: Spark/DuckDB round HALF_UP; Python's builtin
+        # round is half-even — the probe selection must match the oracle
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.00001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def _cos_key(ce):
+        c = [float(x) for x in ce]
+        dot_ = 0.0
+        nc = 0.0
+        for i in range(dim):
+            dot_ += q[i] * c[i]
+            nc += c[i] * c[i]
+        nq = sum(x * x for x in q) ** 0.5
+        nc = max(nc**0.5, _NORM_FLOOR)
+        return _round5_half_up(dot_ / (max(nq, _NORM_FLOOR) * nc))
+
+    ranked = sorted(
+        ((_cos_key(r["ce"]), -int(r["cid"])) for r in cent_rows), reverse=True
+    )
+    probe_cells = [-negcid for _s, negcid in ranked[:nprobe]]
+
+    # prune FIRST, then encode only the survivors: this mirrors the real
+    # layout (codes precomputed at ingest, stored partitionBy(cell), a
+    # query reads only its probed cells' codes) without ever encoding the
+    # unprobed corpus in the demo path
+    pruned = assign_cells(corpus, vec_col, id_col, centroids).where(
+        F.col("cell").isin([int(c) for c in probe_cells])
+    )
+    codes = pq_encode(pruned, "v", "id", codebook, m=m, dim=dim).select(
+        "id", "codes"
+    )
+    cells = pruned.select("id", "cell")
+    cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in codebook.collect()]
+    top = pq_adc_topk(codes, cb_rows, q, m, dim, k=k)
+    return (
+        cells.join(F.broadcast(top), "id")  # the k-row RESULT broadcasts
+        .select("id", "cell", "adc")
+        .orderBy(F.col("adc").asc(), F.col("id").asc())
+    )

@@ -638,7 +638,107 @@ ORDER BY adc ASC, vec_id ASC LIMIT 10
 """
 
 
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search composition (Jégou et al. 2011 §V): coarse
+    cell prune (top-nprobe cells for the query, chosen driver-side against
+    the O(nlist) model) + PQ asymmetric distance over ONLY the probed
+    cells' codes — the billion-scale ANN read path where a query touches
+    nprobe/nlist of the corpus and only its code bytes, never vectors.
+    Demo centroids (vec_id % {cm}) and capped codebook (vec_id % {pm}
+    < {cap}) are deterministic corpus subsets, so assignment, pruning,
+    encoding, and ADC ALL replay in SQL — the composition is
+    oracle-checked end-to-end, not just its stages. Top-10 by (adc asc,
+    vec_id); see operators.similarity.ivfpq_topk."""
+    from ..operators.similarity import ivfpq_topk
+    from ..sources import load_table_spread
+
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
+    )
+    cb = emb.where(
+        ((F.col("vec_id") % _PQ_CB_MOD) == 0) & (F.col("vec_id") < _PQ_ADC_CB_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivfpq_topk(
+        emb, "embedding", "vec_id", cents, cb, qv,
+        m=_PQ_M, dim=_PQ_DIM, k=10, nprobe=2,
+    ).withColumnRenamed("id", "vec_id")
+
+
+q_ivfpq.__doc__ = q_ivfpq.__doc__.format(
+    cm=_CELL_MOD, pm=_PQ_CB_MOD, cap=_PQ_ADC_CB_CAP
+)
+
+_IVFPQ_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS ccid, {_DD.format(col='embedding')} AS cce
+  FROM embeddings WHERE vec_id % {_CELL_MOD} = 0
+),
+probes AS (
+  SELECT ccid AS cell FROM (
+    SELECT c.ccid,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity({_DD.format(col='q.qe')}, c.cce), 5)
+                      DESC, c.ccid
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT e.vec_id, c.ccid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        {_DD.format(col='e.embedding')}, c.cce), 5) DESC, c.ccid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+pruned AS (
+  SELECT a.vec_id, a.cell FROM assigned a JOIN probes USING (cell)
+),
+cb AS (
+  SELECT s.j AS sub, e.vec_id AS cid, e.embedding AS ce,
+         list_sum(list_transform(range(1 + s.j * {_PQ_DSUB}, 1 + (s.j + 1) * {_PQ_DSUB}),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           AS cn2
+  FROM embeddings e, (SELECT unnest(range(0, {_PQ_M})) AS j) s
+  WHERE e.vec_id % {_PQ_CB_MOD} = 0 AND e.vec_id < {_PQ_ADC_CB_CAP}
+),
+best AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT e.vec_id, cb.sub, cb.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY round(list_sum(list_transform(
+                        range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(cb.ce[i] AS DOUBLE)))
+                      - 0.5 * cb.cn2, 5) DESC, cb.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cb
+    WHERE e.vec_id IN (SELECT vec_id FROM pruned)
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT cb.sub, cb.cid,
+         round(list_sum(list_transform(range(1 + cb.sub * {_PQ_DSUB}, 1 + (cb.sub + 1) * {_PQ_DSUB}),
+               i -> (CAST(q.qe[i] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
+                  * (CAST(q.qe[i] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE)))), 5) AS d2
+  FROM cb, q
+)
+SELECT b.vec_id, p.cell, round(list_sum(list(d.d2 ORDER BY b.sub)), 4) AS adc
+FROM best b JOIN dtab d ON b.sub = d.sub AND b.cid = d.cid
+JOIN pruned p ON p.vec_id = b.vec_id
+GROUP BY b.vec_id, p.cell
+ORDER BY adc ASC, b.vec_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
+
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
@@ -654,6 +754,7 @@ QUERIES = {
     "ivf_balance": q_ivf_balance,
     "pq_encode": q_pq_encode,
     "pq_adc": q_pq_adc,
+    "ivfpq": q_ivfpq,
 }
 
 ORACLE = {
@@ -670,4 +771,5 @@ ORACLE = {
     "ivf_balance": _IVF_BALANCE_SQL,
     "pq_encode": _PQ_SQL,
     "pq_adc": _PQ_ADC_SQL,
+    "ivfpq": _IVFPQ_SQL,
 }

@@ -256,6 +256,12 @@ _BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage", "zipf_curve"}
 #                    corpus count (cheap columnar count scan)
 _MAX_PARQUET_SCANS = {
     "set_ops": 6,
+    # the three-stage IVF-PQ composition: centroid-model subtree (printed
+    # under both the probe-selection collect and the assignment fold),
+    # codebook subtree, and the corpus scan feeding assignment+encode; at
+    # prod scale centroids/codebook are separate model tables and the
+    # corpus is read once from its partitionBy(cell) code layout
+    "ivfpq": 5,
     # query side + corpus side + the centroid-model subtree, which the
     # static plan prints under BOTH fact branches (physically built once —
     # ReusedExchange on the broadcast, verified r8); at prod scale the
@@ -327,6 +333,7 @@ _MAX_BNLJ = {
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
     "heavy_hitters": 1,     # 1-row error-bound scalar
+    "ivfpq": 3,             # centroid array x1 + codebook array x1 + err... all 1-row model attaches
     "ivf_balance": 1,       # 1-row centroid-model array (assignment fold)
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
@@ -351,7 +358,7 @@ _MAX_SINGLE_PARTITION = {
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
-    "kll_quantiles": 1,
+    "ivfpq": 3, "kll_quantiles": 1,
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
     "pq_encode": 1,

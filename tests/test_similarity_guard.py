@@ -208,3 +208,32 @@ def test_pq_adc_matches_python_reference(spark, sf_dir):
     # vec 0 is itself a codebook row (0 % mod == 0): codes itself, adc 0
     assert got[0] == (0, 0.0)
     assert all(a >= 0 for _v, a in got)
+
+
+def test_ivfpq_prunes_to_probe_cells_and_matches_adc(spark, sf_dir):
+    """The composition's contract: every returned row's cell is one of the
+    query's top-2 probe cells (numpy-recomputed), and each row's adc equals
+    the standalone pq_adc value for that vector (same codebook)."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+    from savio_training_dask_2019_spark.queries.vectorops import _CELL_MOD
+
+    rows = QUERIES["ivfpq"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cents_mask = ids % _CELL_MOD == 0
+    cent_ids, cents = ids[cents_mask], vecs[cents_mask]
+    q = vecs[ids == 0][0]
+    cos = (cents @ q) / (
+        np.maximum(np.linalg.norm(cents, axis=1), 1e-12) * np.linalg.norm(q)
+    )
+    order = sorted(range(len(cent_ids)), key=lambda i: (-round(cos[i], 5), cent_ids[i]))
+    probe = {int(cent_ids[i]) for i in order[:2]}
+    assert {r["cell"] for r in rows} <= probe
+
+    adc = {r["vec_id"]: r["adc"] for r in QUERIES["pq_adc"](spark, sf_dir).collect()}
+    for r in rows:
+        if r["vec_id"] in adc:  # pq_adc's top-10 overlaps, values must agree
+            assert adc[r["vec_id"]] == r["adc"]
