@@ -84,6 +84,7 @@ HEADLINE = {
     "ivf_balance": "ivf_balance",
     "pq_encode": "pq_encode",
     "pq_adc": "pq_adc",
+    "ivfpq": "ivfpq",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

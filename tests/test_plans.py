@@ -200,6 +200,7 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     "ivf_balance": (2, 1, 2, 3, (1, 1)),  # centroid-array fold + scalar summary
     "pq_encode": (2, 1, 1, 1, (1, 1)),  # codebook-array fold, narrow encode
     "pq_adc": (2, 1, 1, 3, (1, 1)),  # encode + map-literal ADC + TakeOrdered
+    "ivfpq": (5, 3, 3, 9, (2, 4)),  # 3-stage composition; model attaches only
 }
 
 
