@@ -72,14 +72,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print(f"cell kNN pairs: {knn.count()}")
 
+    # 2b. ...or in one call: the full coarse-prune + ADC composition
+    from savio_training_dask_2019_spark.operators.similarity import ivfpq_topk
+
+    cb_full = emb.where((F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 1000)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    qv0 = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    composed = ivfpq_topk(
+        emb, "embedding", "vec_id", cents, cb_full, qv0, m=4, dim=64, k=5, nprobe=2
+    ).collect()
+    print("IVF-PQ composed top-5:", [(r["id"], r["cell"], r["adc"]) for r in composed])
+
     # 3+4. PQ encode the corpus, then ADC-search it with a raw query vector
     cb = emb.where((F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 1000)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cb.collect()]
     codes = pq_encode(emb, "embedding", "vec_id", cb, m=4, dim=64)
-    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    top = pq_adc_topk(codes, cb_rows, qv, m=4, dim=64, k=5).collect()
+    top = pq_adc_topk(codes, cb_rows, qv0, m=4, dim=64, k=5).collect()
     print("ADC top-5:", [(r["id"], r["adc"]) for r in top])
     print("ann pipeline complete")
 
