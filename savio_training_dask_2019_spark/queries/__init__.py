@@ -240,9 +240,10 @@ if _MISSING:
 #     All 22 rotate back r10.
 #     Scale-sensitivity check (r9): the FULL catalog replica was also run
 #     at sf0.1 — 10× the driver's gate scale — with identical results
-#     (108 oracle-equal, 18 rows-only, 0 failures of 126), so the rounding
-#     margins and tie-breaks that make the oracles engine-stable hold an
-#     order of magnitude past where they are graded.
+#     (108 oracle-equal, 18 rows-only, 0 failures of the 126 then present;
+#     ivfpq, added after, was sf0.1-checked separately — 0 failures), so
+#     the rounding margins and tie-breaks that make the oracles
+#     engine-stable hold an order of magnitude past where they're graded.
 #   r10+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
