@@ -85,11 +85,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("IVF-PQ composed top-5:", [(r["id"], r["cell"], r["adc"]) for r in composed])
 
     # 3+4. PQ encode the corpus, then ADC-search it with a raw query vector
-    cb = emb.where((F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 1000)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-    cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cb.collect()]
-    codes = pq_encode(emb, "embedding", "vec_id", cb, m=4, dim=64)
+    # (same demo codebook as stage 2b — defined once)
+    cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cb_full.collect()]
+    codes = pq_encode(emb, "embedding", "vec_id", cb_full, m=4, dim=64)
     top = pq_adc_topk(codes, cb_rows, qv0, m=4, dim=64, k=5).collect()
     print("ADC top-5:", [(r["id"], r["adc"]) for r in top])
     print("ann pipeline complete")

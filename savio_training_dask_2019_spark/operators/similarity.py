@@ -798,6 +798,8 @@ def ivfpq_topk(
             )
         )
 
+    nq = max(sum(x * x for x in q) ** 0.5, _NORM_FLOOR)  # loop-invariant
+
     def _cos_key(ce):
         c = [float(x) for x in ce]
         dot_ = 0.0
@@ -805,9 +807,8 @@ def ivfpq_topk(
         for i in range(dim):
             dot_ += q[i] * c[i]
             nc += c[i] * c[i]
-        nq = sum(x * x for x in q) ** 0.5
         nc = max(nc**0.5, _NORM_FLOOR)
-        return _round5_half_up(dot_ / (max(nq, _NORM_FLOOR) * nc))
+        return _round5_half_up(dot_ / (nq * nc))
 
     ranked = sorted(
         ((_cos_key(r["ce"]), -int(r["cid"])) for r in cent_rows), reverse=True

@@ -55,7 +55,9 @@ def misra_gries_summaries(
     DOMAINS by token mass instead of heavy tokens by occurrence — with the
     same contract: est <= true_weight <= est + err (the weighted MG of the
     mergeable-summaries paper; the prune subtracts the (k+1)-th largest
-    weighted mass)."""
+    weighted mass). Weights must be POSITIVE — the contract is meaningless
+    under negative mass, so a negative weight raises (in the task); zero-
+    weight rows are dropped rather than wasting summary slots."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -67,12 +69,14 @@ def misra_gries_summaries(
             if weight_col is None:
                 batch = col.dropna().value_counts()
             else:
-                batch = (
-                    pdf[[item_col, weight_col]]
-                    .dropna()
-                    .groupby(item_col, sort=False)[weight_col]
-                    .sum()
-                )
+                w = pdf[[item_col, weight_col]].dropna()
+                if (w[weight_col] < 0).any():
+                    raise ValueError(
+                        "misra_gries_summaries: negative weights break the "
+                        "est <= true <= est + err contract"
+                    )
+                w = w[w[weight_col] > 0]  # zero mass must not occupy a slot
+                batch = w.groupby(item_col, sort=False)[weight_col].sum()
             counts = counts.add(batch, fill_value=0).astype("int64")
             counts, cut = _prune(counts, k)
             pruned += cut

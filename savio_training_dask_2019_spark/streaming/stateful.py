@@ -58,9 +58,10 @@ def running_totals(
             {key: [key_tuple[0]], "n_events": [n], "total_value": [round(total, 4)]}
         )
 
+    key_type = df.schema[key].dataType.simpleString()  # not just long (r9)
     return df.groupBy(key).applyInPandasWithState(
         update,
-        outputStructType=f"{key} long, n_events long, total_value double",
+        outputStructType=f"{key} {key_type}, n_events long, total_value double",
         stateStructType="n long, total double",
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
