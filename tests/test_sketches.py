@@ -126,3 +126,15 @@ def test_weighted_heavy_hitters_by_token_mass(spark, sf_dir):
     top_true = max(true, key=lambda s: (true[s], s))
     if true[top_true] > err:
         assert any(r["item"] == top_true for r in rows)
+
+
+def test_weighted_heavy_hitters_rejects_negative_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 5), ("b", -1)], "item string, w long")
+    with pytest.raises(Exception, match="negative weights"):
+        heavy_hitters(df, "item", k=4, weight_col="w").collect()
+    # zero-weight rows are dropped, not slot-occupying
+    df2 = spark.createDataFrame([("a", 5), ("z", 0)], "item string, w long")
+    rows = heavy_hitters(df2, "item", k=4, weight_col="w").collect()
+    assert [r["item"] for r in rows] == ["a"]
