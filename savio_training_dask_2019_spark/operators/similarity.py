@@ -764,6 +764,7 @@ def ivfpq_topk(
     dim: int = 64,
     k: int = 10,
     nprobe: int = 2,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """The full IVF-PQ search composition (Jégou et al. 2011 §V) — coarse
     quantizer prune + PQ asymmetric distance within the probed cells:
@@ -776,11 +777,16 @@ def ivfpq_topk(
          the O(nlist) centroid model (same argmax rule as the corpus);
       3. candidates = codes in probed cells, scored by the ADC lookup
          table — m map hits + a fold per candidate, no vector math;
-      4. exact re-rank is the caller's follow-up on the short list (the
-         standard third stage; not fused here so the ADC tier stays
-         measurable on its own).
+      4. OPTIONAL exact re-rank (``rerank_k``): ADC keeps the top
+         ``rerank_k`` candidates instead of ``k``; their RAW vectors are
+         re-read (at scale: a k'-row point lookup against the cell
+         layout), scored by exact cosine, and the final top-``k`` is cut
+         on (cosine desc, id) — the standard third stage that recovers
+         most of the recall PQ compression gave up. Off by default so the
+         pure-ADC tier stays measurable (and the catalog oracle simple).
 
-    Returns (id, cell, adc round 4) for the top-``k`` by (adc asc, id).
+    Returns (id, cell, adc round 4) for the top-``k`` by (adc asc, id) —
+    plus ``cosine`` (round 5) when ``rerank_k`` is set, ordered by it.
     Every stage is deterministic and SQL-replayable with the demo
     centroid/codebook conventions, so the whole pipeline is
     oracle-checkable end-to-end."""
@@ -825,11 +831,23 @@ def ivfpq_topk(
     codes = pq_encode(pruned, "v", "id", codebook, m=m, dim=dim).select(
         "id", "codes"
     )
-    cells = pruned.select("id", "cell")
     cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in codebook.collect()]
-    top = pq_adc_topk(codes, cb_rows, q, m, dim, k=k)
+    top = pq_adc_topk(codes, cb_rows, q, m, dim, k=rerank_k or k)
+    out = (
+        pruned.join(F.broadcast(top), "id")  # the k'-row RESULT broadcasts
+        .select("id", "cell", "adc", "v", "n")
+    )
+    if rerank_k is None:
+        return out.select("id", "cell", "adc").orderBy(
+            F.col("adc").asc(), F.col("id").asc()
+        )
+    qlit = F.lit(q)
+    nq = F.sqrt(F.aggregate(qlit, F.lit(0.0), lambda a, x: a + x * x))
     return (
-        cells.join(F.broadcast(top), "id")  # the k-row RESULT broadcasts
-        .select("id", "cell", "adc")
-        .orderBy(F.col("adc").asc(), F.col("id").asc())
+        out.withColumn(
+            "cosine", F.round(dot(F.col("v"), qlit) / (F.col("n") * nq), 5)
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+        .select("id", "cell", "adc", "cosine")
     )

@@ -237,3 +237,67 @@ def test_ivfpq_prunes_to_probe_cells_and_matches_adc(spark, sf_dir):
     for r in rows:
         if r["vec_id"] in adc:  # pq_adc's top-10 overlaps, values must agree
             assert adc[r["vec_id"]] == r["adc"]
+
+
+def test_ivfpq_rerank_recovers_exact_order(spark, sf_dir):
+    """The optional third stage: with rerank_k, the final cut is by EXACT
+    cosine over the ADC shortlist — verified against numpy on the same
+    probed-cell candidate set (rerank_k large enough to cover all
+    candidates makes the result the exact within-cells cosine top-k)."""
+    from savio_training_dask_2019_spark.operators.similarity import ivfpq_topk
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _CELL_MOD,
+        _PQ_ADC_CB_CAP,
+        _PQ_CB_MOD,
+        _PQ_DIM,
+        _PQ_M,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    cb = emb.where(
+        ((F.col("vec_id") % _PQ_CB_MOD) == 0) & (F.col("vec_id") < _PQ_ADC_CB_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    got = ivfpq_topk(
+        emb, "embedding", "vec_id", cents, cb, qv,
+        m=_PQ_M, dim=_PQ_DIM, k=5, nprobe=2, rerank_k=10_000,
+    ).collect()
+    assert len(got) == 5
+    assert all(r["cosine"] is not None for r in got)
+
+    # numpy reference: cells, prune, exact cosine, top-5
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cmask = ids % _CELL_MOD == 0
+    cent_ids, cents_np = ids[cmask], vecs[cmask]
+    cnorm = np.maximum(np.linalg.norm(cents_np, axis=1), 1e-12)
+    q = vecs[ids == 0][0]
+    qn = np.linalg.norm(q)
+    ccos = np.round(cents_np @ q / (cnorm * qn), 5)
+    order = sorted(range(len(cent_ids)), key=lambda i: (-ccos[i], cent_ids[i]))
+    probe = {int(cent_ids[i]) for i in order[:2]}
+    # assignment of every vector
+    acos = np.round(
+        vecs @ cents_np.T
+        / np.outer(np.maximum(np.linalg.norm(vecs, axis=1), 1e-12), cnorm),
+        5,
+    )
+    best = [
+        min(range(len(cent_ids)), key=lambda j: (-acos[i, j], cent_ids[j]))
+        for i in range(len(ids))
+    ]
+    cand = [i for i in range(len(ids)) if int(cent_ids[best[i]]) in probe]
+    cos = np.round(
+        vecs[cand] @ q / (np.maximum(np.linalg.norm(vecs[cand], axis=1), 1e-12) * qn),
+        5,
+    )
+    want = sorted(zip(cos, [int(ids[i]) for i in cand]), key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r["vec_id"] if "vec_id" in r.__fields__ else r["id"], r["cosine"]) for r in got] == [
+        (vid, float(c)) for c, vid in want
+    ]
