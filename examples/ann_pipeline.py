@@ -49,9 +49,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     emb = load_table(spark, sf_dir, "embeddings")
 
     # 1. coarse quantizer + balance check (demo centroids: vec_id % 31)
+    from savio_training_dask_2019_spark.functions.vectors import as_double
+
     cents = emb.where(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("ce")
     )
     per_cell = (
         assign_cells(emb, "embedding", "vec_id", cents)

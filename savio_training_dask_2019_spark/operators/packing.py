@@ -222,10 +222,21 @@ def assign_packs_histogram(
     window is the hot partition — the pack_offsets three-level cascade is
     the documented upgrade path for that shape), one broadcast range join,
     narrow arithmetic. No corpus-sized driver state ever."""
+    bounds = df.agg(
+        F.min(len_col).alias("mn"), F.max(len_col).alias("mx")
+    ).first()  # 1-row pre-validation BEFORE any length-proportional collect
+    if bounds["mn"] is None:
+        return df.limit(0).withColumn("pack_id", F.lit(0).cast("long")), []
+    if bounds["mn"] < 1 or bounds["mx"] > max_len:
+        raise ValueError(
+            f"lengths outside [1, max_len={max_len}]: observed "
+            f"[{bounds['mn']}, {bounds['mx']}] — truncate/filter first "
+            "(q_pack_bfd does least(n_tok, max_len) and drops zeros)"
+        )
     hist_rows = (
         df.groupBy(F.col(len_col).alias("__len"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()  # bounded: <= max_len distinct lengths by contract
+        .collect()  # bounded: <= max_len distinct lengths, validated above
     )
     hist = {int(r["__len"]): int(r["__cnt"]) for r in hist_rows}
     strategies = spfhp_strategies(hist, max_len)

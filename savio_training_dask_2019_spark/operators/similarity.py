@@ -717,10 +717,23 @@ def pq_adc_topk(
     to :func:`pq_encode`; per-entry distances are computed with a
     SEQUENTIAL python-float sum so the table replays digit-for-digit in
     SQL (list_sum order). Returns (id, adc round 4) by (adc asc, id)."""
+    import decimal
+
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     q = [float(x) for x in query_vec]
+
+    def _r5(x: float) -> float:
+        # HALF_UP like Spark/DuckDB round — builtin round is half-even and
+        # diverges from the oracle exactly at a 5th-decimal boundary
+        # (FIXTURES.md gotcha)
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.00001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
     entries: list = []
     for cid, ce in codebook_rows:
         c = [float(x) for x in ce]
@@ -728,7 +741,7 @@ def pq_adc_topk(
             d2 = 0.0
             for i in range(j * dsub, (j + 1) * dsub):  # sequential, like SQL
                 d2 += (q[i] - c[i]) * (q[i] - c[i])
-            entries.append((f"{j}:{cid}", round(d2, 5)))
+            entries.append((f"{j}:{cid}", _r5(d2)))
     dtab = F.create_map(
         *[x for key, val in entries for x in (F.lit(key), F.lit(val))]
     )
@@ -842,7 +855,10 @@ def ivfpq_topk(
             F.col("adc").asc(), F.col("id").asc()
         )
     qlit = F.lit(q)
-    nq = F.sqrt(F.aggregate(qlit, F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.greatest(  # zero-norm clamp: cosine 0.0, never NULL (ADVICE r8)
+        F.sqrt(F.aggregate(qlit, F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(_NORM_FLOOR),
+    )
     return (
         out.withColumn(
             "cosine", F.round(dot(F.col("v"), qlit) / (F.col("n") * nq), 5)

@@ -252,8 +252,9 @@ if _MISSING:
 #
 # Union of r2..r9 rows of record: every query in the r8 catalog has a
 # driver row (the r9 window's 3 first-rows close the last gap); the only
-# entries without one are the 3 queries NEW this round, which take theirs
-# r10.
+# entries without one are the 8 queries NEW this round (ivf_balance,
+# winnow_fp, repetition_stats, pq_encode, pq_adc, ivfpq, heavy_hitters,
+# pack_bfd), which take theirs r10.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

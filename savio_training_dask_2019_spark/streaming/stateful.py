@@ -99,7 +99,10 @@ def streaming_heavy_hitters(
         else:
             counts, pruned = pd.Series(dtype="int64"), 0
         for pdf in pdfs:
-            batch = pdf[item].dropna().value_counts()
+            # cast to str like the batch operator: state declares
+            # array<string>, and a raw-typed index would split the same
+            # item across entries after a state round-trip
+            batch = pdf[item].dropna().astype(str).value_counts()
             counts = counts.add(batch, fill_value=0).astype("int64")
             counts, cut = _prune(counts, k)
             pruned += int(cut)
