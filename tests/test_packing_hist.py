@@ -135,3 +135,19 @@ def test_pack_bfd_catalog_query(spark, sf_dir):
     assert sum(r["tokens"] for r in rows) == agg["toks"]
     n_packs = sum(r["n_packs"] for r in rows)
     assert n_packs < agg["docs"]  # actually packs multiple docs together
+
+
+def test_assign_packs_histogram_validates_before_collect(spark):
+    """r9 review: out-of-contract lengths must raise from the 1-row bounds
+    aggregate (before any length-proportional collect), and empty input
+    short-circuits to an empty assignment."""
+    bad = spark.createDataFrame([(0, 9)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match=r"lengths outside \[1, max_len=8\]"):
+        assign_packs_histogram(bad, "doc_id", "n_tok", 8)
+    zero = spark.createDataFrame([(0, 0)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="truncate/filter first"):
+        assign_packs_histogram(zero, "doc_id", "n_tok", 8)
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assigned, strategies = assign_packs_histogram(empty, "doc_id", "n_tok", 8)
+    assert strategies == [] and assigned.count() == 0
+    assert "pack_id" in assigned.columns
