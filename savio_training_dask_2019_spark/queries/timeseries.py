@@ -352,8 +352,71 @@ GROUP BY a.d
 """
 
 
+_DRIFT_SPLIT = "2024-01-16 00:00:00"  # fixture midpoint: Jan 2024 stream
+_DRIFT_EPS = 1e-6  # PSI smoothing floor (a class absent from one half)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Population Stability Index of the
+    event-type mix between the two halves of the stream (before/after the
+    fixed split), the standard data-ops alarm for "did the upstream mix
+    shift" — run per ingestion batch against the reference window before
+    retraining or re-weighting. psi = Σ (p_a − p_b)·ln(p_a/p_b) per class
+    (shares floored at {eps} so a class absent from one half contributes a
+    large finite term instead of ±inf); the conventional alert bands are
+    <0.1 stable / 0.1–0.25 drifting / >0.25 shifted.
+
+    Scale: one scan, one O(classes) conditional aggregation (both halves
+    counted in the same pass — the split never shuffles twice), totals as
+    a broadcast 1-row scalar. Nothing global, nothing collected."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    agg = e.groupBy("event_type").agg(
+        F.sum((F.col("ts") < split).cast("bigint")).alias("n_a"),
+        F.sum((F.col("ts") >= split).cast("bigint")).alias("n_b"),
+    )
+    tot = agg.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    pa = F.greatest(F.col("n_a") / F.col("ta"), F.lit(_DRIFT_EPS))
+    pb = F.greatest(F.col("n_b") / F.col("tb"), F.lit(_DRIFT_EPS))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.round(F.col("n_a") / F.col("ta"), 4).alias("share_a"),
+            F.round(F.col("n_b") / F.col("tb"), 4).alias("share_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_drift_psi.__doc__ = q_drift_psi.__doc__.format(eps=_DRIFT_EPS)
+
+_DRIFT_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM agg)
+SELECT event_type,
+       round(CAST(n_a AS DOUBLE) / ta, 4) AS share_a,
+       round(CAST(n_b AS DOUBLE) / tb, 4) AS share_b,
+       round((greatest(CAST(n_a AS DOUBLE) / ta, {_DRIFT_EPS})
+              - greatest(CAST(n_b AS DOUBLE) / tb, {_DRIFT_EPS}))
+             * ln(greatest(CAST(n_a AS DOUBLE) / ta, {_DRIFT_EPS})
+                  / greatest(CAST(n_b AS DOUBLE) / tb, {_DRIFT_EPS})), 6) AS psi_term
+FROM agg CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
+    "drift_psi": q_drift_psi,
     "funnel_stages": q_funnel_stages,
     "retention_daily": q_retention_daily,
     "dt_accessors": q_dt_accessors,
@@ -368,6 +431,7 @@ QUERIES = {
 
 ORACLE = {
     "time_bucket": _TIME_BUCKET_SQL,
+    "drift_psi": _DRIFT_SQL,
     "funnel_stages": _FUNNEL_SQL,
     "retention_daily": _RETENTION_SQL,
     "dt_accessors": _DT_ACCESSORS_SQL,

@@ -330,6 +330,7 @@ _MAX_BNLJ = {
     "collocations": 1,      # 1-row corpus totals
     "cross_join": 1,        # the intentional 5×25-row cross-join demo
     "doc_tfidf": 1,         # 1-row corpus doc count
+    "drift_psi": 1,         # 1-row half-totals scalar
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
@@ -357,6 +358,7 @@ _MAX_SINGLE_PARTITION = {
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
     "collocations": 1, "corr_cov": 1, "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
+    "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
     "ivfpq": 3, "kll_quantiles": 1,
