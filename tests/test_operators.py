@@ -547,3 +547,43 @@ def test_semantic_dedup_null_clusters_bypass_guard(spark):
         df, "embedding", "vec_id", "cluster", max_cluster_rows=100
     )
     assert kept.count() == 500  # every NULL-cluster row survives
+
+
+def test_drift_psi_hand_computed(spark, tmp_path):
+    """PSI terms on a planted two-half stream with known shares, including
+    the epsilon floor for a class absent from one half."""
+    import datetime as _dt
+    import math
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        _DRIFT_EPS,
+        q_drift_psi,
+    )
+
+    a = _dt.datetime(2024, 1, 10)   # first half
+    b = _dt.datetime(2024, 1, 20)   # second half
+    rows = (
+        [(i, "x", a, 1.0, "{}") for i in range(8)]      # x: 8/10 -> 2/10
+        + [(100 + i, "x", b, 1.0, "{}") for i in range(2)]
+        + [(200 + i, "y", a, 1.0, "{}") for i in range(2)]  # y: 2/10 -> 8/10
+        + [(300 + i, "y", b, 1.0, "{}") for i in range(8)]
+        + [(400, "z", a, 1.0, "{}")]                     # z only in half A
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double, props string"
+    )
+    out = str(tmp_path / "drift")
+    df.write.parquet(f"{out}/events.parquet")
+    got = {r["event_type"]: r for r in q_drift_psi(spark, out).collect()}
+
+    def term(pa, pb):
+        pa, pb = max(pa, _DRIFT_EPS), max(pb, _DRIFT_EPS)
+        return round((pa - pb) * math.log(pa / pb), 6)
+
+    assert got["x"]["share_a"] == round(8 / 11, 4)
+    assert got["x"]["psi_term"] == term(8 / 11, 2 / 10)
+    assert got["y"]["psi_term"] == term(2 / 11, 8 / 10)
+    # absent-in-B class: floored share produces a large FINITE term
+    assert got["z"]["share_b"] == 0.0
+    assert got["z"]["psi_term"] == term(1 / 11, 0.0)
+    assert math.isfinite(got["z"]["psi_term"]) and got["z"]["psi_term"] > 1
