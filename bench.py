@@ -85,6 +85,7 @@ HEADLINE = {
     "pq_encode": "pq_encode",
     "pq_adc": "pq_adc",
     "ivfpq": "ivfpq",
+    "drift_psi": "drift_psi",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time
