@@ -366,27 +366,36 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     large finite term instead of ±inf); the conventional alert bands are
     <0.1 stable / 0.1–0.25 drifting / >0.25 shifted.
 
-    Scale: one scan, one O(classes) conditional aggregation (both halves
-    counted in the same pass — the split never shuffles twice), totals as
-    a broadcast 1-row scalar. Nothing global, nothing collected."""
+    Scale: ONE scan, one O(classes) conditional aggregation (both halves
+    counted in the same pass — the split never shuffles twice); the
+    classes-sized agg is checkpointed so the totals branch reads it
+    instead of re-scanning the corpus, and totals ride as a broadcast
+    1-row scalar. An EMPTY half (the whole stream on one side of the
+    split — e.g. the reference window not ingested yet) yields shares
+    0.0, never NULL/NaN, in BOTH engines. Nothing global, nothing
+    collected."""
     e = load_table(spark, sf_dir, "events")
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
     agg = e.groupBy("event_type").agg(
         F.sum((F.col("ts") < split).cast("bigint")).alias("n_a"),
         F.sum((F.col("ts") >= split).cast("bigint")).alias("n_b"),
-    )
+    ).localCheckpoint(eager=True)  # classes-sized: totals read THIS, not the corpus
     tot = agg.agg(
         F.sum("n_a").cast("bigint").alias("ta"),
         F.sum("n_b").cast("bigint").alias("tb"),
     )
-    pa = F.greatest(F.col("n_a") / F.col("ta"), F.lit(_DRIFT_EPS))
-    pb = F.greatest(F.col("n_b") / F.col("tb"), F.lit(_DRIFT_EPS))
+
+    def _share(n, t):  # empty half -> 0.0, never NULL (Spark) / NaN (DuckDB)
+        return F.when(F.col(t) > 0, F.col(n) / F.col(t)).otherwise(F.lit(0.0))
+
+    pa = F.greatest(_share("n_a", "ta"), F.lit(_DRIFT_EPS))
+    pb = F.greatest(_share("n_b", "tb"), F.lit(_DRIFT_EPS))
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(
             "event_type",
-            F.round(F.col("n_a") / F.col("ta"), 4).alias("share_a"),
-            F.round(F.col("n_b") / F.col("tb"), 4).alias("share_b"),
+            F.round(_share("n_a", "ta"), 4).alias("share_a"),
+            F.round(_share("n_b", "tb"), 4).alias("share_b"),
             F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
         )
         .orderBy("event_type")
@@ -402,15 +411,20 @@ WITH agg AS (
          CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
   FROM events GROUP BY event_type
 ),
-tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM agg)
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM agg),
+shares AS (
+  SELECT event_type,
+         CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / ta ELSE 0.0 END AS sa,
+         CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / tb ELSE 0.0 END AS sb
+  FROM agg CROSS JOIN tot
+)
 SELECT event_type,
-       round(CAST(n_a AS DOUBLE) / ta, 4) AS share_a,
-       round(CAST(n_b AS DOUBLE) / tb, 4) AS share_b,
-       round((greatest(CAST(n_a AS DOUBLE) / ta, {_DRIFT_EPS})
-              - greatest(CAST(n_b AS DOUBLE) / tb, {_DRIFT_EPS}))
-             * ln(greatest(CAST(n_a AS DOUBLE) / ta, {_DRIFT_EPS})
-                  / greatest(CAST(n_b AS DOUBLE) / tb, {_DRIFT_EPS})), 6) AS psi_term
-FROM agg CROSS JOIN tot
+       round(sa, 4) AS share_a,
+       round(sb, 4) AS share_b,
+       round((greatest(sa, {_DRIFT_EPS}) - greatest(sb, {_DRIFT_EPS}))
+             * ln(greatest(sa, {_DRIFT_EPS}) / greatest(sb, {_DRIFT_EPS})), 6)
+         AS psi_term
+FROM shares
 """
 
 

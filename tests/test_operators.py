@@ -587,3 +587,27 @@ def test_drift_psi_hand_computed(spark, tmp_path):
     assert got["z"]["share_b"] == 0.0
     assert got["z"]["psi_term"] == term(1 / 11, 0.0)
     assert math.isfinite(got["z"]["psi_term"]) and got["z"]["psi_term"] > 1
+
+
+def test_drift_psi_empty_half_is_finite(spark, tmp_path):
+    """An entire half missing (reference window not ingested yet) must
+    yield shares 0.0 and finite psi terms, never NULL/NaN (r9 review)."""
+    import datetime as _dt
+    import math
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_drift_psi
+
+    rows = [
+        (i, "x" if i % 2 == 0 else "y", _dt.datetime(2024, 1, 5), 1.0, "{}")
+        for i in range(10)
+    ]  # everything BEFORE the split: half B is empty
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double, props string"
+    )
+    out = str(tmp_path / "drift_empty")
+    df.write.parquet(f"{out}/events.parquet")
+    got = q_drift_psi(spark, out).collect()
+    assert {r["event_type"] for r in got} == {"x", "y"}
+    for r in got:
+        assert r["share_b"] == 0.0
+        assert r["psi_term"] is not None and math.isfinite(r["psi_term"])

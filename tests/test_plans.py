@@ -201,7 +201,7 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     "pq_encode": (2, 1, 1, 1, (1, 1)),  # codebook-array fold, narrow encode
     "pq_adc": (2, 1, 1, 3, (1, 1)),  # encode + map-literal ADC + TakeOrdered
     "ivfpq": (5, 3, 3, 9, (2, 4)),  # 3-stage composition; model attaches only
-    "drift_psi": (2, 1, 1, 4, (1, 1)),  # 1-row half-totals scalar
+    "drift_psi": (0, 1, 1, 2, (1, 1)),  # checkpointed agg (scan at build); 1-row totals
 }
 
 
