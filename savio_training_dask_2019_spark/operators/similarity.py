@@ -692,6 +692,9 @@ def pq_encode(
     )
 
 
+_ADC_TABLE_MAX_ENTRIES = 65536  # plan-literal ceiling: ~0.5 MB of doubles
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebook_rows: list[tuple[int, list[float]]],
@@ -716,11 +719,25 @@ def pq_adc_topk(
     ``codebook_rows``: [(cid, full-dim centroid), ...] — the same rows fed
     to :func:`pq_encode`; per-entry distances are computed with a
     SEQUENTIAL python-float sum so the table replays digit-for-digit in
-    SQL (list_sum order). Returns (id, adc round 4) by (adc asc, id)."""
+    SQL (list_sum order). Returns (id, adc round 4) by (adc asc, id).
+
+    Size bound of the shipped literal, stated at the point of
+    construction: the map holds exactly m·|codebook| (key, double)
+    entries — at the production shape of 256 centroids/subspace × m=8
+    that is 2,048 entries, a few KB in the plan; it is a MODEL, never
+    data. Guarded: m·|codebook| > {cap} raises rather than inflating the
+    query plan (a codebook that large belongs in a broadcast join, not a
+    literal)."""
     import decimal
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if m * len(codebook_rows) > _ADC_TABLE_MAX_ENTRIES:
+        raise ValueError(
+            f"pq_adc_topk: distance table would hold {m * len(codebook_rows)}"
+            f" entries (> {_ADC_TABLE_MAX_ENTRIES}); a codebook this large"
+            " must ship as a broadcast join, not a plan literal"
+        )
     dsub = dim // m
     q = [float(x) for x in query_vec]
 
@@ -764,6 +781,11 @@ def pq_adc_topk(
         .orderBy(F.col("adc").asc(), F.col("id").asc())
         .limit(k)
     )
+
+
+pq_adc_topk.__doc__ = pq_adc_topk.__doc__.replace(
+    "{cap}", str(_ADC_TABLE_MAX_ENTRIES)
+)
 
 
 def ivfpq_topk(

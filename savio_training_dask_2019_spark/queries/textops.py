@@ -904,6 +904,36 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=_HH_K, top=_HH_TOP)
 
 
+_HD_K = 16  # < 20 fixture sources, so the sketch genuinely prunes
+_HD_TOP = 10
+
+
+def q_heavy_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED heavy hitters: top sources (domains) by total TOKEN MASS —
+    the realer 100 TB question than occurrence counts ("which domains
+    dominate the training mix by tokens contributed"), answered with the
+    weighted Misra-Gries of the mergeable-summaries paper (Agarwal et al.
+    2012): the prune subtracts the (k+1)-th largest weighted mass, the
+    contract est <= true_weight <= est + err_bound is unchanged (pinned
+    against exact per-source token totals in tests/test_sketches.py).
+
+    Scale: the document stream NEVER shuffles — each partition reduces to
+    <= k (source, mass) counters in one Arrow-batched pass (token counting
+    stays a JVM-side ``size(split(...))``, no explode: one row per doc
+    enters the sketch, not one per token); only O(parts·k) summary rows
+    move. Rows-only by contract: estimates depend on partition boundaries,
+    like every mergeable sketch here."""
+    from ..operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    return heavy_hitters(
+        weighted, "source", k=_HD_K, top=_HD_TOP, weight_col="n_tok"
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
@@ -920,6 +950,7 @@ QUERIES = {
     "zipf_curve": q_zipf_curve,
     "winnow_fp": q_winnow_fp,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_domains": q_heavy_domains,
     "dedup_stats": q_dedup_stats,
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,

@@ -404,6 +404,115 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_drift_psi.__doc__ = q_drift_psi.__doc__.format(eps=_DRIFT_EPS)
 
+
+_DRIFT_REF_DAYS = 7  # trailing reference window (days) for the rolling monitor
+_DRIFT_EPOCH = "2024-01-01"  # day-index origin for the integer RANGE frame
+
+
+def q_drift_psi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distribution-drift monitor — the production shape of
+    ``drift_psi``: each day's event-type mix is scored against a TRAILING
+    {ref}-day reference window (per-batch vs trailing reference, not a
+    fixed midpoint split), yielding one PSI scalar per day; days before
+    the reference window has any data emit no row (no alarm before the
+    baseline exists). Classes absent from the current day still contribute
+    (share floored at {eps} → a large finite drift term) via a dense
+    days×classes grid.
+
+    Scale: ONE corpus scan → an O(days·classes) aggregate that is
+    checkpointed, so the day/class distincts, the dense grid, and both
+    window passes all read the tiny table, never the corpus. The trailing
+    sum is a per-class integer RANGE frame (partitionBy(event_type) —
+    never an unpartitioned window); the grid crossJoin is
+    days×classes-bounded by construction (BNLJ allowance documented in
+    tests/test_plans.py). Per-class PSI terms are rounded at 6 before the
+    per-day sum (order-stable across engines), the day sum at 4."""
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # days×classes-sized: ALL below reads this
+    )
+    days = agg.select("d").distinct()
+    classes = agg.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(classes))  # dense: absent class -> n=0
+        .join(agg, ["d", "event_type"], "left")
+        .select(
+            "d",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.datediff("d", F.lit(_DRIFT_EPOCH).cast("date")).alias("di"),
+        )
+    )
+    wref = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rangeBetween(-_DRIFT_REF_DAYS, -1)
+    )
+    wday = Window.partitionBy("d")
+    per = (
+        grid.withColumn(
+            "n_ref", F.coalesce(F.sum("n").over(wref), F.lit(0)).cast("bigint")
+        )
+        .withColumn("tot_cur", F.sum("n").over(wday))
+        .withColumn("tot_ref", F.sum("n_ref").over(wday))
+    )
+    pc = F.greatest(F.col("n") / F.col("tot_cur"), F.lit(_DRIFT_EPS))
+    pr = F.greatest(F.col("n_ref") / F.col("tot_ref"), F.lit(_DRIFT_EPS))
+    term = F.round((pc - pr) * F.log(pc / pr), 6)
+    return (
+        per.where(F.col("tot_ref") > 0)
+        .groupBy("d")
+        .agg(
+            F.max("tot_cur").cast("bigint").alias("n_cur"),
+            F.max("tot_ref").cast("bigint").alias("n_ref_tot"),
+            F.round(F.sum(term), 4).alias("psi"),
+        )
+        .orderBy("d")
+    )
+
+
+q_drift_psi_windowed.__doc__ = q_drift_psi_windowed.__doc__.format(
+    ref=_DRIFT_REF_DAYS, eps=_DRIFT_EPS
+)
+
+_DRIFT_WINDOWED_SQL = f"""
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS d, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT dd.d, cc.event_type, COALESCE(a.n, 0) AS n,
+         date_diff('day', DATE '{_DRIFT_EPOCH}', CAST(dd.d AS DATE)) AS di
+  FROM (SELECT DISTINCT d FROM agg) dd
+  CROSS JOIN (SELECT DISTINCT event_type FROM agg) cc
+  LEFT JOIN agg a ON a.d = dd.d AND a.event_type = cc.event_type
+),
+ref AS (
+  SELECT *, COALESCE(sum(n) OVER (PARTITION BY event_type ORDER BY di
+              RANGE BETWEEN {_DRIFT_REF_DAYS} PRECEDING AND 1 PRECEDING), 0) AS n_ref
+  FROM grid
+),
+tots AS (
+  SELECT *, sum(n) OVER (PARTITION BY d) AS tot_cur,
+            sum(n_ref) OVER (PARTITION BY d) AS tot_ref
+  FROM ref
+)
+SELECT d,
+       CAST(max(tot_cur) AS BIGINT) AS n_cur,
+       CAST(max(tot_ref) AS BIGINT) AS n_ref_tot,
+       round(sum(round(
+         (greatest(CAST(n AS DOUBLE) / tot_cur, {_DRIFT_EPS})
+          - greatest(CAST(n_ref AS DOUBLE) / tot_ref, {_DRIFT_EPS}))
+         * ln(greatest(CAST(n AS DOUBLE) / tot_cur, {_DRIFT_EPS})
+              / greatest(CAST(n_ref AS DOUBLE) / tot_ref, {_DRIFT_EPS})), 6)), 4)
+         AS psi
+FROM tots
+WHERE tot_ref > 0
+GROUP BY d
+"""
+
 _DRIFT_SQL = f"""
 WITH agg AS (
   SELECT event_type,
@@ -431,6 +540,7 @@ FROM shares
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
+    "drift_psi_windowed": q_drift_psi_windowed,
     "funnel_stages": q_funnel_stages,
     "retention_daily": q_retention_daily,
     "dt_accessors": q_dt_accessors,
@@ -446,6 +556,7 @@ QUERIES = {
 ORACLE = {
     "time_bucket": _TIME_BUCKET_SQL,
     "drift_psi": _DRIFT_SQL,
+    "drift_psi_windowed": _DRIFT_WINDOWED_SQL,
     "funnel_stages": _FUNNEL_SQL,
     "retention_daily": _RETENTION_SQL,
     "dt_accessors": _DT_ACCESSORS_SQL,

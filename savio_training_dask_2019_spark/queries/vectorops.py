@@ -571,7 +571,11 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace distance table shipped as one map literal. Scoring a row
     is m lookups + a fold — no vector math, no join, no shuffle; top-10 by
     (adc asc, vec_id). This is the 10⁹-row ANN memory model: vectors live
-    nowhere hot, codes are a few bytes per row.
+    nowhere hot, codes are a few bytes per row. The literal holds exactly
+    m·|codebook| (key, double) entries — {m}·(≤{cap}/{mod}) ≈ dozens here,
+    2,048 at the production 256×8 shape, always KB-scale model state —
+    and pq_adc_topk raises past 65,536 entries rather than inflating the
+    plan (operators/similarity.py:_ADC_TABLE_MAX_ENTRIES).
 
     The demo codebook is bounded by construction (vec_id % {mod} == 0 AND
     vec_id < {cap} → ≤ {cap}/{mod} rows at ANY scale factor) so the
@@ -599,7 +603,9 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "vec_id")
 
 
-q_pq_adc.__doc__ = q_pq_adc.__doc__.format(mod=_PQ_CB_MOD, cap=_PQ_ADC_CB_CAP)
+q_pq_adc.__doc__ = q_pq_adc.__doc__.format(
+    mod=_PQ_CB_MOD, cap=_PQ_ADC_CB_CAP, m=_PQ_M
+)
 
 _PQ_ADC_SQL = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

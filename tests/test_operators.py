@@ -589,6 +589,56 @@ def test_drift_psi_hand_computed(spark, tmp_path):
     assert math.isfinite(got["z"]["psi_term"]) and got["z"]["psi_term"] > 1
 
 
+def test_drift_psi_windowed_hand_computed(spark, tmp_path):
+    """Rolling PSI vs a trailing 7-day reference on a planted stream:
+    first day emits no row (empty reference), a flipped-mix day scores the
+    hand-computed PSI, a new-class-only day scores the eps-floored terms,
+    and a day whose trailing window holds no data is excluded (the
+    reference really does roll off)."""
+    import datetime as _dt
+    import math
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        _DRIFT_EPS,
+        q_drift_psi_windowed,
+    )
+
+    d1, d2, d3 = (_dt.datetime(2024, 1, n) for n in (1, 2, 3))
+    d20 = _dt.datetime(2024, 1, 20)  # ref window Jan 13-19 is empty
+    rows = (
+        [(i, "x", d1, 1.0, "{}") for i in range(8)]
+        + [(100 + i, "y", d1, 1.0, "{}") for i in range(2)]
+        + [(200 + i, "x", d2, 1.0, "{}") for i in range(2)]
+        + [(300 + i, "y", d2, 1.0, "{}") for i in range(8)]
+        + [(400 + i, "z", d3, 1.0, "{}") for i in range(5)]
+        + [(500 + i, "x", d20, 1.0, "{}") for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double, props string"
+    )
+    out = str(tmp_path / "drift_w")
+    df.write.parquet(f"{out}/events.parquet")
+    got = {r["d"].day: r for r in q_drift_psi_windowed(spark, out).collect()}
+    # day 1: no reference yet; day 20: reference rolled off -> both absent
+    assert set(got) == {2, 3}
+
+    def term(pc, pr):
+        pc, pr = max(pc, _DRIFT_EPS), max(pr, _DRIFT_EPS)
+        return round((pc - pr) * math.log(pc / pr), 6)
+
+    # day 2: cur (x .2, y .8, z 0) vs ref=day1 (x .8, y .2, z 0)
+    assert got[2]["n_cur"] == 10 and got[2]["n_ref_tot"] == 10
+    assert got[2]["psi"] == round(
+        term(0.2, 0.8) + term(0.8, 0.2) + term(0.0, 0.0), 4
+    )
+    # day 3: cur is ONLY the new class z vs ref=days1+2 (x .5, y .5, z 0)
+    assert got[3]["n_cur"] == 5 and got[3]["n_ref_tot"] == 20
+    assert got[3]["psi"] == round(
+        term(0.0, 0.5) + term(0.0, 0.5) + term(1.0, 0.0), 4
+    )
+    assert math.isfinite(got[3]["psi"]) and got[3]["psi"] > 1
+
+
 def test_drift_psi_empty_half_is_finite(spark, tmp_path):
     """An entire half missing (reference window not ingested yet) must
     yield shares 0.0 and finite psi terms, never NULL/NaN (r9 review)."""

@@ -332,11 +332,13 @@ _MAX_BNLJ = {
     "cross_join": 1,        # the intentional 5×25-row cross-join demo
     "doc_tfidf": 1,         # 1-row corpus doc count
     "drift_psi": 1,         # 1-row half-totals scalar
+    "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
+    "heavy_domains": 1,     # 1-row error-bound scalar (weighted MG)
     "heavy_hitters": 1,     # 1-row error-bound scalar
-    "ivfpq": 3,             # centroid array x1 + codebook array x1 + err... all 1-row model attaches
+    "ivfpq": 3,            # centroid array x1 + codebook array x1 + err... all 1-row model attaches
     "ivf_balance": 1,       # 1-row centroid-model array (assignment fold)
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
@@ -361,6 +363,7 @@ _MAX_SINGLE_PARTITION = {
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
+    "heavy_domains": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
     "ivfpq": 3, "kll_quantiles": 1,
     "knn_cells": 2,

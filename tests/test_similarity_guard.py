@@ -301,3 +301,27 @@ def test_ivfpq_rerank_recovers_exact_order(spark, sf_dir):
     assert [(r["vec_id"] if "vec_id" in r.__fields__ else r["id"], r["cosine"]) for r in got] == [
         (vid, float(c)) for c, vid in want
     ]
+
+
+def test_pq_adc_literal_table_size_guard(spark):
+    """The driver-built ADC distance table is a plan LITERAL — m·|codebook|
+    entries. Past the documented ceiling it must raise (ship a broadcast
+    join instead), never inflate the query plan."""
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        _ADC_TABLE_MAX_ENTRIES,
+        pq_adc_topk,
+    )
+
+    codes = spark.createDataFrame(
+        [(0, [0, 0])], "id long, codes array<int>"
+    )
+    m, dim = 2, 4
+    n_cb = _ADC_TABLE_MAX_ENTRIES // m + 1  # one over the ceiling
+    fake_cb = [(i, [0.0] * dim) for i in range(n_cb)]
+    with pytest.raises(ValueError, match="broadcast join"):
+        pq_adc_topk(codes, fake_cb, [0.0] * dim, m, dim)
+    # at the ceiling it builds fine (bounded-literal contract, not a ban)
+    small = [(i, [0.0] * dim) for i in range(8)]
+    assert pq_adc_topk(codes, small, [0.0] * dim, m, dim).count() == 1

@@ -128,6 +128,30 @@ def test_weighted_heavy_hitters_by_token_mass(spark, sf_dir):
         assert any(r["item"] == top_true for r in rows)
 
 
+def test_heavy_domains_catalog_query_contract(spark, sf_dir):
+    """The catalog's weighted-MG entry: top sources by token mass must
+    satisfy est <= true_mass <= est + err_bound against exact per-source
+    token totals (computable at fixture scale), with a descending cut."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+    from savio_training_dask_2019_spark.queries.textops import tokens
+    from savio_training_dask_2019_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("long").alias("w")
+    )
+    true = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum("w").alias("t")).collect()
+    }
+    rows = QUERIES["heavy_domains"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    ests = [r["est_count"] for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    err = rows[0]["err_bound"]
+    for r in rows:
+        assert r["est_count"] <= true[r["item"]] <= r["est_count"] + err
+
+
 def test_weighted_heavy_hitters_rejects_negative_weights(spark):
     import pytest
 
