@@ -118,13 +118,16 @@ def _time_one(spark, qname: str, sf_dir: str) -> float:
 
 
 def _child_main(bench_name: str) -> None:
-    """Measure ONE headline query in this fresh process and print its JSON."""
+    """Measure ONE query in this fresh process and print its JSON. Accepts
+    a HEADLINE row name, or (for the BASELINE.md measured-once tier) any
+    catalog query name — same protocol, without joining the per-round
+    suite."""
     from savio_training_dask_2019_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(master=f"local[{cpus}]")
-    best = _time_one(spark, HEADLINE[bench_name], sf_dir)
+    best = _time_one(spark, HEADLINE.get(bench_name, bench_name), sf_dir)
     print(json.dumps({"query": bench_name, "sec": round(best, 4)}))
 
 

@@ -12,20 +12,20 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed (built after the r8 window filled) — first
-    # rows r9 (VERDICT r8 #1)
-    "bpe_apply", "zipf_curve", "decontam_scrub",
-    # physical plan changed r9 — re-witness: the zero-norm clamp in
-    # cell_knn_join and the semantic_dedup max-cluster guard
-    "knn_cells", "semdedup_clusters",
-    # rows of record r6 — the oldest in the catalog; VERDICT r8 #2
-    # required their re-windowing by name
-    "select_filter", "derived_column", "null_handling", "sample_mod",
-    "sort_limit", "cross_join", "cumsum", "lag_lead", "tumbling_window",
-    "distinct", "distinct_approx", "json_extract", "time_bucket",
-    "semi_join", "decontam_check", "rolling_fp", "svd_embeddings",
-    "multimodal_resize", "multimodal_frames", "hll_sketch_union",
-    "kll_quantiles",
+    # never driver-witnessed before r10 — first rows (VERDICT r9 #1)
+    "drift_psi", "winnow_fp", "heavy_hitters", "ivf_balance",
+    "pq_encode", "pq_adc", "ivfpq", "pack_bfd", "repetition_stats",
+    # built this round — first rows
+    "drift_psi_windowed", "heavy_domains",
+    # pq_* also carry this round's code touch (ADC literal-size guard)
+    # — already listed above.
+    # the 22 r7-record riders VERDICT r9 #2 required back by name
+    "topk", "join_3way", "window_rank", "knn_brute", "passage_dedup",
+    "unigram_logprob", "bigram_logprob", "knn_lsh", "knn_ivf",
+    "multimodal_audio", "vector_stats", "vector_arith",
+    "multimodal_meta", "multimodal_decode", "multimodal_dims",
+    "map_in_pandas", "map_in_arrow", "udtf_tokens", "fanout_compute",
+    "dup_ngram_ratio", "shard_corpus", "length_buckets",
 }
 
 

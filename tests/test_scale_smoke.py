@@ -118,3 +118,81 @@ def test_substring_keep_first_200k_docs_boilerplate(spark):
     assert r["docs"] == n - 1
     assert r["mn"] == 8 and r["mx"] == 8
     assert r["removed"] == 8 * (n - 1)
+
+
+def test_cell_knn_join_1m_vectors_analytic_axes(spark):
+    """1M-vector ANN smoke (VERDICT r9 #8): vectors lie exactly on 8
+    orthogonal axes (v_i = (i+1)·e_{i%8}, so cosine to centroid e_j is 1
+    for its own axis, 0 elsewhere) — cell assignment, probe choice, and
+    in-cell top-k are all analytically known and checked via aggregates
+    only, with a wall-time bound so the flagship ANN path carries the
+    same beyond-toy-scale evidence as the dedup/sketch/packing smokes."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        assign_cells,
+        cell_knn_join,
+    )
+
+    n, naxes = 1_000_000, 8
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(naxes - 1)),
+            lambda j: F.when(
+                j == (F.col("id") % naxes).cast("int"),
+                (F.col("id") + 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    cents = spark.range(naxes).select(
+        F.col("id").alias("cid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(naxes - 1)),
+            lambda j: F.when(j == F.col("id").cast("int"), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("ce"),
+    )
+    t0 = time.perf_counter()
+    # occupancy: every cell holds exactly n/naxes rows, ids ≡ cell (mod 8)
+    occ = (
+        assign_cells(corpus, "embedding", "vec_id", cents)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("id") % naxes != F.col("cell")).cast("int")).alias("bad"),
+        )
+    )
+    occ_rows = occ.collect()
+    assert len(occ_rows) == naxes
+    assert all(r["rows"] == n // naxes and r["bad"] == 0 for r in occ_rows)
+
+    # knn: queries are the id % 997 == 0 subset; with nprobe=1 each query
+    # probes its own axis-cell where EVERY cosine is exactly 1.0, so top-3
+    # is the tie-break — the 3 smallest corpus ids on that axis:
+    # (cell, cell+8, cell+16)
+    queries = corpus.where(F.col("vec_id") % 997 == 0)
+    n_q = (n + 996) // 997
+    got = cell_knn_join(
+        queries, corpus, cents, "embedding", "vec_id", k=3, nprobe=1
+    )
+    agg = got.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.min("cosine").alias("mn"),
+        F.max("cosine").alias("mx"),
+        F.sum(
+            (F.col("corpus_id") % naxes != F.col("query_id") % naxes).cast("int")
+        ).alias("cross_cell"),
+        F.sum("corpus_id").cast("bigint").alias("cid_sum"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    assert agg["pairs"] == 3 * n_q
+    assert agg["mn"] == 1.0 and agg["mx"] == 1.0
+    assert agg["cross_cell"] == 0
+    # Σ over queries of (cell + cell+8 + cell+16) = Σ (3·(qid%8) + 24)
+    want = sum(3 * ((997 * t) % naxes) + 24 for t in range(n_q))
+    assert agg["cid_sum"] == want
+    # wall-time bound: observed ~110 s on local[32] CONTENDED with a full
+    # 130-query replica run; quiet-host runs are well under that
+    assert elapsed < 150, f"ANN scale smoke took {elapsed:.0f}s"
