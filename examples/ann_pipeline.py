@@ -85,6 +85,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     ).collect()
     print("IVF-PQ composed top-5:", [(r["id"], r["cell"], r["adc"]) for r in composed])
 
+    # 2c. ...and with the exact third stage: ADC keeps a top-R shortlist,
+    # only those R raw vectors are re-read, final cut on exact cosine
+    reranked = ivfpq_topk(
+        emb, "embedding", "vec_id", cents, cb_full, qv0,
+        m=4, dim=64, k=5, nprobe=2, rerank_k=20,
+    ).collect()
+    print(
+        "IVF-PQ reranked top-5:",
+        [(r["id"], r["adc"], r["cosine"]) for r in reranked],
+    )
+
     # 3+4. PQ encode the corpus, then ADC-search it with a raw query vector
     # (same demo codebook as stage 2b — defined once)
     cb_rows = [(int(r["cid"]), [float(x) for x in r["ce"]]) for r in cb_full.collect()]

@@ -248,13 +248,16 @@ if _MISSING:
 #   r10 (this window): 50 = flagship + 9 first-rows (VERDICT r9 #1) + 2
 #       new-this-round + the 22 r7-record riders rotating back (VERDICT
 #       r9 #2) + 16 r8-record re-witnesses (normal two-round cadence).
-#     Catalog arithmetic: the catalog enters r10 at 130 queries (111
-#     oracle-backed, 19 rows-only) — r9's 128 plus the two built this
+#     Catalog arithmetic: the catalog enters r10 at 131 queries (112
+#     oracle-backed, 19 rows-only) — r9's 128 plus the three built this
 #     round: drift_psi_windowed (rolling PSI vs a trailing 7-day
-#     reference, oracle-backed — VERDICT r9 #6) and heavy_domains
+#     reference, oracle-backed — VERDICT r9 #6), heavy_domains
 #     (weighted Misra-Gries by token mass, rows-only by contract —
-#     VERDICT r9 #5). Rows of record after r9: 50 r9 + 47 r8 + 22 r7 + 9
-#     never-witnessed = 128.
+#     VERDICT r9 #5), and ivfpq_rerank (the exact-rerank third stage of
+#     IVF-PQ, oracle-backed end-to-end; built after this window filled,
+#     so it takes its first driver row r11 on the late-addition
+#     precedent — replica-checked this round). Rows of record after r9:
+#     50 r9 + 47 r8 + 22 r7 + 9 never-witnessed = 128.
 #     - the flagship (agg_groupby);
 #     - 9 first driver rows (the only pre-r10 entries with none; judge
 #       replica r9: 7 oracle-equal, 2 rows-only, 0 failures): drift_psi,

@@ -676,7 +676,45 @@ q_ivfpq.__doc__ = q_ivfpq.__doc__.format(
     cm=_CELL_MOD, pm=_PQ_CB_MOD, cap=_PQ_ADC_CB_CAP
 )
 
-_IVFPQ_SQL = f"""
+
+_RERANK_K = 30  # ADC candidate pool for the exact third stage
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the exact re-rank third stage (Jégou et al. 2011 §V-E;
+    the standard production recipe): coarse prune + ADC keep the top
+    {rk} CANDIDATES (not the final k), their RAW vectors are re-read —
+    at scale a {rk}-row point lookup against the partitionBy(cell)
+    layout, the only stage that touches vectors — and the final top-10
+    is cut on exact cosine. This recovers most of the recall PQ
+    compression gave up while still scanning only code bytes for the
+    bulk of the corpus. Deterministic demo models make all four stages
+    SQL-replayable, so the full composition is oracle-checked
+    end-to-end. Returns (vec_id, cell, adc, cosine) by (cosine desc,
+    vec_id)."""
+    from ..operators.similarity import ivfpq_topk
+    from ..sources import load_table_spread
+
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
+    )
+    cb = emb.where(
+        ((F.col("vec_id") % _PQ_CB_MOD) == 0) & (F.col("vec_id") < _PQ_ADC_CB_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    qv = _query_vec(spark, sf_dir, 0)
+    return ivfpq_topk(
+        emb, "embedding", "vec_id", cents, cb, qv,
+        m=_PQ_M, dim=_PQ_DIM, k=10, nprobe=2, rerank_k=_RERANK_K,
+    ).withColumnRenamed("id", "vec_id")
+
+
+q_ivfpq_rerank.__doc__ = q_ivfpq_rerank.__doc__.format(rk=_RERANK_K)
+
+# Shared CTE chain for the IVF-PQ composition and its reranked variant:
+# query vec → centroid model → probe choice → cell prune → codebook →
+# per-subspace code assignment → ADC distance table.
+_IVFPQ_CTES = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 cents AS (
   SELECT vec_id AS ccid, {_DD.format(col='embedding')} AS cce
@@ -734,13 +772,37 @@ dtab AS (
                i -> (CAST(q.qe[i] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE))
                   * (CAST(q.qe[i] AS DOUBLE) - CAST(cb.ce[i] AS DOUBLE)))), 5) AS d2
   FROM cb, q
-)
-SELECT b.vec_id, p.cell, round(list_sum(list(d.d2 ORDER BY b.sub)), 4) AS adc
-FROM best b JOIN dtab d ON b.sub = d.sub AND b.cid = d.cid
-JOIN pruned p ON p.vec_id = b.vec_id
-GROUP BY b.vec_id, p.cell
-ORDER BY adc ASC, b.vec_id ASC LIMIT 10
+),
+adcs AS (
+  SELECT b.vec_id, p.cell, round(list_sum(list(d.d2 ORDER BY b.sub)), 4) AS adc
+  FROM best b JOIN dtab d ON b.sub = d.sub AND b.cid = d.cid
+  JOIN pruned p ON p.vec_id = b.vec_id
+  GROUP BY b.vec_id, p.cell
+)"""
+
+_IVFPQ_SQL = (
+    _IVFPQ_CTES
+    + """
+SELECT vec_id, cell, adc FROM adcs
+ORDER BY adc ASC, vec_id ASC LIMIT 10
 """
+)
+
+_IVFPQ_RERANK_SQL = (
+    _IVFPQ_CTES
+    + f""",
+cand AS (
+  SELECT vec_id, cell, adc FROM adcs
+  ORDER BY adc ASC, vec_id ASC LIMIT {_RERANK_K}
+)
+SELECT c.vec_id, c.cell, c.adc,
+       round(list_cosine_similarity({_DD.format(col='q.qe')},
+             {_DD.format(col='e.embedding')}), 5) AS cosine
+FROM cand c JOIN embeddings e USING (vec_id), q
+ORDER BY cosine DESC, c.vec_id ASC
+LIMIT 10
+"""
+)
 
 
 QUERIES = {
@@ -761,6 +823,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_adc": q_pq_adc,
     "ivfpq": q_ivfpq,
+    "ivfpq_rerank": q_ivfpq_rerank,
 }
 
 ORACLE = {
@@ -778,4 +841,5 @@ ORACLE = {
     "pq_encode": _PQ_SQL,
     "pq_adc": _PQ_ADC_SQL,
     "ivfpq": _IVFPQ_SQL,
+    "ivfpq_rerank": _IVFPQ_RERANK_SQL,
 }

@@ -19,7 +19,12 @@ from .windows import (
 from .io import file_stream, foreach_batch_sink, memory_sink, rate_stream
 from .ingest import incremental_ingest
 from .joins import interval_join
-from .stateful import running_totals, streaming_heavy_hitters
+from .stateful import (
+    DriftMonitor,
+    psi_from_counts,
+    running_totals,
+    streaming_heavy_hitters,
+)
 
 __all__ = [
     "tumbling_counts",
@@ -33,6 +38,8 @@ __all__ = [
     "memory_sink",
     "running_totals",
     "streaming_heavy_hitters",
+    "DriftMonitor",
+    "psi_from_counts",
     "interval_join",
     "incremental_ingest",
 ]

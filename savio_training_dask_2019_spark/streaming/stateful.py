@@ -124,3 +124,85 @@ def streaming_heavy_hitters(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_from_counts(
+    cur: dict, ref: dict, eps: float = 1e-6
+) -> tuple[float, dict]:
+    """Eps-floored Population Stability Index between two class-count
+    dicts — the same per-class term as the batch monitors
+    (``queries.timeseries.q_drift_psi`` / ``q_drift_psi_windowed``):
+    shares floored at ``eps`` so a class absent from either side
+    contributes a large FINITE term. Pure Python on classes-sized dicts —
+    this runs on aggregation RESULTS, never on rows. Returns
+    (psi rounded 4, {class: term rounded 6})."""
+    import math
+
+    tc, tr = sum(cur.values()), sum(ref.values())
+    terms: dict = {}
+    for cls in sorted(set(cur) | set(ref)):
+        pc = (cur.get(cls, 0) / tc) if tc > 0 else 0.0
+        pr = (ref.get(cls, 0) / tr) if tr > 0 else 0.0
+        pc, pr = max(pc, eps), max(pr, eps)
+        terms[cls] = round((pc - pr) * math.log(pc / pr), 6)
+    return round(sum(terms.values()), 4), terms
+
+
+class DriftMonitor:
+    """Streaming drift monitor: each micro-batch's class mix is scored
+    against a trailing reference of the previous ``ref_batches`` batches —
+    the streaming twin of ``queries.timeseries.q_drift_psi_windowed``,
+    wired as a ``foreachBatch`` handle (pass an instance to
+    :func:`streaming.foreach_batch_sink`).
+
+    Architecture (Spark-first): drift is a per-batch O(classes)
+    computation, so the right shape is foreachBatch — each micro-batch
+    runs a DISTRIBUTED ``groupBy(item).count()`` (full parallelism,
+    map-side combine) and only the classes-sized count table reaches the
+    driver, where a bounded ring of the last ``ref_batches`` count dicts
+    (O(classes·ref_batches) ints, whatever the stream volume) provides
+    the reference mix. A stateful-UDF formulation was rejected: keying by
+    class means ABSENT classes — the loudest drift signal — never fire
+    their update without timeouts, and a single global key would funnel
+    the whole stream through one task.
+
+    Exactly-once: a replayed ``batch_id`` (recovery re-runs the last
+    uncommitted batch) is skipped idempotently, so the reference ring
+    never double-counts a batch. Batches before the reference has any
+    data record ``psi=None`` (no alarm before a baseline exists — same
+    rule as the batch twin). Results accumulate on the instance as
+    ``(batch_id, psi, n_cur, n_ref)`` rows in ``.results``; per-class
+    terms for the latest batch sit in ``.last_terms``."""
+
+    def __init__(
+        self, item: str = "event_type", ref_batches: int = 7, eps: float = 1e-6
+    ) -> None:
+        from collections import deque
+
+        self.item = item
+        self.eps = eps
+        self.results: list[tuple[int, float | None, int, int]] = []
+        self.last_terms: dict = {}
+        self._ring: "deque[dict]" = deque(maxlen=ref_batches)
+        self._seen: set[int] = set()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        self._seen.add(batch_id)
+        cur = {
+            r[0]: r[1]
+            for r in batch_df.groupBy(self.item).count().collect()
+            if r[0] is not None
+        }
+        ref: dict = {}
+        for past in self._ring:
+            for cls, n in past.items():
+                ref[cls] = ref.get(cls, 0) + n
+        n_cur, n_ref = sum(cur.values()), sum(ref.values())
+        if n_ref > 0:
+            psi, self.last_terms = psi_from_counts(cur, ref, self.eps)
+        else:
+            psi, self.last_terms = None, {}
+        self.results.append((batch_id, psi, n_cur, n_ref))
+        self._ring.append(cur)

@@ -264,6 +264,10 @@ _MAX_PARQUET_SCANS = {
     # prod scale centroids/codebook are separate model tables and the
     # corpus is read once from its partitionBy(cell) code layout
     "ivfpq": 5,
+    # ivfpq's 5 scans + the rerank point-lookup branch re-reading the
+    # candidates' raw vectors (at prod scale: a rerank_k-row point lookup
+    # against the partitionBy(cell) layout, not a scan)
+    "ivfpq_rerank": 5,
     # query side + corpus side + the centroid-model subtree, which the
     # static plan prints under BOTH fact branches (physically built once —
     # ReusedExchange on the broadcast, verified r8); at prod scale the
@@ -339,6 +343,7 @@ _MAX_BNLJ = {
     "heavy_domains": 1,     # 1-row error-bound scalar (weighted MG)
     "heavy_hitters": 1,     # 1-row error-bound scalar
     "ivfpq": 3,            # centroid array x1 + codebook array x1 + err... all 1-row model attaches
+    "ivfpq_rerank": 3,      # same stages as ivfpq; the top-R attach is a BHJ
     "ivf_balance": 1,       # 1-row centroid-model array (assignment fold)
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
@@ -365,7 +370,7 @@ _MAX_SINGLE_PARTITION = {
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heavy_domains": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
-    "ivfpq": 3, "kll_quantiles": 1,
+    "ivfpq": 3, "ivfpq_rerank": 3, "kll_quantiles": 1,
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
     "pq_encode": 1,

@@ -325,3 +325,26 @@ def test_pq_adc_literal_table_size_guard(spark):
     # at the ceiling it builds fine (bounded-literal contract, not a ban)
     small = [(i, [0.0] * dim) for i in range(8)]
     assert pq_adc_topk(codes, small, [0.0] * dim, m, dim).count() == 1
+
+
+def test_ivfpq_rerank_recovers_exact_order_within_candidates(spark, sf_dir):
+    """The exact third stage: rerank's top-10 must be the exact-cosine cut
+    of the ADC top-R candidate pool — its cosines are sorted descending,
+    and its best cosine is >= the exact cosine of pure-ADC's top row
+    (re-ranking can only improve the metric the final cut is made on)."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+    from savio_training_dask_2019_spark.queries.vectorops import _RERANK_K
+
+    rer = QUERIES["ivfpq_rerank"](spark, sf_dir).collect()
+    assert 1 <= len(rer) <= 10 and _RERANK_K >= 10
+    assert [r["cosine"] for r in rer] == sorted(
+        (r["cosine"] for r in rer), reverse=True
+    )
+    assert set(rer[0].asDict()) == {"vec_id", "cell", "adc", "cosine"}
+    # the ADC winner is inside the candidate pool, so rerank's best exact
+    # cosine dominates whatever exact cosine the ADC winner has
+    adc = QUERIES["ivfpq"](spark, sf_dir).collect()
+    adc_winner = adc[0]["vec_id"]
+    exact_of_winner = {r["vec_id"]: r["cosine"] for r in rer}.get(adc_winner)
+    if exact_of_winner is not None:
+        assert rer[0]["cosine"] >= exact_of_winner

@@ -563,3 +563,69 @@ def test_streaming_heavy_hitters_string_group_key(spark, tmp_path):
     rows = spark.sql("SELECT * FROM hh_str").collect()
     got = {(r["country"], r["item"]): r["est"] for r in rows}
     assert got == {("us", "A"): 2, ("us", "B"): 1, ("eu", "C"): 1}
+
+
+def test_drift_monitor_foreach_batch_trailing_reference(spark, tmp_path):
+    """Streaming drift monitor (foreachBatch): per-batch PSI vs the
+    trailing ref_batches reference, hand-computed — batch 0 has no
+    baseline (psi None), a flipped-mix batch scores the known PSI, the
+    ring rolls off (batch 3's reference is batches 1+2 only with
+    ref_batches=2), and a replayed batch_id is idempotently skipped."""
+    import math
+    import time as _time
+
+    from savio_training_dask_2019_spark.streaming import (
+        DriftMonitor,
+        file_stream,
+        foreach_batch_sink,
+    )
+
+    eps = 1e-6
+
+    def term(pc, pr):
+        pc, pr = max(pc, eps), max(pr, eps)
+        return round((pc - pr) * math.log(pc / pr), 6)
+
+    src = str(tmp_path / "drift_src")
+    now = _time.time()
+
+    def _write(name, rows, mtime):
+        df = spark.createDataFrame(rows, "event_type string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        import os as _os
+
+        for root, _dirs, files in _os.walk(f"{src}/{name}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (mtime, mtime))
+
+    _write("b0", [("x",)] * 8 + [("y",)] * 2, now - 40)   # 80/20
+    _write("b1", [("x",)] * 2 + [("y",)] * 8, now - 30)   # 20/80
+    _write("b2", [("z",)] * 5, now - 20)                  # new class only
+    _write("b3", [("x",)] * 4, now - 10)                  # ref = b1+b2 only
+
+    mon = DriftMonitor(item="event_type", ref_batches=2, eps=eps)
+    q = foreach_batch_sink(file_stream(spark, f"{src}/*", "event_type string"), mon)
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    got = {bid: (psi, nc, nr) for bid, psi, nc, nr in mon.results}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == (None, 10, 0)  # no baseline yet -> no alarm
+    # batch 1: cur (x .2, y .8) vs ref=b0 (x .8, y .2)
+    want1 = round(term(0.2, 0.8) + term(0.8, 0.2), 4)
+    assert got[1] == (want1, 10, 10)
+    # batch 2: only new class z vs ref=b0+b1 (x .5, y .5)
+    want2 = round(term(0.0, 0.5) + term(0.0, 0.5) + term(1.0, 0.0), 4)
+    assert got[2] == (want2, 5, 20)
+    # batch 3: the ring rolled b0 OFF -> ref=b1+b2 (x 2/15, y 8/15, z 5/15)
+    want3 = round(
+        term(1.0, 2 / 15) + term(0.0, 8 / 15) + term(0.0, 5 / 15), 4
+    )
+    assert got[3] == (want3, 4, 15)
+    # per-class terms of the LAST batch are exposed for attribution
+    assert mon.last_terms["x"] == term(1.0, 2 / 15)
+
+    # recovery replay: re-running an already-seen batch_id must not
+    # double-count into the reference ring or append a result
+    n_results, ring_before = len(mon.results), list(mon._ring)
+    mon(spark.createDataFrame([("x",)] * 99, "event_type string"), 3)
+    assert len(mon.results) == n_results and list(mon._ring) == ring_before
