@@ -74,6 +74,7 @@ def streaming_heavy_hitters(
     item: str = "event_type",
     k: int = 8,
     output_mode: str = "update",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Streaming Misra-Gries heavy hitters: per ``group_key``, an MG(``k``)
     summary of ``item`` values maintained across micro-batches — the
@@ -87,7 +88,12 @@ def streaming_heavy_hitters(
     top of this module). Each batch folds in via its exact value_counts +
     the mergeable prune, identical to the batch operator's per-partition
     pass. Emits the full summary per updated key each batch:
-    (group, item, est, err)."""
+    (group, item, est, err).
+
+    ``weight_col`` mirrors the batch operator: weighted frequencies (heavy
+    domains by token mass across a stream) under the same contract —
+    weights must be positive (negative raises, zero rows are dropped
+    rather than occupying summary slots)."""
     from ..operators.sketches import _prune
 
     def update(
@@ -102,7 +108,21 @@ def streaming_heavy_hitters(
             # cast to str like the batch operator: state declares
             # array<string>, and a raw-typed index would split the same
             # item across entries after a state round-trip
-            batch = pdf[item].dropna().astype(str).value_counts()
+            if weight_col is None:
+                batch = pdf[item].dropna().astype(str).value_counts()
+            else:
+                w = pdf[[item, weight_col]].dropna()
+                if (w[weight_col] < 0).any():
+                    raise ValueError(
+                        "streaming_heavy_hitters: negative weights break "
+                        "the est <= true <= est + err contract"
+                    )
+                w = w[w[weight_col] > 0]
+                batch = (
+                    w.groupby(w[item].astype(str), sort=False)[weight_col]
+                    .sum()
+                    .astype("int64")
+                )
             counts = counts.add(batch, fill_value=0).astype("int64")
             counts, cut = _prune(counts, k)
             pruned += int(cut)

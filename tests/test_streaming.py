@@ -629,3 +629,49 @@ def test_drift_monitor_foreach_batch_trailing_reference(spark, tmp_path):
     n_results, ring_before = len(mon.results), list(mon._ring)
     mon(spark.createDataFrame([("x",)] * 99, "event_type string"), 3)
     assert len(mon.results) == n_results and list(mon._ring) == ring_before
+
+
+def test_streaming_heavy_hitters_weighted_by_mass(spark, tmp_path):
+    """Weighted streaming MG (parity with the batch weight_col, r10):
+    heavy domains by token MASS across two micro-batches — est <= true
+    weighted mass <= est + err, the dominant-mass domain survives, and
+    zero-weight rows never occupy summary slots."""
+    from collections import Counter
+
+    from savio_training_dask_2019_spark.streaming import streaming_heavy_hitters
+
+    src = str(tmp_path / "whh_src")
+    now = time.time()
+    # one monitor key; 'big.com' dominates by mass, not by row count
+    b1 = [(1, "big.com", 500), (1, "tail1", 90), (1, "tail2", 80),
+          (1, "tail3", 70), (1, "zero", 0)]
+    b2 = [(1, "big.com", 400), (1, "tail1", 60), (1, "tail4", 50)]
+    true = Counter()
+    for _k, d, w in b1 + b2:
+        true[d] += w
+    for name, rows, mt in [("b1", b1, now - 20), ("b2", b2, now - 10)]:
+        df = spark.createDataFrame(rows, "mon long, domain string, n_tok long")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    stream = file_stream(spark, f"{src}/*", "mon long, domain string, n_tok long")
+    q = memory_sink(
+        streaming_heavy_hitters(
+            stream, "mon", "domain", k=2, weight_col="n_tok"
+        ),
+        "whh_stream",
+        output_mode="update",
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM whh_stream").collect()
+    err = max(r["err"] for r in rows)
+    final = {r["item"]: r["est"] for r in rows if r["err"] == err}
+    assert len(final) <= 2
+    assert "zero" not in {r["item"] for r in rows}
+    for item, est in final.items():
+        assert est <= true[item] <= est + err, (item, est, true[item], err)
+    assert true["big.com"] > err and "big.com" in final
