@@ -172,6 +172,33 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_decontam_check`'s report computed through the BLOOM
+    pre-filter tier (``operators.decontam.bloom_contamination_report``) —
+    identical output, so the SAME exact oracle pins it.
+
+    What the tier buys at 100 TB: the exact path broadcasts the full
+    distinct eval shingle-hash set (~30 B/entry in a HashedRelation — a
+    100M-shingle benchmark suite is a multi-GB broadcast). The Bloom bitset
+    is ``bits_per_item`` (10) bits per shingle packed into 64-bit words
+    (~20x smaller), probed with 5 pure-Catalyst bit tests; only bloom-
+    positive shingles (true hits + ~1 % false positives) reach the exact
+    confirm join, whose probe side is then tiny. The fixture run keeps
+    ``confirm="broadcast"``; ``confirm="shuffle"`` (pytest-pinned equal)
+    is the regime where even the raw eval set exceeds broadcast limits.
+    Exactness is structural, not probabilistic: a Bloom filter admits
+    false positives only, and every candidate is re-checked.
+    """
+    from ..operators.decontam import bloom_contamination_report
+
+    base = load_table_spread(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    return bloom_contamination_report(
+        base.where(~is_eval), base.where(is_eval), "text", "doc_id",
+        n=_SHINGLE_N,
+    )
+
+
 # --- Gopher-style quality gate ----------------------------------------------
 
 
@@ -2122,6 +2149,7 @@ FROM d GROUP BY split
 QUERIES = {
     "decontam_check": q_decontam_check,
     "decontam_scrub": q_decontam_scrub,
+    "decontam_bloom": q_decontam_bloom,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
     "pack_bfd": q_pack_bfd,
@@ -2154,6 +2182,7 @@ QUERIES = {
 ORACLE = {
     "decontam_check": _DECONTAM_SQL,
     "decontam_scrub": _DECONTAM_SCRUB_SQL,
+    "decontam_bloom": _DECONTAM_SQL,
     "gopher_quality": _GOPHER_SQL,
     "pack_sequences": _PACK_SQL,
     "pack_multimodal": _PACK_MM_SQL,

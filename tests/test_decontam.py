@@ -86,3 +86,137 @@ def test_decontaminate_long_doc_rounding_regression(spark):
     assert len(rep) == 1 and rep[0]["contam_frac"] == 0.0  # rounds to zero
     clean = decontaminate(train, _df(spark, EVAL), n=5)
     assert clean.count() == 0  # dropped despite the rounded-to-0 display
+
+
+# --- Bloom-prefiltered tier ---------------------------------------------------
+
+
+def _bloom_fixture(spark):
+    """300 docs over a closed vocab with a shared sentence planted in ~1/9 —
+    enough true 5-gram overlap to make equality non-vacuous."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    shared = [
+        "the quick brown fox jumps over the lazy dog",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    ]
+    rows = []
+    for i in range(300):
+        words = rng.choices(vocab, k=rng.randint(6, 40))
+        if i % 9 == 0:
+            words += shared[i % 2].split()
+        rows.append((i, " ".join(words)))
+    df = _df(spark, rows)
+    return df.where("doc_id % 7 != 0"), df.where("doc_id % 7 = 0")
+
+
+def test_bloom_report_equals_exact_both_confirm_modes(spark):
+    """The Bloom tier is a pre-filter, not an approximation: its report is
+    bit-identical to the exact one under broadcast AND shuffle confirm."""
+    from savio_training_dask_2019_spark.operators.decontam import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    train, ev = _bloom_fixture(spark)
+    exact = sorted(map(tuple, contamination_report(train, ev).collect()))
+    assert len(exact) > 10  # non-vacuous: the fixture plants real overlap
+    for confirm in ("broadcast", "shuffle"):
+        got = sorted(
+            map(
+                tuple,
+                bloom_contamination_report(train, ev, confirm=confirm).collect(),
+            )
+        )
+        assert got == exact
+
+
+def test_bloom_prefilter_actually_filters(spark):
+    """With a DISJOINT eval vocab the exact answer is empty and every
+    bloom-positive shingle is a false positive — their count must be a
+    small fraction of the train shingle stream (~1 % expected at 10 bits /
+    5 hashes; assert a loose 5 % so the pin never flakes — it is
+    deterministic anyway given fixed data + xxhash64)."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.decontam import (
+        _bloom_words_masks,
+        _hashed_shingles,
+        _next_pow2,
+        bloom_contamination_report,
+    )
+
+    train, _ = _bloom_fixture(spark)
+    ev = _df(
+        spark,
+        [(1000 + i, " ".join(f"z{i}_{j}" for j in range(12))) for i in range(40)],
+    )
+    assert bloom_contamination_report(train, ev).count() == 0
+
+    # re-build the candidate stream from the same internals to observe the
+    # admission rate the report hides
+    evh = _hashed_shingles(ev, "text", None, 5).select("sh_h").distinct()
+    m_bits = _next_pow2(max(1024, 10 * evh.count()))
+    pairs = _bloom_words_masks(F.col("sh_h"), m_bits, 5)
+    probes = evh.select(
+        F.explode(
+            F.array(*[F.struct(w.alias("word"), m.alias("mask")) for w, m in pairs])
+        ).alias("p")
+    )
+    bloom = (
+        probes.groupBy(F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("__bf")
+        )
+    )
+    sh = _hashed_shingles(train, "text", "doc_id", 5)
+    cond = None
+    for w, m in _bloom_words_masks(F.col("sh_h"), m_bits, 5):
+        c = (
+            F.coalesce(F.element_at("__bf", w), F.lit(0).cast("long")).bitwiseAND(m)
+            != 0
+        )
+        cond = c if cond is None else cond & c
+    total = sh.count()
+    admitted = sh.crossJoin(F.broadcast(bloom)).where(cond).count()
+    assert admitted < 0.05 * total, (admitted, total)
+
+
+def test_bloom_empty_eval_and_param_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.decontam import (
+        _bloom_words_masks,
+        bloom_contamination_report,
+    )
+
+    train, ev = _bloom_fixture(spark)
+    empty = ev.where("doc_id < 0")
+    assert (
+        bloom_contamination_report(train, empty, expected_items=0).count() == 0
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        _bloom_words_masks(F.col("x"), 1000, 5)
+    with pytest.raises(ValueError, match="confirm"):
+        bloom_contamination_report(train, ev, confirm="exactly")
+
+
+def test_bloom_plan_shape(spark):
+    """One BNLJ (the 1-row bitset-map attach) and at least one broadcast
+    hash join (the exact confirm) — the corpus side never shuffles before
+    the per-doc aggregation."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.operators.decontam import (
+        bloom_contamination_report,
+    )
+
+    train, ev = _bloom_fixture(spark)
+    rep = bloom_contamination_report(train, ev, expected_items=4096)
+    assert plans.bnlj_count(rep) == 1
+    assert plans.broadcast_join_count(rep) >= 1

@@ -334,6 +334,7 @@ _MAX_BNLJ = {
     "ccnet_bands": 2,       # 1-row total ×2 (unigram fit + band thresholds)
     "collocations": 1,      # 1-row corpus totals
     "cross_join": 1,        # the intentional 5×25-row cross-join demo
+    "decontam_bloom": 1,    # 1-row Bloom bitset-map attach
     "doc_tfidf": 1,         # 1-row corpus doc count
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
@@ -364,7 +365,7 @@ _MAX_BNLJ = {
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
-    "collocations": 1, "corr_cov": 1, "dedup_stats": 1,
+    "collocations": 1, "corr_cov": 1, "decontam_bloom": 1, "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
