@@ -126,3 +126,155 @@ def heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(top)
     )
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+#
+# The point-frequency member of the mergeable-sketch family (Cormode &
+# Muthukrishnan 2005, "An improved data stream summary: the count-min sketch
+# and its applications", J. Algorithms 55(1)): HLL answers "how many
+# distinct", KLL "what quantile", Misra-Gries "which items are heavy", CMS
+# "how often is THIS item" for any item, in O(depth·width) space.
+#
+# Why it merges exactly: a CMS is depth hash rows of width counters and
+# updates are pure additions, so the sketch of a union is the ELEMENTWISE SUM
+# of the sketches — per-partition tables combine with no error beyond what
+# each table already carries, and (unlike Misra-Gries) the merged estimates
+# are PARTITION-INDEPENDENT: any partitioning of the same rows yields the
+# same table (pinned in tests/test_sketches.py). Guarantee per probe:
+# est >= true always (counters only overcount), and
+# est <= true + 2·N/width with probability 1 - (1/2)^depth.
+#
+# Hashing: pandas' keyed siphash (``pd.util.hash_array``; fixed 16-byte key
+# per depth row), evaluated Arrow-batched on BOTH the build side and the
+# probe side — the two can never disagree, and nothing depends on
+# PYTHONHASHSEED. No SQL engine shares it, so CMS queries are rows-only by
+# contract, like every hash-seeded sketch here.
+
+_CMS_SCHEMA = "d int, counts array<long>"
+
+
+def _cms_key(d: int) -> str:
+    return f"cms{d:013d}"  # 16 bytes, one independent siphash row per depth
+
+
+def _cms_buckets(values, d: int, width: int):
+    import numpy as np
+
+    arr = np.asarray(values, dtype=object)
+    h = pd.util.hash_array(arr, hash_key=_cms_key(d), categorize=False)
+    return (h % np.uint64(width)).astype("int64")
+
+
+def count_min_table(
+    df: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The merged Count-Min table: exactly ``depth`` rows of
+    (d, counts array<long>[width]).
+
+    Plan shape (the sketch-family contract): one narrow Arrow-batched pass
+    reduces each partition to a depth×width numpy table (per batch the
+    items are bucketed by exact ``value_counts`` first, so the hash runs
+    once per DISTINCT item per batch, not once per row); only the
+    O(parts·depth) summary rows move, merged by an O(depth·width)
+    posexplode + sum — the item stream itself never shuffles.
+    ``weight_col`` accumulates integer mass instead of occurrences
+    (negative weights raise — counters must only grow or the
+    overcount-only guarantee dies)."""
+    import numpy as np
+
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = np.zeros((depth, width), dtype="int64")
+        for pdf in batches:
+            if weight_col is None:
+                batch = pdf[item_col].dropna().value_counts()
+            else:
+                w = pdf[[item_col, weight_col]].dropna()
+                if (w[weight_col] < 0).any():
+                    raise ValueError(
+                        "count_min_table: negative weights break the "
+                        "overcount-only guarantee"
+                    )
+                batch = w.groupby(item_col, sort=False)[weight_col].sum()
+            if not len(batch):
+                continue
+            counts = batch.values.astype("int64")
+            for d in range(depth):
+                np.add.at(
+                    table[d], _cms_buckets(batch.index, d, width), counts
+                )
+        yield pd.DataFrame(
+            {"d": range(depth), "counts": [row.tolist() for row in table]}
+        )
+
+    cols = [F.col(item_col).cast("string").alias(item_col)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias(weight_col))
+    per_part = df.select(*cols).mapInPandas(summarize, _CMS_SCHEMA)
+    return (
+        per_part.select("d", F.posexplode("counts").alias("pos", "c"))
+        .groupBy("d", "pos")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("d")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("counts")
+        )
+    )
+
+
+def cms_estimates(
+    table: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """``probes`` plus an ``est_count`` column: min over the ``depth`` rows
+    of the probe's counter — the classic CMS point query. ``width``/
+    ``depth`` MUST match the table's build parameters (the hash keys are
+    derived from the depth index).
+
+    Plan: the table folds into ONE array-of-arrays row — O(depth·width)
+    longs, bounded by the sketch parameters, never by the data — attached
+    by broadcast crossJoin (the 1-row model-attach pattern); probe buckets
+    come from one Arrow-batched pandas_udf sharing the build-side hash, and
+    the min-of-counters is JVM-side ``zip_with`` + ``array_min``."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(items: pd.Series) -> pd.Series:
+        vals = items.astype(str)
+        cols = [_cms_buckets(vals.values, d, width) for d in range(depth)]
+        return pd.Series([list(bs) for bs in zip(*cols)])
+
+    folded = table.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "counts"))),
+            lambda s: s["counts"],
+        ).alias("__cms")
+    )
+    return (
+        probes.withColumn("__bk", buckets(F.col(item_col).cast("string")))
+        .crossJoin(F.broadcast(folded))
+        .withColumn(
+            "est_count",
+            F.array_min(
+                F.zip_with(
+                    "__cms",
+                    "__bk",
+                    lambda row, b: F.element_at(row, b + F.lit(1)),
+                )
+            ).cast("bigint"),
+        )
+        .drop("__bk", "__cms")
+    )

@@ -934,6 +934,44 @@ def q_heavy_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W = 4096  # counters per hash row
+_CMS_D = 4     # independent hash rows
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the top-20 tokens, next to
+    their exact counts — the fourth mergeable sketch (Cormode &
+    Muthukrishnan 2005; HLL = distinct, KLL = quantiles, Misra-Gries =
+    heavy items, CMS = how-often-is-THIS-item over an unbounded key space
+    in O(depth·width) memory).
+
+    Scale: the token stream never shuffles for the SKETCH — one narrow
+    Arrow-batched pass per partition, an O(depth·width) merge, and the
+    folded table rides a 1-row broadcast onto the probes. The EXACT branch
+    (full groupBy + TakeOrdered) exists only as the demo's measuring
+    stick; production asks the table alone. Rows-only by contract: the
+    estimates come from keyed siphash rows no SQL engine shares — but they
+    are PARTITION-INDEPENDENT (elementwise-sum merge; pinned in
+    tests/test_sketches.py) with the overcount-only guarantee
+    est >= true, est <= true + 2N/width w.p. 1-2^-depth."""
+    from ..operators.sketches import cms_estimates, count_min_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    tab = count_min_table(toks, "tok", width=_CMS_W, depth=_CMS_D)
+    true_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return (
+        cms_estimates(tab, true_top, "tok", width=_CMS_W, depth=_CMS_D)
+        .select("tok", "true_count", "est_count")
+        .orderBy(F.col("true_count").desc(), F.col("tok").asc())
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
@@ -951,6 +989,7 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "heavy_hitters": q_heavy_hitters,
     "heavy_domains": q_heavy_domains,
+    "cms_counts": q_cms_counts,
     "dedup_stats": q_dedup_stats,
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,

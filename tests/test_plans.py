@@ -333,6 +333,7 @@ _MAX_BNLJ = {
     "bm25_search": 1,       # 1-row corpus stats (N, avgdl)
     "ccnet_bands": 2,       # 1-row total ×2 (unigram fit + band thresholds)
     "collocations": 1,      # 1-row corpus totals
+    "cms_counts": 1,        # 1-row folded CMS table attach
     "cross_join": 1,        # the intentional 5×25-row cross-join demo
     "decontam_bloom": 1,    # 1-row Bloom bitset-map attach
     "doc_tfidf": 1,         # 1-row corpus doc count
@@ -365,6 +366,7 @@ _MAX_BNLJ = {
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
+    "cms_counts": 2,  # 1-row table fold + the 20-probe global limit
     "collocations": 1, "corr_cov": 1, "decontam_bloom": 1, "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "drift_psi": 1,

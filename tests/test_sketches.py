@@ -162,3 +162,93 @@ def test_weighted_heavy_hitters_rejects_negative_weights(spark):
     df2 = spark.createDataFrame([("a", 5), ("z", 0)], "item string, w long")
     rows = heavy_hitters(df2, "item", k=4, weight_col="w").collect()
     assert [r["item"] for r in rows] == ["a"]
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+
+def _cms_stream(spark):
+    """Deterministic skewed stream: ~2000/(j+1) copies of item j — enough
+    mass spread that hash collisions are possible but the CMS guarantees
+    are checkable exactly."""
+    rows = [(f"item{j}",) for j in range(60) for _ in range(max(1, 2000 // (j + 1)))]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_cms_overcount_only_and_error_bound(spark):
+    """est >= true ALWAYS (counters only grow), and on this fixed stream the
+    overcount stays within the textbook 2N/width bound (deterministic:
+    keyed siphash + fixed data — this is a measurement pinned forever, not
+    a probabilistic assertion)."""
+    from savio_training_dask_2019_spark.operators.sketches import (
+        cms_estimates,
+        count_min_table,
+    )
+
+    df = _cms_stream(spark)
+    n = df.count()
+    w, d = 1024, 4
+    tab = count_min_table(df, "tok", width=w, depth=d)
+    true = df.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimates(tab, true, "tok", width=w, depth=d).collect()
+    assert len(est) == 60
+    assert all(r["est_count"] >= r["true_count"] for r in est)
+    assert max(r["est_count"] - r["true_count"] for r in est) <= 2 * n // w
+
+
+def test_cms_merge_is_partition_independent(spark):
+    """The property Misra-Gries does NOT have: because merge is an
+    elementwise SUM, the merged table is identical under any partitioning
+    of the same rows — and each depth row carries exactly the total mass."""
+    from savio_training_dask_2019_spark.operators.sketches import count_min_table
+
+    df = _cms_stream(spark)
+    w, d = 512, 3
+    t1 = {r["d"]: r["counts"] for r in count_min_table(df.repartition(1), "tok", width=w, depth=d).collect()}
+    t13 = {r["d"]: r["counts"] for r in count_min_table(df.repartition(13), "tok", width=w, depth=d).collect()}
+    assert t1 == t13
+    n = df.count()
+    assert all(sum(t1[i]) == n for i in range(d))
+
+
+def test_cms_weighted_and_unseen_probes(spark):
+    """weight_col accumulates mass (same overcount-only contract against
+    exact weighted totals); a probe never inserted returns only collision
+    mass (>= 0, and 0 when its buckets are clean); negatives raise."""
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.sketches import (
+        cms_estimates,
+        count_min_table,
+    )
+
+    rows = [(f"src{j}", (j + 1) * 10) for j in range(30) for _ in range(5)]
+    df = spark.createDataFrame(rows, "src string, mass long")
+    w, d = 2048, 4
+    tab = count_min_table(df, "src", width=w, depth=d, weight_col="mass")
+    true = df.groupBy("src").agg(F.sum("mass").alias("true_count"))
+    est = cms_estimates(tab, true, "src", width=w, depth=d).collect()
+    assert all(r["est_count"] >= r["true_count"] for r in est)
+
+    unseen = spark.createDataFrame([("never-inserted-xyz",)], "src string")
+    [u] = cms_estimates(tab, unseen, "src", width=w, depth=d).collect()
+    assert u["est_count"] >= 0
+
+    neg = spark.createDataFrame([("a", -1)], "src string, mass long")
+    with pytest.raises(Exception, match="negative weights"):
+        count_min_table(neg, "src", width=w, depth=d, weight_col="mass").collect()
+    with pytest.raises(ValueError, match="width/depth"):
+        count_min_table(df, "src", width=0, depth=4)
+
+
+def test_cms_catalog_query_contract(spark, sf_dir):
+    """cms_counts: 20 probes, every estimate >= its exact count, and the
+    1-row folded-table attach is the only nested-loop join."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    df = QUERIES["cms_counts"](spark, sf_dir)
+    assert plans.bnlj_count(df) == 1
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
