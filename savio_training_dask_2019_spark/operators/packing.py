@@ -264,3 +264,58 @@ def assign_packs_histogram(
         ).drop("__len", "__seg_start", "__seg_end", "__base", "__packs", "__rk"),
         strategies,
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Sliding-window chunking — the context-window prep step upstream of
+    packing/RAG indexing: each document becomes ceil(n_tok/stride) chunks of
+    up to ``size`` tokens, consecutive chunks overlapping by
+    ``size - stride`` tokens (stride < size; stride == size is
+    non-overlapping tiling). Output, one row per chunk:
+    (``id_col``, chunk_idx 0-based, chunk_start 1-based token offset,
+    n_tok_chunk, chunk_text).
+
+    Policy corners are deliberate and SQL-replicable: window starts are
+    1, 1+stride, 1+2·stride, ... <= n_tok (so the tail yields a final
+    short chunk rather than dropping tokens — every token lands in >= 1
+    chunk), and an empty/whitespace doc yields exactly ONE empty chunk
+    (chunk coverage of the corpus keeps the doc count).
+
+    Scale: pure narrow per-row work — sequence/transform/posexplode inside
+    whole-stage codegen, no shuffle, no Python boundary; the output is
+    ~n_tok/stride times the input row count, which the caller controls by
+    ``stride``."""
+    if size < 1 or stride < 1:
+        raise ValueError(f"size/stride must be >= 1, got {size}/{stride}")
+    if stride > size:
+        raise ValueError(
+            f"stride {stride} > size {size} would drop tokens between windows"
+        )
+    from ..functions.text import tokens
+
+    tk = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(tk)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"), F.slice(tk, s, size).alias("ctk")
+        ),
+    )
+    exploded = df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "c")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.col("c.start").alias("chunk_start"),
+        F.size("c.ctk").alias("n_tok_chunk"),
+        F.array_join("c.ctk", " ").alias("chunk_text"),
+    )

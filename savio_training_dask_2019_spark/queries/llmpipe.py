@@ -268,6 +268,48 @@ _PACK_BUDGET = 2048  # context-window token budget per training bin
 _PACK_BLOCK: int | None = None
 
 
+_CHUNK_SIZE = 16  # tokens per window (fixture docs average ~55 tokens)
+_CHUNK_STRIDE = 12  # overlap 4 — the RAG/pretrain sliding-window shape
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (``operators.packing.chunk_tokens``): every
+    document becomes overlapping windows of ``_CHUNK_SIZE`` tokens at
+    stride ``_CHUNK_STRIDE`` — the context-window prep step upstream of
+    packing, embedding, and RAG indexing. One row per chunk with its
+    0-based index, 1-based token offset, length, and text; the tail chunk
+    is short rather than dropped (every token lands in >= 1 chunk) and an
+    empty doc keeps one empty chunk (corpus coverage preserved).
+
+    Scale: pure narrow per-row work — sequence/transform/posexplode inside
+    whole-stage codegen, no shuffle, no Python boundary; output volume is
+    n_tok/stride, the caller's lever. The oracle replays the identical
+    policy with DuckDB range(step)/list-slice arithmetic
+    (chunk_idx = (start-1) // stride, exact because starts are 1+k·stride)."""
+    from ..operators.packing import chunk_tokens
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    return chunk_tokens(
+        d, "text", "doc_id", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+s AS (
+  SELECT doc_id, tk,
+         unnest(range(1, greatest(len(tk), 1) + 1, {_CHUNK_STRIDE})) AS cs
+  FROM t
+)
+SELECT doc_id,
+       CAST((cs - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(cs AS INTEGER) AS chunk_start,
+       CAST(len(tk[cs:cs + {_CHUNK_SIZE - 1}]) AS INTEGER) AS n_tok_chunk,
+       array_to_string(tk[cs:cs + {_CHUNK_SIZE - 1}], ' ') AS chunk_text
+FROM s
+"""
+
+
 def _pack_block_for(n_docs: int) -> int:
     """Adaptive block size — delegates to operators.packing.pack_block_for
     (the cascade itself was factored there in r7 so any cost column packs
@@ -2152,6 +2194,7 @@ QUERIES = {
     "decontam_bloom": q_decontam_bloom,
     "gopher_quality": q_gopher_quality,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "pack_bfd": q_pack_bfd,
     "pack_multimodal": q_pack_multimodal,
     "mixture_sample": q_mixture_sample,
@@ -2185,6 +2228,7 @@ ORACLE = {
     "decontam_bloom": _DECONTAM_SQL,
     "gopher_quality": _GOPHER_SQL,
     "pack_sequences": _PACK_SQL,
+    "chunk_documents": _CHUNK_SQL,
     "pack_multimodal": _PACK_MM_SQL,
     "mixture_sample": _MIXTURE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
