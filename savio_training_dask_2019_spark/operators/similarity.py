@@ -889,3 +889,36 @@ def ivfpq_topk(
         .limit(k)
         .select("id", "cell", "adc", "cosine")
     )
+
+
+# --- scalar int8 quantization --------------------------------------------------
+
+
+def scalar_quantize_int8(
+    df: DataFrame, vec_col: str, id_col: str = "vec_id", keep: tuple = ()
+) -> DataFrame:
+    """Symmetric absmax int8 quantization (the FAISS ``SQ8`` middle tier
+    between raw float and PQ codes): per vector, scale = max |v_i| and
+    code_i = round(v_i / scale * 127) — 4x smaller than float32 scans for
+    ~1e-2 relative error, the standard first lever when an ANN corpus
+    stops fitting in page cache. Output: (``id_col``, n_dims, scale
+    double, codes array<tinyint>).
+
+    Pure narrow per-row Catalyst work (transform / array_max / floor) —
+    no shuffle, no Python boundary. Rounding is floor(x + 0.5)
+    (round-half-up) because both Spark and DuckDB evaluate it bit-
+    identically on doubles, which keeps the catalog query oracle-exact;
+    a zero vector quantizes to all-zero codes via the eps-floored scale.
+    No clamp is needed: |v_i| <= scale by construction, so the code is
+    already in [-127, 127]."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    safe = F.greatest(scale, F.lit(1e-30))
+    codes = F.transform(v, lambda x: F.floor(x / safe * 127 + F.lit(0.5)))
+    return df.select(
+        id_col,
+        *keep,  # passthrough (e.g. the raw vector for error measurement)
+        F.size(vec_col).alias("n_dims"),
+        scale.alias("scale"),
+        codes.cast("array<tinyint>").alias("codes"),
+    )

@@ -805,6 +805,70 @@ LIMIT 10
 )
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization of the embedding corpus
+    (``operators.similarity.scalar_quantize_int8`` — the FAISS SQ8 tier:
+    4x smaller scans than float32 for ~1e-2 relative error, the first
+    lever when an ANN corpus outgrows page cache; PQ is the next). One row
+    per vector with the quantization scale and the reconstruction error it
+    commits to: max |v - recon| and per-dim MSE.
+
+    Scale: pure narrow per-row Catalyst work — no shuffle, no join, no
+    Python boundary; at 100 TB this is a streaming re-encode of the corpus.
+    Oracle-exact because every step is bit-deterministic on doubles on
+    both engines: float->double widening, abs/max, floor(x+0.5)
+    round-half-up, and a sequential error fold (the vector_arith
+    precedent), rounded wide enough that summation noise cannot flip a
+    digit."""
+    from ..operators.similarity import scalar_quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = scalar_quantize_int8(emb, "embedding", "vec_id", keep=("embedding",))
+    errs = F.zip_with(
+        as_double(F.col("embedding")),
+        F.col("codes"),
+        lambda a, c: F.abs(a - c.cast("double") * F.col("scale") / 127),
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 6).alias("scale_r"),
+        F.round(F.array_max(errs), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda acc, e: acc + e * e)
+            / F.col("n_dims"),
+            9,
+        ).alias("mse"),
+    )
+
+
+_QUANT_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> floor(x / greatest(scale, 1e-30) * 127 + 0.5)) AS codes
+  FROM q
+),
+e AS (
+  SELECT vec_id, v, scale,
+         list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - codes[i] * scale / 127)) AS errs
+  FROM c
+)
+SELECT vec_id,
+       CAST(len(v) AS INTEGER) AS n_dims,
+       round(scale, 6) AS scale_r,
+       round(list_max(errs), 6) AS max_abs_err,
+       round(list_sum(list_transform(errs, x -> x * x)) / len(v), 9) AS mse
+FROM e
+"""
+
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
@@ -824,6 +888,7 @@ QUERIES = {
     "pq_adc": q_pq_adc,
     "ivfpq": q_ivfpq,
     "ivfpq_rerank": q_ivfpq_rerank,
+    "quantize_int8": q_quantize_int8,
 }
 
 ORACLE = {
@@ -842,4 +907,5 @@ ORACLE = {
     "pq_adc": _PQ_ADC_SQL,
     "ivfpq": _IVFPQ_SQL,
     "ivfpq_rerank": _IVFPQ_RERANK_SQL,
+    "quantize_int8": _QUANT_SQL,
 }

@@ -348,3 +348,87 @@ def test_ivfpq_rerank_recovers_exact_order_within_candidates(spark, sf_dir):
     exact_of_winner = {r["vec_id"]: r["cosine"] for r in rer}.get(adc_winner)
     if exact_of_winner is not None:
         assert rer[0]["cosine"] >= exact_of_winner
+
+
+# --- scalar int8 quantization ---------------------------------------------------
+
+
+def test_sq8_halfstep_error_bound_and_codes_domain(spark, sf_dir):
+    """Round-half-up at step scale/127 commits at most half a step of error
+    per dimension: |v - recon| <= scale/254 (+fp noise) — checked on the
+    real corpus, along with the code domain [-127, 127] and tinyint type."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        scalar_quantize_int8,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = scalar_quantize_int8(emb, "embedding", "vec_id", keep=("embedding",))
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    errs = F.zip_with(
+        F.transform("embedding", lambda x: x.cast("double")),
+        "codes",
+        lambda a, c: F.abs(a - c.cast("double") * F.col("scale") / 127),
+    )
+    bad = q.where(
+        (F.array_max(errs) > F.col("scale") / 254 * (1 + 1e-9))
+        | (F.array_max(F.transform("codes", lambda c: F.abs(c.cast("int")))) > 127)
+    ).count()
+    assert bad == 0
+
+
+def test_sq8_zero_vector_and_search_parity(spark):
+    """A zero vector quantizes to all-zero codes with scale 0 (no NaN), and
+    cosine top-10 neighbours over the RECONSTRUCTED int8 corpus recover
+    >= 9/10 of the exact float top-10 on a deterministic fixture — the
+    fidelity claim that justifies the 4x scan saving."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        scalar_quantize_int8,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(200)]
+    rows.append((999, [0.0] * 32))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = scalar_quantize_int8(emb, "embedding", "vec_id")
+    z = q.where("vec_id = 999").collect()[0]
+    assert z["scale"] == 0.0 and all(c == 0 for c in z["codes"])
+
+    def topk(vectors, query, k=10):
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)) or 1e-12
+            nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+            return d / (na / 1.0) / nb
+        scored = sorted(
+            ((cos(v, query), i) for i, v in vectors), key=lambda t: (-t[0], t[1])
+        )
+        return [i for _, i in scored[:k]]
+
+    recon = {
+        r["vec_id"]: [c * r["scale"] / 127 for c in r["codes"]]
+        for r in q.collect()
+    }
+    query = rows[0][1]
+    exact = topk([(i, v) for i, v in rows], query)
+    approx = topk(sorted(recon.items()), query)
+    assert len(set(exact) & set(approx)) >= 9
+
+
+def test_quantize_int8_narrow_plan(spark, sf_dir):
+    """The catalog query is a streaming re-encode: zero shuffles, zero
+    joins, one scan."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    df = QUERIES["quantize_int8"](spark, sf_dir)
+    assert plans.shuffle_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+    assert plans.scan_count(df) == 1
