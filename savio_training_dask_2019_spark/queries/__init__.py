@@ -258,6 +258,16 @@ if _MISSING:
 #     so it takes its first driver row r11 on the late-addition
 #     precedent — replica-checked this round). Rows of record after r9:
 #     50 r9 + 47 r8 + 22 r7 + 9 never-witnessed = 128.
+#     FOUR MORE late additions landed after the window froze (same r11
+#     first-row precedent; each replica-checked + measured-once benched
+#     the day it landed): decontam_bloom (Bloom-prefiltered decontam,
+#     oracle-backed — reuses the exact _DECONTAM_SQL because the tier is
+#     a pre-filter, not an approximation), chunk_documents
+#     (sliding-window token chunking, oracle-backed), quantize_int8
+#     (absmax SQ8 quantization + reconstruction error, oracle-backed),
+#     and cms_counts (Count-Min point frequencies, rows-only by
+#     contract: keyed-siphash sketch). Catalog at end of r10: 135
+#     queries, 115 oracle-backed, 20 rows-only.
 #     - the flagship (agg_groupby);
 #     - 9 first driver rows (the only pre-r10 entries with none; judge
 #       replica r9: 7 oracle-equal, 2 rows-only, 0 failures): drift_psi,

@@ -196,3 +196,62 @@ def test_cell_knn_join_1m_vectors_analytic_axes(spark):
     # wall-time bound: observed ~110 s on local[32] CONTENDED with a full
     # 130-query replica run; quiet-host runs are well under that
     assert elapsed < 150, f"ANN scale smoke took {elapsed:.0f}s"
+
+
+def test_bloom_decontam_500k_docs_planted_contamination(spark):
+    """The Bloom tier at the scale it exists for: a 200k-doc eval set
+    (~400k distinct shingles — the bitset folds to a ~512 KB word map
+    where the raw broadcast set is ~12 MB of hash-table) probed by 300k
+    training docs, 300 of them planted with eval 5-grams. Analytic answer:
+    exactly the planted docs flag, each with n_hits=2 of n_shingles=5 —
+    checked via aggregates only, never collecting the corpus."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.decontam import (
+        bloom_contamination_report,
+    )
+
+    n_train, n_eval, stride = 300_000, 200_000, 1000
+    ev = spark.range(n_eval).select(
+        F.concat(
+            F.lit("ev y"), F.col("id").cast("string"), F.lit(" p q r s")
+        ).alias("text")
+    )
+    # train doc i: unique 3-token prefix; every stride-th doc appends the
+    # text of eval doc i//stride -> its last 2 shingles are eval shingles
+    train = spark.range(n_train).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tr x"), F.col("id").cast("string"), F.lit(" pad"),
+            F.when(
+                F.col("id") % stride == 0,
+                F.concat(
+                    F.lit(" ev y"),
+                    (F.col("id") / stride).cast("long").cast("string"),
+                    F.lit(" p q r s"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    agg = (
+        bloom_contamination_report(
+            train, ev, "text", "doc_id", n=5, expected_items=2 * n_eval
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            F.min("n_hits").alias("min_h"),
+            F.max("n_hits").alias("max_h"),
+            F.min("n_shingles").alias("min_s"),
+            F.max("n_shingles").alias("max_s"),
+            F.max(F.col("doc_id") % stride).alias("mod_check"),
+        )
+        .first()
+    )
+    elapsed = time.perf_counter() - t0
+    assert agg["n_flagged"] == n_train // stride
+    assert agg["min_h"] == agg["max_h"] == 2
+    assert agg["min_s"] == agg["max_s"] == 5
+    assert agg["mod_check"] == 0  # ONLY planted docs flag — no false report
+    # generous contended-host bound (same discipline as the ANN smoke)
+    assert elapsed < 120, f"bloom decontam smoke took {elapsed:.0f}s"
