@@ -103,42 +103,8 @@ def decontaminate(
     return train.join(F.broadcast(drop), id_col, "left_anti")
 
 
+
 # --- Bloom-prefiltered tier --------------------------------------------------
-
-
-def _bloom_words_masks(hcol, m_bits: int, n_hashes: int):
-    """The ``n_hashes`` (word, mask) column pairs a 64-bit shingle hash
-    sets/probes in a Bloom bitset of ``m_bits`` bits stored as 64-bit words.
-
-    Classic double hashing (Kirsch & Mitzenmacher 2006, "Less Hashing, Same
-    Performance"): position_i = (h1 + i*h2) mod m with h1 = the xxhash64
-    itself and h2 = (h1 >>> 29) | 1 — h2 odd, so when ``m_bits`` is a power
-    of two the probe stride is coprime with m and the i-sequence never
-    collapses onto one slot. Everything is Catalyst long arithmetic
-    (pmod / shifts / masks — ``call_function`` for the column-valued shift
-    amount), shared VERBATIM by the build side and the probe side, so
-    build/probe can never disagree.
-    """
-    if m_bits < 64 or m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
-    one = F.lit(1).cast("long")
-    h2 = F.shiftrightunsigned(hcol, 29).bitwiseOR(one)
-    pairs = []
-    for i in range(n_hashes):
-        pos = F.pmod(hcol + F.lit(i).cast("long") * h2, F.lit(m_bits).cast("long"))
-        word = F.shiftrightunsigned(pos, 6).cast("int")
-        mask = F.call_function(
-            "shiftleft", one, pos.bitwiseAND(F.lit(63).cast("long")).cast("int")
-        )
-        pairs.append((word, mask))
-    return pairs
-
-
-def _next_pow2(n: int) -> int:
-    p = 64
-    while p < n:
-        p <<= 1
-    return p
 
 
 def bloom_contamination_report(
@@ -152,10 +118,11 @@ def bloom_contamination_report(
     expected_items: int | None = None,
     confirm: str = "broadcast",
 ) -> DataFrame:
-    """:func:`contamination_report` with a Bloom pre-filter tier — SAME
-    output, bit for bit (the Bloom tier only admits false POSITIVES, and
-    every candidate is re-checked against the exact eval shingle set), so
-    the exact DuckDB oracle still pins it.
+    """:func:`contamination_report` with a Bloom pre-filter tier (the
+    generic ``operators.bloom`` bitset) — SAME output, bit for bit: the
+    Bloom tier only admits false POSITIVES, and every candidate is
+    re-checked against the exact eval shingle set, so the exact DuckDB
+    oracle still pins it.
 
     Why this tier exists at 100 TB: the exact report broadcasts the full
     distinct eval shingle-hash set — 8 bytes/shingle plus JVM hash-table
@@ -169,20 +136,13 @@ def bloom_contamination_report(
     hash — the regime where even the raw eval set is too big to broadcast;
     the Bloom tier is what makes that shuffle carry candidates only.
 
-    Physical shape: the bitset is built as a ``map<int,long>`` of 64-bit
-    words — groupBy(word).agg(bit_or(mask)) over the eval probes, folded
-    into ONE map row (bounded: <= m/64 entries, absent words = empty, map
-    beats a dense array when the eval set underfills the bitset) and
-    attached to the corpus shingle stream by broadcast crossJoin (the
-    repo's 1-row model-attach pattern). Probing is n_hashes element_at +
-    bitwise-AND conditions — pure Catalyst, no Python boundary, NULL word
-    (never set) short-circuits to not-present via coalesce(0).
-
     ``expected_items``: sizes the bitset. Default None counts the distinct
     eval shingles first — one tiny job on the SMALL side only (the corpus
     is never touched by sizing); pass the known benchmark-suite size to
     skip it.
     """
+    from .bloom import bloom_build, bloom_flag, next_pow2
+
     if confirm not in ("broadcast", "shuffle"):
         raise ValueError(f"confirm must be broadcast|shuffle, got {confirm!r}")
     ev = (
@@ -193,28 +153,15 @@ def bloom_contamination_report(
     if expected_items is None:
         ev = ev.persist()  # sizing count + build + confirm reuse one pass
         expected_items = ev.count()
-    m_bits = _next_pow2(max(1024, bits_per_item * max(1, expected_items)))
+    m_bits = next_pow2(max(1024, bits_per_item * max(1, expected_items)))
 
-    set_pairs = _bloom_words_masks(F.col("sh_h"), m_bits, n_hashes)
-    probes = ev.select(
-        F.explode(
-            F.array(*[F.struct(w.alias("word"), mk.alias("mask")) for w, mk in set_pairs])
-        ).alias("p")
-    )
-    bloom = (
-        probes.groupBy(F.col("p.word").alias("word"))
-        .agg(F.bit_or("p.mask").alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bf"))
-    )
-
+    bloom = bloom_build(ev, "sh_h", m_bits, n_hashes)
     sh = _hashed_shingles(train, text_col, id_col, n)
-    probe_pairs = _bloom_words_masks(F.col("sh_h"), m_bits, n_hashes)
-    hit = None
-    for w, mk in probe_pairs:
-        c = F.coalesce(F.element_at("__bf", w), F.lit(0).cast("long")).bitwiseAND(mk) != 0
-        hit = c if hit is None else hit & c
-    candidates = sh.crossJoin(F.broadcast(bloom)).where(hit).drop("__bf")
-
+    candidates = (
+        bloom_flag(sh, "sh_h", bloom, m_bits, n_hashes, flag="__maybe")
+        .where("__maybe")
+        .drop("__maybe")
+    )
     confirmed = candidates.join(
         F.broadcast(ev) if confirm == "broadcast" else ev, "sh_h"
     )

@@ -2008,6 +2008,67 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_dedup_incremental`'s ingest report computed through the
+    production refinement its docstring promises: a Bloom bitset
+    (``operators.bloom``) built over the snapshot hashes and broadcast to
+    prefilter the batch. Identical output — the bloom admits false
+    positives only and every bloom-positive row is re-checked by the exact
+    hash join — so the SAME oracle pins it.
+
+    Why this shape at 100 TB: the snapshot hash set is billions of rows —
+    far too big to broadcast raw — so the exact twin shuffles the WHOLE
+    batch against it. With the bitset broadcast (~1.25 B/key vs ~30 B/key
+    for a HashedRelation), the common all-novel case becomes a narrow map:
+    only bloom-positive rows (true re-crawls + ~1 % FPs) enter the
+    hash-shuffle confirm join; bloom-negative rows are DEFINITELY novel
+    (the exact direction of a Bloom filter) and skip the join entirely.
+    Sizing uses one count on the snapshot side (at production scale the
+    snapshot manifest already knows its row count). The bloom keys are
+    ``xxhash64(h)`` (the bitset needs 64-bit keys); the confirm join stays
+    on the md5 hash itself so the oracle replays bit-for-bit."""
+    from ..operators.bloom import bloom_build, bloom_flag, next_pow2
+
+    did = F.col("doc_id")
+    h = F.when(
+        did % 29 == 0,
+        F.md5(F.concat(F.lit("planted-"), (did % 5).cast("string"))),
+    ).otherwise(F.md5("text"))
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", h.alias("h")
+    )
+    hist = d.where(F.col("doc_id") % _BATCH_MOD != 0).select("h").distinct()
+    hist = hist.persist()  # sizing count + bitset build + confirm join
+    m_bits = next_pow2(max(1024, 10 * max(1, hist.count())))
+    bloom = bloom_build(hist.select(F.xxhash64("h").alias("hh")), "hh", m_bits)
+
+    batch = d.where(F.col("doc_id") % _BATCH_MOD == 0)
+    b = bloom_flag(
+        batch.withColumn("hh", F.xxhash64("h")), "hh", bloom, m_bits
+    )
+    maybe = b.where(F.col("__maybe")).join(
+        hist.withColumn("known", F.lit(1)), "h", "left"
+    )
+    novel = b.where(~F.col("__maybe")).withColumn(
+        "known", F.lit(None).cast("int")
+    )
+    uni = maybe.select("doc_id", "source", "h", "known").unionByName(
+        novel.select("doc_id", "source", "h", "known")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = uni.withColumn("rn", F.row_number().over(w)).select(
+        "source",
+        F.col("known").isNotNull().alias("is_known"),
+        (F.col("known").isNull() & (F.col("rn") > 1)).alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("is_known").cast("long")).alias("n_known"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_batch_dup"),
+        F.sum((~F.col("is_known") & ~F.col("is_dup")).cast("long")).alias("n_ingested"),
+    )
+
+
 _INCR_SQL = f"""
 WITH d AS (
   SELECT doc_id, source,
@@ -2218,6 +2279,7 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "length_buckets": q_length_buckets,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "vocab_coverage": q_vocab_coverage,
     "split_leakage": q_split_leakage,
 }
@@ -2251,6 +2313,7 @@ ORACLE = {
     "mixture_weights": _MIXTURE_WEIGHTS_SQL,
     "length_buckets": _LENBUCKET_SQL,
     "dedup_incremental": _INCR_SQL,
+    "dedup_incremental_bloom": _INCR_SQL,
     "vocab_coverage": _COVERAGE_SQL,
     "split_leakage": _LEAKAGE_SQL,
 }

@@ -21,6 +21,7 @@ from .ingest import incremental_ingest
 from .joins import interval_join
 from .stateful import (
     DriftMonitor,
+    StreamingCountMin,
     psi_from_counts,
     running_totals,
     streaming_heavy_hitters,
@@ -39,6 +40,7 @@ __all__ = [
     "running_totals",
     "streaming_heavy_hitters",
     "DriftMonitor",
+    "StreamingCountMin",
     "psi_from_counts",
     "interval_join",
     "incremental_ingest",

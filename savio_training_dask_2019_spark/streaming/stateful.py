@@ -226,3 +226,83 @@ class DriftMonitor:
             psi, self.last_terms = None, {}
         self.results.append((batch_id, psi, n_cur, n_ref))
         self._ring.append(cur)
+
+
+class StreamingCountMin:
+    """Streaming Count-Min accumulator — the streaming twin of
+    ``operators.sketches.count_min_table``, wired as a ``foreachBatch``
+    handle (pass an instance to :func:`streaming.foreach_batch_sink`):
+    point-frequency estimates over everything the stream has carried so
+    far, in O(depth·width) driver memory whatever the stream volume.
+
+    Architecture (Spark-first): each micro-batch builds its merged CMS
+    table DISTRIBUTED (the batch operator unchanged: narrow Arrow-batched
+    per-partition tables, posexplode+sum merge), and only the depth rows
+    of width counters reach the driver, where they fold into the running
+    table by elementwise sum. Because CMS merge IS elementwise sum, the
+    accumulated table is EXACTLY the table a single batch build over the
+    union of all batches would produce (pinned in tests) — no
+    estimate-quality decay across batches, unlike summary sketches that
+    prune. A stateful-UDF formulation was rejected for the same reason as
+    DriftMonitor's: one global key would funnel the stream through one
+    task, and per-item keys make the table unreadable as a whole.
+
+    Exactly-once: replayed ``batch_id``s (recovery re-runs the last
+    uncommitted batch) are skipped idempotently so no batch double-counts.
+    ``estimate(items)`` answers point queries driver-side from the
+    accumulated table using the batch operator's own keyed-siphash
+    bucketing (build and probe can never disagree); the overcount-only
+    contract est >= true holds at every point in the stream's life."""
+
+    def __init__(
+        self,
+        item: str,
+        width: int = 2048,
+        depth: int = 4,
+        weight_col: str | None = None,
+    ) -> None:
+        import numpy as np
+
+        if width < 1 or depth < 1:
+            raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+        self.item = item
+        self.width = width
+        self.depth = depth
+        self.weight_col = weight_col
+        self.table = np.zeros((depth, width), dtype="int64")
+        self.n_batches = 0
+        self._seen: set[int] = set()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        self._seen.add(batch_id)
+        from ..operators.sketches import count_min_table
+
+        # O(depth) rows of width longs — bounded by the sketch parameters,
+        # never by the batch (same driver-size discipline as DriftMonitor's
+        # classes-sized collect)
+        for r in count_min_table(
+            batch_df, self.item, self.width, self.depth, self.weight_col
+        ).collect():
+            self.table[r["d"]] += np.asarray(r["counts"], dtype="int64")
+        self.n_batches += 1
+
+    def estimate(self, items: Iterable[str]) -> dict[str, int]:
+        """Driver-side point queries against the accumulated table."""
+        from ..operators.sketches import _cms_buckets
+
+        items = [str(i) for i in items]
+        if not items:
+            return {}
+        out = {}
+        for i, it in enumerate(items):
+            out[it] = int(
+                min(
+                    self.table[d][_cms_buckets([it], d, self.width)[0]]
+                    for d in range(self.depth)
+                )
+            )
+        return out

@@ -141,10 +141,13 @@ def test_bloom_prefilter_actually_filters(spark):
     deterministic anyway given fixed data + xxhash64)."""
     from pyspark.sql import functions as F
 
+    from savio_training_dask_2019_spark.operators.bloom import (
+        bloom_build,
+        bloom_flag,
+        next_pow2,
+    )
     from savio_training_dask_2019_spark.operators.decontam import (
-        _bloom_words_masks,
         _hashed_shingles,
-        _next_pow2,
         bloom_contamination_report,
     )
 
@@ -155,35 +158,16 @@ def test_bloom_prefilter_actually_filters(spark):
     )
     assert bloom_contamination_report(train, ev).count() == 0
 
-    # re-build the candidate stream from the same internals to observe the
-    # admission rate the report hides
+    # re-build the candidate stream with the shared bloom operators to
+    # observe the admission rate the report hides
     evh = _hashed_shingles(ev, "text", None, 5).select("sh_h").distinct()
-    m_bits = _next_pow2(max(1024, 10 * evh.count()))
-    pairs = _bloom_words_masks(F.col("sh_h"), m_bits, 5)
-    probes = evh.select(
-        F.explode(
-            F.array(*[F.struct(w.alias("word"), m.alias("mask")) for w, m in pairs])
-        ).alias("p")
-    )
-    bloom = (
-        probes.groupBy(F.col("p.word").alias("word"))
-        .agg(F.bit_or("p.mask").alias("bits"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("word", "bits"))
-            ).alias("__bf")
-        )
-    )
+    m_bits = next_pow2(max(1024, 10 * evh.count()))
+    bloom = bloom_build(evh, "sh_h", m_bits, 5)
     sh = _hashed_shingles(train, "text", "doc_id", 5)
-    cond = None
-    for w, m in _bloom_words_masks(F.col("sh_h"), m_bits, 5):
-        c = (
-            F.coalesce(F.element_at("__bf", w), F.lit(0).cast("long")).bitwiseAND(m)
-            != 0
-        )
-        cond = c if cond is None else cond & c
     total = sh.count()
-    admitted = sh.crossJoin(F.broadcast(bloom)).where(cond).count()
+    admitted = (
+        bloom_flag(sh, "sh_h", bloom, m_bits, 5).where("__maybe").count()
+    )
     assert admitted < 0.05 * total, (admitted, total)
 
 
@@ -191,8 +175,8 @@ def test_bloom_empty_eval_and_param_validation(spark):
     import pytest
     from pyspark.sql import functions as F
 
+    from savio_training_dask_2019_spark.operators.bloom import bloom_words_masks
     from savio_training_dask_2019_spark.operators.decontam import (
-        _bloom_words_masks,
         bloom_contamination_report,
     )
 
@@ -202,7 +186,7 @@ def test_bloom_empty_eval_and_param_validation(spark):
         bloom_contamination_report(train, empty, expected_items=0).count() == 0
     )
     with pytest.raises(ValueError, match="power of two"):
-        _bloom_words_masks(F.col("x"), 1000, 5)
+        bloom_words_masks(F.col("x"), 1000, 5)
     with pytest.raises(ValueError, match="confirm"):
         bloom_contamination_report(train, ev, confirm="exactly")
 

@@ -638,3 +638,20 @@ def test_chunk_documents_narrow_plan(spark, sf_dir):
     assert plans.shuffle_count(df) <= 1  # the toy-input spread only
     assert plans.broadcast_join_count(df) == 0
     assert plans.scan_count(df) == 1
+
+
+def test_dedup_incremental_bloom_equals_exact_twin(spark, sf_dir):
+    """The bloom-prefiltered ingest report is bit-identical to the exact
+    twin (bloom admits false positives only; every candidate is re-checked
+    by the hash join), and the bitset broadcast is physically built ONCE —
+    the two union branches reuse the exchange at runtime."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    exact = sorted(
+        map(tuple, QUERIES["dedup_incremental"](spark, sf_dir).collect())
+    )
+    df = QUERIES["dedup_incremental_bloom"](spark, sf_dir)
+    assert sorted(map(tuple, df.collect())) == exact
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1, "bloom broadcast not reused"
+    spark.catalog.clearCache()

@@ -284,6 +284,10 @@ _MAX_PARQUET_SCANS = {
     # train-side shingles + eval-side shingles (exchange-reused scan) + the
     # survivor anti-join branch back onto the train frame
     "decontam_scrub": 3,
+    # snapshot-side scan (cached hist printed under count/build/confirm) +
+    # the batch scan under each union branch; physically: hist persisted,
+    # one batch scan per branch of the bloom split
+    "dedup_incremental_bloom": 3,
     "join_3way": 4,
     "semdedup_clusters": 4,
     "split_leakage": 3,
@@ -336,6 +340,8 @@ _MAX_BNLJ = {
     "cms_counts": 1,        # 1-row folded CMS table attach
     "cross_join": 1,        # the intentional 5×25-row cross-join demo
     "decontam_bloom": 1,    # 1-row Bloom bitset-map attach
+    "dedup_incremental_bloom": 2,  # ONE bitset attach, printed under both
+                            # union branches (physically reused broadcast)
     "doc_tfidf": 1,         # 1-row corpus doc count
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
@@ -367,7 +373,9 @@ _MAX_BNLJ = {
 _MAX_SINGLE_PARTITION = {
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
     "cms_counts": 2,  # 1-row table fold + the 20-probe global limit
-    "collocations": 1, "corr_cov": 1, "decontam_bloom": 1, "dedup_stats": 1,
+    "collocations": 1, "corr_cov": 1, "decontam_bloom": 1,
+    "dedup_incremental_bloom": 2,  # one bitset fold printed under both branches
+    "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,

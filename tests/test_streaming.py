@@ -709,3 +709,56 @@ def test_psi_from_counts_properties():
         assert math.isfinite(psi)
 
     check()
+
+
+def test_streaming_count_min_accumulates_exactly(spark, tmp_path):
+    """Streaming CMS (foreachBatch): the accumulated table after N
+    micro-batches is BIT-IDENTICAL to a single batch build over the union
+    (CMS merge = elementwise sum), estimates are overcount-only against
+    exact stream totals, and a replayed batch_id is idempotently skipped."""
+    from collections import Counter
+
+    import numpy as np
+
+    from savio_training_dask_2019_spark.operators.sketches import count_min_table
+    from savio_training_dask_2019_spark.streaming import (
+        StreamingCountMin,
+        file_stream,
+        foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "cms_src")
+    now = time.time()
+    b1 = [("x",)] * 50 + [("y",)] * 10 + [("z",)] * 3
+    b2 = [("x",)] * 20 + [("w",)] * 7
+    b3 = [("y",)] * 30 + [("z",)] * 1
+    true = Counter(t for batch in (b1, b2, b3) for (t,) in batch)
+    for name, rows, mt in [("b1", b1, now - 30), ("b2", b2, now - 20), ("b3", b3, now - 10)]:
+        df = spark.createDataFrame(rows, "tok string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    w, d = 256, 3
+    acc = StreamingCountMin("tok", width=w, depth=d)
+    q = foreach_batch_sink(file_stream(spark, f"{src}/*", "tok string"), acc)
+    assert q.awaitTermination(180), "stream did not finish in time"
+    assert acc.n_batches == 3
+
+    # exact-merge property: accumulated == one build over the union
+    union = spark.createDataFrame(b1 + b2 + b3, "tok string")
+    batch_tab = np.zeros((d, w), dtype="int64")
+    for r in count_min_table(union, "tok", width=w, depth=d).collect():
+        batch_tab[r["d"]] = r["counts"]
+    assert (acc.table == batch_tab).all()
+
+    # overcount-only against the exact stream totals, at stream end
+    est = acc.estimate(true.keys())
+    assert all(est[t] >= c for t, c in true.items())
+
+    # replay: re-running a seen batch_id must not change the table
+    before = acc.table.copy()
+    acc(spark.createDataFrame([("x",)] * 99, "tok string"), 2)
+    assert (acc.table == before).all() and acc.n_batches == 3
+    assert acc.estimate([]) == {}
