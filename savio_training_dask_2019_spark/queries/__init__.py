@@ -265,9 +265,15 @@ if _MISSING:
 #     a pre-filter, not an approximation), chunk_documents
 #     (sliding-window token chunking, oracle-backed), quantize_int8
 #     (absmax SQ8 quantization + reconstruction error, oracle-backed),
-#     and cms_counts (Count-Min point frequencies, rows-only by
-#     contract: keyed-siphash sketch). Catalog at end of r10: 135
-#     queries, 115 oracle-backed, 20 rows-only.
+#     cms_counts (Count-Min point frequencies, rows-only by
+#     contract: keyed-siphash sketch), and dedup_incremental_bloom
+#     (the bloom-prefiltered ingest twin — the production refinement
+#     dedup_incremental's docstring promised; oracle-backed, same SQL
+#     as its exact twin). Catalog at end of r10: 136 queries, 116
+#     oracle-backed, 20 rows-only. (Non-query surface added alongside:
+#     operators/bloom.py, the shared bitset both bloom consumers use,
+#     and streaming.StreamingCountMin — the CMS streaming twin,
+#     exact-merge pinned, pytest by contract.)
 #     - the flagship (agg_groupby);
 #     - 9 first driver rows (the only pre-r10 entries with none; judge
 #       replica r9: 7 oracle-equal, 2 rows-only, 0 failures): drift_psi,
