@@ -269,8 +269,14 @@ if _MISSING:
 #     contract: keyed-siphash sketch), and dedup_incremental_bloom
 #     (the bloom-prefiltered ingest twin — the production refinement
 #     dedup_incremental's docstring promised; oracle-backed, same SQL
-#     as its exact twin). Catalog at end of r10: 136 queries, 116
-#     oracle-backed, 20 rows-only. (Non-query surface added alongside:
+#     as its exact twin), and source_overlap (cross-source
+#     duplicate-content matrix, oracle-backed). Catalog at end of r10:
+#     137 queries, 117 oracle-backed, 20 rows-only. drift_psi_windowed's
+#     per-day sum switched to exact integer micro-units late in r10 (a
+#     suite run caught a 6-dp term sum landing exactly on a 4-dp
+#     boundary, where 1 ulp of cross-engine summation-order noise flips
+#     the rounded digit); it is in this window, so its first row
+#     witnesses the fixed form. (Non-query surface added alongside:
 #     operators/bloom.py, the shared bitset both bloom consumers use,
 #     and streaming.StreamingCountMin — the CMS streaming twin,
 #     exact-merge pinned, pytest by contract.)

@@ -348,6 +348,87 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-content matrix: for every source pair, how
+    many distinct content hashes they BOTH carry, and that count as a
+    fraction of the smaller source's distinct-hash inventory — the
+    "which domains mirror each other" audit that decides which sources are
+    redundant in the training mix (mirrors, syndication, scraped re-posts).
+
+    Scale: one distinct on (hash, source) — corpus-sized but 8+16 bytes a
+    row — then a self-join ON THE HASH whose per-key fanout is bounded by
+    the number of SOURCES carrying that hash (never corpus rows: the
+    distinct collapsed those), so worst case is C(sources, 2) pairs per
+    boilerplate hash; per-source inventory sizes ride as a broadcast
+    O(sources) table. Same planted-hash convention as
+    ``dedup_incremental`` (docs with doc_id % 29 == 0 share 5 canonical
+    hashes, deterministic on both engines) so cross-source overlap is
+    exercised at every SF — the raw fixture corpus has almost no exact
+    duplicates."""
+    did = F.col("doc_id")
+    h = F.when(
+        did % 29 == 0,
+        F.md5(F.concat(F.lit("planted-"), (did % 5).cast("string"))),
+    ).otherwise(F.md5("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        h.alias("h"), "source"
+    )
+    # three consumers (both self-join sides + the inventory sizes) — the
+    # checkpoint materializes the corpus-sized distinct ONCE (the bm25 tf
+    # precedent; without it each branch re-runs the scan+distinct)
+    u = d.distinct().localCheckpoint(eager=True)
+    sizes = u.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a"))
+    sb = F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b"))
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+_SOURCE_OVERLAP_SQL = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 29 = 0
+              THEN md5('planted-' || CAST(doc_id % 5 AS VARCHAR))
+              ELSE md5(text) END AS h,
+         source
+  FROM documents
+),
+u AS (SELECT DISTINCT h, source FROM d),
+sizes AS (SELECT source, count(*) AS n FROM u GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM u a JOIN u b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.n_shared,
+       round(CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap_frac
+FROM pairs p
+JOIN sizes sa ON p.src_a = sa.source
+JOIN sizes sb ON p.src_b = sb.source
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive bag-of-words fingerprint per document."""
     d = load_table(spark, sf_dir, "documents")
@@ -991,6 +1072,7 @@ QUERIES = {
     "heavy_domains": q_heavy_domains,
     "cms_counts": q_cms_counts,
     "dedup_stats": q_dedup_stats,
+    "source_overlap": q_source_overlap,
     "dedup_keep_first": q_dedup_keep_first,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1014,6 +1096,7 @@ ORACLE = {
     "zipf_curve": _ZIPF_SQL,
     "winnow_fp": _WINNOW_SQL,
     "dedup_stats": _DEDUP_STATS_SQL,
+    "source_overlap": _SOURCE_OVERLAP_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -460,14 +460,19 @@ def q_drift_psi_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc = F.greatest(F.col("n") / F.col("tot_cur"), F.lit(_DRIFT_EPS))
     pr = F.greatest(F.col("n_ref") / F.col("tot_ref"), F.lit(_DRIFT_EPS))
-    term = F.round((pc - pr) * F.log(pc / pr), 6)
+    # micro-unit integer terms: the per-day sum is then EXACT and
+    # order-independent, so cross-engine summation order can never flip the
+    # 4-decimal psi (a r10 suite run caught a day whose 6-dp-rounded term
+    # sum landed exactly on 0.12565 — 1 ulp of order noise decided the
+    # rounded digit)
+    term_micro = F.round((pc - pr) * F.log(pc / pr) * 1e6).cast("bigint")
     return (
         per.where(F.col("tot_ref") > 0)
         .groupBy("d")
         .agg(
             F.max("tot_cur").cast("bigint").alias("n_cur"),
             F.max("tot_ref").cast("bigint").alias("n_ref_tot"),
-            F.round(F.sum(term), 4).alias("psi"),
+            F.round(F.sum(term_micro) / F.lit(1e6), 4).alias("psi"),
         )
         .orderBy("d")
     )
@@ -502,11 +507,12 @@ tots AS (
 SELECT d,
        CAST(max(tot_cur) AS BIGINT) AS n_cur,
        CAST(max(tot_ref) AS BIGINT) AS n_ref_tot,
-       round(sum(round(
+       round(sum(CAST(round(
          (greatest(CAST(n AS DOUBLE) / tot_cur, {_DRIFT_EPS})
           - greatest(CAST(n_ref AS DOUBLE) / tot_ref, {_DRIFT_EPS}))
          * ln(greatest(CAST(n AS DOUBLE) / tot_cur, {_DRIFT_EPS})
-              / greatest(CAST(n_ref AS DOUBLE) / tot_ref, {_DRIFT_EPS})), 6)), 4)
+              / greatest(CAST(n_ref AS DOUBLE) / tot_ref, {_DRIFT_EPS}))
+         * 1000000) AS BIGINT)) / 1000000.0, 4)
          AS psi
 FROM tots
 WHERE tot_ref > 0

@@ -342,3 +342,32 @@ def test_repetition_stats_pinned_examples(spark):
         "en": (2, en, 1.0, 2),
         "fr": (2, fr, round(3 / 7, 4), 1),
     }
+
+
+def test_source_overlap_planted_matrix(spark, tmp_path):
+    """Cross-source duplicate matrix on a hand-built corpus: sources A/B
+    share 2 texts, A/C share 1, B/C none; overlap_frac divides by the
+    smaller inventory."""
+    import os
+
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    rows = [
+        # doc_id chosen % 29 != 0 so the planted-hash branch stays quiet
+        (1, "A", "shared one"), (2, "A", "shared two"), (3, "A", "only a"),
+        (4, "B", "shared one"), (5, "B", "shared two"),
+        (6, "C", "shared one"), (7, "C", "only c1"), (8, "C", "only c2"),
+        (9, "C", "only c3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = str(tmp_path / "so")
+    df.write.parquet(os.path.join(out, "documents.parquet"))
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["overlap_frac"])
+        for r in QUERIES["source_overlap"](spark, out).collect()
+    }
+    # A: 3 distinct hashes, B: 2, C: 4
+    assert got[("A", "B")] == (2, round(2 / 2, 6))
+    assert got[("A", "C")] == (1, round(1 / 3, 6))
+    assert got[("B", "C")] == (1, round(1 / 2, 6))
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
