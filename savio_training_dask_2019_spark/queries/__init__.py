@@ -269,9 +269,11 @@ if _MISSING:
 #     contract: keyed-siphash sketch), and dedup_incremental_bloom
 #     (the bloom-prefiltered ingest twin — the production refinement
 #     dedup_incremental's docstring promised; oracle-backed, same SQL
-#     as its exact twin), and source_overlap (cross-source
-#     duplicate-content matrix, oracle-backed). Catalog at end of r10:
-#     137 queries, 117 oracle-backed, 20 rows-only. drift_psi_windowed's
+#     as its exact twin), source_overlap (cross-source
+#     duplicate-content matrix, oracle-backed), and drift_numeric
+#     (histogram-PSI drift over a continuous column — the numeric half
+#     of the drift family, oracle-backed). Catalog at end of r10:
+#     138 queries, 118 oracle-backed, 20 rows-only. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
 #     boundary, where 1 ulp of cross-engine summation-order noise flips

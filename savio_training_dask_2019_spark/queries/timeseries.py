@@ -405,6 +405,91 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_drift_psi.__doc__ = q_drift_psi.__doc__.format(eps=_DRIFT_EPS)
 
 
+_NUM_DRIFT_SPLIT = "1998-01-01 00:00:00"  # orders midpoint (1995..2001 fixture)
+_NUM_DRIFT_W = 50_000.0  # bucket width over o_totalprice (~1k..500k)
+_NUM_DRIFT_B = 10  # buckets 0..9 (clamped)
+
+
+def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUMERIC drift monitor — the histogram half of the drift family
+    (``drift_psi`` watches a categorical mix; this watches a continuous
+    column): o_totalprice is bucketed into {b} fixed-width bins of {w:,.0f}
+    (clamped at the top — the standard production practice of freezing bin
+    edges from the reference period so drift shows up IN the bins, not as
+    re-binning), and each bin contributes a PSI term between the orders
+    before/after the fixed date split. Same eps floor, same alert bands,
+    same per-bin-terms-not-sum output shape as drift_psi (attribution plus
+    no rounding-boundary exposure on a sum).
+
+    Scale: identical to drift_psi — one scan, one O(bins) conditional
+    aggregation (both halves in the same pass), checkpointed bins-sized
+    table, broadcast 1-row totals. The bucket expression is floor/clamp
+    arithmetic on doubles — bit-identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_NUM_DRIFT_SPLIT).cast("timestamp")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / F.lit(_NUM_DRIFT_W)), F.lit(0)),
+        F.lit(_NUM_DRIFT_B - 1),
+    ).cast("int")
+    agg = (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum((F.col("o_orderdate") < split).cast("bigint")).alias("n_a"),
+            F.sum((F.col("o_orderdate") >= split).cast("bigint")).alias("n_b"),
+        )
+        .localCheckpoint(eager=True)  # bins-sized: totals read THIS
+    )
+    tot = agg.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+
+    def _share(n, t):
+        return F.when(F.col(t) > 0, F.col(n) / F.col(t)).otherwise(F.lit(0.0))
+
+    pa = F.greatest(_share("n_a", "ta"), F.lit(_DRIFT_EPS))
+    pb = F.greatest(_share("n_b", "tb"), F.lit(_DRIFT_EPS))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(_share("n_a", "ta"), 4).alias("share_a"),
+            F.round(_share("n_b", "tb"), 4).alias("share_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+q_drift_numeric.__doc__ = q_drift_numeric.__doc__.format(
+    b=_NUM_DRIFT_B, w=_NUM_DRIFT_W
+)
+
+_NUM_DRIFT_SQL = f"""
+WITH agg AS (
+  SELECT CAST(least(greatest(floor(o_totalprice / {_NUM_DRIFT_W}), 0),
+              {_NUM_DRIFT_B - 1}) AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN o_orderdate <  TIMESTAMP '{_NUM_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{_NUM_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM agg),
+shares AS (
+  SELECT bucket,
+         CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / ta ELSE 0.0 END AS sa,
+         CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / tb ELSE 0.0 END AS sb
+  FROM agg CROSS JOIN tot
+)
+SELECT bucket,
+       round(sa, 4) AS share_a,
+       round(sb, 4) AS share_b,
+       round((greatest(sa, {_DRIFT_EPS}) - greatest(sb, {_DRIFT_EPS}))
+             * ln(greatest(sa, {_DRIFT_EPS}) / greatest(sb, {_DRIFT_EPS})), 6)
+         AS psi_term
+FROM shares ORDER BY bucket
+"""
+
+
 _DRIFT_REF_DAYS = 7  # trailing reference window (days) for the rolling monitor
 _DRIFT_EPOCH = "2024-01-01"  # day-index origin for the integer RANGE frame
 
@@ -546,6 +631,7 @@ FROM shares
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
+    "drift_numeric": q_drift_numeric,
     "drift_psi_windowed": q_drift_psi_windowed,
     "funnel_stages": q_funnel_stages,
     "retention_daily": q_retention_daily,
@@ -562,6 +648,7 @@ QUERIES = {
 ORACLE = {
     "time_bucket": _TIME_BUCKET_SQL,
     "drift_psi": _DRIFT_SQL,
+    "drift_numeric": _NUM_DRIFT_SQL,
     "drift_psi_windowed": _DRIFT_WINDOWED_SQL,
     "funnel_stages": _FUNNEL_SQL,
     "retention_daily": _RETENTION_SQL,

@@ -661,3 +661,50 @@ def test_drift_psi_empty_half_is_finite(spark, tmp_path):
     for r in got:
         assert r["share_b"] == 0.0
         assert r["psi_term"] is not None and math.isfinite(r["psi_term"])
+
+
+def test_drift_numeric_hand_computed(spark, tmp_path):
+    """Numeric histogram PSI on a hand-built orders table: prices planted
+    so bucket shares are round fractions; terms match the closed form,
+    clamping puts the 999,999 order in the top bucket, and a bucket absent
+    from one half gets the eps floor (large finite term, never inf)."""
+    import math
+    import os
+
+    eps = 1e-6
+
+    def term(a, b):
+        a, b = max(a, eps), max(b, eps)
+        return round((a - b) * math.log(a / b), 6)
+
+    rows = []
+    # half A (1997): 8 orders in bucket 0 (< 50k), 2 in bucket 1
+    for i in range(8):
+        rows.append((i, "1997-06-01 00:00:00", 10_000.0))
+    for i in range(8, 10):
+        rows.append((i, "1997-06-01 00:00:00", 60_000.0))
+    # half B (1999): 5 in bucket 0, 4 in bucket 1, 1 clamped to bucket 9
+    for i in range(10, 15):
+        rows.append((i, "1999-06-01 00:00:00", 10_000.0))
+    for i in range(15, 19):
+        rows.append((i, "1999-06-01 00:00:00", 60_000.0))
+    rows.append((19, "1999-06-01 00:00:00", 999_999.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+    ).selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS TIMESTAMP) o_orderdate", "o_totalprice"
+    )
+    out = str(tmp_path / "nd")
+    df.write.parquet(os.path.join(out, "orders.parquet"))
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_drift_numeric
+
+    got = {r["bucket"]: r for r in q_drift_numeric(spark, out).collect()}
+    assert set(got) == {0, 1, 9}
+    assert got[0]["share_a"] == 0.8 and got[0]["share_b"] == 0.5
+    assert got[0]["psi_term"] == term(0.8, 0.5)
+    assert got[1]["psi_term"] == term(0.2, 0.4)
+    # bucket 9 exists only in half B -> eps floor on the A side
+    assert got[9]["share_a"] == 0.0 and got[9]["share_b"] == 0.1
+    assert got[9]["psi_term"] == term(0.0, 0.1)
+    assert math.isfinite(got[9]["psi_term"])

@@ -343,6 +343,7 @@ _MAX_BNLJ = {
     "dedup_incremental_bloom": 2,  # ONE bitset attach, printed under both
                             # union branches (physically reused broadcast)
     "doc_tfidf": 1,         # 1-row corpus doc count
+    "drift_numeric": 1,     # 1-row half-totals scalar (drift_psi's twin)
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
@@ -377,7 +378,7 @@ _MAX_SINGLE_PARTITION = {
     "dedup_incremental_bloom": 2,  # one bitset fold printed under both branches
     "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
-    "drift_psi": 1,
+    "drift_numeric": 1, "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heavy_domains": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
