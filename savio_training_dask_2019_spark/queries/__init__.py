@@ -273,7 +273,13 @@ if _MISSING:
 #     duplicate-content matrix, oracle-backed), and drift_numeric
 #     (histogram-PSI drift over a continuous column — the numeric half
 #     of the drift family, oracle-backed). Catalog at end of r10:
-#     138 queries, 118 oracle-backed, 20 rows-only. drift_psi_windowed's
+#     138 queries, 118 oracle-backed, 20 rows-only. Scale-sensitivity
+#     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
+#     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
+#     and drift_psi_windowed's fixed form re-checked green at both SFs;
+#     the full-catalog sf0.01 replica this round recorded 117 ok /
+#     20 rows-only / 0 failed (drift_numeric, added after, green
+#     separately at both SFs). drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
 #     boundary, where 1 ulp of cross-engine summation-order noise flips
