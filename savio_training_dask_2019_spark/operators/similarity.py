@@ -922,3 +922,70 @@ def scalar_quantize_int8(
         scale.alias("scale"),
         codes.cast("array<tinyint>").alias("codes"),
     )
+
+
+def max_cosine_vs_set(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    ref: DataFrame,
+    ref_vec_col: str | None = None,
+) -> DataFrame:
+    """Per-row maximum cosine against EVERY vector of ``ref`` — the
+    semantic-membership primitive behind embedding-based decontamination
+    ("is this training doc suspiciously close to any eval item") and
+    reference-similarity data selection. Output: (``id_col``, max_cos
+    double, raw — caller rounds/thresholds).
+
+    Plan shape (the eval-side-is-small contract, same as the n-gram
+    decontam tiers): ``ref`` folds into ONE broadcast array row of
+    (vector, clamped norm) structs — bounded O(|ref|·dim), the eval suite,
+    never the corpus — and each corpus row pays one narrow
+    O(|ref|·dim) fold. No shuffle, no join on the corpus side, no Python
+    boundary. When |ref| outgrows a broadcast, the same question becomes
+    :func:`cell_knn_join` with the eval side as probes — this operator is
+    deliberately the broadcast tier only."""
+    rvec = ref_vec_col or vec_col
+    rv = F.transform(F.col(rvec), lambda x: x.cast("double"))
+    ref_arr = ref.select(
+        F.struct(
+            rv.alias("v"),
+            F.greatest(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(rv, rv, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                F.lit(_NORM_FLOOR),
+            ).alias("n"),
+        ).alias("e")
+    ).agg(F.collect_list("e").alias("__refs"))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(_NORM_FLOOR),
+    )
+    mc = F.array_max(
+        F.transform(
+            F.col("__refs"),
+            lambda e: F.aggregate(
+                F.zip_with(v, e["v"], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (n * e["n"]),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(ref_arr))
+        .select(id_col, mc.alias("max_cos"))
+    )

@@ -272,8 +272,11 @@ if _MISSING:
 #     as its exact twin), source_overlap (cross-source
 #     duplicate-content matrix, oracle-backed), and drift_numeric
 #     (histogram-PSI drift over a continuous column — the numeric half
-#     of the drift family, oracle-backed). Catalog at end of r10:
-#     138 queries, 118 oracle-backed, 20 rows-only. Scale-sensitivity
+#     of the drift family, oracle-backed), and decontam_semantic
+#     (embedding-cosine decontamination vs a broadcast-folded eval set —
+#     the paraphrase tier of the decontam family, oracle-backed).
+#     Catalog at end of r10: 139 queries, 119 oracle-backed, 20
+#     rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs;

