@@ -155,3 +155,38 @@ def stratified_sample_cropped(
         .where(F.col("rk") <= quota)
         .drop(h_col, thr_col)
     )
+
+
+_ES_SPACE = float(_HASH_SPACE)  # 2^60 as double: u = hash / 2^60 in [0, 1)
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col: str,
+    quota: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per stratum — Efraimidis &
+    Spirakis 2006 ("Weighted random sampling with a reservoir", IPL 97(5)):
+    each row draws u = the repo's 60-bit md5 uniform and ranks by
+    u^(1/w) — computed in log space as ln(u)/w (monotone transform, avoids
+    pow) — descending; the top ``quota`` per stratum are the sample, and
+    P(selection) is proportional to weight. Same determinism contract as
+    :func:`stratified_sample_exact`: content-independent, engine-
+    reproducible anywhere with md5 (the DuckDB twin parses the same 15 hex
+    chars), stable across retries and repartitions.
+
+    Rows with weight <= 0 are EXCLUDED (zero weight = never sampled; the
+    ES key is undefined there), mirroring the zero-mass rule of the
+    weighted sketches. One stratum-keyed shuffle + per-stratum sort — the
+    exact-tier cost model; crop by an analytic key threshold first (the
+    stratified_sample_cropped pattern) if strata are huge."""
+    u = _order_hash(id_col).cast("double") / F.lit(_ES_SPACE)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(F.desc(key), id_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select("*", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= quota)
+    )

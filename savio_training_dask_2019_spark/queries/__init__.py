@@ -274,9 +274,11 @@ if _MISSING:
 #     (histogram-PSI drift over a continuous column — the numeric half
 #     of the drift family, oracle-backed), and decontam_semantic
 #     (embedding-cosine decontamination vs a broadcast-folded eval set —
-#     the paraphrase tier of the decontam family, oracle-backed).
-#     Catalog at end of r10: 139 queries, 119 oracle-backed, 20
-#     rows-only. Scale-sensitivity
+#     the paraphrase tier of the decontam family, oracle-backed), and
+#     weighted_sample (Efraimidis-Spirakis weighted sampling without
+#     replacement over the md5 uniform — the deterministic, oracle-exact
+#     counterpart of mixture_sample; oracle-backed). Catalog at end of
+#     r10: 140 queries, 120 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs;

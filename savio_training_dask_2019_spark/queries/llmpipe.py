@@ -557,6 +557,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WS_QUOTA = 5  # weighted sample size per source
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsampling: per source, draw {q} documents
+    WITHOUT replacement with selection probability proportional to length
+    (``operators.sampling.weighted_sample_exact`` — Efraimidis-Spirakis
+    keys over the repo's md5 uniform). The deterministic, oracle-exact
+    counterpart of temperature mixture sampling: re-crawls reproduce the
+    same sample, and both engines rank the same ln(u)/w keys.
+
+    Scale: one stratum-keyed shuffle + per-stratum sort (the exact tier;
+    the analytic-crop pattern of stratified_sample_cropped applies
+    unchanged when strata are huge)."""
+    from ..operators.sampling import weighted_sample_exact
+
+    d = load_table_spread(spark, sf_dir, "documents")
+    return weighted_sample_exact(
+        d.select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", _WS_QUOTA,
+    )
+
+
+q_weighted_sample.__doc__ = q_weighted_sample.__doc__.format(q=_WS_QUOTA)
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       / 1152921504606846976.0) / n_chars DESC,
+                    doc_id
+         ) AS rk
+  FROM documents WHERE n_chars > 0
+) WHERE rk <= 5
+"""
+
+
 _STRATIFIED_SQL = f"""
 SELECT doc_id, lang, rk FROM (
   SELECT doc_id, lang,
@@ -2260,6 +2299,7 @@ QUERIES = {
     "pack_multimodal": q_pack_multimodal,
     "mixture_sample": q_mixture_sample,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "dup_ngram_ratio": q_dup_ngram_ratio,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
@@ -2294,6 +2334,7 @@ ORACLE = {
     "pack_multimodal": _PACK_MM_SQL,
     "mixture_sample": _MIXTURE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
+    "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
     "repetition_stats": _REPETITION_SQL,
     "pii_redact": _PII_SQL,

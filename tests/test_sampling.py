@@ -122,3 +122,58 @@ def test_cropped_undershoot_check_modes(spark, sf_dir):
         stratified_sample_cropped(
             docs, "lang", "doc_id", quota=5, on_undershoot="bogus"
         )
+
+
+# --- Efraimidis-Spirakis weighted sampling ------------------------------------
+
+
+def test_weighted_sample_proportional_selection(spark):
+    """500 two-item strata, weights 100 vs 1, quota 1: the heavy item must
+    win ~100/101 of strata (deterministic given the md5 keys — measured
+    once, pinned forever at a loose >= 0.9)."""
+    from savio_training_dask_2019_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    rows = []
+    for s in range(500):
+        rows.append((2 * s, f"s{s}", 100))      # heavy
+        rows.append((2 * s + 1, f"s{s}", 1))    # light
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+    got = weighted_sample_exact(df, "stratum", "doc_id", "w", 1).collect()
+    assert len(got) == 500  # exactly one per stratum
+    heavy_wins = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert heavy_wins >= 450, heavy_wins  # expected ~495
+
+
+def test_weighted_sample_without_replacement_and_weight_rules(spark):
+    """Quota caps each stratum at min(quota, eligible rows); rows with
+    weight <= 0 can never be sampled; rk is 1..k dense; the sample is
+    repartition-independent (deterministic keys)."""
+    from savio_training_dask_2019_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 5), (3, "a", 1), (4, "a", 0), (5, "a", -3),
+        (6, "b", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+    got = weighted_sample_exact(df, "stratum", "doc_id", "w", 2).collect()
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r["stratum"], []).append(r)
+    assert len(by_s["a"]) == 2 and len(by_s["b"]) == 1
+    assert all(r["doc_id"] not in (4, 5) for r in got)  # non-positive excluded
+    assert sorted(r["rk"] for r in by_s["a"]) == [1, 2]
+
+    a = sorted(map(tuple, got))
+    b = sorted(
+        map(
+            tuple,
+            weighted_sample_exact(
+                df.repartition(7), "stratum", "doc_id", "w", 2
+            ).collect(),
+        )
+    )
+    assert a == b
