@@ -930,6 +930,7 @@ def max_cosine_vs_set(
     id_col: str,
     ref: DataFrame,
     ref_vec_col: str | None = None,
+    method: str = "fold",
 ) -> DataFrame:
     """Per-row maximum cosine against EVERY vector of ``ref`` — the
     semantic-membership primitive behind embedding-based decontamination
@@ -944,7 +945,19 @@ def max_cosine_vs_set(
     O(|ref|·dim) fold. No shuffle, no join on the corpus side, no Python
     boundary. When |ref| outgrows a broadcast, the same question becomes
     :func:`cell_knn_join` with the eval side as probes — this operator is
-    deliberately the broadcast tier only."""
+    deliberately the broadcast tier only.
+
+    ``method``: ``"fold"`` (default) is the pure-Catalyst tier above — the
+    oracle-exact sequential fold the catalog query pins. ``"arrow"`` is
+    the throughput tier: the ref matrix is collected driver-side — one
+    bounded O(|ref|·dim) collect, the eval-side-is-small contract, same
+    class as the PQ codebook collects — L2-normalized once in numpy, and
+    each Arrow batch scores by ONE BLAS matmul (batch×dim @ dim×|ref|)
+    instead of |ref| interpreted HOF folds per row (~10x at the fixture
+    bench). Differs from fold only by float summation order (<1e-12;
+    equal after the caller's 5-decimal round — differentially pinned)."""
+    if method not in ("fold", "arrow"):
+        raise ValueError(f"method must be fold|arrow, got {method!r}")
     rvec = ref_vec_col or vec_col
     rv = F.transform(F.col(rvec), lambda x: x.cast("double"))
     ref_arr = ref.select(
@@ -985,7 +998,34 @@ def max_cosine_vs_set(
             / (n * e["n"]),
         )
     )
-    return (
-        df.crossJoin(F.broadcast(ref_arr))
-        .select(id_col, mc.alias("max_cos"))
-    )
+    if method == "fold":
+        return (
+            df.crossJoin(F.broadcast(ref_arr))
+            .select(id_col, mc.alias("max_cos"))
+        )
+
+    import numpy as np
+
+    refs = ref.select(rv.alias("v")).collect()  # bounded O(|ref|·dim):
+    # the eval suite by contract — never the corpus (see docstring)
+    rmat = np.asarray([r["v"] for r in refs], dtype="float64")
+    rnorm = np.maximum(np.linalg.norm(rmat, axis=1), _NORM_FLOOR)
+    rmat_t = (rmat / rnorm[:, None]).T  # dim × |ref|, unit columns
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "max_cos": []})
+                continue
+            vm = np.asarray(list(pdf["__v"]), dtype="float64")
+            nn = np.maximum(np.linalg.norm(vm, axis=1), _NORM_FLOOR)
+            sims = (vm / nn[:, None]) @ rmat_t
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "max_cos": sims.max(axis=1)}
+            )
+
+    vin = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out_schema = f"{id_col} long, max_cos double"
+    return df.select(id_col, vin.alias("__v")).mapInPandas(score, out_schema)

@@ -891,7 +891,10 @@ def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python boundary. When the eval side outgrows a broadcast the same
     question becomes the cell join (`knn_cells` shape). The flag
     thresholds the ROUNDED cosine, so the cut is engine-independent
-    (emb_near_dup precedent)."""
+    (emb_near_dup precedent). This catalog entry runs the pure-Catalyst
+    fold tier (oracle-exact); ``method="arrow"`` is the throughput tier
+    (one BLAS matmul per Arrow batch, ~3x here, more at real dims —
+    differentially pinned equal at 5 decimals)."""
     from ..operators.similarity import max_cosine_vs_set
 
     emb = load_table(spark, sf_dir, "embeddings")

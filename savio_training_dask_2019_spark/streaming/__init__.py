@@ -22,6 +22,7 @@ from .joins import interval_join
 from .stateful import (
     DriftMonitor,
     StreamingCountMin,
+    StreamingWeightedReservoir,
     psi_from_counts,
     running_totals,
     streaming_heavy_hitters,
@@ -41,6 +42,7 @@ __all__ = [
     "streaming_heavy_hitters",
     "DriftMonitor",
     "StreamingCountMin",
+    "StreamingWeightedReservoir",
     "psi_from_counts",
     "interval_join",
     "incremental_ingest",

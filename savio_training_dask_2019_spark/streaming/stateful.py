@@ -306,3 +306,82 @@ class StreamingCountMin:
                 )
             )
         return out
+
+
+class StreamingWeightedReservoir:
+    """Streaming weighted sampling WITHOUT replacement — the streaming twin
+    of ``operators.sampling.weighted_sample_exact``, wired as a
+    ``foreachBatch`` handle: after any number of micro-batches, ``sample()``
+    is EXACTLY the top-``k`` Efraimidis-Spirakis keys over everything the
+    stream has carried (P(selection) proportional to weight, without
+    replacement), in O(k) driver memory.
+
+    Why this merges exactly: the ES key ln(u)/w of a row depends only on
+    the row itself (u = the repo's deterministic 60-bit md5 uniform), so
+    "top-k over a union" = "top-k over per-batch top-k's" — each
+    micro-batch computes its OWN top-k DISTRIBUTED (the batch operator's
+    ranking, one stratum="all" window over the batch) and only k rows
+    reach the driver, where a running top-k of (key, id, payload) tuples
+    is kept. The accumulated sample is therefore BIT-IDENTICAL to running
+    the batch operator over the concatenation of all batches (pinned in
+    tests) — the reservoir never decays, unlike a pruning sketch.
+
+    Exactly-once: replayed ``batch_id``s are skipped; re-delivered rows in
+    a NEW batch id are also harmless if ids repeat (same id + weight →
+    same key → the top-k dedups on id). Rows with weight <= 0 are
+    excluded, as in the batch operator."""
+
+    def __init__(self, id_col: str, weight_col: str, k: int = 64) -> None:
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.id_col = id_col
+        self.weight_col = weight_col
+        self.k = k
+        self._best: dict = {}  # id -> (key, row-dict)
+        self.n_batches = 0
+        self._seen: set[int] = set()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.sampling import weighted_sample_exact
+
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        self._seen.add(batch_id)
+        # distributed per-batch top-k (one constant-stratum window over the
+        # batch); only <= k rows reach the driver, where _key recomputes the
+        # SAME md5-uniform ES key (int(md5[:15],16)/2^60 == _order_hash by
+        # construction) for the running top-k merge
+        topk = weighted_sample_exact(
+            batch_df.withColumn("__all", F.lit(1)),
+            "__all", self.id_col, self.weight_col, self.k,
+        ).drop("__all", "rk")
+        for row in topk.collect():
+            self._ingest(row.asDict())
+        self.n_batches += 1
+
+    def _key(self, d: dict) -> float:
+        import hashlib
+        import math
+
+        h = int(
+            hashlib.md5(str(d[self.id_col]).encode()).hexdigest()[:15], 16
+        )
+        u = h / float(1 << 60)
+        return math.log(u) / float(d[self.weight_col])
+
+    def _ingest(self, d: dict) -> None:
+        self._best[d[self.id_col]] = (self._key(d), d)
+        if len(self._best) > self.k:
+            worst = min(self._best, key=lambda i: self._best[i][0])
+            del self._best[worst]
+
+    def sample(self) -> list[dict]:
+        """The current sample, best-first (highest ES key)."""
+        return [
+            d
+            for _, d in sorted(
+                self._best.values(), key=lambda t: (-t[0], t[1][self.id_col])
+            )
+        ]

@@ -474,3 +474,32 @@ def test_max_cosine_vs_set_planted_and_decontam_semantic(spark, sf_dir):
     assert len(rows) > 0
     assert any(r["flagged"] for r in rows)  # threshold exercised on fixture
     assert all(r["max_eval_cos"] is not None for r in rows)
+
+
+def test_max_cosine_arrow_tier_matches_fold(spark, sf_dir):
+    """The BLAS throughput tier equals the oracle-exact fold tier after the
+    caller's 5-decimal round on the real corpus, and rejects bad methods."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        max_cosine_vs_set,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 23 == 0
+    tr, ev = emb.where(~is_eval), emb.where(is_eval)
+    fold = {
+        r["vec_id"]: round(r["max_cos"], 5)
+        for r in max_cosine_vs_set(tr, "embedding", "vec_id", ev).collect()
+    }
+    arrow = {
+        r["vec_id"]: round(r["max_cos"], 5)
+        for r in max_cosine_vs_set(
+            tr, "embedding", "vec_id", ev, method="arrow"
+        ).collect()
+    }
+    assert fold == arrow and len(fold) > 0
+    with pytest.raises(ValueError, match="method"):
+        max_cosine_vs_set(tr, "embedding", "vec_id", ev, method="gpu")

@@ -762,3 +762,56 @@ def test_streaming_count_min_accumulates_exactly(spark, tmp_path):
     acc(spark.createDataFrame([("x",)] * 99, "tok string"), 2)
     assert (acc.table == before).all() and acc.n_batches == 3
     assert acc.estimate([]) == {}
+
+
+def test_streaming_weighted_reservoir_exact_merge(spark, tmp_path):
+    """Streaming ES reservoir: the sample after 3 micro-batches is
+    BIT-IDENTICAL to the batch operator over the union (ES keys are
+    per-row, so top-k over per-batch top-k's == top-k over the union);
+    replay is idempotent; weight <= 0 never sampled."""
+    from savio_training_dask_2019_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+    from savio_training_dask_2019_spark.streaming import (
+        StreamingWeightedReservoir,
+        file_stream,
+        foreach_batch_sink,
+    )
+
+    src = str(tmp_path / "res_src")
+    now = time.time()
+    b1 = [(i, (i % 7) * 10 + 5) for i in range(0, 40)]
+    b2 = [(i, (i % 5) * 25 + 1) for i in range(40, 80)]
+    b3 = [(i, 3) for i in range(80, 100)] + [(999, 0), (998, -4)]
+    for name, rows, mt in [("b1", b1, now - 30), ("b2", b2, now - 20), ("b3", b3, now - 10)]:
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    k = 16
+    acc = StreamingWeightedReservoir("doc_id", "w", k=k)
+    q = foreach_batch_sink(file_stream(spark, f"{src}/*", "doc_id long, w long"), acc)
+    assert q.awaitTermination(180), "stream did not finish in time"
+    assert acc.n_batches == 3
+
+    got = [d["doc_id"] for d in acc.sample()]
+    assert len(got) == k
+    assert 999 not in got and 998 not in got
+
+    union = spark.createDataFrame(b1 + b2 + b3, "doc_id long, w long")
+    from pyspark.sql import functions as F
+
+    want = [
+        r["doc_id"]
+        for r in weighted_sample_exact(
+            union.withColumn("__all", F.lit(1)), "__all", "doc_id", "w", k
+        ).orderBy("rk").collect()
+    ]
+    assert got == want
+
+    # replay: a seen batch_id must not change the sample
+    before = acc.sample()
+    acc(spark.createDataFrame([(5000, 10_000_000)], "doc_id long, w long"), 1)
+    assert acc.sample() == before
