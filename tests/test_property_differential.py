@@ -512,3 +512,88 @@ def test_substring_dup_scrub_matches_python(texts, span_w, spark):
         kept = [t for i, t in enumerate(tk) if i not in cov]
         want[did] = (len(tk), len(cov), " ".join(kept))
     assert got == want
+
+
+# --- Bloom pre-filter: exactness under arbitrary corpora ----------------------
+
+_bloom_texts = st.lists(
+    st.text(alphabet="abcdef ", min_size=0, max_size=60),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(train_texts=_bloom_texts, eval_texts=_bloom_texts, n=st.sampled_from([2, 3]))
+def test_bloom_report_equals_exact_any_corpus(train_texts, eval_texts, n, spark):
+    """Structural exactness of the Bloom tier on ARBITRARY corpora (short
+    alphabets force n-gram collisions and shared shingles): the
+    pre-filtered report equals the exact one row for row, whatever the
+    overlap structure, degenerate docs included."""
+    from savio_training_dask_2019_spark.operators.decontam import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        list(enumerate(train_texts)), ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_texts)], ["doc_id", "text"]
+    )
+    exact = sorted(map(tuple, contamination_report(train, ev, n=n).collect()))
+    got = sorted(
+        map(tuple, bloom_contamination_report(train, ev, n=n).collect())
+    )
+    assert got == exact
+
+
+# --- Count-Min: overcount-only + batch independence on arbitrary streams ------
+
+_cms_items = st.lists(
+    st.text(alphabet="xyz", min_size=1, max_size=3), min_size=1, max_size=120
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(items=_cms_items, width=st.sampled_from([16, 64]), depth=st.sampled_from([2, 3]))
+def test_cms_overcount_only_any_stream(items, width, depth, spark):
+    """For ANY stream (tiny widths force heavy collisions): est >= true for
+    every item, each depth row carries exactly the total mass, and the
+    table equals the same build over a different partitioning."""
+    from collections import Counter
+
+    from savio_training_dask_2019_spark.operators.sketches import (
+        cms_estimates,
+        count_min_table,
+    )
+
+    df = spark.createDataFrame([(t,) for t in items], "tok string")
+    tab = count_min_table(df, "tok", width=width, depth=depth)
+    rows = tab.collect()
+    n = len(items)
+    assert all(sum(r["counts"]) == n for r in rows)
+    t2 = {
+        r["d"]: r["counts"]
+        for r in count_min_table(
+            df.repartition(5), "tok", width=width, depth=depth
+        ).collect()
+    }
+    assert {r["d"]: r["counts"] for r in rows} == t2
+
+    true = Counter(items)
+    probes = spark.createDataFrame(
+        [(t, c) for t, c in true.items()], "tok string, true_count long"
+    )
+    est = cms_estimates(tab, probes, "tok", width=width, depth=depth).collect()
+    assert all(r["est_count"] >= r["true_count"] for r in est)
