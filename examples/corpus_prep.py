@@ -14,7 +14,11 @@ Stages (each one scan + at most one shuffle; 100 TB shapes noted inline):
                       applied as a broadcast anti-join — the corpus never
                       shuffles to be filtered
   1. decontaminate  — drop docs sharing a word 5-gram with the eval split
-                      (eval shingles broadcast; corpus never replicated)
+                      (eval shingles broadcast; corpus never replicated);
+                      the Bloom-prefiltered tier (~20x smaller broadcast,
+                      bit-identical report) and the SEMANTIC tier (max
+                      embedding cosine vs the eval set — catches reworded
+                      leakage) run alongside
   2. quality gate   — Gopher-style rules + model-based profiles (token
                       entropy, conditional bigram NLL), pure JVM column math
   3. PII scrub      — regex detect/redact audit (narrow map, scan speed)
@@ -24,7 +28,8 @@ Stages (each one scan + at most one shuffle; 100 TB shapes noted inline):
                       cumsum: no partition ever holds the whole corpus)
   7. split + shard  — train/val hash split with leakage audit, content-hash
                       shard balance for the writer fan-out, and the
-                      exact-quota stratified eval subset
+                      exact-quota stratified + length-weighted
+                      (Efraimidis-Spirakis) eval subsets
 """
 
 from __future__ import annotations
@@ -61,6 +66,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     is_eval = F.col("doc_id") % llmpipe._EVAL_MOD == 0
     clean = decontaminate(docs.where(~is_eval), docs.where(is_eval))
     n_clean = clean.count()
+    # 1a. the Bloom-prefiltered tier produces the IDENTICAL report with a
+    #     ~20x smaller broadcast (bitset words vs a raw hash set) — the
+    #     shape that survives a 100M-shingle benchmark suite
+    from savio_training_dask_2019_spark.operators.decontam import (
+        bloom_contamination_report,
+        contamination_report,
+    )
+
+    n_exact = contamination_report(docs.where(~is_eval), docs.where(is_eval)).count()
+    n_bloom = bloom_contamination_report(docs.where(~is_eval), docs.where(is_eval)).count()
+    assert n_bloom == n_exact  # structural exactness: FPs only, all confirmed
+    print(f"decontam report: {n_exact} contaminated docs "
+          f"(bloom tier identical: {n_bloom})")
+    # 1c. semantic tier: reworded leakage n-grams miss — max embedding
+    #     cosine vs the broadcast-folded eval set
+    from savio_training_dask_2019_spark.queries import vectorops
+
+    sem = vectorops.q_decontam_semantic(spark, sf_dir)
+    n_sem = sem.where("flagged").count()
+    print(f"semantic decontam: {n_sem} vectors over cosine "
+          f"{vectorops._SEM_DECONTAM_T} vs the eval set")
 
     # 1b. targeted selection: DSIR importance profile against the same
     #     held-out slice (who in the corpus looks like the target?) — a
@@ -151,6 +177,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     bfd_packs = sum(r["n_packs"] for r in bfd)
     bfd_fill = sum(r["n_packs"] * r["avg_fill"] for r in bfd) / max(bfd_packs, 1)
     tok_total = sampled.select(F.sum(token_count("text"))).collect()[0][0]
+    # 6b. sliding-window chunking — the context-window layout RAG/embedding
+    #     pipelines consume instead of packed bins (tail kept, never dropped)
+    n_chunks = llmpipe.q_chunk_documents(spark, sf_dir).count()
 
     # 7. train/val split with leakage audit, then writer shard balance —
     #    plus the exact-quota stratified eval subset (K docs per language)
@@ -159,11 +188,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     shard_docs = [r["n_docs"] for r in shards]
     eval_subset = llmpipe.q_stratified_sample(spark, sf_dir)
     n_eval = eval_subset.count()
+    # ...and the LENGTH-WEIGHTED eval subset (Efraimidis-Spirakis, P ∝
+    # n_chars, deterministic md5 keys — re-crawls reproduce the sample)
+    n_weval = llmpipe.q_weighted_sample(spark, sf_dir).count()
 
     print(f"corpus: {n_docs} docs")
     print(f"after decontamination: {n_clean} docs")
     print(f"after mixture sampling: {n_sampled} docs ({tok_total} tokens kept)")
     print(f"packed layout: {n_bins} bins of {llmpipe._PACK_BUDGET} tokens")
+    print(f"chunked layout: {n_chunks} sliding windows of "
+          f"{llmpipe._CHUNK_SIZE} tokens at stride {llmpipe._CHUNK_STRIDE}")
     print(
         f"SPFHP alternative: {bfd_packs} whole-doc packs of "
         f"{llmpipe._BFD_MAX_LEN}, avg fill {bfd_fill:.1%} (no splits)"
@@ -183,6 +217,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(
         f"stratified eval subset: {n_eval} docs "
         f"(≤{llmpipe._STRATUM_QUOTA}/lang, deterministic hash order)"
+    )
+    print(
+        f"length-weighted eval subset: {n_weval} docs "
+        f"(≤{llmpipe._WS_QUOTA}/source, P ∝ n_chars, ES keys)"
     )
     print("corpus prep complete")
 
