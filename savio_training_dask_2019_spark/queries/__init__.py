@@ -277,8 +277,11 @@ if _MISSING:
 #     the paraphrase tier of the decontam family, oracle-backed), and
 #     weighted_sample (Efraimidis-Spirakis weighted sampling without
 #     replacement over the md5 uniform — the deterministic, oracle-exact
-#     counterpart of mixture_sample; oracle-backed). Catalog at end of
-#     r10: 140 queries, 120 oracle-backed, 20 rows-only. Scale-sensitivity
+#     counterpart of mixture_sample; oracle-backed), and snapshot_diff
+#     (per-source added/removed/changed/unchanged between two crawl
+#     snapshots — ONE hash-keyed full-outer join carrying (id, source,
+#     hash) only; oracle-backed). Catalog at end of r10: 141 queries,
+#     121 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs;

@@ -557,6 +557,93 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_MOD = 3   # docs with doc_id % 3 == 0 are NEW since the old snapshot
+_SNAP_EDIT = 17  # docs with doc_id % 17 == 0 changed content between snapshots
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the ingest-ops audit run between crawl
+    versions: per source, how many docs were ADDED, REMOVED, CHANGED
+    (same id, different content hash), or UNCHANGED. The fixture simulates
+    two snapshots deterministically on both engines: the old snapshot is
+    the ``doc_id % {m} != 0`` slice; the new snapshot is every doc, with
+    ``doc_id % {e} == 0`` docs carrying an edited content hash (md5 of
+    text || '|v2') EXCEPT the ``% {m} == 1`` slice, which the new snapshot
+    drops — so every branch (added / removed / changed / unchanged) is
+    exercised at every SF.
+
+    Scale: ONE full-outer join keyed on doc_id (8-byte key; both sides
+    shuffle once — snapshots are both corpus-sized, so neither broadcasts)
+    carrying only (id, source, 16-byte hash) — never text — then an
+    O(sources) aggregation. The production twin reads two partitioned
+    snapshot manifests instead of carving one table."""
+    d = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    old = d.where(
+        (F.col("doc_id") % _SNAP_MOD != 0) | (F.col("doc_id") % _SNAP_EDIT == 0)
+    )
+    new = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % _SNAP_EDIT == 0,
+            F.md5(F.concat("text", F.lit("|v2"))),
+        ).otherwise(F.md5("text")).alias("h"),
+    ).where(F.col("doc_id") % _SNAP_MOD != 1)  # % == 1 docs dropped -> REMOVED
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    ).select(
+        F.coalesce("o.source", "n.source").alias("source"),
+        F.col("o.h").isNull().alias("added"),
+        F.col("n.h").isNull().alias("removed"),
+        (
+            F.col("o.h").isNotNull()
+            & F.col("n.h").isNotNull()
+            & (F.col("o.h") != F.col("n.h"))
+        ).alias("changed"),
+    )
+    return j.groupBy("source").agg(
+        F.sum(F.col("added").cast("bigint")).alias("n_added"),
+        F.sum(F.col("removed").cast("bigint")).alias("n_removed"),
+        F.sum(F.col("changed").cast("bigint")).alias("n_changed"),
+        F.sum(
+            (~F.col("added") & ~F.col("removed") & ~F.col("changed")).cast("bigint")
+        ).alias("n_unchanged"),
+    )
+
+
+q_snapshot_diff.__doc__ = q_snapshot_diff.__doc__.format(
+    m=_SNAP_MOD, e=_SNAP_EDIT, e2=_SNAP_EDIT
+)
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+  WHERE doc_id % {_SNAP_MOD} <> 0 OR doc_id % {_SNAP_EDIT} = 0
+),
+new AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_SNAP_EDIT} = 0 THEN md5(text || '|v2')
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % {_SNAP_MOD} <> 1
+),
+j AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         (o.h IS NULL) AS added,
+         (n.h IS NULL) AS removed,
+         (o.h IS NOT NULL AND n.h IS NOT NULL AND o.h <> n.h) AS changed
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source,
+       CAST(sum(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN NOT added AND NOT removed AND NOT changed THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY source
+"""
+
+
 _WS_QUOTA = 5  # weighted sample size per source
 
 
@@ -2300,6 +2387,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
+    "snapshot_diff": q_snapshot_diff,
     "dup_ngram_ratio": q_dup_ngram_ratio,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
@@ -2335,6 +2423,7 @@ ORACLE = {
     "mixture_sample": _MIXTURE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+    "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
     "repetition_stats": _REPETITION_SQL,
     "pii_redact": _PII_SQL,

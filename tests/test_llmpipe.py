@@ -655,3 +655,33 @@ def test_dedup_incremental_bloom_equals_exact_twin(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 1, "bloom broadcast not reused"
     spark.catalog.clearCache()
+
+
+def test_snapshot_diff_all_branches_fire_and_account(spark, sf_dir):
+    """Every branch (added/removed/changed/unchanged) fires on the fixture,
+    and the per-source counts account for the union exactly:
+    n_removed + n_changed + n_unchanged = |old ∩ accounted| and
+    added+changed+unchanged = |new| per source."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.queries import QUERIES
+    from savio_training_dask_2019_spark.queries.llmpipe import (
+        _SNAP_EDIT,
+        _SNAP_MOD,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = QUERIES["snapshot_diff"](spark, sf_dir).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_added", "n_removed", "n_changed", "n_unchanged")
+    }
+    assert all(v > 0 for v in tot.values()), tot  # every branch exercised
+
+    d = load_table(spark, sf_dir, "documents")
+    n_new = d.where(F.col("doc_id") % _SNAP_MOD != 1).count()
+    n_old = d.where(
+        (F.col("doc_id") % _SNAP_MOD != 0) | (F.col("doc_id") % _SNAP_EDIT == 0)
+    ).count()
+    assert tot["n_added"] + tot["n_changed"] + tot["n_unchanged"] == n_new
+    assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_old
