@@ -284,10 +284,14 @@ if _MISSING:
 #     121 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
-#     and drift_psi_windowed's fixed form re-checked green at both SFs;
-#     the full-catalog sf0.01 replica this round recorded 117 ok /
-#     20 rows-only / 0 failed (drift_numeric, added after, green
-#     separately at both SFs). drift_psi_windowed's
+#     and drift_psi_windowed's fixed form re-checked green at both SFs.
+#     END-OF-ROUND full-catalog replica (after the last code change):
+#     121 ok / 20 rows-only / 0 FAILED of 141 at sf0.01 — the driver's
+#     exact gate over the complete catalog; every query added after the
+#     mid-round replica (drift_numeric, decontam_semantic,
+#     weighted_sample, snapshot_diff) was ALSO individually green at
+#     sf0.1. Final pytest: 387 passed, 1 skipped (the documented
+#     conditional transformWithState smoke), 0 failed. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
 #     boundary, where 1 ulp of cross-engine summation-order noise flips
