@@ -280,8 +280,10 @@ if _MISSING:
 #     counterpart of mixture_sample; oracle-backed), and snapshot_diff
 #     (per-source added/removed/changed/unchanged between two crawl
 #     snapshots — ONE hash-keyed full-outer join carrying (id, source,
-#     hash) only; oracle-backed). Catalog at end of r10: 141 queries,
-#     121 oracle-backed, 20 rows-only. Scale-sensitivity
+#     hash) only; oracle-backed), and melt_metrics (wide-to-long
+#     reshape via the NATIVE DataFrame.unpivot/Expand — the explicit
+#     melt surface, zero-shuffle; oracle-backed). Catalog at end of r10:
+#     142 queries, 122 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.

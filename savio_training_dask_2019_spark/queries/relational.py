@@ -821,6 +821,49 @@ FROM lineitem
 """
 
 
+_MELT_MOD = 997  # sample: one order family per ~1000 (output stays bounded)
+
+
+def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (pandas/dask ``melt``) as a FIRST-CLASS op via
+    Spark's native ``DataFrame.unpivot`` (Spark 3.4+; the Catalyst Expand
+    operator — one narrow pass, each input row fans out to one row per
+    value column, no shuffle, no UDF): four lineitem metrics go long as
+    (keys…, metric, value). The inverse of ``pivot_daily``; the explicit
+    surface ``describe_summary`` only uses internally (via ``stack``).
+
+    Scale: Expand multiplies rows by len(value_cols) in the SAME task —
+    the reshape never exchanges; the caller's sample predicate (pushed to
+    the parquet scan) is the output-volume lever."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _MELT_MOD == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
+    )
+
+
+_MELT_SQL = f"""
+WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % {_MELT_MOD} = 0)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       round(CAST(l_quantity AS DOUBLE), 2) AS value FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(CAST(l_extendedprice AS DOUBLE), 2) FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(CAST(l_discount AS DOUBLE), 2) FROM s
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       round(CAST(l_tax AS DOUBLE), 2) FROM s
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -848,6 +891,7 @@ QUERIES = {
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
     "describe_summary": q_describe_summary,
+    "melt_metrics": q_melt_metrics,
     "window_rank": q_window_rank,
     "lag_lead": q_lag_lead,
     "rolling_avg": q_rolling_avg,
@@ -881,6 +925,7 @@ ORACLE = {
     "grouping_sets": _GROUPING_SETS_SQL,
     "nullsafe_join": _NULLSAFE_JOIN_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
+    "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,
     "lag_lead": _LAG_LEAD_SQL,
     "rolling_avg": _ROLLING_AVG_SQL,

@@ -371,3 +371,36 @@ def test_source_overlap_planted_matrix(spark, tmp_path):
     assert got[("A", "C")] == (1, round(1 / 3, 6))
     assert got[("B", "C")] == (1, round(1 / 2, 6))
     assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_melt_metrics_expand_no_shuffle(spark, sf_dir):
+    """Native unpivot plans as Expand — a narrow per-task fan-out: zero
+    exchanges, one pushed-predicate scan; output rows = 4x input rows with
+    all four metrics per (order, line)."""
+    from collections import Counter
+
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    df = QUERIES["melt_metrics"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Expand" in plan
+    assert plans.shuffle_count(df) == 0
+    assert plans.scan_count(df) == 1
+    rows = df.collect()
+    from savio_training_dask_2019_spark.queries.relational import _MELT_MOD
+    from savio_training_dask_2019_spark.sources import load_table
+
+    n_in = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(f"l_orderkey % {_MELT_MOD} = 0")
+        .count()
+    )
+    assert len(rows) == 4 * n_in  # Expand: exactly one row per metric per input
+    per_line = Counter((r["l_orderkey"], r["l_linenumber"]) for r in rows)
+    # (orderkey, linenumber) is not unique in the synthetic fixture — each
+    # key's fan-out is a multiple of 4, never a remainder
+    assert per_line and all(v % 4 == 0 for v in per_line.values())
+    assert {r["metric"] for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
