@@ -41,3 +41,10 @@ def test_ann_pipeline_example_runs(spark, capsys):
     out = capsys.readouterr().out
     assert "quantizer:" in out and "ADC top-5:" in out
     assert "ann pipeline complete" in out
+
+
+def test_streaming_monitor_example_runs(spark, capsys, tmp_path):
+    _load("streaming_monitor").main(str(tmp_path / "mon"))
+    out = capsys.readouterr().out
+    assert "SHIFTED" in out  # the planted mix flip alarmed
+    assert "streaming monitor complete" in out

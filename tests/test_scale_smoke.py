@@ -255,3 +255,42 @@ def test_bloom_decontam_500k_docs_planted_contamination(spark):
     assert agg["mod_check"] == 0  # ONLY planted docs flag — no false report
     # generous contended-host bound (same discipline as the ANN smoke)
     assert elapsed < 120, f"bloom decontam smoke took {elapsed:.0f}s"
+
+
+def test_weighted_sample_1m_rows_proportional(spark):
+    """ES weighted sampling at 1M rows, 20 strata: exactly quota rows per
+    stratum, and the planted heavy ids (weight 1000 vs 1, 1% of rows) take
+    the overwhelming share of the sample — checked via aggregates only."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    n, quota = 1_000_000, 50
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 20).cast("string").alias("stratum"),
+        # stride 97 is coprime with 20, so heavy rows spread over ALL strata
+        # (id % 100 would dump every heavy row into stratum 0)
+        F.when(F.col("id") % 97 == 0, F.lit(1000)).otherwise(F.lit(1)).alias("w"),
+    )
+    t0 = time.perf_counter()
+    agg = (
+        weighted_sample_exact(df, "stratum", "doc_id", "w", quota)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("stratum").alias("strata"),
+            F.max("rk").alias("max_rk"),
+            F.sum((F.col("w") == 1000).cast("bigint")).alias("heavy"),
+        )
+        .first()
+    )
+    elapsed = time.perf_counter() - t0
+    assert agg["n"] == 20 * quota and agg["strata"] == 20
+    assert agg["max_rk"] == quota
+    # heavy ids are ~1% of rows but carry ~91% of the mass: they must take
+    # the bulk of the sample (deterministic given the md5 keys — pinned
+    # loose under the exact expectation)
+    assert agg["heavy"] >= 700, agg["heavy"]
+    assert elapsed < 120, f"weighted sample smoke took {elapsed:.0f}s"
