@@ -291,9 +291,10 @@ if _MISSING:
 #     121 ok / 20 rows-only / 0 FAILED of 141 at sf0.01 — the driver's
 #     exact gate over the complete catalog; every query added after the
 #     mid-round replica (drift_numeric, decontam_semantic,
-#     weighted_sample, snapshot_diff) was ALSO individually green at
-#     sf0.1. Final pytest: 387 passed, 1 skipped (the documented
-#     conditional transformWithState smoke), 0 failed. drift_psi_windowed's
+#     weighted_sample, snapshot_diff, melt_metrics) was ALSO
+#     individually green at sf0.1. Final pytest over the finished round:
+#     391 passed, 1 skipped (the documented conditional
+#     transformWithState smoke), 0 failed. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
 #     boundary, where 1 ulp of cross-engine summation-order noise flips
