@@ -1,0 +1,158 @@
+"""Approximate string matching: an exact edit-distance self-join with
+partition-based (pigeonhole) blocking — the record-linkage / typo-cluster
+primitive the dedup tier lacks (MinHash/SimHash cover set-similarity;
+this covers *sequence* similarity at small thresholds).
+
+Algorithm (PassJoin — Li, Deng & Feng, "PASS-JOIN: a partition-based
+method for similarity joins", PVLDB 5(3), 2011): partition every string
+into ``k+1`` contiguous segments.  If ``ed(a, b) <= k`` then, by
+pigeonhole, at least one of ``a``'s ``k+1`` segments appears in ``b``
+UNCHANGED — and because at most ``k`` edits precede it, that occurrence
+starts within ``±k`` of the segment's own position.  So an equi-join on
+``(segment_index, segment_text, partitioned_length)`` between each
+string's segments and each string's shifted substrings yields a candidate
+set that PROVABLY contains every true pair (no false negatives); an exact
+``levenshtein`` verify then removes the false positives.  The result is
+therefore EXACT — the blocking is lossless — which is why the DuckDB
+oracle can be the definitional all-pairs form and still hash-match.
+
+Scale: the corpus shuffles once on the segment block key (segments of
+length ~``L/(k+1)`` are selective); each string contributes ``k+1``
+segments and ``O(k^2)`` candidate substrings, so the join is linear in
+rows times a small ``k``-polynomial — never all-pairs.  Hot segment
+values (shared prefixes) make hot blocks; AQE skew-join splitting applies
+because the join is a plain equi-join.  The exact verify runs only on
+deduplicated candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seg_len(i: str, length: str, k: int) -> str:
+    """SQL expr: length of segment ``i`` when a ``length``-char string is
+    evenly partitioned into k+1 segments (short segments first — the
+    PassJoin convention)."""
+    n = k + 1
+    return f"(({length}) div {n} + IF({i} >= {n} - ({length}) % {n}, 1, 0))"
+
+
+def _seg_pos(i: str, length: str, k: int) -> str:
+    """SQL expr: 0-based start of segment ``i`` (cumulative of _seg_len)."""
+    n = k + 1
+    return f"(({i}) * (({length}) div {n}) + GREATEST(0, ({i}) - ({n} - ({length}) % {n})))"
+
+
+def edit_distance_join(
+    df: DataFrame, id_col: str, str_col: str, k: int = 2
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` whose strings are within levenshtein
+    distance ``k`` — exact result via lossless pigeonhole blocking.
+
+    Contract: rows with ``length(str_col) <= k`` are dropped from BOTH
+    sides (a ``k+1``-way partition needs ``k+1`` characters; pairs
+    involving such near-empty strings are trivially enumerable off to the
+    side and are out of scope here, as in the paper's length filter).
+
+    Returns columns ``id_a, id_b, dist`` (dist as INT).
+    """
+    s = (
+        df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+        .filter(F.length("s") > k)
+        .withColumn("L", F.length("s"))
+    )
+
+    # Side 1 — each string's own k+1 segments, keyed by (segment index,
+    # segment text, own length).
+    seg = s.select(
+        "id",
+        "s",
+        "L",
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+    ).select(
+        "id",
+        "s",
+        F.col("i"),
+        F.col("L").alias("La"),
+        F.expr(f"substring(s, {_seg_pos('i', 'L', k)} + 1, {_seg_len('i', 'L', k)})").alias(
+            "blk"
+        ),
+    )
+
+    # Side 2 — each string's candidate substrings: for every partnered
+    # length La within ±k of its own, every segment index i, and every
+    # start shift δ within ±k of that segment's position in an La-length
+    # string.  (The paper's multi-match-aware window is tighter; the plain
+    # ±k window is a superset, so completeness is preserved.)
+    sub = (
+        s.select(
+            "id",
+            "s",
+            "L",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("d"),
+        )
+        .withColumn("La", F.col("L") + F.col("d"))
+        .filter(F.col("La") > k)
+        .select(
+            "id",
+            "s",
+            "L",
+            "La",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .withColumn("sl", F.expr(_seg_len("i", "La", k)))
+        .withColumn("sp", F.expr(_seg_pos("i", "La", k)))
+        .select(
+            "id",
+            "s",
+            "L",
+            "La",
+            "i",
+            "sl",
+            "sp",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("delta"),
+        )
+        .withColumn("start", F.col("sp") + F.col("delta"))
+        .filter((F.col("start") >= 0) & (F.col("start") + F.col("sl") <= F.col("L")))
+        .select(
+            F.col("id"),
+            F.col("s"),
+            F.col("i"),
+            F.col("La"),
+            F.expr("substring(s, start + 1, sl)").alias("blk"),
+        )
+        # a string can emit the same (i, La, blk) through several shifts —
+        # collapse before the join so each block pairing happens once
+        .dropDuplicates(["id", "i", "La", "blk"])
+    )
+
+    cand = (
+        seg.alias("a")
+        .join(
+            sub.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.La") == F.col("b.La"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.s"))
+            .otherwise(F.col("b.s"))
+            .alias("s_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.s"))
+            .otherwise(F.col("a.s"))
+            .alias("s_b"),
+        )
+        # one verify per unordered pair, however many blocks matched
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("s_a", "s_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= k)

@@ -282,8 +282,18 @@ if _MISSING:
 #     snapshots — ONE hash-keyed full-outer join carrying (id, source,
 #     hash) only; oracle-backed), and melt_metrics (wide-to-long
 #     reshape via the NATIVE DataFrame.unpivot/Expand — the explicit
-#     melt surface, zero-shuffle; oracle-backed). Catalog at end of r10:
-#     142 queries, 122 oracle-backed, 20 rows-only. Scale-sensitivity
+#     melt surface, zero-shuffle; oracle-backed). THREE final late
+#     additions closed the round: fuzzy_join (exact edit-distance
+#     self-join via PassJoin pigeonhole segment blocking,
+#     operators/fuzzy.py — lossless blocking, so the oracle is the
+#     definitional all-pairs form; oracle-backed), skew_profile
+#     (per-candidate-key shuffle-skew pre-flight: max/p99 key counts,
+#     hot-key share, Shannon entropy vs the uniform ceiling — the
+#     groupBy/join analog of ivf_balance; oracle-backed), and
+#     retrieval_eval (precision@k + MRR of exact-cosine retrieval vs
+#     labels — the metrics loop that grades the ANN tiers;
+#     oracle-backed). Catalog at end of r10:
+#     145 queries, 125 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -291,9 +301,12 @@ if _MISSING:
 #     121 ok / 20 rows-only / 0 FAILED of 141 at sf0.01 — the driver's
 #     exact gate over the complete catalog; every query added after the
 #     mid-round replica (drift_numeric, decontam_semantic,
-#     weighted_sample, snapshot_diff, melt_metrics) was ALSO
-#     individually green at sf0.1. Final pytest over the finished round:
-#     391 passed, 1 skipped (the documented conditional
+#     weighted_sample, snapshot_diff, melt_metrics, and the final three:
+#     fuzzy_join, skew_profile, retrieval_eval) was ALSO
+#     individually green at sf0.1 (fuzzy_join returns 83,812 pairs
+#     there — the blocking's losslessness holds at 10× the gate scale).
+#     Final pytest over the finished round:
+#     404 passed, 1 skipped (the documented conditional
 #     transformWithState smoke), 0 failed. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
@@ -351,7 +364,13 @@ if _MISSING:
 #
 # Union of r2..r9 rows of record + this window: every catalog entry has a
 # driver row or takes its first one here; after r10 the only entries
-# without a row will be queries built after this window froze (none yet).
+# without a row will be the queries built after this window froze
+# (the r10 late additions named above — ivfpq_rerank, decontam_bloom,
+# chunk_documents, quantize_int8, cms_counts, dedup_incremental_bloom,
+# source_overlap, drift_numeric, decontam_semantic, weighted_sample,
+# snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval —
+# all replica-checked at both SFs + measured-once benched the day they
+# landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.fuzzy import edit_distance_join
 from ..sources import load_table
 
 
@@ -505,6 +506,46 @@ WHERE k.o_orderkey < 5000
 """
 
 
+_FUZZY_MOD = 7  # profile the c_custkey % 7 == 0 slice (SF-proportional)
+_FUZZY_K = 2    # edit-distance threshold
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join (typo/record-linkage tier): all customer
+    pairs whose names are within levenshtein distance {k}, over the
+    ``c_custkey % {m} == 0`` slice. The Spark side is
+    ``operators.fuzzy.edit_distance_join`` — PassJoin pigeonhole segment
+    blocking (Li/Deng/Feng, PVLDB 5(3) 2011): an equi-join on
+    ``(segment_index, segment_text, length)`` whose candidate set provably
+    contains every true pair, then an exact levenshtein verify. Because the
+    blocking is LOSSLESS the result is exact, so the oracle below is the
+    definitional all-pairs form — the two engines agree by theorem, not by
+    sharing a heuristic.
+
+    Scale: one shuffle on segment block keys (never all-pairs; the oracle's
+    quadratic form is the toy-scale definition only); candidates per string
+    are O(k^2); AQE skew splitting applies to hot shared-prefix blocks."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % _FUZZY_MOD == 0
+    )
+    return edit_distance_join(c, "c_custkey", "c_name", k=_FUZZY_K)
+
+
+q_fuzzy_join.__doc__ = q_fuzzy_join.__doc__.format(k=_FUZZY_K, m=_FUZZY_MOD)
+
+_FUZZY_JOIN_SQL = f"""
+WITH s AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+  WHERE c_custkey % {_FUZZY_MOD} = 0 AND length(c_name) > {_FUZZY_K}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+FROM s a JOIN s b
+  ON a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= {_FUZZY_K}
+WHERE levenshtein(a.nm, b.nm) <= {_FUZZY_K}
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (dask uses t-digest approx; hash-checked
     queries use the exact variant per SURVEY.md §5)."""
@@ -864,6 +905,81 @@ SELECT l_orderkey, l_linenumber, 'l_tax',
 """
 
 
+# (keyset label, table, key column) profiled by q_skew_profile
+_SKEW_KEYSETS = (
+    ("events.user_id", "events", "user_id"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+)
+
+
+def _skew_one(spark: SparkSession, sf_dir: str, label: str, table: str, key: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, table)
+        .groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.round(F.percentile("c", F.lit(0.99)), 4).alias("p99_cnt"),
+        F.sum(F.col("c") * F.log2("c")).alias("_sclog"),
+    ).select(
+        F.lit(label).alias("keyset"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p99_cnt",
+        F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("hot_share"),
+        F.round(F.log2("n_rows") - F.col("_sclog") / F.col("n_rows"), 6).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew pre-flight diagnostic — the profiling run a 100 TB operator
+    does BEFORE committing to a shuffle key (the groupBy/join analog of
+    ``ivf_balance``): per candidate key, the key count, max and p99
+    per-key row counts, the hottest key's share of all rows, and the key
+    distribution's Shannon entropy in bits (uniform ⇒ log2(n_keys);
+    the gap to that ceiling is the skew). A hot_share near the reciprocal
+    of the partition count predicts a straggler task; salting / AQE skew
+    thresholds are chosen from exactly these numbers.
+
+    Scale: per keyset ONE partial+final hash agg over the fact table (the
+    shuffle carries O(keys)) and ONE scalar agg over the counts table —
+    entropy folds as ``log2(N) - Σ c·log2(c) / N``, so no per-key
+    probability column and no second pass; no window, no crossJoin."""
+    parts = [
+        _skew_one(spark, sf_dir, label, table, key)
+        for label, table, key in _SKEW_KEYSETS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_one_sql(label: str, table: str, key: str) -> str:
+    return f"""
+SELECT '{label}' AS keyset,
+       count(*) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_cnt,
+       round(quantile_cont(c, 0.99), 4) AS p99_cnt,
+       round(max(c) * 1.0 / sum(c), 6) AS hot_share,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c FROM {table} GROUP BY {key})
+"""
+
+
+_SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
+    _skew_one_sql(label, table, key) for label, table, key in _SKEW_KEYSETS
+)
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -886,6 +1002,8 @@ QUERIES = {
     "hll_sketch_union": q_hll_sketch_union,
     "kll_quantiles": q_kll_quantiles,
     "nullsafe_join": q_nullsafe_join,
+    "fuzzy_join": q_fuzzy_join,
+    "skew_profile": q_skew_profile,
     "percentiles": q_percentiles,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,
@@ -924,6 +1042,8 @@ ORACLE = {
     "cube_agg": _CUBE_AGG_SQL,
     "grouping_sets": _GROUPING_SETS_SQL,
     "nullsafe_join": _NULLSAFE_JOIN_SQL,
+    "fuzzy_join": _FUZZY_JOIN_SQL,
+    "skew_profile": _SKEW_PROFILE_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,

@@ -136,6 +136,88 @@ SELECT query_id, corpus_id, cosine, neg_label FROM (
 """
 
 
+_REVAL_NQ = 8   # evaluation query set: vec_id < 8 (the hard_negatives batch)
+_REVAL_K = 10   # retrieval depth
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — the metrics loop that grades every
+    ANN tier (brute/LSH/IVF/IVF-PQ) before it ships: per evaluation query
+    (vec_id < {nq}), retrieve the exact cosine top-{k} (the ground-truth
+    ranking the approximate tiers are judged against), mark a hit when the
+    neighbor shares the query's ``label``, and report precision@{k}
+    (``p_at_k``) and reciprocal rank of the first hit (``rr`` — the MRR
+    contribution; 0.0 when no hit lands in the top {k}).
+
+    Scale: the broadcast-query scored join is ``brute_knn_join`` (one
+    corpus scan, per-query top-k — the evaluation query set is small BY
+    DESIGN; approximate tiers exist precisely so only the eval harness
+    pays the exact scan). The retrieved set is O(nq·k) rows, so the label
+    join-backs broadcast the retrieved side against one corpus scan; the
+    ranking window partitions by query_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _REVAL_NQ)
+    r = brute_knn_join(q, emb, "embedding", "vec_id", k=_REVAL_K, exclude_self=True)
+    labels = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("corpus_label")
+    )
+    qlab = emb.filter(F.col("vec_id") < _REVAL_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    scored = (
+        labels.join(F.broadcast(r), "corpus_id")
+        .join(F.broadcast(qlab), "query_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "match", (F.col("corpus_label") == F.col("query_label")).cast("int")
+        )
+    )
+    return scored.groupBy("query_id", "query_label").agg(
+        F.round(F.avg("match"), 4).alias("p_at_k"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("match") == 1, F.lit(1.0) / F.col("rn"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+    )
+
+
+q_retrieval_eval.__doc__ = q_retrieval_eval.__doc__.format(nq=_REVAL_NQ, k=_REVAL_K)
+
+_RETRIEVAL_EVAL_SQL = f"""
+WITH r AS (
+  SELECT query_id, corpus_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round(list_cosine_similarity({_DD.format(col='c.embedding')},
+                                        {_DD.format(col='q.embedding')}), 5) AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {_REVAL_NQ}
+  )
+),
+s AS (
+  SELECT r.query_id, ql.label AS query_label,
+         CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS match, r.rn
+  FROM r
+  JOIN embeddings cl ON r.corpus_id = cl.vec_id
+  JOIN embeddings ql ON r.query_id = ql.vec_id
+  WHERE r.rn <= {_REVAL_K}
+)
+SELECT query_id, query_label,
+       round(avg(match), 4) AS p_at_k,
+       round(coalesce(max(CASE WHEN match = 1 THEN 1.0 / rn END), 0.0), 6) AS rr
+FROM s GROUP BY query_id, query_label
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via BucketedRandomProjectionLSH (rows-only: LSH bucket
     assignment is engine-specific; recall is pytest-checked against brute)."""
@@ -930,6 +1012,7 @@ QUERIES = {
     "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
     "hard_negatives": q_hard_negatives,
+    "retrieval_eval": q_retrieval_eval,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_cells": q_knn_cells,
@@ -951,6 +1034,7 @@ ORACLE = {
     "knn_brute": _KNN_BRUTE_SQL,
     "knn_join": _KNN_JOIN_SQL,
     "hard_negatives": _HARD_NEGATIVES_SQL,
+    "retrieval_eval": _RETRIEVAL_EVAL_SQL,
     # knn_lsh: rows-only by design (engine-specific bucketing)
     "knn_cells": _KNN_CELLS_SQL,
     "vector_stats": _VECTOR_STATS_SQL,

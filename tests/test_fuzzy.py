@@ -1,0 +1,184 @@
+"""edit_distance_join (operators/fuzzy.py — PassJoin pigeonhole blocking)
+and the three r10-late diagnostic/eval queries built on or alongside it:
+fuzzy_join, skew_profile, retrieval_eval.
+
+The load-bearing claim is LOSSLESSNESS: the segment blocking must produce a
+candidate superset of every true pair (no false negatives), because the
+catalog oracle is the definitional all-pairs form. The differential tests
+below check exactly that against DuckDB's levenshtein over randomized
+corpora, including adversarial shapes (shared prefixes, length spread,
+unequal lengths, duplicate strings)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.operators.fuzzy import edit_distance_join
+
+
+def _naive(rows: list[tuple[int, str]], k: int) -> list[tuple[int, int, int]]:
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "s"]))
+    out = con.sql(
+        f"""SELECT a.id, b.id, CAST(levenshtein(a.s, b.s) AS INT)
+            FROM t a JOIN t b ON a.id < b.id
+            WHERE length(a.s) > {k} AND length(b.s) > {k}
+              AND levenshtein(a.s, b.s) <= {k}"""
+    ).fetchall()
+    con.close()
+    return sorted(map(tuple, out))
+
+
+def _run(spark, rows: list[tuple[int, str]], k: int) -> list[tuple[int, int, int]]:
+    df = spark.createDataFrame(rows, ["id", "s"])
+    return sorted(map(tuple, edit_distance_join(df, "id", "s", k=k).collect()))
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_differential_random_small_alphabet(spark, k):
+    # alphabet of 3 → dense near-neighborhoods, many true pairs
+    import random
+
+    rng = random.Random(1234 + k)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(k + 1, 9))))
+        for i in range(250)
+    ]
+    assert _run(spark, rows, k) == _naive(rows, k)
+
+
+def test_differential_shared_prefix_blocks(spark):
+    # Customer#-style: long identical prefix, digits vary — the hot-block
+    # shape the catalog query hits; also exercises shift matches
+    rows = [(i, f"user#{i % 7}{(i * 13) % 10}{i % 10}x") for i in range(200)]
+    k = 2
+    assert _run(spark, rows, k) == _naive(rows, k)
+
+
+def test_differential_unequal_lengths(spark):
+    # insertions/deletions: pairs differ in length by up to k
+    import random
+
+    rng = random.Random(99)
+    base = ["".join(rng.choice("xy") for _ in range(6)) for _ in range(60)]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((3 * i, b))
+        rows.append((3 * i + 1, b + rng.choice("xy")))          # +1 char
+        rows.append((3 * i + 2, b[: rng.randint(3, 5)]))         # shorter
+    k = 2
+    assert _run(spark, rows, k) == _naive(rows, k)
+
+
+def test_duplicate_strings_distance_zero(spark):
+    rows = [(0, "abcdef"), (1, "abcdef"), (2, "abcdxx"), (3, "zzzzzz")]
+    got = _run(spark, rows, 2)
+    assert (0, 1, 0) in got
+    assert (0, 2, 2) in got and (1, 2, 2) in got
+    assert all(p[1] != 3 and p[0] != 3 for p in got)
+
+
+def test_short_string_contract(spark):
+    # strings with length <= k are dropped from both sides, per docstring
+    rows = [(0, "ab"), (1, "ab"), (2, "abcd"), (3, "abce")]
+    got = _run(spark, rows, 2)
+    assert got == [(2, 3, 1)]
+
+
+def test_plan_is_equi_join_no_nested_loop(spark):
+    rows = [(i, f"name{i:04d}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    plan = (
+        edit_distance_join(df, "id", "s", k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- skew_profile ----------------------------------------------------------
+
+
+def test_skew_profile_hand_computed(spark, sf_dir):
+    """entropy_bits / hot_share / max_cnt recomputed by hand (numpy) from
+    the events fixture must match the single-fold Spark form."""
+    from savio_training_dask_2019_spark.queries.relational import q_skew_profile
+
+    row = {
+        r["keyset"]: r
+        for r in q_skew_profile(spark, sf_dir).collect()
+    }["events.user_id"]
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = pdf.groupby("user_id").size()
+    n = counts.sum()
+    p = counts / n
+    ent = float(-(p * p.map(math.log2)).sum())
+    assert row["n_keys"] == len(counts)
+    assert row["n_rows"] == n
+    assert row["max_cnt"] == counts.max()
+    assert row["hot_share"] == round(counts.max() / n, 6)
+    assert abs(row["entropy_bits"] - ent) < 1e-5
+    # entropy is bounded by the uniform ceiling
+    assert row["entropy_bits"] <= math.log2(row["n_keys"]) + 1e-9
+
+
+def test_skew_profile_detects_planted_skew(spark, sf_dir):
+    """A 90%-hot planted key must push hot_share up and entropy far below
+    the uniform ceiling — the diagnostic actually diagnoses."""
+    from savio_training_dask_2019_spark.queries.relational import _skew_one
+
+    hot = spark.range(0, 900).select(F.lit(7).alias("user_id"))
+    cold = spark.range(0, 100).select((F.col("id") + 100).alias("user_id"))
+    df = hot.unionByName(cold)
+    df.createOrReplaceTempView("_skewtmp")
+    counts = df.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    out = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.sum(F.col("c") * F.log2("c")).alias("_sclog"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(F.col("max_cnt") / F.col("n_rows"), 6).alias("hot_share"),
+        F.round(F.log2("n_rows") - F.col("_sclog") / F.col("n_rows"), 6).alias(
+            "entropy_bits"
+        ),
+    ).collect()[0]
+    assert out["hot_share"] == 0.9
+    assert out["entropy_bits"] < 0.2 * math.log2(out["n_keys"])
+    assert _skew_one is not None  # imported shape is the one under test
+
+
+# --- retrieval_eval --------------------------------------------------------
+
+
+def test_retrieval_eval_metric_contract(spark, sf_dir):
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _REVAL_K,
+        _REVAL_NQ,
+        q_retrieval_eval,
+    )
+
+    rows = q_retrieval_eval(spark, sf_dir).collect()
+    assert len(rows) == _REVAL_NQ
+    for r in rows:
+        assert 0.0 <= r["p_at_k"] <= 1.0
+        assert 0.0 <= r["rr"] <= 1.0
+        # rr > 0 iff at least one hit: p_at_k > 0 implies a first-hit rank
+        assert (r["rr"] > 0) == (r["p_at_k"] > 0)
+        if r["rr"] > 0:
+            # rr must be exactly 1/rank for some rank in [1, k]
+            rank = round(1.0 / r["rr"])
+            assert 1 <= rank <= _REVAL_K
+            assert abs(r["rr"] - round(1.0 / rank, 6)) < 1e-9

@@ -292,6 +292,13 @@ _MAX_PARQUET_SCANS = {
     "semdedup_clusters": 4,
     "split_leakage": 3,
     "doc_tfidf": 3,
+    # three distinct fact tables profiled (one scan each; each keyset is
+    # an independent groupBy→scalar-agg chain)
+    "skew_profile": 3,
+    # brute_knn_join's corpus+query branches + the corpus-label and
+    # query-label join-backs (at prod scale labels live in the same scan;
+    # the fixture derives all four from one table)
+    "retrieval_eval": 4,
 }
 
 
@@ -361,6 +368,7 @@ _MAX_BNLJ = {
     "pq_adc": 1,            # 1-row codebook-array attach (encode stage)
     "pq_encode": 1,         # 1-row codebook-array attach
     "range_join": 1,        # intentional theta/range join demo
+    "retrieval_eval": 1,    # broadcast eval-query batch (brute_knn_join)
     "unigram_logprob": 2,   # 1-row corpus total ×2 (model + scoring)
     "vocab_coverage": 1,    # 1-row total token mass
 }
@@ -389,6 +397,7 @@ _MAX_SINGLE_PARTITION = {
     "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
     "pq_encode": 1,
     "sample_mod": 1,
+    "skew_profile": 3,  # one scalar fold over each keyset's counts table
     "unigram_logprob": 2, "vocab_coverage": 1,
 }
 
