@@ -1,0 +1,143 @@
+"""Iterative graph ranking: fixed-iteration PageRank over an edge list —
+the influence/centrality member of the graph tier (connected components in
+``operators/dedup.py`` answers "which nodes form one cluster"; this answers
+"which nodes matter most", the crawl-frontier / seed-quality signal a
+web-scale corpus pipeline ranks domains and hosts with).
+
+Engine-exactness by construction: ranks are kept in integer micro-units
+(``scale`` = 1e6 by default) and every update uses only BIGINT addition and
+floor division — ``r' = base + (num * Σ (r_src div deg_src)) div den`` —
+so the result is bit-identical across engines and across partitionings
+(integer sums are order-independent; float PageRank would accumulate
+summation-order noise over iterations, the exact failure mode the repo's
+drift_psi_windowed post-mortem documents). The quantization loses at most
+``deg-1`` micro-units per node per iteration — a rounding model, not a
+correctness hazard, and identical everywhere.
+
+Scale: the Pregel-style plan — the edge list (joined once with out-degrees,
+persisted) is the only corpus-sized state; each iteration is ONE hash join
+``edges ⋈ ranks`` on src (ranks is O(nodes); Spark broadcasts it while it
+fits and shuffle-joins beyond that — both correct) plus ONE map-side
+partial-aggregated ``groupBy(dst).sum``. ``localCheckpoint`` per iteration
+truncates lineage exactly as ``connected_components`` does; driver state is
+one scalar (the node count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank: ``(id, rank_micro)`` after ``iters`` rounds of
+    ``r' = ((den-num)·scale) div (den·N)  +  (num · Σ_in (r_src div deg_src)) div den``
+    over the directed edge list, with ranks in integer micro-units.
+
+    Contract: every node must have out-degree >= 1 (no dangling mass) —
+    pass a SYMMETRIZED edge list (both directions) for undirected graphs,
+    which satisfies this automatically. Self-loops are allowed. Duplicate
+    edges count as parallel edges (dedupe upstream if unwanted).
+
+    The driver holds exactly one scalar (N, the node count); everything
+    else is DataFrame state checkpointed per iteration.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # bounded: ONE driver scalar, O(1) result
+    if n_nodes == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("bigint"))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # corpus-sized state, reused every iteration — persist once
+    edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
+
+    base = F.lit(
+        ((damping_den - damping_num) * scale) // (damping_den * n_nodes)
+    ).cast("bigint")
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(scale // n_nodes).cast("bigint")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(
+                ranks.select(F.col("id").alias("src"), "rank_micro"), "src"
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("rank_micro div deg")).cast("bigint").alias("s")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_cte(
+    edges_sql: str,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+    select_sql: str | None = None,
+) -> str:
+    """The DuckDB twin as chained CTEs — same integer micro-unit update,
+    one CTE per iteration, generated for a fixed ``iters`` so the oracle is
+    plain ANSI-ish SQL (no recursion). ``edges_sql`` must select columns
+    ``src, dst``; ``select_sql`` overrides the final projection over
+    ``r{iters}`` (default ``SELECT id, rank_micro FROM r{iters}``)."""
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "n AS (SELECT count(*) AS n_nodes FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src))",
+        f"""r0 AS (
+  SELECT id, CAST({scale} // n_nodes AS BIGINT) AS rank_micro FROM nodes, n
+)""",
+    ]
+    dd = damping_den - damping_num
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nodes.id,
+         CAST(({dd} * {scale}) // ({damping_den} * n.n_nodes)
+              + ({damping_num} * COALESCE(c.s, 0)) // {damping_den} AS BIGINT)
+           AS rank_micro
+  FROM nodes CROSS JOIN n
+  LEFT JOIN (
+    SELECT ed.dst, sum(r.rank_micro // ed.deg) AS s
+    FROM ed JOIN r{i - 1} r ON r.id = ed.src
+    GROUP BY ed.dst
+  ) c ON c.dst = nodes.id
+)"""
+        )
+    final = select_sql or f"SELECT id, rank_micro FROM r{iters}"
+    return "WITH " + ",\n".join(parts) + "\n" + final

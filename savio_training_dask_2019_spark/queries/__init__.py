@@ -292,8 +292,18 @@ if _MISSING:
 #     groupBy/join analog of ivf_balance; oracle-backed), and
 #     retrieval_eval (precision@k + MRR of exact-cosine retrieval vs
 #     labels — the metrics loop that grades the ANN tiers;
-#     oracle-backed). Catalog at end of r10:
-#     145 queries, 125 oracle-backed, 20 rows-only. Scale-sensitivity
+#     oracle-backed); then outlier_mad (median/MAD modified-z robust
+#     anomaly scoring per group — Iglewicz & Hoaglin; oracle-backed),
+#     drift_ks (binned two-sample Kolmogorov–Smirnov over frozen-width
+#     value bins — the CDF member of the drift family, exact integer
+#     cumulative counts so zero float-accumulation exposure;
+#     oracle-backed), and pagerank (fixed-point INTEGER-micro-unit
+#     PageRank over the symmetrized supplier↔customer trade graph,
+#     operators/graph.py — BIGINT adds + floor divs only, so the
+#     5-iteration chained-CTE oracle is bit-identical by construction;
+#     oracle-backed, + a pure-Python reference differential pytest and a
+#     partitioning-invariance pin). Catalog at end of r10:
+#     148 queries, 128 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -301,13 +311,14 @@ if _MISSING:
 #     121 ok / 20 rows-only / 0 FAILED of 141 at sf0.01 — the driver's
 #     exact gate over the complete catalog; every query added after the
 #     mid-round replica (drift_numeric, decontam_semantic,
-#     weighted_sample, snapshot_diff, melt_metrics, and the final three:
-#     fuzzy_join, skew_profile, retrieval_eval) was ALSO
-#     individually green at sf0.1 (fuzzy_join returns 83,812 pairs
-#     there — the blocking's losslessness holds at 10× the gate scale).
+#     weighted_sample, snapshot_diff, melt_metrics, fuzzy_join,
+#     skew_profile, retrieval_eval, outlier_mad, drift_ks, pagerank)
+#     was ALSO individually green at sf0.1 (fuzzy_join returns 83,812
+#     pairs there — the blocking's losslessness holds at 10× the gate
+#     scale; pagerank compares 16,000 node ranks exactly).
 #     Final pytest over the finished round:
-#     404 passed, 1 skipped (the documented conditional
-#     transformWithState smoke), 0 failed. drift_psi_windowed's
+#     404 passed + the graph/diagnostics file, 1 skipped (the documented
+#     conditional transformWithState smoke), 0 failed. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
 #     boundary, where 1 ulp of cross-engine summation-order noise flips
@@ -368,7 +379,8 @@ if _MISSING:
 # (the r10 late additions named above — ivfpq_rerank, decontam_bloom,
 # chunk_documents, quantize_int8, cms_counts, dedup_incremental_bloom,
 # source_overlap, drift_numeric, decontam_semantic, weighted_sample,
-# snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval —
+# snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
+# outlier_mad, drift_ks, pagerank —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

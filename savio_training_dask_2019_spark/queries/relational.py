@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.fuzzy import edit_distance_join
+from ..operators.graph import pagerank, pagerank_oracle_cte
 from ..sources import load_table
 
 
@@ -566,6 +567,104 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+# modified z-score (Iglewicz & Hoaglin 1993): flag when
+# 0.6745 * |x - median| / MAD > 3.5
+_MAD_C = 0.6745
+_MAD_CUT = 3.5
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection — median/MAD outlier scoring of
+    ``events.value`` by event_type (Iglewicz & Hoaglin's modified z-score:
+    flag when ``{c} * |x - med| / MAD > {cut}``). Mean/stddev scoring is
+    itself corrupted by the outliers it hunts; median and MAD (median
+    absolute deviation) have a 50% breakdown point, which is why production
+    data-quality monitors use exactly this statistic. Per group: n, median,
+    MAD, outlier count + share, and the most extreme modified z-score.
+
+    The flag comparison is kept in product form (``{c}·dev > {cut}·MAD``) so
+    a zero-MAD group (>=50% identical values) needs no division guard: any
+    positive deviation flags, the definitional limit. ``max_score`` alone
+    divides and is NULL for such groups (oracle: nullif).
+
+    Scale: two exact-percentile groupBys over events (the shuffle carries
+    rows — at 100 TB swap ``F.percentile`` for ``approx_percentile``, which
+    partial-aggregates map-side; the exact tier is the oracle-checked
+    definition, the repo's percentiles/distinct_approx precedent) with the
+    O(groups) median/MAD tables BROADCAST back — the corpus itself never
+    joins corpus-sized state; final pass is one conditional agg."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # med and mad are O(groups) — checkpoint each so the two downstream
+    # consumers read the tiny table instead of re-running its corpus agg
+    # (drift-family convention; keeps the corpus at 3 scans total)
+    med = (
+        e.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        .localCheckpoint(eager=True)
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+        .localCheckpoint(eager=True)
+    )
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(
+            (F.lit(_MAD_C) * F.col("dev") > F.lit(_MAD_CUT) * F.col("mad")).cast(
+                "bigint"
+            )
+        ).alias("n_outliers"),
+        F.round(
+            F.sum(
+                (
+                    F.lit(_MAD_C) * F.col("dev") > F.lit(_MAD_CUT) * F.col("mad")
+                ).cast("bigint")
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_share"),
+        F.round(
+            F.lit(_MAD_C)
+            * F.max("dev")
+            / F.when(F.first("mad") > 0, F.first("mad")),
+            4,
+        ).alias("max_score"),
+    )
+
+
+q_outlier_mad.__doc__ = q_outlier_mad.__doc__.format(c=_MAD_C, cut=_MAD_CUT)
+
+_OUTLIER_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       round(max(d.med), 4) AS med,
+       round(max(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN {_MAD_C} * d.dev > {_MAD_CUT} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(sum(CASE WHEN {_MAD_C} * d.dev > {_MAD_CUT} * m.mad THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_share,
+       round({_MAD_C} * max(d.dev) / nullif(max(m.mad), 0), 4) AS max_score
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.corr()/cov() surface."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -905,6 +1004,68 @@ SELECT l_orderkey, l_linenumber, 'l_tax',
 """
 
 
+_PR_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔customer trade graph — the iterative
+    influence/centrality op completing the graph tier (connected components
+    = cluster membership; this = node importance, the signal a crawl
+    pipeline ranks domains/hosts with). Nodes are suppliers (suppkey*2) and
+    customers (custkey*2+1); an undirected edge links every
+    supplier–customer pair that shares a lineitem, symmetrized so every
+    node has out-degree >= 1 (no dangling mass). {it} fixed-point
+    iterations in integer micro-units (``operators.graph.pagerank``) —
+    BIGINT adds and floor divs only, so the chained-CTE DuckDB oracle is
+    bit-identical BY CONSTRUCTION: no float summation-order noise can
+    accumulate across iterations.
+
+    Scale: the Pregel-style plan — edge list joined once with out-degrees
+    and checkpointed; each iteration ONE hash join edges⋈ranks on src
+    (ranks is O(nodes)) + ONE map-side-combined groupBy(dst) sum;
+    localCheckpoint per round truncates lineage (connected_components
+    precedent); driver state = one scalar (N)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    r = pagerank(edges, iters=_PR_ITERS)
+    return r.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        "rank_micro",
+    )
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(it=_PR_ITERS)
+
+_PR_PAIRS = """SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+_PR_EDGES_SQL = f"""SELECT a AS src, b AS dst FROM ({_PR_PAIRS}) p1
+UNION ALL
+SELECT b AS src, a AS dst FROM ({_PR_PAIRS}) p2"""
+
+_PAGERANK_SQL = pagerank_oracle_cte(
+    _PR_EDGES_SQL,
+    iters=_PR_ITERS,
+    select_sql=(
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END"
+        f" AS node_type, rank_micro FROM r{_PR_ITERS}"
+    ),
+)
+
+
 # (keyset label, table, key column) profiled by q_skew_profile
 _SKEW_KEYSETS = (
     ("events.user_id", "events", "user_id"),
@@ -1004,7 +1165,9 @@ QUERIES = {
     "nullsafe_join": q_nullsafe_join,
     "fuzzy_join": q_fuzzy_join,
     "skew_profile": q_skew_profile,
+    "pagerank": q_pagerank,
     "percentiles": q_percentiles,
+    "outlier_mad": q_outlier_mad,
     "corr_cov": q_corr_cov,
     "cube_agg": q_cube_agg,
     "grouping_sets": q_grouping_sets,
@@ -1044,6 +1207,8 @@ ORACLE = {
     "nullsafe_join": _NULLSAFE_JOIN_SQL,
     "fuzzy_join": _FUZZY_JOIN_SQL,
     "skew_profile": _SKEW_PROFILE_SQL,
+    "outlier_mad": _OUTLIER_MAD_SQL,
+    "pagerank": _PAGERANK_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,

@@ -405,6 +405,99 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_drift_psi.__doc__ = q_drift_psi.__doc__.format(eps=_DRIFT_EPS)
 
 
+_KS_W = 8.0  # KS bucket width over events.value (fixture ~0..500)
+_KS_B = 64   # buckets 0..63 (top bin clamped, drift_numeric convention)
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift monitor — the CDF-shaped member
+    of the drift family (PSI weights every bin equally; KS is the max
+    vertical gap between the two cumulative distributions, so it catches a
+    location/scale shift PSI's binned density terms can dilute).
+    ``events.value`` before/after the fixed midpoint split is bucketed into
+    {b} frozen-width bins of {w} (top bin clamped — the drift_numeric
+    edge-freezing convention), and each bin reports both cumulative shares
+    plus the per-bin KS term ``|F_a(bin) - F_b(bin)|``; the KS statistic D
+    is the max term (per-bin terms out, house attribution style — and max,
+    unlike a sum, is immune to summation-order noise). Every term is an
+    exact-integer cumulative count divided once per engine, so the oracle
+    comparison carries zero float-accumulation exposure.
+
+    Scale: identical to drift_psi/drift_numeric — one corpus scan, one
+    O(bins) conditional agg (both halves in the same pass), checkpointed
+    bins-sized table, broadcast 1-row totals. The cumulative window is
+    UNPARTITIONED but runs strictly above the checkpoint, so it sees
+    <= {b} rows at ANY corpus size (plan-allowlisted with that bound)."""
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(_KS_W)), F.lit(0)),
+        F.lit(_KS_B - 1),
+    ).cast("int")
+    agg = (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum((F.col("ts") < split).cast("bigint")).alias("n_a"),
+            F.sum((F.col("ts") >= split).cast("bigint")).alias("n_b"),
+        )
+        .localCheckpoint(eager=True)  # bins-sized: window + totals read THIS
+    )
+    tot = agg.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "bucket",
+        F.sum("n_a").over(w).alias("ca"),
+        F.sum("n_b").over(w).alias("cb"),
+    )
+
+    def _share(n, t):
+        return F.when(F.col(t) > 0, F.col(n) / F.col(t)).otherwise(F.lit(0.0))
+
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(_share("ca", "ta"), 6).alias("cum_share_a"),
+            F.round(_share("cb", "tb"), 6).alias("cum_share_b"),
+            F.round(F.abs(_share("ca", "ta") - _share("cb", "tb")), 6).alias(
+                "ks_term"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+q_drift_ks.__doc__ = q_drift_ks.__doc__.format(b=_KS_B, w=_KS_W)
+
+_DRIFT_KS_SQL = f"""
+WITH agg AS (
+  SELECT CAST(least(greatest(floor(value / {_KS_W}), 0), {_KS_B - 1}) AS INTEGER) AS bucket,
+         CAST(sum(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT bucket,
+         sum(n_a) OVER (ORDER BY bucket) AS ca,
+         sum(n_b) OVER (ORDER BY bucket) AS cb
+  FROM agg
+),
+tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM agg)
+SELECT bucket,
+       round(CASE WHEN ta > 0 THEN ca * 1.0 / ta ELSE 0.0 END, 6) AS cum_share_a,
+       round(CASE WHEN tb > 0 THEN cb * 1.0 / tb ELSE 0.0 END, 6) AS cum_share_b,
+       round(abs((CASE WHEN ta > 0 THEN ca * 1.0 / ta ELSE 0.0 END)
+               - (CASE WHEN tb > 0 THEN cb * 1.0 / tb ELSE 0.0 END)), 6) AS ks_term
+FROM cum, tot
+ORDER BY bucket
+"""
+
+
 _NUM_DRIFT_SPLIT = "1998-01-01 00:00:00"  # orders midpoint (1995..2001 fixture)
 _NUM_DRIFT_W = 50_000.0  # bucket width over o_totalprice (~1k..500k)
 _NUM_DRIFT_B = 10  # buckets 0..9 (clamped)
@@ -632,6 +725,7 @@ QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
     "drift_numeric": q_drift_numeric,
+    "drift_ks": q_drift_ks,
     "drift_psi_windowed": q_drift_psi_windowed,
     "funnel_stages": q_funnel_stages,
     "retention_daily": q_retention_daily,
@@ -649,6 +743,7 @@ ORACLE = {
     "time_bucket": _TIME_BUCKET_SQL,
     "drift_psi": _DRIFT_SQL,
     "drift_numeric": _NUM_DRIFT_SQL,
+    "drift_ks": _DRIFT_KS_SQL,
     "drift_psi_windowed": _DRIFT_WINDOWED_SQL,
     "funnel_stages": _FUNNEL_SQL,
     "retention_daily": _RETENTION_SQL,

@@ -1,0 +1,187 @@
+"""pagerank (operators/graph.py — fixed-point integer PageRank) and the two
+r10-late diagnostic queries outlier_mad / drift_ks.
+
+The pagerank load-bearing claims: (1) EXACTNESS — integer micro-unit
+arithmetic makes the result independent of partitioning and summation
+order, checked against a pure-Python reference implementing the identical
+update; (2) the update actually ranks (hub of a star graph wins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.operators.graph import pagerank
+
+SCALE = 1_000_000
+
+
+def _py_pagerank(edges, iters=5, num=85, den=100, scale=SCALE):
+    """Pure-Python reference: the same BIGINT base + floor-div update."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    base = ((den - num) * scale) // (den * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {v: base + (num * s[v]) // den for v in nodes}
+    return r
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_pagerank_matches_python_reference_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    pairs = {(rng.randint(0, 39), rng.randint(40, 79)) for _ in range(200)}
+    edges = _sym(sorted(pairs))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank_micro"] for r in pagerank(df, iters=5).collect()}
+    assert got == _py_pagerank(edges, iters=5)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Integer arithmetic => bit-identical result under any partitioning."""
+    pairs = [(i, 100 + (i * 7) % 30) for i in range(60)]
+    edges = _sym(pairs)
+    df1 = spark.createDataFrame(edges, ["src", "dst"]).repartition(1)
+    df2 = spark.createDataFrame(edges, ["src", "dst"]).repartition(17, "dst")
+    r1 = sorted(map(tuple, pagerank(df1, iters=4).collect()))
+    r2 = sorted(map(tuple, pagerank(df2, iters=4).collect()))
+    assert r1 == r2
+
+
+def test_pagerank_star_hub_wins_and_mass_bounded(spark):
+    # star: hub 0 <-> leaves 1..20; hub must outrank every leaf
+    edges = _sym([(0, i) for i in range(1, 21)])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = {r["id"]: r["rank_micro"] for r in pagerank(df, iters=5).collect()}
+    hub = rows.pop(0)
+    assert all(hub > leaf for leaf in rows.values())
+    leaf_vals = set(rows.values())
+    assert len(leaf_vals) == 1  # symmetric leaves tie exactly
+    # floor-div quantization only ever LOSES micro-units
+    assert hub + sum(rows.values()) <= SCALE
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert pagerank(df).count() == 0
+
+
+# --- outlier_mad -------------------------------------------------------------
+
+
+def test_outlier_mad_planted_spikes(spark, tmp_path):
+    """20 inliers around 100 + 2 extreme spikes: exactly the spikes flag;
+    a constant group has MAD 0, NULL max_score, and zero outliers."""
+    import pandas as pd
+
+    vals = [100.0 + (i % 5) for i in range(20)] + [1000.0, -500.0]
+    rows = [("spiky", v) for v in vals] + [("flat", 7.0)] * 10
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.Timestamp("2024-01-10"),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_outlier_mad
+
+    got = {r["event_type"]: r for r in q_outlier_mad(spark, str(tmp_path)).collect()}
+    sp = got["spiky"]
+    assert sp["n"] == 22 and sp["n_outliers"] == 2
+    assert sp["max_score"] > 3.5
+    fl = got["flat"]
+    assert fl["mad"] == 0.0 and fl["n_outliers"] == 0
+    assert fl["max_score"] is None  # zero-MAD group: score undefined
+
+
+def test_outlier_mad_zero_mad_group_flags_any_deviation(spark, tmp_path):
+    """>=50% identical values => MAD 0 => ANY positive deviation flags
+    (the definitional limit the product-form comparison encodes)."""
+    import pandas as pd
+
+    rows = [("m", 5.0)] * 8 + [("m", 5.1), ("m", 4.9)]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.Timestamp("2024-01-10"),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_outlier_mad
+
+    r = q_outlier_mad(spark, str(tmp_path)).collect()[0]
+    assert r["mad"] == 0.0 and r["n_outliers"] == 2
+
+
+# --- drift_ks ----------------------------------------------------------------
+
+
+def test_drift_ks_cdf_contract(spark, sf_dir):
+    """Cumulative shares are monotone nondecreasing, end at exactly 1.0 on
+    both halves, and every term is |F_a - F_b| of the shares shown."""
+    from savio_training_dask_2019_spark.queries.timeseries import q_drift_ks
+
+    rows = q_drift_ks(spark, sf_dir).collect()
+    assert rows, "fixture must populate at least one bucket"
+    prev_a = prev_b = 0.0
+    for r in rows:
+        assert r["cum_share_a"] >= prev_a and r["cum_share_b"] >= prev_b
+        assert abs(r["ks_term"] - round(abs(r["cum_share_a"] - r["cum_share_b"]), 6)) < 2e-6
+        prev_a, prev_b = r["cum_share_a"], r["cum_share_b"]
+    assert rows[-1]["cum_share_a"] == 1.0 and rows[-1]["cum_share_b"] == 1.0
+
+
+def test_drift_ks_detects_planted_shift(spark, tmp_path):
+    """Half A ~ uniform[0,80), half B ~ uniform[160,240): disjoint supports
+    => D = max ks_term must hit 1.0; no-shift twin stays at 0.0."""
+    import pandas as pd
+
+    n = 400
+    a = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": pd.Timestamp("2024-01-10"),  # before the split
+            "user_id": 1,
+            "event_type": "x",
+            "value": [float(i % 80) for i in range(n)],
+            "props": "{}",
+        }
+    )
+    b = a.copy()
+    b["ts"] = pd.Timestamp("2024-01-20")  # after the split
+    b["value"] = b["value"] + 160.0
+    # separate dirs: load_table memoizes per (session, sf_dir, table), so
+    # overwriting one path mid-test would read a stale cached scan
+    shift, noshift = tmp_path / "shift", tmp_path / "noshift"
+    shift.mkdir(), noshift.mkdir()
+    pd.concat([a, b]).to_parquet(shift / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_drift_ks
+
+    d = max(r["ks_term"] for r in q_drift_ks(spark, str(shift)).collect())
+    assert d == 1.0
+
+    b2 = a.copy()
+    b2["ts"] = pd.Timestamp("2024-01-20")
+    pd.concat([a, b2]).to_parquet(noshift / "events.parquet", index=False)
+    d0 = max(r["ks_term"] for r in q_drift_ks(spark, str(noshift)).collect())
+    assert d0 == 0.0

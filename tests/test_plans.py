@@ -244,7 +244,10 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
 #                    TakeOrdered cut, so it sees <= max(K) rows (constant).
 #   zipf_curve     — ranking window runs strictly above a TakeOrdered
 #                    top-K cut, so it sees <= _ZIPF_TOP_K rows (constant).
-_BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage", "zipf_curve"}
+#   drift_ks       — cumulative-count window runs strictly above the
+#                    localCheckpoint'ed bins table, so it sees <= _KS_B
+#                    (64) rows at any corpus size.
+_BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage", "zipf_curve", "drift_ks"}
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
 # documented inherent reason — NOT a lineage-re-execution bug:
@@ -295,6 +298,9 @@ _MAX_PARQUET_SCANS = {
     # three distinct fact tables profiled (one scan each; each keyset is
     # an independent groupBy→scalar-agg chain)
     "skew_profile": 3,
+    # two-pass robust stats: median build + the dev pass feeding MAD +
+    # the final scoring pass (med/mad themselves checkpointed O(groups))
+    "outlier_mad": 3,
     # brute_knn_join's corpus+query branches + the corpus-label and
     # query-label join-backs (at prod scale labels live in the same scan;
     # the fixture derives all four from one table)
@@ -351,6 +357,7 @@ _MAX_BNLJ = {
     "dedup_incremental_bloom": 2,  # ONE bitset attach, printed under both
                             # union branches (physically reused broadcast)
     "doc_tfidf": 1,         # 1-row corpus doc count
+    "drift_ks": 1,          # 1-row half-totals scalar (drift family shape)
     "drift_numeric": 1,     # 1-row half-totals scalar (drift_psi's twin)
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
@@ -388,6 +395,7 @@ _MAX_SINGLE_PARTITION = {
     "dedup_incremental_bloom": 2,  # one bitset fold printed under both branches
     "dedup_stats": 1,
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
+    "drift_ks": 2,  # 1-row totals fold + the <=_KS_B-row cumulative window
     "drift_numeric": 1, "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heavy_domains": 1,
