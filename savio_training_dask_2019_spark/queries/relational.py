@@ -1099,6 +1099,99 @@ def _skew_one(spark: SparkSession, sf_dir: str, label: str, table: str, key: str
     )
 
 
+# (label, left table, left key, right table, right key) sized by
+# q_join_explosion — includes one 1:N join and one self-join (the shape
+# where output cardinality silently goes quadratic in hot keys)
+_JOINSIZE_SETS = (
+    ("orders*lineitem@orderkey", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer*orders@custkey", "customer", "c_custkey", "orders", "o_custkey"),
+    ("events*events@user_id", "events", "user_id", "events", "user_id"),
+)
+
+
+def _join_size_one(
+    spark: SparkSession, sf_dir: str, label: str, ta: str, ka: str, tb: str, kb: str
+) -> DataFrame:
+    ca = (
+        load_table(spark, sf_dir, ta)
+        .groupBy(F.col(ka).alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        load_table(spark, sf_dir, tb)
+        .groupBy(F.col(kb).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    per_key = ca.join(cb, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("out_k"), "ca", "cb"
+    )
+    tot_a = load_table(spark, sf_dir, ta).count()
+    tot_b = load_table(spark, sf_dir, tb).count()
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys_matched"),
+        F.sum("out_k").alias("out_rows"),
+        F.max("out_k").alias("max_key_out"),
+    ).select(
+        F.lit(label).alias("join_label"),
+        F.lit(tot_a).cast("bigint").alias("in_rows_a"),
+        F.lit(tot_b).cast("bigint").alias("in_rows_b"),
+        "n_keys_matched",
+        "out_rows",
+        "max_key_out",
+        F.round(F.col("out_rows") / F.lit(tot_a + tot_b), 4).alias("blowup"),
+        F.round(F.col("max_key_out") / F.col("out_rows"), 6).alias("top_key_share"),
+    )
+
+
+def q_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight — skew_profile's companion: BEFORE
+    committing a 100 TB join, estimate its EXACT output size from the two
+    sides' per-key count tables (output rows = Σ_k cnt_a(k)·cnt_b(k) — an
+    identity, not an estimate, for equi-joins). Per candidate join: both
+    input sizes, matched-key count, exact output rows, the hottest key's
+    output contribution and share (the straggler predictor), and the
+    blow-up factor vs the combined inputs. The events self-join row is the
+    canonical trap this catches: output grows with Σ cnt², quadratic in
+    hot keys while inputs look innocent.
+
+    Scale: per join TWO partial+final hash aggs (shuffles carry O(keys))
+    + ONE O(keys)⋈O(keys) join + a scalar fold — the fact tables
+    themselves never join; every arithmetic term is BIGINT-exact. The two
+    `.count()`s are 1-scalar driver reads of columnar row counts."""
+    parts = [
+        _join_size_one(spark, sf_dir, label, ta, ka, tb, kb)
+        for label, ta, ka, tb, kb in _JOINSIZE_SETS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _join_size_one_sql(label: str, ta: str, ka: str, tb: str, kb: str) -> str:
+    return f"""
+SELECT '{label}' AS join_label,
+       (SELECT count(*) FROM {ta}) AS in_rows_a,
+       (SELECT count(*) FROM {tb}) AS in_rows_b,
+       count(*) AS n_keys_matched,
+       CAST(sum(out_k) AS BIGINT) AS out_rows,
+       CAST(max(out_k) AS BIGINT) AS max_key_out,
+       round(sum(out_k) * 1.0 / ((SELECT count(*) FROM {ta}) + (SELECT count(*) FROM {tb})), 4) AS blowup,
+       round(max(out_k) * 1.0 / sum(out_k), 6) AS top_key_share
+FROM (
+  SELECT a.k, a.ca * b.cb AS out_k
+  FROM (SELECT {ka} AS k, CAST(count(*) AS BIGINT) AS ca FROM {ta} GROUP BY 1) a
+  JOIN (SELECT {kb} AS k, CAST(count(*) AS BIGINT) AS cb FROM {tb} GROUP BY 1) b USING (k)
+)
+"""
+
+
+_JOIN_EXPLOSION_SQL = "\nUNION ALL\n".join(
+    _join_size_one_sql(label, ta, ka, tb, kb)
+    for label, ta, ka, tb, kb in _JOINSIZE_SETS
+)
+
+
 def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew pre-flight diagnostic — the profiling run a 100 TB operator
     does BEFORE committing to a shuffle key (the groupBy/join analog of
@@ -1165,6 +1258,7 @@ QUERIES = {
     "nullsafe_join": q_nullsafe_join,
     "fuzzy_join": q_fuzzy_join,
     "skew_profile": q_skew_profile,
+    "join_explosion": q_join_explosion,
     "pagerank": q_pagerank,
     "percentiles": q_percentiles,
     "outlier_mad": q_outlier_mad,
@@ -1207,6 +1301,7 @@ ORACLE = {
     "nullsafe_join": _NULLSAFE_JOIN_SQL,
     "fuzzy_join": _FUZZY_JOIN_SQL,
     "skew_profile": _SKEW_PROFILE_SQL,
+    "join_explosion": _JOIN_EXPLOSION_SQL,
     "outlier_mad": _OUTLIER_MAD_SQL,
     "pagerank": _PAGERANK_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,

@@ -132,6 +132,32 @@ def test_outlier_mad_zero_mad_group_flags_any_deviation(spark, tmp_path):
     assert r["mad"] == 0.0 and r["n_outliers"] == 2
 
 
+# --- join_explosion ----------------------------------------------------------
+
+
+def test_join_explosion_predicts_actual_join_cardinality(spark, sf_dir):
+    """out_rows is an IDENTITY for equi-joins (Σ cnt_a·cnt_b), not an
+    estimate: it must equal the actual join's count for every profiled
+    pair — including the events self-join, the quadratic trap row."""
+    from savio_training_dask_2019_spark.queries.relational import (
+        _JOINSIZE_SETS,
+        q_join_explosion,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    got = {r["join_label"]: r for r in q_join_explosion(spark, sf_dir).collect()}
+    assert set(got) == {label for label, *_ in _JOINSIZE_SETS}
+    for label, ta, ka, tb, kb in _JOINSIZE_SETS:
+        a = load_table(spark, sf_dir, ta).select(F.col(ka).alias("k"))
+        b = load_table(spark, sf_dir, tb).select(F.col(kb).alias("k"))
+        actual = a.join(b, "k").count()
+        assert got[label]["out_rows"] == actual, label
+    # the self-join row must show the quadratic signature: blowup > 1
+    self_row = got["events*events@user_id"]
+    assert self_row["blowup"] > 1.0
+    assert 0.0 < self_row["top_key_share"] <= 1.0
+
+
 # --- drift_ks ----------------------------------------------------------------
 
 

@@ -301,6 +301,9 @@ _MAX_PARQUET_SCANS = {
     # two-pass robust stats: median build + the dev pass feeding MAD +
     # the final scoring pass (med/mad themselves checkpointed O(groups))
     "outlier_mad": 3,
+    # 3 candidate joins × both sides' per-key count tables (one scan
+    # each); the fact tables themselves never join — only O(keys) tables
+    "join_explosion": 6,
     # brute_knn_join's corpus+query branches + the corpus-label and
     # query-label join-backs (at prod scale labels live in the same scan;
     # the fixture derives all four from one table)
@@ -404,6 +407,7 @@ _MAX_SINGLE_PARTITION = {
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
     "pq_encode": 1,
+    "join_explosion": 3,  # one scalar fold per candidate join's key table
     "sample_mod": 1,
     "skew_profile": 3,  # one scalar fold over each keyset's counts table
     "unigram_logprob": 2, "vocab_coverage": 1,
