@@ -218,6 +218,90 @@ FROM s GROUP BY query_id, query_label
 """
 
 
+_RRF_K = 60      # the standard RRF smoothing constant (Cormack et al. 2009)
+_RRF_DEPTH = 10  # per-arm retrieval depth
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher, SIGIR 2009) — the modern RAG default: fuse a LEXICAL ranking
+    (BM25 top-{d} over documents, the q_bm25_search arm) with a DENSE
+    ranking (exact-cosine top-{d} vs the vec_id=0 query embedding, the
+    q_knn_brute arm) as ``rrf = Σ_arms 1/({k} + rank)``, full-outer so a
+    doc ranked by only one arm still scores (the realistic partial-overlap
+    case — the fixture's embedding set covers a subset of the document
+    id space, exactly the production shape where only part of the corpus
+    is embedded). Ranks come from each arm's ROUNDED score with an id
+    tie-break, so the fused order is engine-independent; the two-term sum
+    is a fixed-order add of two IEEE doubles, no accumulation.
+
+    Scale: each arm is its own already-audited plan (BM25: query-term
+    filter BEFORE the tf agg; dense: one corpus scan TakeOrdered). The
+    fusion itself touches 2×{d} rows: two ranking windows each strictly
+    above a top-{d} limit (allowlisted with that bound) + one {d}-row
+    full-outer join. Fusing rankers costs nothing; running them does."""
+    from .textops import q_bm25_search
+
+    lex = q_bm25_search(spark, sf_dir)  # (doc_id, bm25) top-N
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    dense = brute_knn(
+        emb, "embedding", "vec_id", qv, k=_RRF_DEPTH, exclude_id=0
+    )  # (id, cosine)
+
+    from pyspark.sql import Window
+
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    lr = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(wl).cast("int").alias("r_lex"),
+    )
+    dr = dense.select(
+        "id", F.row_number().over(wd).cast("int").alias("r_dense")
+    )
+    fused = lr.join(dr, "id", "full")
+    return fused.select(
+        "id",
+        "r_lex",
+        "r_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    ).orderBy(F.col("rrf").desc(), F.col("id").asc())
+
+
+q_rrf_hybrid.__doc__ = q_rrf_hybrid.__doc__.format(d=_RRF_DEPTH, k=_RRF_K)
+
+
+def _rrf_sql() -> str:
+    from .textops import _BM25_SQL
+
+    return f"""
+WITH lex AS ({_BM25_SQL}),
+lr AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+  FROM lex
+),
+dense AS ({_KNN_BRUTE_SQL}),
+dr AS (
+  SELECT id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, id) AS INTEGER) AS r_dense
+  FROM dense
+)
+SELECT coalesce(lr.id, dr.id) AS id, r_lex, r_dense,
+       round(coalesce(1.0 / ({_RRF_K} + r_lex), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + r_dense), 0.0), 6) AS rrf
+FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
+ORDER BY rrf DESC, id
+"""
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via BucketedRandomProjectionLSH (rows-only: LSH bucket
     assignment is engine-specific; recall is pytest-checked against brute)."""
@@ -1013,6 +1097,7 @@ QUERIES = {
     "knn_join": q_knn_join,
     "hard_negatives": q_hard_negatives,
     "retrieval_eval": q_retrieval_eval,
+    "rrf_hybrid": q_rrf_hybrid,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_cells": q_knn_cells,
@@ -1035,6 +1120,7 @@ ORACLE = {
     "knn_join": _KNN_JOIN_SQL,
     "hard_negatives": _HARD_NEGATIVES_SQL,
     "retrieval_eval": _RETRIEVAL_EVAL_SQL,
+    "rrf_hybrid": _rrf_sql(),
     # knn_lsh: rows-only by design (engine-specific bucketing)
     "knn_cells": _KNN_CELLS_SQL,
     "vector_stats": _VECTOR_STATS_SQL,

@@ -158,6 +158,37 @@ def test_join_explosion_predicts_actual_join_cardinality(spark, sf_dir):
     assert 0.0 < self_row["top_key_share"] <= 1.0
 
 
+# --- rrf_hybrid ----------------------------------------------------------------
+
+
+def test_rrf_hybrid_fusion_contract(spark, sf_dir):
+    """Every id from either arm appears exactly once; rrf equals the
+    1/(K+rank) identity of the ranks shown; both-arm docs beat what either
+    of their single arms alone would contribute."""
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _RRF_DEPTH,
+        _RRF_K,
+        q_rrf_hybrid,
+    )
+
+    rows = q_rrf_hybrid(spark, sf_dir).collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    n_lex = sum(r["r_lex"] is not None for r in rows)
+    n_dense = sum(r["r_dense"] is not None for r in rows)
+    assert n_lex == _RRF_DEPTH and n_dense == _RRF_DEPTH
+    for r in rows:
+        assert r["r_lex"] is not None or r["r_dense"] is not None
+        want = sum(
+            1.0 / (_RRF_K + rank)
+            for rank in (r["r_lex"], r["r_dense"])
+            if rank is not None
+        )
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
+        if r["r_lex"] is not None and r["r_dense"] is not None:
+            assert r["rrf"] > round(1.0 / (_RRF_K + min(r["r_lex"], r["r_dense"])), 6) - 1e-9
+
+
 # --- drift_ks ----------------------------------------------------------------
 
 

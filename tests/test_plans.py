@@ -238,8 +238,9 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
     vectorops.invalidate_cached_indexes()
 
 
-# Queries allowed to keep ONE unpartitioned Window, each with a documented
-# row bound that makes the single task safe at any corpus size:
+# Queries allowed to keep unpartitioned Windows (value = how many), each
+# with a documented row bound that makes the single task safe at any
+# corpus size:
 #   vocab_coverage — residual ranking window runs strictly above a
 #                    TakeOrdered cut, so it sees <= max(K) rows (constant).
 #   zipf_curve     — ranking window runs strictly above a TakeOrdered
@@ -247,7 +248,14 @@ def test_headline_plan_shapes_pinned(spark, sf_dir):
 #   drift_ks       — cumulative-count window runs strictly above the
 #                    localCheckpoint'ed bins table, so it sees <= _KS_B
 #                    (64) rows at any corpus size.
-_BOUNDED_WINDOW_ALLOWLIST = {"vocab_coverage", "zipf_curve", "drift_ks"}
+#   rrf_hybrid     — TWO ranking windows, one per retrieval arm, each
+#                    strictly above that arm's top-k limit (<= 10 rows).
+_BOUNDED_WINDOW_ALLOWLIST = {
+    "vocab_coverage": 1,
+    "zipf_curve": 1,
+    "drift_ks": 1,
+    "rrf_hybrid": 2,
+}
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
 # documented inherent reason — NOT a lineage-re-execution bug:
@@ -379,6 +387,7 @@ _MAX_BNLJ = {
     "pq_encode": 1,         # 1-row codebook-array attach
     "range_join": 1,        # intentional theta/range join demo
     "retrieval_eval": 1,    # broadcast eval-query batch (brute_knn_join)
+    "rrf_hybrid": 1,        # the BM25 arm's 1-row (N, avgdl) stats attach
     "unigram_logprob": 2,   # 1-row corpus total ×2 (model + scoring)
     "vocab_coverage": 1,    # 1-row total token mass
 }
@@ -408,6 +417,7 @@ _MAX_SINGLE_PARTITION = {
     "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
     "pq_encode": 1,
     "join_explosion": 3,  # one scalar fold per candidate join's key table
+    "rrf_hybrid": 2,  # <=10-row ranking-window funnels, one per arm
     "sample_mod": 1,
     "skew_profile": 3,  # one scalar fold over each keyset's counts table
     "unigram_logprob": 2, "vocab_coverage": 1,
@@ -430,7 +440,7 @@ def test_no_unpartitioned_window_anywhere_in_catalog(spark, sf_dir):
     for qname, fn in sorted(QUERIES.items()):
         df = fn(spark, sf_dir)
         n = plans.unpartitioned_window_count(df)
-        limit = 1 if qname in _BOUNDED_WINDOW_ALLOWLIST else 0
+        limit = _BOUNDED_WINDOW_ALLOWLIST.get(qname, 0)
         if n > limit:
             offenders[qname] = n
         sc = plans.scan_count(df)
