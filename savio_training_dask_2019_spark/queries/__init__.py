@@ -305,10 +305,12 @@ if _MISSING:
 #     partitioning-invariance pin); and join_explosion (exact
 #     join-output-cardinality pre-flight from the two sides' per-key
 #     count tables — Σ ca·cb, pinned equal to the actual join count;
-#     oracle-backed); and rrf_hybrid (reciprocal-rank fusion of the BM25
+#     oracle-backed); rrf_hybrid (reciprocal-rank fusion of the BM25
 #     and exact-cosine arms — hybrid retrieval, the RAG default;
-#     oracle-backed). Catalog at end of r10:
-#     150 queries, 130 oracle-backed, 20 rows-only. Scale-sensitivity
+#     oracle-backed); and fuzzy_clusters (entity resolution end-to-end:
+#     PassJoin pairs collapsed by connected components into canonical
+#     ids; oracle-backed via recursive CTE). Catalog at end of r10:
+#     151 queries, 131 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -385,7 +387,8 @@ if _MISSING:
 # chunk_documents, quantize_int8, cms_counts, dedup_incremental_bloom,
 # source_overlap, drift_numeric, decontam_semantic, weighted_sample,
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
-# outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid —
+# outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
+# fuzzy_clusters —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

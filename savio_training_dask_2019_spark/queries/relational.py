@@ -547,6 +547,58 @@ WHERE levenshtein(a.nm, b.nm) <= {_FUZZY_K}
 """
 
 
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the composition a record-linkage
+    pipeline actually ships: PassJoin edit-distance pairs (`fuzzy_join`'s
+    operator) collapsed into connected components, so every typo-variant
+    family gets one canonical id (the min reachable c_custkey). The same
+    pairs→clusters step `dedup_clusters` runs on n-gram Jaccard edges,
+    here on SEQUENCE-similarity edges — together they close the loop from
+    "which strings look alike" to "which rows are the same entity".
+
+    Scale: the pair tier is the lossless pigeonhole blocking (one segment
+    shuffle, never all-pairs); the collapse is min-label propagation with
+    O(diameter) rounds, checkpointed per round (operators.dedup
+    .connected_components). Oracle: DuckDB recursive CTE computing the
+    same min-reachable id over definitional all-pairs edges."""
+    from ..operators.dedup import connected_components
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % _FUZZY_MOD == 0
+    )
+    pairs = edit_distance_join(c, "c_custkey", "c_name", k=_FUZZY_K)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(F.col("id").alias("c_custkey"), "cluster_id").orderBy(
+        "c_custkey"
+    )
+
+
+_FUZZY_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+s AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+  WHERE c_custkey % {_FUZZY_MOD} = 0 AND length(c_name) > {_FUZZY_K}
+),
+edges AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM s a JOIN s b
+    ON a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= {_FUZZY_K}
+  WHERE levenshtein(a.nm, b.nm) <= {_FUZZY_K}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM edges
+),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT sy.a, reach.r FROM sym sy JOIN reach ON sy.b = reach.id
+)
+SELECT id AS c_custkey, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (dask uses t-digest approx; hash-checked
     queries use the exact variant per SURVEY.md §5)."""
@@ -1257,6 +1309,7 @@ QUERIES = {
     "kll_quantiles": q_kll_quantiles,
     "nullsafe_join": q_nullsafe_join,
     "fuzzy_join": q_fuzzy_join,
+    "fuzzy_clusters": q_fuzzy_clusters,
     "skew_profile": q_skew_profile,
     "join_explosion": q_join_explosion,
     "pagerank": q_pagerank,
@@ -1300,6 +1353,7 @@ ORACLE = {
     "grouping_sets": _GROUPING_SETS_SQL,
     "nullsafe_join": _NULLSAFE_JOIN_SQL,
     "fuzzy_join": _FUZZY_JOIN_SQL,
+    "fuzzy_clusters": _FUZZY_CLUSTERS_SQL,
     "skew_profile": _SKEW_PROFILE_SQL,
     "join_explosion": _JOIN_EXPLOSION_SQL,
     "outlier_mad": _OUTLIER_MAD_SQL,

@@ -103,6 +103,53 @@ def test_plan_is_equi_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+# --- fuzzy_clusters ----------------------------------------------------------
+
+
+def test_fuzzy_clusters_planted_families(spark, tmp_path):
+    """Entity families planted as typo variants (distance <= 2 inside a
+    family, far across families): one cluster per family, cluster_id = the
+    family's min custkey, singleton strings absent (no edges)."""
+    import pandas as pd
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        _FUZZY_MOD,
+        q_fuzzy_clusters,
+    )
+
+    # keys all ≡ 0 (mod _FUZZY_MOD) so every row passes the slice filter
+    m = _FUZZY_MOD
+    rows = [
+        (0 * m, "alpha-entity-x"),
+        (1 * m, "alpha-entity-xy"),   # +1 char
+        (2 * m, "alpha-entity-z"),    # 1 sub
+        (10 * m, "beta-something-q"),
+        (11 * m, "beta-something-qq"),
+        (20 * m, "GAMMA-UNIQUE-FAR"),  # singleton: no neighbors
+    ]
+    pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "c_name": [r[1] for r in rows],
+            "c_nationkey": 0,
+            "c_acctbal": 0.0,
+            "c_mktsegment": "X",
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+
+    got = {
+        r["c_custkey"]: r["cluster_id"]
+        for r in q_fuzzy_clusters(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: 0,
+        1 * m: 0,
+        2 * m: 0,
+        10 * m: 10 * m,
+        11 * m: 10 * m,
+    }
+
+
 # --- skew_profile ----------------------------------------------------------
 
 
