@@ -128,6 +128,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"SQ8 tier: int8 codes, reconstruction err worst {e8['worst']} / "
         f"mean-max {e8['mean_max']} (bound: scale/254)"
     )
+
+    # 6. grade the approximate tier: recall@k of the cell-kNN results vs
+    #    the exact-cosine ground truth (the retrieval_eval loop). The eval
+    #    query set is small BY DESIGN — approximate tiers exist precisely
+    #    so only this harness pays the exact corpus scan.
+    from savio_training_dask_2019_spark.operators.similarity import brute_knn_join
+
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    truth = brute_knn_join(qs, emb, "embedding", "vec_id", k=3, exclude_self=True)
+    n_truth = truth.count()
+    n_hit = truth.join(
+        knn.select("query_id", "corpus_id"), ["query_id", "corpus_id"], "left_semi"
+    ).count()
+    print(f"approx-tier recall@3 vs exact: {n_hit}/{n_truth} = {n_hit / n_truth:.3f}")
     print("ann pipeline complete")
 
 

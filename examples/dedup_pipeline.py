@@ -48,6 +48,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
+    # 0. pre-flight: profile the dedup shuffle key BEFORE committing to it
+    #    (the skew_profile/join_explosion discipline) — at 100 TB a hot
+    #    content hash (a boilerplate page mirrored millions of times)
+    #    predicts the straggler task; the numbers below size the salting /
+    #    AQE-skew thresholds for stage 1's shuffle.
+    key_counts = docs.groupBy(F.xxhash64("text").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pre = key_counts.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.max("c").alias("hottest"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("hot_share"),
+    ).first()
+    print(
+        f"pre-flight: {pre['keys']} distinct content hashes, hottest key "
+        f"x{pre['hottest']} ({pre['hot_share']:.1%} of rows)"
+    )
+
     # 1. exact tier: collapse byte-identical copies (keep lowest doc_id).
     #    A quality-aware pipeline swaps in keep_best_by_hash(docs, "text",
     #    "doc_id", score=...) — same single hash shuffle, argmax instead of
