@@ -307,10 +307,13 @@ if _MISSING:
 #     count tables — Σ ca·cb, pinned equal to the actual join count;
 #     oracle-backed); rrf_hybrid (reciprocal-rank fusion of the BM25
 #     and exact-cosine arms — hybrid retrieval, the RAG default;
-#     oracle-backed); and fuzzy_clusters (entity resolution end-to-end:
+#     oracle-backed); fuzzy_clusters (entity resolution end-to-end:
 #     PassJoin pairs collapsed by connected components into canonical
-#     ids; oracle-backed via recursive CTE). Catalog at end of r10:
-#     151 queries, 131 oracle-backed, 20 rows-only. Scale-sensitivity
+#     ids; oracle-backed via recursive CTE); and range_join_banded (the
+#     range_join demo's semantics as a band EQUI-join, no-BNLJ pinned —
+#     the large-irregular-interval scale path; oracle-backed, same
+#     definitional theta oracle shape). Catalog at end of r10:
+#     152 queries, 132 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -388,7 +391,7 @@ if _MISSING:
 # source_overlap, drift_numeric, decontam_semantic, weighted_sample,
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
 # outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
-# fuzzy_clusters —
+# fuzzy_clusters, range_join_banded —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.fuzzy import edit_distance_join
 from ..operators.graph import pagerank, pagerank_oracle_cte
+from ..operators.ranges import banded_range_join
 from ..sources import load_table
 
 
@@ -371,6 +372,60 @@ JOIN (SELECT i AS bucket, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
       FROM generate_series(0, 4) t(i)) b
   ON e.value >= b.lo AND e.value < b.hi
 GROUP BY bucket
+"""
+
+
+_BANDED_N_IV = 40   # irregular, overlapping demo intervals
+_BANDED_W = 50.0    # band width (events.value spans ~0..500)
+
+
+def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for `range_join`: the same interval-containment
+    semantics executed as a plain EQUI-join on fixed-width value bands
+    (``operators.ranges.banded_range_join``) instead of a
+    BroadcastNestedLoopJoin. The demo intervals are {n} irregular,
+    OVERLAPPING spans (integer-exact endpoints), the shape where neither
+    the BNLJ (O(rows·intervals)) nor a derived bucket column (regular
+    grids only) survives a large interval table — think IP→geo blocks.
+    Per interval: match count and mean value.
+
+    Scale: each interval replicates onto span/width+1 bands (the caller's
+    knob), facts band once; the join is a band-key equi-join — broadcast
+    hash here, shuffle-hash with AQE skew-split when the banded interval
+    table outgrows broadcast. The exact containment predicate after the
+    band match makes the result identical to the definitional theta join,
+    which is exactly what the oracle runs."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    iv = spark.range(_BANDED_N_IV).select(
+        F.col("id").alias("iv_id"),
+        ((F.col("id") * 37) % 400).cast("double").alias("lo"),
+        ((F.col("id") * 37) % 400 + 15 + (F.col("id") % 5) * 20)
+        .cast("double")
+        .alias("hi"),
+    )
+    j = banded_range_join(e, "value", iv, "lo", "hi", band_width=_BANDED_W)
+    return (
+        j.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("iv_id")
+    )
+
+
+q_range_join_banded.__doc__ = q_range_join_banded.__doc__.format(n=_BANDED_N_IV)
+
+_RANGE_JOIN_BANDED_SQL = f"""
+SELECT iv_id, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events e
+JOIN (SELECT i AS iv_id,
+             CAST(i * 37 % 400 AS DOUBLE) AS lo,
+             CAST(i * 37 % 400 + 15 + (i % 5) * 20 AS DOUBLE) AS hi
+      FROM generate_series(0, {_BANDED_N_IV - 1}) t(i)) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY iv_id
+ORDER BY iv_id
 """
 
 
@@ -1303,6 +1358,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "cross_join": q_cross_join,
     "range_join": q_range_join,
+    "range_join_banded": q_range_join_banded,
     "agg_stats": q_agg_stats,
     "distinct_approx": q_distinct_approx,
     "hll_sketch_union": q_hll_sketch_union,
@@ -1346,6 +1402,7 @@ ORACLE = {
     "anti_join": _ANTI_JOIN_SQL,
     "cross_join": _CROSS_JOIN_SQL,
     "range_join": _RANGE_JOIN_SQL,
+    "range_join_banded": _RANGE_JOIN_BANDED_SQL,
     "agg_stats": _AGG_STATS_SQL,
     "percentiles": _PERCENTILES_SQL,
     "corr_cov": _CORR_COV_SQL,

@@ -158,6 +158,72 @@ def test_join_explosion_predicts_actual_join_cardinality(spark, sf_dir):
     assert 0.0 < self_row["top_key_share"] <= 1.0
 
 
+# --- banded_range_join ---------------------------------------------------------
+
+
+def test_banded_range_join_differential_vs_theta(spark):
+    """Banded result must equal the definitional theta join exactly —
+    including values ON band edges and intervals spanning many bands /
+    sub-band slivers / empty (hi <= lo) intervals."""
+    from savio_training_dask_2019_spark.operators.ranges import banded_range_join
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [0.0, 9.99, 10.0, 10.01, 25.0, 50.0, 99.9, 100.0, 150.0, 249.99, 250.0]
+        )],
+        ["fid", "v"],
+    )
+    iv = spark.createDataFrame(
+        [
+            (0, 0.0, 10.0),     # exactly one band
+            (1, 5.0, 105.0),    # spans many bands
+            (2, 10.0, 10.5),    # sliver inside a band
+            (3, 240.0, 260.0),  # straddles a band edge
+            (4, 30.0, 30.0),    # empty by contract
+            (5, 99.0, 100.0),   # hi exactly on a band edge
+        ],
+        ["ivid", "lo", "hi"],
+    )
+    got = sorted(
+        (r["fid"], r["ivid"])
+        for r in banded_range_join(facts, "v", iv, "lo", "hi", band_width=10.0)
+        .select("fid", "ivid")
+        .collect()
+    )
+    want = sorted(
+        (r["fid"], r["ivid"])
+        for r in facts.join(
+            iv, (facts["v"] >= iv["lo"]) & (facts["v"] < iv["hi"])
+        )
+        .select("fid", "ivid")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    semi = banded_range_join(
+        facts, "v", iv, "lo", "hi", band_width=10.0, how="left_semi"
+    )
+    assert sorted(r["fid"] for r in semi.collect()) == sorted(
+        {f for f, _ in want}
+    )
+
+
+def test_banded_range_join_plan_is_equi_not_bnlj(spark, sf_dir):
+    """The operator's whole reason to exist: the catalog query's plan must
+    contain NO BroadcastNestedLoopJoin / CartesianProduct — the interval
+    containment rides a band equi-join."""
+    from savio_training_dask_2019_spark.queries.relational import q_range_join_banded
+
+    plan = (
+        q_range_join_banded(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # --- rrf_hybrid ----------------------------------------------------------------
 
 
