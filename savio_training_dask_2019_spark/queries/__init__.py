@@ -334,9 +334,11 @@ if _MISSING:
 #     boundary, where 1 ulp of cross-engine summation-order noise flips
 #     the rounded digit); it is in this window, so its first row
 #     witnesses the fixed form. (Non-query surface added alongside:
-#     operators/bloom.py, the shared bitset both bloom consumers use,
-#     and streaming.StreamingCountMin — the CMS streaming twin,
-#     exact-merge pinned, pytest by contract.)
+#     operators/bloom.py, the shared bitset both bloom consumers use;
+#     streaming.StreamingCountMin — the CMS streaming twin,
+#     exact-merge pinned, pytest by contract; and
+#     streaming.NumericDriftMonitor — drift_ks's foreachBatch twin,
+#     trailing-ring binned-histogram KS, pytest by contract.)
 #     - the flagship (agg_groupby);
 #     - 9 first driver rows (the only pre-r10 entries with none; judge
 #       replica r9: 7 oracle-equal, 2 rows-only, 0 failures): drift_psi,

@@ -21,8 +21,10 @@ from .ingest import incremental_ingest
 from .joins import interval_join
 from .stateful import (
     DriftMonitor,
+    NumericDriftMonitor,
     StreamingCountMin,
     StreamingWeightedReservoir,
+    ks_from_bin_counts,
     psi_from_counts,
     running_totals,
     streaming_heavy_hitters,
@@ -41,8 +43,10 @@ __all__ = [
     "running_totals",
     "streaming_heavy_hitters",
     "DriftMonitor",
+    "NumericDriftMonitor",
     "StreamingCountMin",
     "StreamingWeightedReservoir",
+    "ks_from_bin_counts",
     "psi_from_counts",
     "interval_join",
     "incremental_ingest",

@@ -31,6 +31,7 @@ from collections.abc import Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -225,6 +226,95 @@ class DriftMonitor:
         else:
             psi, self.last_terms = None, {}
         self.results.append((batch_id, psi, n_cur, n_ref))
+        self._ring.append(cur)
+
+
+def ks_from_bin_counts(
+    cur: dict, ref: dict
+) -> tuple[float, "int | None"]:
+    """Two-sample Kolmogorov–Smirnov statistic between two bin-count dicts
+    — the same binned-CDF terms as the batch monitor
+    (``queries.timeseries.q_drift_ks``): D = max over bins of
+    |cumF_cur - cumF_ref|, where each cumulative share is an exact integer
+    count divided once (no float accumulation). Pure Python on bins-sized
+    dicts — this runs on aggregation RESULTS, never on rows. Returns
+    (D rounded 6, argmax bucket — the value region driving the drift;
+    None when either side is empty)."""
+    tc, tr = sum(cur.values()), sum(ref.values())
+    if tc == 0 or tr == 0:
+        return 0.0, None
+    ca = cr = 0
+    best, arg = -1.0, None
+    for b in sorted(set(cur) | set(ref)):
+        ca += cur.get(b, 0)
+        cr += ref.get(b, 0)
+        d = abs(ca / tc - cr / tr)
+        if d > best:
+            best, arg = d, b
+    return round(best, 6), arg
+
+
+class NumericDriftMonitor:
+    """Streaming NUMERIC drift monitor — the KS member of the streaming
+    drift family (``DriftMonitor`` watches a categorical mix with PSI;
+    this watches a continuous column's distribution): each micro-batch's
+    frozen-width bin histogram is scored against a trailing reference of
+    the previous ``ref_batches`` batches with the two-sample KS statistic,
+    the streaming twin of ``queries.timeseries.q_drift_ks``.
+
+    Same foreachBatch architecture and rationale as ``DriftMonitor``:
+    the batch runs a DISTRIBUTED bucketed ``groupBy().count()`` (bin edges
+    FROZEN at construction — drift shows up in the bins, not as
+    re-binning; top bin clamped), only the O(n_bins) count table reaches
+    the driver, the ring holds O(n_bins·ref_batches) ints at any stream
+    volume, and a replayed ``batch_id`` is skipped idempotently. Batches
+    before the reference has data record ``d=None`` (no alarm before a
+    baseline). Results accumulate as ``(batch_id, d, argmax_bucket,
+    n_cur, n_ref)`` rows in ``.results``."""
+
+    def __init__(
+        self,
+        value: str = "value",
+        bin_width: float = 8.0,
+        n_bins: int = 64,
+        ref_batches: int = 7,
+    ) -> None:
+        from collections import deque
+
+        self.value = value
+        self.bin_width = float(bin_width)
+        self.n_bins = int(n_bins)
+        self.results: "list[tuple[int, float | None, int | None, int, int]]" = []
+        self._ring: "deque[dict]" = deque(maxlen=ref_batches)
+        self._seen: "set[int]" = set()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        self._seen.add(batch_id)
+        bucket = F.least(
+            F.greatest(
+                F.floor(F.col(self.value) / F.lit(self.bin_width)), F.lit(0)
+            ),
+            F.lit(self.n_bins - 1),
+        ).cast("int")
+        cur = {
+            r[0]: r[1]
+            for r in batch_df.where(F.col(self.value).isNotNull())
+            .groupBy(bucket.alias("b"))
+            .count()
+            .collect()
+        }
+        ref: dict = {}
+        for past in self._ring:
+            for b, n in past.items():
+                ref[b] = ref.get(b, 0) + n
+        n_cur, n_ref = sum(cur.values()), sum(ref.values())
+        if n_ref > 0 and n_cur > 0:
+            d, arg = ks_from_bin_counts(cur, ref)
+        else:
+            d, arg = None, None
+        self.results.append((batch_id, d, arg, n_cur, n_ref))
         self._ring.append(cur)
 
 

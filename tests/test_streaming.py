@@ -815,3 +815,58 @@ def test_streaming_weighted_reservoir_exact_merge(spark, tmp_path):
     before = acc.sample()
     acc(spark.createDataFrame([(5000, 10_000_000)], "doc_id long, w long"), 1)
     assert acc.sample() == before
+
+
+def test_numeric_drift_monitor_foreach_batch_ks(spark, tmp_path):
+    """Streaming KS drift monitor (foreachBatch): per-batch two-sample KS
+    vs the trailing reference, hand-computed on frozen 8-wide bins — batch
+    0 has no baseline (d None), an identical-mix batch scores 0.0, a
+    fully shifted batch scores 1.0 with the argmax bucket naming the value
+    region, the ring rolls off, and a replayed batch_id is skipped."""
+    import time as _time
+
+    from savio_training_dask_2019_spark.streaming import (
+        NumericDriftMonitor,
+        file_stream,
+        foreach_batch_sink,
+        ks_from_bin_counts,
+    )
+
+    # pure-function pin first: exact-integer cumulative shares
+    assert ks_from_bin_counts({0: 8, 2: 2}, {0: 8, 2: 2}) == (0.0, 0)
+    assert ks_from_bin_counts({12: 10}, {0: 16, 2: 4}) == (1.0, 2)
+    assert ks_from_bin_counts({}, {0: 1}) == (0.0, None)
+
+    src = str(tmp_path / "ksdrift_src")
+    now = _time.time()
+
+    def _write(name, vals, mtime):
+        df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        import os as _os
+
+        for root, _dirs, files in _os.walk(f"{src}/{name}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (mtime, mtime))
+
+    _write("b0", [4.0] * 8 + [20.0] * 2, now - 40)   # bins {0:8, 2:2}
+    _write("b1", [4.0] * 8 + [20.0] * 2, now - 30)   # identical mix
+    _write("b2", [100.0] * 10, now - 20)             # bin 12 only
+    _write("b3", [4.0] * 4, now - 10)                # ref = b1+b2 only
+
+    mon = NumericDriftMonitor(value="value", bin_width=8.0, n_bins=64, ref_batches=2)
+    q = foreach_batch_sink(file_stream(spark, f"{src}/*", "value double"), mon)
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    got = {bid: rest for bid, *rest in mon.results}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == [None, None, 10, 0]      # no baseline yet
+    assert got[1] == [0.0, 0, 10, 10]         # identical mix
+    assert got[2] == [1.0, 2, 10, 20]         # disjoint support, argmax bin 2
+    # b3: ref = b1+b2 = {0:8, 2:2, 12:10}; cur = {0:4}
+    # cum diffs: bin0 |1 - 8/20| = .6, bin2 |1 - 10/20| = .5, bin12 0
+    assert got[3] == [0.6, 0, 4, 20]
+
+    n_results, ring_before = len(mon.results), list(mon._ring)
+    mon(spark.createDataFrame([(999.0,)], "value double"), 3)  # replay
+    assert len(mon.results) == n_results and list(mon._ring) == ring_before
