@@ -86,6 +86,13 @@ HEADLINE = {
     "pq_adc": "pq_adc",
     "ivfpq": "ivfpq",
     "drift_psi": "drift_psi",
+    # r10 additions (frozen r10, same-day 4-run medians): the PassJoin
+    # segment-blocking join — the only row exercising the lossless-blocking
+    # candidate join mechanism, on the fixture's adversarial shared-prefix
+    # names — and the iterative Pregel loop (join+agg+checkpoint per round),
+    # the only row exercising per-iteration lineage truncation
+    "fuzzy_join": "fuzzy_join",
+    "pagerank": "pagerank",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

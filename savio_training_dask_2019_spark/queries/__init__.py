@@ -312,23 +312,39 @@ if _MISSING:
 #     ids; oracle-backed via recursive CTE); and range_join_banded (the
 #     range_join demo's semantics as a band EQUI-join, no-BNLJ pinned —
 #     the large-irregular-interval scale path; oracle-backed, same
-#     definitional theta oracle shape). Catalog at end of r10:
+#     definitional theta oracle shape; its avg switched to exact integer
+#     cents after the sf0.001 in-repo parity suite caught a group mean
+#     landing exactly on a 4-dp rounding boundary — the
+#     drift_psi_windowed float-boundary lesson applied again, and the
+#     reason the parity suite runs at a THIRD scale factor).
+#     Catalog at end of r10:
 #     152 queries, 132 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
-#     END-OF-ROUND full-catalog replica (after the last code change):
-#     121 ok / 20 rows-only / 0 FAILED of 141 at sf0.01 — the driver's
-#     exact gate over the complete catalog; every query added after the
-#     mid-round replica (drift_numeric, decontam_semantic,
+#     END-OF-ROUND full-catalog replica (re-run after the LAST code
+#     change, the range_join_banded integer-cents fix):
+#     132 ok / 20 rows-only / 0 FAILED of 152 at sf0.01 — the driver's
+#     exact gate over the complete catalog (two earlier same-round full
+#     replicas, at 141 and at 152 queries, were also 0-failure); every query
+#     added after the mid-round replica (drift_numeric, decontam_semantic,
 #     weighted_sample, snapshot_diff, melt_metrics, fuzzy_join,
-#     skew_profile, retrieval_eval, outlier_mad, drift_ks, pagerank)
+#     skew_profile, retrieval_eval, outlier_mad, drift_ks, pagerank,
+#     join_explosion, rrf_hybrid, fuzzy_clusters, range_join_banded)
 #     was ALSO individually green at sf0.1 (fuzzy_join returns 83,812
 #     pairs there — the blocking's losslessness holds at 10× the gate
 #     scale; pagerank compares 16,000 node ranks exactly).
-#     Final pytest over the finished round:
-#     404 passed + the graph/diagnostics file, 1 skipped (the documented
-#     conditional transformWithState smoke), 0 failed. drift_psi_windowed's
+#     fuzzy_join and pagerank were PROMOTED to the bench headliner tier
+#     the day they landed (frozen 2× targets from same-day 4-run medians:
+#     10,685 / 4,437 ms) — the two new scale mechanisms (lossless-blocking
+#     candidate join; iterative checkpointed Pregel loop) now carry
+#     per-round tripwires; a full 36-row suite invocation after the last
+#     code change ran 52.6 s with every row inside its target (join_3way
+#     at 713 ms — the r9 1.40× drift did not reproduce, closing VERDICT
+#     r9 #3's audit as single-run noise).
+#     Final pytest over the finished round (re-run after the last code
+#     change): 427 passed, 1 skipped (the documented conditional
+#     transformWithState smoke), 0 failed. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
 #     boundary, where 1 ulp of cross-engine summation-order noise flips

@@ -404,11 +404,20 @@ def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hi"),
     )
     j = banded_range_join(e, "value", iv, "lo", "hi", band_width=_BANDED_W)
+    # avg in exact integer cents (events.value is 2-dp money data): the
+    # BIGINT sum is order-independent and the single division of exact
+    # integers is bit-identical on both engines — a float avg put a
+    # group mean exactly on a 4-dp rounding boundary at sf0.001, where
+    # 1 ulp of summation-order noise flips the digit (the
+    # drift_psi_windowed lesson applied again)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         j.groupBy("iv_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(
+                F.sum(cents) / (F.lit(100.0) * F.count(F.lit(1))), 4
+            ).alias("avg_value"),
         )
         .orderBy("iv_id")
     )
@@ -417,7 +426,8 @@ def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_range_join_banded.__doc__ = q_range_join_banded.__doc__.format(n=_BANDED_N_IV)
 
 _RANGE_JOIN_BANDED_SQL = f"""
-SELECT iv_id, count(*) AS n_events, round(avg(value), 4) AS avg_value
+SELECT iv_id, count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_value
 FROM events e
 JOIN (SELECT i AS iv_id,
              CAST(i * 37 % 400 AS DOUBLE) AS lo,

@@ -202,6 +202,14 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     "pq_adc": (2, 1, 1, 3, (1, 1)),  # encode + map-literal ADC + TakeOrdered
     "ivfpq": (5, 3, 3, 9, (2, 4)),  # 3-stage composition; model attaches only
     "drift_psi": (0, 1, 1, 2, (1, 1)),  # checkpointed agg (scan at build); 1-row totals
+    # r10 additions, frozen r10. fuzzy_join: segment⋈substring equi-join —
+    # AQE broadcasts the deduped substring side at toy SF but the design
+    # does NOT require it (both sides are corpus-scale at 100 TB), hence
+    # bcast floor 0. pagerank: the returned frame reads the final
+    # iteration's checkpoint — every per-round shuffle ran eagerly at
+    # build (drift_psi precedent), so the static plan is exchange-free.
+    "fuzzy_join": (2, 0, 0, 2, (0, 1)),
+    "pagerank": (0, 0, 0, 0, (0, 0)),
 }
 
 
