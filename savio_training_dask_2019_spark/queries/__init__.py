@@ -316,9 +316,12 @@ if _MISSING:
 #     cents after the sf0.001 in-repo parity suite caught a group mean
 #     landing exactly on a 4-dp rounding boundary — the
 #     drift_psi_windowed float-boundary lesson applied again, and the
-#     reason the parity suite runs at a THIRD scale factor).
+#     reason the parity suite runs at a THIRD scale factor); and
+#     ohlc_bars (open/high/low/close resample bars via min_by/max_by on
+#     a (ts, event_id) struct key — deterministic tie-breaks, an oracle
+#     with NO rounding at all; oracle-backed at all three SFs).
 #     Catalog at end of r10:
-#     152 queries, 132 oracle-backed, 20 rows-only. Scale-sensitivity
+#     153 queries, 133 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -409,7 +412,7 @@ if _MISSING:
 # source_overlap, drift_numeric, decontam_semantic, weighted_sample,
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
 # outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
-# fuzzy_clusters, range_join_banded —
+# fuzzy_clusters, range_join_banded, ohlc_bars —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

@@ -405,6 +405,48 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_drift_psi.__doc__ = q_drift_psi.__doc__.format(eps=_DRIFT_EPS)
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample bars — the open/high/low/close member of the
+    resample family (`time_bucket` does count/avg; this adds the
+    FIRST/LAST-BY-TIME aggregates a market-data or metrics pipeline bars
+    with): per (event_type, hour), the value of the earliest event
+    (open), the latest (close), and the extremes (high/low).
+    Open/close use ``min_by``/``max_by`` with a (ts, event_id) struct
+    key, so simultaneous-timestamp ties break deterministically on the
+    unique event id — the same rounded-score-plus-id-tie-break discipline
+    as the ranking queries, making first/last engine-independent. Values
+    pass through unmodified (no arithmetic), so the oracle comparison is
+    exact with no rounding at all.
+
+    Scale: ONE partial+final hash agg — min_by/max_by carry a single
+    (key, value) pair per group through the shuffle, exactly like max;
+    no window, no sort, no second pass."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bar_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", key).alias("open"),
+            F.max_by("value", key).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
+
+
+_OHLC_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS bar_ts, count(*) AS n,
+       first(value ORDER BY ts, event_id) AS open,
+       last(value ORDER BY ts, event_id) AS close,
+       max(value) AS high, min(value) AS low
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _KS_W = 8.0  # KS bucket width over events.value (fixture ~0..500)
 _KS_B = 64   # buckets 0..63 (top bin clamped, drift_numeric convention)
 
@@ -726,6 +768,7 @@ QUERIES = {
     "drift_psi": q_drift_psi,
     "drift_numeric": q_drift_numeric,
     "drift_ks": q_drift_ks,
+    "ohlc_bars": q_ohlc_bars,
     "drift_psi_windowed": q_drift_psi_windowed,
     "funnel_stages": q_funnel_stages,
     "retention_daily": q_retention_daily,
@@ -744,6 +787,7 @@ ORACLE = {
     "drift_psi": _DRIFT_SQL,
     "drift_numeric": _NUM_DRIFT_SQL,
     "drift_ks": _DRIFT_KS_SQL,
+    "ohlc_bars": _OHLC_SQL,
     "drift_psi_windowed": _DRIFT_WINDOWED_SQL,
     "funnel_stages": _FUNNEL_SQL,
     "retention_daily": _RETENTION_SQL,

@@ -158,6 +158,44 @@ def test_join_explosion_predicts_actual_join_cardinality(spark, sf_dir):
     assert 0.0 < self_row["top_key_share"] <= 1.0
 
 
+# --- ohlc_bars -----------------------------------------------------------------
+
+
+def test_ohlc_bars_tie_break_and_extremes(spark, tmp_path):
+    """Simultaneous timestamps break on event_id (open = lowest id at the
+    earliest ts, close = highest id at the latest ts); high/low are the
+    bar extremes regardless of order."""
+    import pandas as pd
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_ohlc_bars
+
+    t0 = pd.Timestamp("2024-01-10 09:00:00")
+    rows = [
+        # (event_id, ts, value) — two ties at open, two at close
+        (5, t0, 100.0),
+        (2, t0, 50.0),                       # open: same ts, LOWER id wins
+        (7, t0 + pd.Timedelta("10min"), 999.0),   # high
+        (8, t0 + pd.Timedelta("20min"), 1.0),     # low
+        (3, t0 + pd.Timedelta("30min"), 70.0),
+        (9, t0 + pd.Timedelta("30min"), 80.0),    # close: same ts, HIGHER id wins
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": 1,
+            "event_type": "x",
+            "value": [r[2] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    bar = q_ohlc_bars(spark, str(tmp_path)).collect()[0]
+    assert bar["n"] == 6
+    assert bar["open"] == 50.0 and bar["close"] == 80.0
+    assert bar["high"] == 999.0 and bar["low"] == 1.0
+
+
 # --- banded_range_join ---------------------------------------------------------
 
 
