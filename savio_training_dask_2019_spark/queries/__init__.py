@@ -319,9 +319,12 @@ if _MISSING:
 #     reason the parity suite runs at a THIRD scale factor); and
 #     ohlc_bars (open/high/low/close resample bars via min_by/max_by on
 #     a (ts, event_id) struct key — deterministic tie-breaks, an oracle
-#     with NO rounding at all; oracle-backed at all three SFs).
-#     Catalog at end of r10:
-#     153 queries, 133 oracle-backed, 20 rows-only. Scale-sensitivity
+#     with NO rounding at all; oracle-backed at all three SFs); and
+#     trend_slope (per-group OLS slope of value vs time in exact BIGINT
+#     moment sums — calendar-day x, integer-cent y; oracle-backed at all
+#     three SFs + a planted-line pytest recovering slope/intercept
+#     EXACTLY). Catalog at end of r10:
+#     154 queries, 134 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -412,7 +415,7 @@ if _MISSING:
 # source_overlap, drift_numeric, decontam_semantic, weighted_sample,
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
 # outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
-# fuzzy_clusters, range_join_banded, ohlc_bars —
+# fuzzy_clusters, range_join_banded, ohlc_bars, trend_slope —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

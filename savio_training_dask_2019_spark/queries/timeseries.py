@@ -447,6 +447,81 @@ ORDER BY 1, 2
 """
 
 
+# fixed x-origin for the OLS sums: days are counted from 2024-01-01 (the
+# fixture stream's first day) so every moment sum stays BIGINT-exact
+_TREND_X0 = "2024-01-01"
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend detection — the least-squares slope of value vs
+    time for each event_type (is this metric drifting up or down, and how
+    fast): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in cents/day. EVERY
+    moment sum is an exact BIGINT — x = calendar days since a fixed
+    origin (both engines count day boundaries identically; epoch seconds
+    would be fractional in one engine and overflow the cross-moment
+    products in the other), y = exact integer cents (events.value is
+    2-dp money data) — so the sums are order-independent and the single
+    float division at the end is bit-identical across engines: the
+    closed-form OLS member of the fixed-point pagerank/drift_ks
+    discipline. Int64 headroom: n·Σxy ~ n²·days·cents stays exact past
+    sf1; beyond that, cast the four moment products to double (still
+    deterministic, just no longer exact) or shard the regression by time.
+
+    Scale: ONE partial+final hash agg over events — the five moment sums
+    all partial-aggregate map-side; no window, no join, no second scan."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts"), F.lit(_TREND_X0).cast("date")).cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_cents_per_day"
+        ),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / den.cast("double"))
+                * F.col("sx").cast("double")
+            )
+            / (F.lit(100.0) * F.col("n").cast("double")),
+            4,
+        ).alias("intercept_dollars"),
+    ).orderBy("event_type")
+
+
+_TREND_SLOPE_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(datediff('day', DATE '{_TREND_X0}', ts) AS BIGINT)) AS sx,
+         sum(CAST(round(value * 100) AS BIGINT)) AS sy,
+         sum(CAST(datediff('day', DATE '{_TREND_X0}', ts) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS sxy,
+         sum(CAST(datediff('day', DATE '{_TREND_X0}', ts) AS BIGINT)
+             * CAST(datediff('day', DATE '{_TREND_X0}', ts) AS BIGINT)) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / (100.0 * CAST(n AS DOUBLE)), 4) AS intercept_dollars
+FROM m ORDER BY event_type
+"""
+
+
 _KS_W = 8.0  # KS bucket width over events.value (fixture ~0..500)
 _KS_B = 64   # buckets 0..63 (top bin clamped, drift_numeric convention)
 
@@ -769,6 +844,7 @@ QUERIES = {
     "drift_numeric": q_drift_numeric,
     "drift_ks": q_drift_ks,
     "ohlc_bars": q_ohlc_bars,
+    "trend_slope": q_trend_slope,
     "drift_psi_windowed": q_drift_psi_windowed,
     "funnel_stages": q_funnel_stages,
     "retention_daily": q_retention_daily,
@@ -788,6 +864,7 @@ ORACLE = {
     "drift_numeric": _NUM_DRIFT_SQL,
     "drift_ks": _DRIFT_KS_SQL,
     "ohlc_bars": _OHLC_SQL,
+    "trend_slope": _TREND_SLOPE_SQL,
     "drift_psi_windowed": _DRIFT_WINDOWED_SQL,
     "funnel_stages": _FUNNEL_SQL,
     "retention_daily": _RETENTION_SQL,

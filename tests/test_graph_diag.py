@@ -196,6 +196,47 @@ def test_ohlc_bars_tie_break_and_extremes(spark, tmp_path):
     assert bar["high"] == 999.0 and bar["low"] == 1.0
 
 
+# --- trend_slope ----------------------------------------------------------------
+
+
+def test_trend_slope_recovers_planted_line(spark, tmp_path):
+    """Values exactly linear in day (y = 200 + 50·day cents, with a
+    symmetric ±10-cent wiggle that cancels in OLS) must recover slope 50.0
+    and intercept 2.00 exactly — the integer moment sums make the answer
+    closed-form, not approximate. A constant group has slope exactly 0."""
+    import pandas as pd
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_trend_slope
+
+    rows = []
+    eid = 0
+    for day in range(10):
+        for wiggle in (-10, 10):  # symmetric: no effect on slope/intercept
+            rows.append(
+                ("lin", pd.Timestamp("2024-01-01") + pd.Timedelta(days=day),
+                 (200 + 50 * day + wiggle) / 100.0)
+            )
+            rows.append(
+                ("flat", pd.Timestamp("2024-01-01") + pd.Timedelta(days=day), 7.25)
+            )
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows) * 0 + len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    got = {r["event_type"]: r for r in q_trend_slope(spark, str(tmp_path)).collect()}
+    assert got["lin"]["slope_cents_per_day"] == 50.0
+    assert got["lin"]["intercept_dollars"] == 2.0
+    assert got["flat"]["slope_cents_per_day"] == 0.0
+    assert got["flat"]["intercept_dollars"] == 7.25
+
+
 # --- banded_range_join ---------------------------------------------------------
 
 
