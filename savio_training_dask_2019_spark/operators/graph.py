@@ -37,10 +37,18 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 1_000_000,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """Fixed-point PageRank: ``(id, rank_micro)`` after ``iters`` rounds of
-    ``r' = ((den-num)·scale) div (den·N)  +  (num · Σ_in (r_src div deg_src)) div den``
+    ``r' = ((den-num)·scale) div (den·N)  +  (num · Σ_in contrib) div den``
     over the directed edge list, with ranks in integer micro-units.
+    Unweighted, ``contrib = r_src div deg_src``; with ``weight_col``
+    (positive BIGINT edge weights — trade volume, link count, token mass),
+    ``contrib = (r_src · w) div W_src`` where ``W_src`` is the node's total
+    outgoing weight — still pure BIGINT adds and floor divs, so the
+    weighted variant keeps the same engine/partitioning exactness
+    (``r·w`` stays inside int64 for weights up to ~9e12 at the default
+    scale — assert-guarded against non-positive weights upstream).
 
     Contract: every node must have out-degree >= 1 (no dangling mass) —
     pass a SYMMETRIZED edge list (both directions) for undirected graphs,
@@ -50,7 +58,10 @@ def pagerank(
     The driver holds exactly one scalar (N, the node count); everything
     else is DataFrame state checkpointed per iteration.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("w"))
+    e = edges.select(*cols)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -61,7 +72,10 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank_micro", F.lit(0).cast("bigint"))
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight_col is not None:
+        deg = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("deg"))
+    else:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # corpus-sized state, reused every iteration — persist once
     edges_deg = e.join(deg, "src").localCheckpoint(eager=True)
 
@@ -72,15 +86,16 @@ def pagerank(
         "rank_micro", F.lit(scale // n_nodes).cast("bigint")
     ).localCheckpoint(eager=True)
 
+    contrib_expr = (
+        "(rank_micro * w) div deg" if weight_col is not None else "rank_micro div deg"
+    )
     for _ in range(iters):
         contrib = (
             edges_deg.join(
                 ranks.select(F.col("id").alias("src"), "rank_micro"), "src"
             )
             .groupBy("dst")
-            .agg(
-                F.sum(F.expr("rank_micro div deg")).cast("bigint").alias("s")
-            )
+            .agg(F.sum(F.expr(contrib_expr)).cast("bigint").alias("s"))
         )
         ranks = (
             nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
@@ -107,18 +122,28 @@ def pagerank_oracle_cte(
     damping_den: int = 100,
     scale: int = 1_000_000,
     select_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """The DuckDB twin as chained CTEs — same integer micro-unit update,
     one CTE per iteration, generated for a fixed ``iters`` so the oracle is
     plain ANSI-ish SQL (no recursion). ``edges_sql`` must select columns
-    ``src, dst``; ``select_sql`` overrides the final projection over
-    ``r{iters}`` (default ``SELECT id, rank_micro FROM r{iters}``)."""
+    ``src, dst`` (plus ``w`` when ``weighted``); ``select_sql`` overrides
+    the final projection over ``r{iters}`` (default
+    ``SELECT id, rank_micro FROM r{iters}``)."""
+    if weighted:
+        deg_sql = "deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src)"
+        ed_sql = "ed AS (SELECT e.src, e.dst, e.w, deg.deg FROM e JOIN deg USING (src))"
+        contrib_sql = "(r.rank_micro * ed.w) // ed.deg"
+    else:
+        deg_sql = "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)"
+        ed_sql = "ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src))"
+        contrib_sql = "r.rank_micro // ed.deg"
     parts = [
         f"e AS ({edges_sql})",
         "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
         "n AS (SELECT count(*) AS n_nodes FROM nodes)",
-        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)",
-        "ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src))",
+        deg_sql,
+        ed_sql,
         f"""r0 AS (
   SELECT id, CAST({scale} // n_nodes AS BIGINT) AS rank_micro FROM nodes, n
 )""",
@@ -133,7 +158,7 @@ def pagerank_oracle_cte(
            AS rank_micro
   FROM nodes CROSS JOIN n
   LEFT JOIN (
-    SELECT ed.dst, sum(r.rank_micro // ed.deg) AS s
+    SELECT ed.dst, sum({contrib_sql}) AS s
     FROM ed JOIN r{i - 1} r ON r.id = ed.src
     GROUP BY ed.dst
   ) c ON c.dst = nodes.id

@@ -72,6 +72,60 @@ def test_pagerank_star_hub_wins_and_mass_bounded(spark):
     assert hub + sum(rows.values()) <= SCALE
 
 
+def _py_pagerank_weighted(edges, iters=5, num=85, den=100, scale=SCALE):
+    """Python reference for the weighted update: contrib = (r·w) // W_src."""
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    wout = {}
+    for a, _, w in edges:
+        wout[a] = wout.get(a, 0) + w
+    base = ((den - num) * scale) // (den * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b, w in edges:
+            s[b] += (r[a] * w) // wout[a]
+        r = {v: base + (num * s[v]) // den for v in nodes}
+    return r
+
+
+def test_pagerank_weighted_matches_python_reference(spark):
+    import random
+
+    from savio_training_dask_2019_spark.operators.graph import pagerank as pr
+
+    rng = random.Random(7)
+    tri = {(rng.randint(0, 29), rng.randint(30, 59)) for _ in range(120)}
+    edges = [(a, b, rng.randint(1, 50)) for a, b in sorted(tri)]
+    edges = edges + [(b, a, w) for a, b, w in edges]  # symmetric, same w
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pr(df, iters=5, weight_col="w").collect()
+    }
+    assert got == _py_pagerank_weighted(edges, iters=5)
+
+
+def test_pagerank_weighted_heavy_edge_dominates(spark):
+    """Node 1 gets a weight-98 edge from the hub, node 2 a weight-1 edge:
+    with identical topology, rank must follow the mass."""
+    from savio_training_dask_2019_spark.operators.graph import pagerank as pr
+
+    edges = [(0, 1, 98), (0, 2, 1), (0, 3, 1), (1, 0, 1), (2, 0, 1), (3, 0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["id"]: r["rank_micro"] for r in pr(df, iters=5, weight_col="w").collect()}
+    assert got[1] > got[2] == got[3]
+    # all-equal weights must reproduce the unweighted result exactly
+    eq = [(a, b, 1) for a, b, _ in edges]
+    w1 = {r["id"]: r["rank_micro"]
+          for r in pr(spark.createDataFrame(eq, ["src", "dst", "w"]),
+                      iters=4, weight_col="w").collect()}
+    unw = {r["id"]: r["rank_micro"]
+           for r in pr(spark.createDataFrame([(a, b) for a, b, _ in edges],
+                                             ["src", "dst"]), iters=4).collect()}
+    assert w1 == unw
+
+
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src BIGINT, dst BIGINT")
     assert pagerank(df).count() == 0
