@@ -4,12 +4,15 @@ ONE replayed micro-batch stream (SCALING.md streaming rows):
 
     PYTHONPATH=. python examples/streaming_monitor.py [workdir]
 
-One stream of (event_type, domain, n_tok) ingest records drives three
+One stream of (event_type, domain, n_tok) ingest records drives four
 monitors simultaneously, each the bounded-driver-state shape:
 
   DriftMonitor              — per-batch PSI of the event-type mix vs a
                               trailing reference ring (O(classes·ref) ints
                               on the driver; distributed groupBy per batch)
+  NumericDriftMonitor       — per-batch two-sample KS of the n_tok CDF on
+                              frozen-width bins vs the same trailing-ring
+                              shape (O(bins·ref) driver ints)
   StreamingCountMin         — point frequencies over everything seen so
                               far, O(depth·width) driver table; per-batch
                               tables build DISTRIBUTED and fold by
@@ -18,11 +21,11 @@ monitors simultaneously, each the bounded-driver-state shape:
                               (Efraimidis-Spirakis keys; per-batch top-k
                               DISTRIBUTED, O(k) driver state, union-exact)
 
-The fourth member — per-key heavy hitters via applyInPandasWithState
+The fifth member — per-key heavy hitters via applyInPandasWithState
 (`streaming_heavy_hitters`) — lives in the stateful-UDF wiring instead of
 foreachBatch; see tests/test_streaming.py for its replayed twin.
 
-All three handles skip replayed batch_ids, so recovery re-runs are
+All four handles skip replayed batch_ids, so recovery re-runs are
 idempotent. The demo replays three parquet micro-batches with a planted
 mix flip in batch 2 (the drift alarm must fire) and a dominant domain by
 token mass (the reservoir must keep it).
@@ -40,6 +43,7 @@ def main(workdir: str | None = None) -> None:
     from savio_training_dask_2019_spark.session import get_spark
     from savio_training_dask_2019_spark.streaming import (
         DriftMonitor,
+        NumericDriftMonitor,
         StreamingCountMin,
         StreamingWeightedReservoir,
         file_stream,
@@ -54,14 +58,16 @@ def main(workdir: str | None = None) -> None:
     # three micro-batches: steady mix, steady mix, FLIPPED mix (drift);
     # big.com dominates token mass throughout without dominating row count
     batches = [
-        [("page", "big.com", 900)] * 2
+        [("page", "big.com", 9000)] * 2
         + [("page", f"site{i}.net", 40) for i in range(8)]
-        + [("click", "big.com", 700)],
-        [("page", "big.com", 800)] * 2
+        + [("click", "big.com", 7000)],
+        [("page", "big.com", 8000)] * 2
         + [("page", f"blog{i}.org", 35) for i in range(8)]
         + [("click", "small.io", 30)],
-        [("click", f"ad{i}.biz", 25) for i in range(9)]  # mix flips to clicks
-        + [("page", "big.com", 850)],
+        # mix flips to clicks AND token counts move to a previously-unseen
+        # bin (the numeric CDF shift the KS monitor watches)
+        [("click", f"ad{i}.biz", 120) for i in range(9)]
+        + [("page", "big.com", 8500)],
     ]
     for b, rows in enumerate(batches):
         df = spark.createDataFrame(
@@ -75,12 +81,18 @@ def main(workdir: str | None = None) -> None:
                 os.utime(os.path.join(root, f), (mtime, mtime))
 
     drift = DriftMonitor(item="event_type", ref_batches=2)
+    # the KS twin watches the NUMERIC side of the same stream: batch 2's
+    # 120-token ads land in a bin the reference never populated, shifting
+    # the n_tok CDF even where the categorical mix alone might not alarm
+    ksdrift = NumericDriftMonitor(value="n_tok", bin_width=100.0, n_bins=16,
+                                  ref_batches=2)
     cms = StreamingCountMin("domain", width=256, depth=3)
     reservoir = StreamingWeightedReservoir("domain", "n_tok", k=5)
 
     def monitor(batch_df, batch_id):
-        batch_df = batch_df.cache()  # three consumers per micro-batch
+        batch_df = batch_df.cache()  # four consumers per micro-batch
         drift(batch_df, batch_id)
+        ksdrift(batch_df, batch_id)
         cms(batch_df, batch_id)
         reservoir(batch_df, batch_id)
         batch_df.unpersist()
@@ -101,6 +113,13 @@ def main(workdir: str | None = None) -> None:
     # the planted flip must alarm: batch 2 is click-only vs a page-heavy ref
     flagged = [psi for _bid, psi, _c, _r in drift.results if psi and psi > 0.25]
     assert flagged, "planted mix flip did not alarm"
+
+    print("KS drift monitor (batch_id, D, argmax_bucket, n_cur, n_ref):")
+    for bid, d, arg, n_cur, n_ref in ksdrift.results:
+        tag = "  <-- SHIFTED (D > 0.5)" if d is not None and d > 0.5 else ""
+        print(f"  b{bid}: D={d} argmax_bucket={arg} cur={n_cur} ref={n_ref}{tag}")
+    ks_flagged = [d for _b, d, _a, _c, _r in ksdrift.results if d and d > 0.5]
+    assert ks_flagged, "planted n_tok CDF shift did not alarm"
 
     est = cms.estimate(["big.com", "small.io", "never-seen.example"])
     print(f"count-min: big.com>={est['big.com']} occurrences, "
