@@ -1281,24 +1281,18 @@ _JOINSIZE_SETS = (
 )
 
 
-def _join_size_one(
-    spark: SparkSession, sf_dir: str, label: str, ta: str, ka: str, tb: str, kb: str
+def join_size_profile(
+    a: DataFrame, ka: str, b: DataFrame, kb: str, label: str,
+    tot_a: int, tot_b: int,
 ) -> DataFrame:
-    ca = (
-        load_table(spark, sf_dir, ta)
-        .groupBy(F.col(ka).alias("k"))
-        .agg(F.count(F.lit(1)).alias("ca"))
-    )
-    cb = (
-        load_table(spark, sf_dir, tb)
-        .groupBy(F.col(kb).alias("k"))
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
+    """Frame-level core of q_join_explosion (also driven directly by the
+    11M-row scale smoke): exact equi-join output size from the two sides'
+    per-key count tables."""
+    ca = a.groupBy(F.col(ka).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy(F.col(kb).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
     per_key = ca.join(cb, "k").select(
         "k", (F.col("ca") * F.col("cb")).alias("out_k"), "ca", "cb"
     )
-    tot_a = load_table(spark, sf_dir, ta).count()
-    tot_b = load_table(spark, sf_dir, tb).count()
     return per_key.agg(
         F.count(F.lit(1)).alias("n_keys_matched"),
         F.sum("out_k").alias("out_rows"),
@@ -1330,10 +1324,11 @@ def q_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ONE O(keys)⋈O(keys) join + a scalar fold — the fact tables
     themselves never join; every arithmetic term is BIGINT-exact. The two
     `.count()`s are 1-scalar driver reads of columnar row counts."""
-    parts = [
-        _join_size_one(spark, sf_dir, label, ta, ka, tb, kb)
-        for label, ta, ka, tb, kb in _JOINSIZE_SETS
-    ]
+    parts = []
+    for label, ta, ka, tb, kb in _JOINSIZE_SETS:
+        a = load_table(spark, sf_dir, ta)
+        b = load_table(spark, sf_dir, tb)
+        parts.append(join_size_profile(a, ka, b, kb, label, a.count(), b.count()))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -377,3 +377,27 @@ def test_fuzzy_join_100k_strings_planted_duplicates(spark):
     assert agg["sa"] == half * (half - 1) // 2  # id_a = 0..half-1 exactly
     assert agg["gap"] == half  # every pair is (i, i+half)
     assert elapsed < 180, f"fuzzy smoke took {elapsed:.0f}s"
+
+
+def test_join_explosion_11m_rows_analytic(spark):
+    """The join-size pre-flight at 11M input rows with a fully analytic
+    answer: A = 10M rows keyed id % 1000, B = 1M rows keyed id % 1000 —
+    every key matches, out_rows = 1000 · 10,000 · 1,000 = 1e10 (a join
+    nobody should run without knowing that number first). The diagnostic
+    itself must stay cheap: it touches only the two O(keys) count tables."""
+    import time
+
+    from savio_training_dask_2019_spark.queries.relational import join_size_profile
+
+    na, nb, k = 10_000_000, 1_000_000, 1_000
+    a = spark.range(na).select((F.col("id") % k).alias("ka"))
+    b = spark.range(nb).select((F.col("id") % k).alias("kb"))
+    t0 = time.perf_counter()
+    row = join_size_profile(a, "ka", b, "kb", "smoke", na, nb).first()
+    elapsed = time.perf_counter() - t0
+    assert row["n_keys_matched"] == k
+    assert row["out_rows"] == k * (na // k) * (nb // k)  # exactly 1e10
+    assert row["max_key_out"] == (na // k) * (nb // k)
+    assert row["top_key_share"] == round(1.0 / k, 6)
+    assert row["blowup"] == round(row["out_rows"] / (na + nb), 4)
+    assert elapsed < 120, f"join-size smoke took {elapsed:.0f}s"
