@@ -45,28 +45,18 @@ def _seg_pos(i: str, length: str, k: int) -> str:
     return f"(({i}) * (({length}) div {n}) + GREATEST(0, ({i}) - ({n} - ({length}) % {n})))"
 
 
-def edit_distance_join(
-    df: DataFrame, id_col: str, str_col: str, k: int = 2
-) -> DataFrame:
-    """All pairs ``(id_a < id_b)`` whose strings are within levenshtein
-    distance ``k`` — exact result via lossless pigeonhole blocking.
-
-    Contract: rows with ``length(str_col) <= k`` are dropped from BOTH
-    sides (a ``k+1``-way partition needs ``k+1`` characters; pairs
-    involving such near-empty strings are trivially enumerable off to the
-    side and are out of scope here, as in the paper's length filter).
-
-    Returns columns ``id_a, id_b, dist`` (dist as INT).
-    """
-    s = (
+def _prep(df: DataFrame, id_col: str, str_col: str, k: int) -> DataFrame:
+    return (
         df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
         .filter(F.length("s") > k)
         .withColumn("L", F.length("s"))
     )
 
-    # Side 1 — each string's own k+1 segments, keyed by (segment index,
-    # segment text, own length).
-    seg = s.select(
+
+def _segments(s: DataFrame, k: int) -> DataFrame:
+    """Each string's own k+1 segments, keyed by (segment index, segment
+    text, own length)."""
+    return s.select(
         "id",
         "s",
         "L",
@@ -81,12 +71,14 @@ def edit_distance_join(
         ),
     )
 
-    # Side 2 — each string's candidate substrings: for every partnered
-    # length La within ±k of its own, every segment index i, and every
-    # start shift δ within ±k of that segment's position in an La-length
-    # string.  (The paper's multi-match-aware window is tighter; the plain
-    # ±k window is a superset, so completeness is preserved.)
-    sub = (
+
+def _substrings(s: DataFrame, k: int) -> DataFrame:
+    """Each string's candidate substrings: for every partnered length La
+    within ±k of its own, every segment index i, and every start shift δ
+    within ±k of that segment's position in an La-length string.  (The
+    paper's multi-match-aware window is tighter; the plain ±k window is a
+    superset, so completeness is preserved.)"""
+    return (
         s.select(
             "id",
             "s",
@@ -128,6 +120,23 @@ def edit_distance_join(
         .dropDuplicates(["id", "i", "La", "blk"])
     )
 
+
+def edit_distance_join(
+    df: DataFrame, id_col: str, str_col: str, k: int = 2
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` whose strings are within levenshtein
+    distance ``k`` — exact result via lossless pigeonhole blocking.
+
+    Contract: rows with ``length(str_col) <= k`` are dropped from BOTH
+    sides (a ``k+1``-way partition needs ``k+1`` characters; pairs
+    involving such near-empty strings are trivially enumerable off to the
+    side and are out of scope here, as in the paper's length filter).
+
+    Returns columns ``id_a, id_b, dist`` (dist as INT).
+    """
+    s = _prep(df, id_col, str_col, k)
+    seg = _segments(s, k)
+    sub = _substrings(s, k)
     cand = (
         seg.alias("a")
         .join(
@@ -155,4 +164,53 @@ def edit_distance_join(
         "id_a",
         "id_b",
         F.levenshtein("s_a", "s_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= k)
+
+
+def edit_distance_lookup(
+    queries: DataFrame,
+    q_id: str,
+    q_str: str,
+    canon: DataFrame,
+    c_id: str,
+    c_str: str,
+    k: int = 2,
+) -> DataFrame:
+    """Two-table record linkage — match every DIRTY query string against a
+    CANONICAL list within levenshtein distance ``k`` (the dedupe-against-
+    master-list / typo-correction use). Same lossless pigeonhole blocking
+    as :func:`edit_distance_join`, asymmetric: canonical strings emit
+    their ``k+1`` segments, query strings emit their ``O(k²)`` shifted
+    substrings, candidates come from the block equi-join, one exact verify
+    per (query, canon) pair. Exact by the same theorem — every true match
+    shares at least one unshifted segment.
+
+    Same length contract (both sides drop ``length <= k`` rows). Returns
+    ``query_id, canon_id, dist`` — ALL matches within ``k``; callers
+    wanting best-match-only take min(dist) with a canon_id tie-break.
+
+    Scale: canon side carries k+1 rows per string, query side O(k²);
+    one shuffle on block keys, never |queries|×|canon|."""
+    segc = _segments(_prep(canon, c_id, c_str, k), k)
+    subq = _substrings(_prep(queries, q_id, q_str, k), k)
+    cand = (
+        segc.alias("c")
+        .join(
+            subq.alias("q"),
+            (F.col("c.i") == F.col("q.i"))
+            & (F.col("c.La") == F.col("q.La"))
+            & (F.col("c.blk") == F.col("q.blk")),
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("canon_id"),
+            F.col("q.s").alias("s_q"),
+            F.col("c.s").alias("s_c"),
+        )
+        .dropDuplicates(["query_id", "canon_id"])
+    )
+    return cand.select(
+        "query_id",
+        "canon_id",
+        F.levenshtein("s_q", "s_c").cast("int").alias("dist"),
     ).filter(F.col("dist") <= k)

@@ -323,11 +323,14 @@ if _MISSING:
 #     trend_slope (per-group OLS slope of value vs time in exact BIGINT
 #     moment sums — calendar-day x, integer-cent y; oracle-backed at all
 #     three SFs + a planted-line pytest recovering slope/intercept
-#     EXACTLY); and pagerank_weighted (rank mass split by edge weight,
+#     EXACTLY); pagerank_weighted (rank mass split by edge weight,
 #     (r·w) div W_src — the weighted-tier lesson applied to the graph;
 #     all-equal weights reproduce the unweighted result exactly, pinned;
-#     oracle-backed at all three SFs). Catalog at end of r10:
-#     155 queries, 135 oracle-backed, 20 rows-only. Scale-sensitivity
+#     oracle-backed at all three SFs); and fuzzy_lookup (two-table
+#     record linkage against a canonical list — the same lossless
+#     blocking run asymmetrically; oracle-backed at all three SFs).
+#     Catalog at end of r10:
+#     156 queries, 136 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -419,7 +422,7 @@ if _MISSING:
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
 # outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
 # fuzzy_clusters, range_join_banded, ohlc_bars, trend_slope,
-# pagerank_weighted —
+# pagerank_weighted, fuzzy_lookup —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.fuzzy import edit_distance_join
+from ..operators.fuzzy import edit_distance_join, edit_distance_lookup
 from ..operators.graph import pagerank, pagerank_oracle_cte
 from ..operators.ranges import banded_range_join
 from ..sources import load_table
@@ -609,6 +609,49 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM s a JOIN s b
   ON a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= {_FUZZY_K}
 WHERE levenshtein(a.nm, b.nm) <= {_FUZZY_K}
+"""
+
+
+_FUZZY_CANON_MOD = 11  # canonical-list slice for the lookup demo
+
+
+def q_fuzzy_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage — the dedupe-against-master-list use the
+    self-join can't express: every DIRTY query name (c_custkey % {qm}
+    slice) matched against a CANONICAL list (% {cm} slice) within
+    levenshtein distance {k}, via the same lossless pigeonhole blocking
+    asymmetrically (canon emits k+1 segments, queries emit O(k²) shifted
+    substrings). Exact by the same theorem, so the oracle is the
+    definitional cross form.
+
+    Scale: one shuffle on block keys — never |queries|×|canon|; the canon
+    side carries only k+1 rows per string, so a small master list stays
+    broadcastable even after segmenting."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.filter(F.col("c_custkey") % _FUZZY_MOD == 0)
+    canon = c.filter(F.col("c_custkey") % _FUZZY_CANON_MOD == 0)
+    return edit_distance_lookup(
+        q, "c_custkey", "c_name", canon, "c_custkey", "c_name", k=_FUZZY_K
+    )
+
+
+q_fuzzy_lookup.__doc__ = q_fuzzy_lookup.__doc__.format(
+    qm=_FUZZY_MOD, cm=_FUZZY_CANON_MOD, k=_FUZZY_K
+)
+
+_FUZZY_LOOKUP_SQL = f"""
+WITH q AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+  WHERE c_custkey % {_FUZZY_MOD} = 0 AND length(c_name) > {_FUZZY_K}
+),
+c AS (
+  SELECT c_custkey AS id, c_name AS nm FROM customer
+  WHERE c_custkey % {_FUZZY_CANON_MOD} = 0 AND length(c_name) > {_FUZZY_K}
+)
+SELECT q.id AS query_id, c.id AS canon_id,
+       CAST(levenshtein(q.nm, c.nm) AS INTEGER) AS dist
+FROM q JOIN c ON abs(length(q.nm) - length(c.nm)) <= {_FUZZY_K}
+WHERE levenshtein(q.nm, c.nm) <= {_FUZZY_K}
 """
 
 
@@ -1425,6 +1468,7 @@ QUERIES = {
     "kll_quantiles": q_kll_quantiles,
     "nullsafe_join": q_nullsafe_join,
     "fuzzy_join": q_fuzzy_join,
+    "fuzzy_lookup": q_fuzzy_lookup,
     "fuzzy_clusters": q_fuzzy_clusters,
     "skew_profile": q_skew_profile,
     "join_explosion": q_join_explosion,
@@ -1471,6 +1515,7 @@ ORACLE = {
     "grouping_sets": _GROUPING_SETS_SQL,
     "nullsafe_join": _NULLSAFE_JOIN_SQL,
     "fuzzy_join": _FUZZY_JOIN_SQL,
+    "fuzzy_lookup": _FUZZY_LOOKUP_SQL,
     "fuzzy_clusters": _FUZZY_CLUSTERS_SQL,
     "skew_profile": _SKEW_PROFILE_SQL,
     "join_explosion": _JOIN_EXPLOSION_SQL,

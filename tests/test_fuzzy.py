@@ -103,6 +103,73 @@ def test_plan_is_equi_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+# --- edit_distance_lookup ----------------------------------------------------
+
+
+def _naive_lookup(qrows, crows, k):
+    con = duckdb.connect()
+    con.register("q", pd.DataFrame(qrows, columns=["id", "s"]))
+    con.register("c", pd.DataFrame(crows, columns=["id", "s"]))
+    out = con.sql(
+        f"""SELECT q.id, c.id, CAST(levenshtein(q.s, c.s) AS INT)
+            FROM q JOIN c ON length(q.s) > {k} AND length(c.s) > {k}
+            WHERE levenshtein(q.s, c.s) <= {k}"""
+    ).fetchall()
+    con.close()
+    return sorted(map(tuple, out))
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_lookup_differential_random(spark, k):
+    """Asymmetric blocking must be lossless too: the two-table lookup
+    equals the definitional cross join on random small-alphabet corpora
+    with overlapping and disjoint id spaces."""
+    import random
+
+    from savio_training_dask_2019_spark.operators.fuzzy import edit_distance_lookup
+
+    rng = random.Random(555 + k)
+    qrows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(k + 1, 8))))
+        for i in range(150)
+    ]
+    crows = [
+        (1000 + i, "".join(rng.choice("abc") for _ in range(rng.randint(k + 1, 8))))
+        for i in range(80)
+    ]
+    qdf = spark.createDataFrame(qrows, ["qid", "qs"])
+    cdf = spark.createDataFrame(crows, ["cid", "cs"])
+    got = sorted(
+        map(
+            tuple,
+            edit_distance_lookup(qdf, "qid", "qs", cdf, "cid", "cs", k=k).collect(),
+        )
+    )
+    assert got == _naive_lookup(qrows, crows, k)
+
+
+def test_lookup_best_match_shape(spark):
+    """The canonical-correction pattern: dirty variants resolve to their
+    master entry via min(dist) per query."""
+    from savio_training_dask_2019_spark.operators.fuzzy import edit_distance_lookup
+
+    canon = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "globex industries")], ["cid", "cs"]
+    )
+    dirty = spark.createDataFrame(
+        [(10, "acme corporatio"), (11, "globex industrees"), (12, "zzz unrelated")],
+        ["qid", "qs"],
+    )
+    m = edit_distance_lookup(dirty, "qid", "qs", canon, "cid", "cs", k=2)
+    best = {
+        r["query_id"]: r["canon_id"]
+        for r in m.groupBy("query_id")
+        .agg(F.min_by("canon_id", F.struct("dist", "canon_id")).alias("canon_id"))
+        .collect()
+    }
+    assert best == {10: 1, 11: 2}  # 12 matches nothing
+
+
 # --- fuzzy_clusters ----------------------------------------------------------
 
 
