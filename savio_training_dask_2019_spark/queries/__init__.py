@@ -326,11 +326,14 @@ if _MISSING:
 #     EXACTLY); pagerank_weighted (rank mass split by edge weight,
 #     (r·w) div W_src — the weighted-tier lesson applied to the graph;
 #     all-equal weights reproduce the unweighted result exactly, pinned;
-#     oracle-backed at all three SFs); and fuzzy_lookup (two-table
+#     oracle-backed at all three SFs); fuzzy_lookup (two-table
 #     record linkage against a canonical list — the same lossless
-#     blocking run asymmetrically; oracle-backed at all three SFs).
+#     blocking run asymmetrically; oracle-backed at all three SFs); and
+#     apply_cdc (lakehouse MERGE: (op, seq) changelog applied to a base
+#     snapshot — latest-op collapse + one full-outer join; oracle-backed
+#     at all three SFs + row-accounting/precedence pytest).
 #     Catalog at end of r10:
-#     156 queries, 136 oracle-backed, 20 rows-only. Scale-sensitivity
+#     157 queries, 137 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -422,7 +425,7 @@ if _MISSING:
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
 # outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
 # fuzzy_clusters, range_join_banded, ohlc_bars, trend_slope,
-# pagerank_weighted, fuzzy_lookup —
+# pagerank_weighted, fuzzy_lookup, apply_cdc —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

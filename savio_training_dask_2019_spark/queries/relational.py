@@ -1281,6 +1281,98 @@ _PAGERANK_WEIGHTED_SQL = pagerank_oracle_cte(
 )
 
 
+_CDC_INS_OFFSET = 1_000_000_000_000  # insert keys: disjoint at any SF
+
+
+def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply — the lakehouse MERGE/upsert: given a base
+    snapshot and an (op, seq) changelog, produce the next snapshot. The
+    changelog is derived deterministically from orders so every branch
+    fires at every SF: an early update (seq 1, keys %3: price+500), a
+    later update that must WIN over it on overlap keys (seq 2, %5:
+    price+1000), a delete that outranks both (seq 3, %7), and inserts on
+    a key range disjoint by construction. Semantics: per key the highest-
+    seq changelog row decides — D drops the row, U/I writes its value,
+    untouched base rows pass through. `snapshot_diff` tells you WHAT
+    changed between snapshots; this APPLIES a change stream to make one.
+
+    Scale: the changelog collapses to one row per touched key via
+    ``max_by(struct(seq))`` (one shuffle on key, payload = the latest op),
+    then ONE hash-keyed full-outer join against the base — the base never
+    shuffles more than once and carries only (key, payload); no window
+    over the base, no driver state."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    u1 = o.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        "cust", F.round(F.col("price") + 500.0, 2).alias("price"),
+    )
+    u2 = o.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        "cust", F.round(F.col("price") + 1000.0, 2).alias("price"),
+    )
+    dels = o.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cust"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    ins = o.filter(F.col("k") % 11 == 0).select(
+        (F.col("k") + _CDC_INS_OFFSET).alias("k"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        "cust", F.lit(42.0).alias("price"),
+    )
+    log = u1.unionByName(u2).unionByName(dels).unionByName(ins)
+    latest = log.groupBy("k").agg(
+        F.max_by(F.struct("op", "cust", "price"), F.col("seq")).alias("ch")
+    ).select("k", "ch.op", F.col("ch.cust").alias("ch_cust"),
+             F.col("ch.price").alias("ch_price"))
+    base = o.withColumnRenamed("cust", "b_cust").withColumnRenamed(
+        "price", "b_price"
+    )
+    merged = base.join(latest, "k", "full")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.coalesce("ch_cust", "b_cust").alias("o_custkey"),
+            F.coalesce("ch_price", "b_price").alias("o_totalprice"),
+        )
+    )
+
+
+_APPLY_CDC_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS cust, round(o_totalprice, 2) AS price
+  FROM orders
+),
+log AS (
+  SELECT k, 1 AS seq, 'U' AS op, cust, round(price + 500.0, 2) AS price
+  FROM o WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, 2, 'U', cust, round(price + 1000.0, 2) FROM o WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, 3, 'D', NULL, NULL FROM o WHERE k % 7 = 0
+  UNION ALL
+  SELECT k + {_CDC_INS_OFFSET}, 1, 'I', cust, 42.0 FROM o WHERE k % 11 = 0
+),
+latest AS (
+  SELECT k,
+         arg_max(op, seq) AS op,
+         arg_max(cust, seq) AS ch_cust,
+         arg_max(price, seq) AS ch_price
+  FROM log GROUP BY k
+)
+SELECT coalesce(o.k, latest.k) AS o_orderkey,
+       coalesce(ch_cust, o.cust) AS o_custkey,
+       coalesce(ch_price, o.price) AS o_totalprice
+FROM o FULL OUTER JOIN latest ON o.k = latest.k
+WHERE op IS NULL OR op <> 'D'
+"""
+
+
 # (keyset label, table, key column) profiled by q_skew_profile
 _SKEW_KEYSETS = (
     ("events.user_id", "events", "user_id"),
@@ -1472,6 +1564,7 @@ QUERIES = {
     "fuzzy_clusters": q_fuzzy_clusters,
     "skew_profile": q_skew_profile,
     "join_explosion": q_join_explosion,
+    "apply_cdc": q_apply_cdc,
     "pagerank": q_pagerank,
     "pagerank_weighted": q_pagerank_weighted,
     "percentiles": q_percentiles,
@@ -1519,6 +1612,7 @@ ORACLE = {
     "fuzzy_clusters": _FUZZY_CLUSTERS_SQL,
     "skew_profile": _SKEW_PROFILE_SQL,
     "join_explosion": _JOIN_EXPLOSION_SQL,
+    "apply_cdc": _APPLY_CDC_SQL,
     "outlier_mad": _OUTLIER_MAD_SQL,
     "pagerank": _PAGERANK_SQL,
     "pagerank_weighted": _PAGERANK_WEIGHTED_SQL,

@@ -250,6 +250,44 @@ def test_ohlc_bars_tie_break_and_extremes(spark, tmp_path):
     assert bar["high"] == 999.0 and bar["low"] == 1.0
 
 
+# --- apply_cdc ------------------------------------------------------------------
+
+
+def test_apply_cdc_accounting_and_precedence(spark, sf_dir):
+    """Row accounting (out = base - deletes + inserts) and per-key op
+    precedence: the later update wins over the earlier on overlap keys,
+    delete outranks both, untouched rows pass through unchanged."""
+    from savio_training_dask_2019_spark.queries.relational import (
+        _CDC_INS_OFFSET,
+        q_apply_cdc,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    base = {
+        r["k"]: r["p"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("p"))
+        .collect()
+    }
+    out = {r["o_orderkey"]: r["o_totalprice"] for r in q_apply_cdc(spark, sf_dir).collect()}
+
+    n_del = sum(1 for k in base if k % 7 == 0)
+    n_ins = sum(1 for k in base if k % 11 == 0)
+    assert len(out) == len(base) - n_del + n_ins
+
+    for k, p in base.items():
+        if k % 7 == 0:
+            assert k not in out  # delete outranks every update
+        elif k % 5 == 0:
+            assert out[k] == round(p + 1000.0, 2)  # seq-2 update wins
+        elif k % 3 == 0:
+            assert out[k] == round(p + 500.0, 2)  # seq-1 update applies
+        else:
+            assert out[k] == p  # untouched rows pass through
+        if k % 11 == 0:
+            assert out[k + _CDC_INS_OFFSET] == 42.0  # insert landed
+
+
 # --- trend_slope ----------------------------------------------------------------
 
 

@@ -320,6 +320,10 @@ _MAX_PARQUET_SCANS = {
     # 3 candidate joins × both sides' per-key count tables (one scan
     # each); the fact tables themselves never join — only O(keys) tables
     "join_explosion": 6,
+    # base + the 4 DEMO changelog branches (u1/u2/delete/insert), each
+    # derived from orders so every op fires at every SF — a production
+    # changelog is its own single-scan source (set_ops demo precedent)
+    "apply_cdc": 5,
     # brute_knn_join's corpus+query branches + the corpus-label and
     # query-label join-backs (at prod scale labels live in the same scan;
     # the fixture derives all four from one table)
