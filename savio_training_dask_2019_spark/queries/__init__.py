@@ -331,9 +331,12 @@ if _MISSING:
 #     blocking run asymmetrically; oracle-backed at all three SFs); and
 #     apply_cdc (lakehouse MERGE: (op, seq) changelog applied to a base
 #     snapshot — latest-op collapse + one full-outer join; oracle-backed
-#     at all three SFs + row-accounting/precedence pytest).
+#     at all three SFs + row-accounting/precedence pytest); and
+#     zorder_stats (Morton-key multi-dimensional layout diagnostic —
+#     pure-integer interleave expression shared verbatim with the oracle;
+#     4×4-cell both-axis bounds pinned; oracle-backed at all three SFs).
 #     Catalog at end of r10:
-#     157 queries, 137 oracle-backed, 20 rows-only. Scale-sensitivity
+#     158 queries, 138 oracle-backed, 20 rows-only. Scale-sensitivity
 #     (r9 precedent): all 8 r10-late queries were ALSO replica-checked
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
@@ -425,7 +428,7 @@ if _MISSING:
 # snapshot_diff, melt_metrics, fuzzy_join, skew_profile, retrieval_eval,
 # outlier_mad, drift_ks, pagerank, join_explosion, rrf_hybrid,
 # fuzzy_clusters, range_join_banded, ohlc_bars, trend_slope,
-# pagerank_weighted, fuzzy_lookup, apply_cdc —
+# pagerank_weighted, fuzzy_lookup, apply_cdc, zorder_stats —
 # all replica-checked at both SFs + measured-once benched the day they
 # landed; they take first rows r11 with priority).
 _DRIVER_WINDOW: tuple[str, ...] = (

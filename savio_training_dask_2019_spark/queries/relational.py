@@ -1281,6 +1281,64 @@ _PAGERANK_WEIGHTED_SQL = pagerank_oracle_cte(
 )
 
 
+_Z_CELL_DIV = 16  # drop the low 4 morton bits: each cell = a 4×4 (x,y) block
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout diagnostic — the multi-dimensional data-skipping
+    story (Delta OPTIMIZE ZORDER): orders are keyed by the Morton
+    interleave of (customer bucket, order-day bucket) and grouped by
+    morton-prefix cells. The payoff the output proves: within EVERY cell,
+    BOTH dimensions are range-bounded (dropping 4 morton bits = 2 bits per
+    axis, a 4×4 block — pytest pins max−min <= 3 on each axis for all
+    cells), which is exactly why
+    min/max file statistics on a z-sorted layout prune on EITHER filter
+    column, where a lexicographic sort prunes only its leading one.
+
+    Scale: the key is a pure-integer whole-stage-codegen expression
+    (functions/zorder.py — no UDF, no shuffle to compute); the diagnostic
+    itself is one hash agg on the prefix. The production use is
+    ``sort_values(morton_key(...))`` before the parquet sink — the same
+    sorted-write machinery sources/sinks.py already pins pruning for."""
+    from ..functions.zorder import morton_key
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_custkey % 256").alias("xb"),
+        F.expr(
+            "datediff(o_orderdate, DATE '1995-01-01') % 256"
+        ).alias("yb"),
+    )
+    z = o.withColumn("zkey", morton_key("xb", "yb"))
+    return (
+        z.groupBy(F.expr(f"zkey div {_Z_CELL_DIV}").alias("zcell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xb").alias("min_x"),
+            F.max("xb").alias("max_x"),
+            F.min("yb").alias("min_y"),
+            F.max("yb").alias("max_y"),
+        )
+        .orderBy("zcell")
+    )
+
+
+def _zorder_sql() -> str:
+    from ..functions.zorder import morton_key_sql
+
+    return f"""
+WITH b AS (
+  SELECT o_custkey % 256 AS xb,
+         datediff('day', DATE '1995-01-01', o_orderdate) % 256 AS yb
+  FROM orders
+),
+z AS (SELECT xb, yb, {morton_key_sql("xb", "yb")} AS zkey FROM b)
+SELECT zkey // {_Z_CELL_DIV} AS zcell, count(*) AS n,
+       min(xb) AS min_x, max(xb) AS max_x,
+       min(yb) AS min_y, max(yb) AS max_y
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
 _CDC_INS_OFFSET = 1_000_000_000_000  # insert keys: disjoint at any SF
 
 
@@ -1565,6 +1623,7 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "join_explosion": q_join_explosion,
     "apply_cdc": q_apply_cdc,
+    "zorder_stats": q_zorder_stats,
     "pagerank": q_pagerank,
     "pagerank_weighted": q_pagerank_weighted,
     "percentiles": q_percentiles,
@@ -1613,6 +1672,7 @@ ORACLE = {
     "skew_profile": _SKEW_PROFILE_SQL,
     "join_explosion": _JOIN_EXPLOSION_SQL,
     "apply_cdc": _APPLY_CDC_SQL,
+    "zorder_stats": _zorder_sql(),
     "outlier_mad": _OUTLIER_MAD_SQL,
     "pagerank": _PAGERANK_SQL,
     "pagerank_weighted": _PAGERANK_WEIGHTED_SQL,

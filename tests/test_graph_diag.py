@@ -250,6 +250,45 @@ def test_ohlc_bars_tie_break_and_extremes(spark, tmp_path):
     assert bar["high"] == 999.0 and bar["low"] == 1.0
 
 
+# --- zorder ---------------------------------------------------------------------
+
+
+def test_morton_key_bit_interleave_reference(spark):
+    """The Catalyst Morton expression must equal a pure-Python bit
+    interleave over the full 8-bit × 8-bit grid (and mask wider inputs
+    to 16 bits)."""
+    from savio_training_dask_2019_spark.functions.zorder import morton_key
+
+    def py_morton(x, y):
+        x, y = x & 0xFFFF, y & 0xFFFF
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+    rows += [(70000, 3), (3, 70000)]  # wider than 16 bits: masked
+    df = spark.createDataFrame(rows, ["xb", "yb"])
+    got = df.select("xb", "yb", morton_key("xb", "yb").alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_morton(r["xb"], r["yb"]), (r["xb"], r["yb"])
+
+
+def test_zorder_cells_bound_both_dimensions(spark, sf_dir):
+    """The data-skipping payoff: every morton-prefix cell bounds BOTH
+    dimensions (dropping 4 morton bits = 2 bits per axis, so 4x4 blocks:
+    max-min <= 3 on each axis), which is what makes min/max file stats
+    prune on either filter column."""
+    from savio_training_dask_2019_spark.queries.relational import q_zorder_stats
+
+    rows = q_zorder_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 3, r
+        assert r["max_y"] - r["min_y"] <= 3, r
+
+
 # --- apply_cdc ------------------------------------------------------------------
 
 
