@@ -518,3 +518,52 @@ def test_drift_ks_detects_planted_shift(spark, tmp_path):
     pd.concat([a, b2]).to_parquet(noshift / "events.parquet", index=False)
     d0 = max(r["ks_term"] for r in q_drift_ks(spark, str(noshift)).collect())
     assert d0 == 0.0
+
+
+def test_zorder_layout_bounds_both_dims_vs_lexicographic(spark, sf_dir, tmp_path):
+    """Write the same rows z-sorted and lex-sorted into 8 files each: the
+    lexicographic layout bounds only its LEADING dimension per file (the
+    trailing one spans nearly its whole domain in interior files); the
+    z-ordered layout bounds BOTH — the property that lets min/max file
+    stats prune on either filter column."""
+    import glob
+
+    from savio_training_dask_2019_spark.functions.zorder import morton_key
+    from savio_training_dask_2019_spark.sources import (
+        load_table,
+        write_sorted_parquet,
+    )
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("o_custkey % 256").alias("xb"),
+            F.expr("datediff(o_orderdate, DATE '1995-01-01') % 256").alias("yb"),
+        )
+        .withColumn("zkey", morton_key("xb", "yb"))
+    )
+
+    def max_widths(path):
+        wx = wy = 0
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("xb") - F.min("xb")).alias("wx"),
+                    (F.max("yb") - F.min("yb")).alias("wy"),
+                )
+                .collect()[0]
+            )
+            wx, wy = max(wx, r["wx"]), max(wy, r["wy"])
+        return wx, wy
+
+    zout, lout = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_sorted_parquet(df, zout, ["zkey"], n_files=8)
+    write_sorted_parquet(df, lout, ["xb", "yb"], n_files=8)
+    zx, zy = max_widths(zout)
+    lx, ly = max_widths(lout)
+    # lex bounds its leading dim tightly but the trailing dim spans ~all
+    assert ly > 200, (lx, ly)
+    # z bounds BOTH dims well below the 255 domain width
+    assert zx <= 160 and zy <= 160, (zx, zy)
+    assert zy < ly
