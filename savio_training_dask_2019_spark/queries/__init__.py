@@ -341,9 +341,9 @@ if _MISSING:
 #     at sf0.1 — 7 oracle-equal + cms_counts rows-only, 0 failures —
 #     and drift_psi_windowed's fixed form re-checked green at both SFs.
 #     END-OF-ROUND full-catalog replica (re-run after the last catalog
-#     change): 137 ok / 20 rows-only / 0 FAILED of 157 at sf0.01 — the
-#     driver's exact gate over the complete catalog (four earlier
-#     same-round full replicas, at 141, 152, 152-post-fix, and 155
+#     change): 138 ok / 20 rows-only / 0 FAILED of 158 at sf0.01 — the
+#     driver's exact gate over the complete catalog (five earlier
+#     same-round full replicas, at 141, 152, 152-post-fix, 155, and 157
 #     queries, were also 0-failure); every query
 #     added after the mid-round replica (drift_numeric, decontam_semantic,
 #     weighted_sample, snapshot_diff, melt_metrics, fuzzy_join,
@@ -361,7 +361,7 @@ if _MISSING:
 #     at 713 ms — the r9 1.40× drift did not reproduce, closing VERDICT
 #     r9 #3's audit as single-run noise).
 #     Final pytest over the finished round (re-run after the last code
-#     change): 441 passed, 1 skipped (the documented conditional
+#     change): 445 passed, 1 skipped (the documented conditional
 #     transformWithState smoke), 0 failed. drift_psi_windowed's
 #     per-day sum switched to exact integer micro-units late in r10 (a
 #     suite run caught a 6-dp term sum landing exactly on a 4-dp
