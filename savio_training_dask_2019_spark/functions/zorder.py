@@ -30,8 +30,16 @@ _SPREAD = (
 
 def _spread_expr(col_sql: str) -> str:
     """SQL text spreading the low 16 bits of ``col_sql`` onto even bit
-    positions (identical text runs on Spark and DuckDB)."""
-    e = f"(({col_sql}) & 65535)"
+    positions (identical text runs on Spark and DuckDB).
+
+    The mask step casts to BIGINT first: without it an INT input keeps the
+    whole interleave in 32-bit arithmetic on Spark, and any masked value
+    with bit 15 set (>= 32768, or any negative int) overflows INT32 at the
+    final ``spread(y) * 2`` — silently wrapping negative on Spark while a
+    64-bit engine stays positive, breaking the bit-identical contract
+    (ADVICE r10). Widening at the mask keeps every later op in 64-bit on
+    both engines."""
+    e = f"((CAST(({col_sql}) AS BIGINT)) & 65535)"
     for sh, mask in _SPREAD:
         e = f"(({e} | ({e} * {1 << sh})) & {mask})"
     return e

@@ -48,7 +48,12 @@ def pagerank(
     outgoing weight — still pure BIGINT adds and floor divs, so the
     weighted variant keeps the same engine/partitioning exactness
     (``r·w`` stays inside int64 for weights up to ~9e12 at the default
-    scale — assert-guarded against non-positive weights upstream).
+    scale). Non-positive or NULL weights are rejected HERE with a
+    ``ValueError`` before any iteration runs: a node whose out-weight sums
+    to 0 would turn ``(r·w) div W_src`` into a NULL that ``sum`` silently
+    drops, corrupting ranks instead of failing (ADVICE r10). The guard is
+    one ``limit(1)`` probe — a bounded single-row collect, not a
+    row-proportional driver transfer.
 
     Contract: every node must have out-degree >= 1 (no dangling mass) —
     pass a SYMMETRIZED edge list (both directions) for undirected graphs,
@@ -62,6 +67,14 @@ def pagerank(
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("bigint").alias("w"))
     e = edges.select(*cols)
+    if weight_col is not None:
+        # fail fast on weights the update rule can't survive (see docstring)
+        bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"pagerank weight_col={weight_col!r} must be positive and "
+                f"non-NULL; found {bad[0].asDict()}"
+            )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

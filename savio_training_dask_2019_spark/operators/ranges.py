@@ -39,7 +39,13 @@ def banded_range_join(
     collide); the transient ``_band`` key is dropped.
 
     ``how`` may be ``inner`` (matching pairs) or ``left_semi`` (facts that
-    fall in ANY interval — the filter use). ``band_width`` trades interval
+    fall in ANY interval — the filter use). ``left_semi`` preserves true
+    left-semi semantics including LEFT-SIDE MULTIPLICITY: duplicate fact
+    rows that match come back once EACH (a fact matching several intervals
+    still comes back once). Internally each fact row is tagged with a
+    transient per-row id and the post-predicate dedup runs on the tag, not
+    on the fact's value columns — deduping on values would collapse
+    legitimate repeated rows (ADVICE r10). ``band_width`` trades interval
     replication (avg_span / band_width + 1 copies) against band
     selectivity; intervals with ``hi <= lo`` are empty by contract and
     never match (they still emit their lo-band row, filtered by the
@@ -49,6 +55,12 @@ def banded_range_join(
     w = float(band_width)
     if not w > 0:
         raise ValueError("band_width must be positive")
+    if how == "left_semi":
+        # per-row tag so the post-predicate dedup preserves input
+        # multiplicity (see docstring); computed BEFORE the join so each
+        # physical fact row carries exactly one tag through all its
+        # banded matches
+        facts = facts.withColumn("_fid", F.monotonically_increasing_id())
     f = facts.withColumn(
         "_band", F.floor(F.col(val_col) / F.lit(w)).cast("bigint")
     )
@@ -64,12 +76,13 @@ def banded_range_join(
     cond = (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
     if how == "left_semi":
         # a fact inside several intervals matches once per interval —
-        # collapse back to fact rows (distinct over the fact columns; at
-        # scale prefer carrying a fact id and deduping on it upstream)
+        # collapse to one row per TAGGED input row (multiplicity-safe)
+        out_cols = [c for c in facts.columns if c != "_fid"]
         return (
             f.join(iv, "_band")
             .where(cond)
-            .select(*[F.col(c) for c in facts.columns])
-            .distinct()
+            .select("_fid", *[F.col(c) for c in out_cols])
+            .dropDuplicates(["_fid"])
+            .drop("_fid")
         )
     return f.join(iv, "_band").where(cond).drop("_band")

@@ -1027,5 +1027,12 @@ def max_cosine_vs_set(
             )
 
     vin = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out_schema = f"{id_col} long, max_cos double"
+    # derive the id field's type from the input so string/int id columns
+    # survive the Arrow boundary exactly like the 'fold' tier (ADVICE r10
+    # — a hardcoded `long` failed or miscast non-bigint ids)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("max_cos", DoubleType())]
+    )
     return df.select(id_col, vin.alias("__v")).mapInPandas(score, out_schema)

@@ -244,6 +244,10 @@ def cms_estimates(
     ``depth`` MUST match the table's build parameters (the hash keys are
     derived from the depth index).
 
+    NULL probe items return a NULL ``est_count`` (the build side drops
+    NULLs, so 0/NULL — not some bucket's overcount — is the only honest
+    answer).
+
     Plan: the table folds into ONE array-of-arrays row — O(depth·width)
     longs, bounded by the sketch parameters, never by the data — attached
     by broadcast crossJoin (the 1-row model-attach pattern); probe buckets
@@ -253,9 +257,17 @@ def cms_estimates(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets(items: pd.Series) -> pd.Series:
-        vals = items.astype(str)
-        cols = [_cms_buckets(vals.values, d, width) for d in range(depth)]
-        return pd.Series([list(bs) for bs in zip(*cols)])
+        # NULL probes get NULL buckets (→ NULL est_count): the build side
+        # drops NULLs, so stringifying a NULL to the literal 'None' would
+        # return an arbitrary bucket's overcount instead (ADVICE r10)
+        out = pd.Series([None] * len(items), dtype=object, index=items.index)
+        nn = items.dropna().astype(str)
+        if len(nn):
+            cols = [_cms_buckets(nn.values, d, width) for d in range(depth)]
+            out.loc[nn.index] = pd.Series(
+                [list(bs) for bs in zip(*cols)], index=nn.index
+            )
+        return out
 
     folded = table.agg(
         F.transform(

@@ -413,7 +413,36 @@ if _MISSING:
 #     pandas_udf_tokens, dedup_within_lag, span_scrub, substring_scrub,
 #     string_funcs, set_ops, stratified_sample, domain_filter — r8-green
 #     shapes whose code is untouched since their row of record.
-#   r11+: same pattern — swap the representative slots; re-window anything
+#   r10 outcome: CORRECTNESS_r10.json recorded 44 oracle-pass + 6
+#       rows-only-by-contract, 0 failures — exactly as planned.
+#   r11 (this window): 50 = flagship + 28 first rows (every r10 late
+#       addition — the only entries with no driver row; six of them also
+#       carry this round's ADVICE-fix code touches, see the tuple comment)
+#       + 21 of the 31 r8-record riders (three rounds old — priority per
+#       the r10 note): the 19 untouched r8-green shapes plus text_stats
+#       and minhash_pairs from the benched tier.
+#     The 10 r8-record rows riding outside, by documented rationale —
+#     all replica-checked every round and first in line r12:
+#     bm25_search, dsir_weights, emb_near_dup_lsh, ngram_jaccard,
+#     simhash_pairs, substring_dup_stats, substring_rebuild — benched in
+#     every BENCH_rN.json (a regression surfaces there);
+#     bpe_train_merges, multimodal_imgstats, mixture_sample — rows-only
+#     by contract with differential/validity pytest pins (their driver
+#     row records only a row count).
+#     Queries BUILT this round (r11) are late additions on the standing
+#     precedent: replica-checked at both SFs + measured-once benched the
+#     day they land; first driver rows r12.  This round's late additions:
+#     kmeans_train (Lloyd k-means over int-quantized embeddings in exact
+#     BIGINT arithmetic — fixed iterations, floor-div centroid means, the
+#     IVF centroid-training story; oracle-backed via chained CTEs),
+#     triangle_count (degree-ordered node-iterator triangle counting —
+#     the canonical "join that explodes if you let it" graph shape;
+#     oracle-backed), groupby_kll (per-group mergeable KLL quantiles —
+#     the grouped tier of the sketch family; rows-only by contract with
+#     an accuracy pytest vs exact per-group percentiles), and
+#     interval_coverage (sweep-line union-length of overlapping
+#     intervals per group — stack-free prefix-max coverage; oracle-backed).
+#   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
 #       (scripts/check_correctness.py, dtype-strict sorted-row equality —
@@ -434,60 +463,67 @@ if _MISSING:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- 9 first driver rows (VERDICT r9 #1; pq_* also re-witness the
-    #     ADC literal-size guard landed this round) ---
-    "drift_psi",
-    "winnow_fp",
-    "heavy_hitters",
-    "ivf_balance",
-    "pq_encode",
-    "pq_adc",
-    "ivfpq",
-    "pack_bfd",
-    "repetition_stats",
-    # --- first rows for the 2 queries new this round ---
-    "drift_psi_windowed",
-    "heavy_domains",
-    # --- the 22 r7-record riders rotate back (VERDICT r9 #2) ---
-    "topk",
-    "join_3way",
-    "window_rank",
-    "knn_brute",
-    "passage_dedup",
-    "unigram_logprob",
-    "bigram_logprob",
-    "knn_lsh",
-    "knn_ivf",
-    "multimodal_audio",
-    "vector_stats",
-    "vector_arith",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_dims",
-    "map_in_pandas",
-    "map_in_arrow",
-    "udtf_tokens",
-    "fanout_compute",
-    "dup_ngram_ratio",
-    "shard_corpus",
-    "length_buckets",
-    # --- 16 r8-record re-witnesses (normal cadence, family coverage) ---
-    "anti_join",
-    "join_outer",
-    "range_join",
-    "corr_cov",
-    "cube_agg",
-    "percentiles",
-    "value_counts",
-    "ntile_percent",
-    "rolling_avg",
-    "sliding_window",
-    "dt_accessors",
-    "pivot_daily",
-    "retention_daily",
-    "asof_tolerance",
-    "doc_quality",
-    "gopher_quality",
+    # --- 28 first driver rows: every r10 late addition (the only catalog
+    #     entries with no driver row; each was replica-checked at both SFs
+    #     + measured-once benched the day it landed).  zorder_stats,
+    #     pagerank, pagerank_weighted, range_join_banded, cms_counts, and
+    #     decontam_semantic also carry THIS round's ADVICE-fix code touch
+    #     (64-bit Morton widen / weight guard / semi multiplicity / NULL
+    #     probe / arrow id dtype), so their first rows double as
+    #     changed-this-round witnesses ---
+    "ivfpq_rerank",
+    "decontam_bloom",
+    "chunk_documents",
+    "quantize_int8",
+    "cms_counts",
+    "dedup_incremental_bloom",
+    "source_overlap",
+    "drift_numeric",
+    "decontam_semantic",
+    "weighted_sample",
+    "snapshot_diff",
+    "melt_metrics",
+    "fuzzy_join",
+    "skew_profile",
+    "retrieval_eval",
+    "outlier_mad",
+    "drift_ks",
+    "pagerank",
+    "join_explosion",
+    "rrf_hybrid",
+    "fuzzy_clusters",
+    "range_join_banded",
+    "ohlc_bars",
+    "trend_slope",
+    "pagerank_weighted",
+    "fuzzy_lookup",
+    "apply_cdc",
+    "zorder_stats",
+    # --- 21 of the 31 r8-record riders rotate back (three rounds old at
+    #     r11 judging — priority per the r10 note): the 19 untouched
+    #     r8-green shapes, plus text_stats and minhash_pairs from the
+    #     benched tier ---
+    "dedup_stats",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "norm_dedup_stats",
+    "dedup_clusters",
+    "knn_join",
+    "wordcount",
+    "vocab_coverage",
+    "bpe_token_stats",
+    "collocations",
+    "pack_multimodal",
+    "pandas_udf_tokens",
+    "dedup_within_lag",
+    "span_scrub",
+    "substring_scrub",
+    "string_funcs",
+    "set_ops",
+    "stratified_sample",
+    "domain_filter",
+    "text_stats",
+    "minhash_pairs",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

@@ -381,10 +381,19 @@ class StreamingCountMin:
         self.n_batches += 1
 
     def estimate(self, items: Iterable[str]) -> dict[str, int]:
-        """Driver-side point queries against the accumulated table."""
+        """Driver-side point queries against the accumulated table. ``None``
+        probes are rejected: the ingest side drops NULLs, so stringifying
+        one to ``'None'`` would return an arbitrary bucket's overcount
+        (ADVICE r10 — same contract as ``cms_estimates``)."""
         from ..operators.sketches import _cms_buckets
 
-        items = [str(i) for i in items]
+        raw = list(items)
+        if any(i is None for i in raw):
+            raise ValueError(
+                "StreamingCountMin.estimate: None probe — the build side "
+                "drops NULLs, so a NULL has no counter to read"
+            )
+        items = [str(i) for i in raw]
         if not items:
             return {}
         out = {}

@@ -131,6 +131,22 @@ def test_pagerank_empty_edges(spark):
     assert pagerank(df).count() == 0
 
 
+def test_pagerank_weighted_rejects_nonpositive_weights(spark):
+    """ADVICE r10: a node whose out-weight sums to 0 turns the contrib
+    floor-div into a NULL that sum() silently drops — the operator must
+    fail fast on zero / negative / NULL weights instead."""
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.graph import pagerank as pr
+
+    for bad_w in (0, -3, None):
+        df = spark.createDataFrame(
+            [(0, 1, 5), (1, 0, bad_w)], "src BIGINT, dst BIGINT, w BIGINT"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            pr(df, iters=2, weight_col="w")
+
+
 # --- outlier_mad -------------------------------------------------------------
 
 
@@ -275,6 +291,35 @@ def test_morton_key_bit_interleave_reference(spark):
         assert r["z"] == py_morton(r["xb"], r["yb"]), (r["xb"], r["yb"])
 
 
+def test_morton_key_int32_columns_high_bit_no_overflow(spark):
+    """ADVICE r10: with an INT (32-bit) input column, a masked value with
+    bit 15 set (>= 32768, or any negative int) used to overflow INT32 at
+    the final ``spread(y) * 2`` and wrap NEGATIVE on Spark while a 64-bit
+    engine stayed positive. The mask step now widens to BIGINT, so the
+    Catalyst result must equal the pure-Python 64-bit interleave — and be
+    nonnegative — on INT columns too."""
+    from savio_training_dask_2019_spark.functions.zorder import morton_key
+
+    def py_morton(x, y):
+        x, y = x & 0xFFFF, y & 0xFFFF
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [
+        (32768, 0), (0, 32768), (65535, 65535), (40000, 50000),
+        (-1, 7), (7, -1), (-32768, -2),  # negative ints mask to high bits
+    ]
+    df = spark.createDataFrame(rows, "xb INT, yb INT")
+    assert dict(df.dtypes) == {"xb": "int", "yb": "int"}
+    got = df.select("xb", "yb", morton_key("xb", "yb").alias("z")).collect()
+    for r in got:
+        want = py_morton(r["xb"], r["yb"])
+        assert r["z"] == want and r["z"] >= 0, (r["xb"], r["yb"], r["z"])
+
+
 def test_zorder_cells_bound_both_dimensions(spark, sf_dir):
     """The data-skipping payoff: every morton-prefix cell bounds BOTH
     dimensions (dropping 4 morton bits = 2 bits per axis, so 4x4 blocks:
@@ -416,6 +461,34 @@ def test_banded_range_join_differential_vs_theta(spark):
     assert sorted(r["fid"] for r in semi.collect()) == sorted(
         {f for f, _ in want}
     )
+
+
+def test_banded_range_join_semi_preserves_left_multiplicity(spark):
+    """ADVICE r10: true left-semi semantics keep duplicate left rows —
+    three identical matching fact rows (no id column) must come back
+    three times, while a fact inside SEVERAL intervals still comes back
+    once per input row."""
+    from savio_training_dask_2019_spark.operators.ranges import banded_range_join
+
+    facts = spark.createDataFrame(
+        [(5.0,), (5.0,), (5.0,), (25.0,), (99.0,)], ["v"]
+    )
+    iv = spark.createDataFrame(
+        [(0.0, 10.0), (3.0, 30.0), (20.0, 26.0)], ["lo", "hi"]
+    )
+    got = sorted(
+        r["v"]
+        for r in banded_range_join(
+            facts, "v", iv, "lo", "hi", band_width=10.0, how="left_semi"
+        ).collect()
+    )
+    # 5.0 matches two intervals but appears once PER INPUT ROW (x3);
+    # 25.0 matches two intervals, appears once; 99.0 matches none
+    assert got == [5.0, 5.0, 5.0, 25.0]
+    out = banded_range_join(
+        facts, "v", iv, "lo", "hi", band_width=10.0, how="left_semi"
+    )
+    assert out.columns == ["v"]  # the transient _fid tag never leaks
 
 
 def test_banded_range_join_plan_is_equi_not_bnlj(spark, sf_dir):

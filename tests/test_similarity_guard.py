@@ -503,3 +503,39 @@ def test_max_cosine_arrow_tier_matches_fold(spark, sf_dir):
     assert fold == arrow and len(fold) > 0
     with pytest.raises(ValueError, match="method"):
         max_cosine_vs_set(tr, "embedding", "vec_id", ev, method="gpu")
+
+
+def test_max_cosine_arrow_tier_nonbigint_id_columns(spark, sf_dir):
+    """ADVICE r10: the arrow tier used to hardcode its mapInPandas output
+    schema as ``id long``, so a string (or int) id column failed or
+    miscast at the Arrow boundary while the fold tier handled any id type.
+    The schema is now derived from the input — both tiers must agree on a
+    STRING id and on an INT id."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.operators.similarity import (
+        max_cosine_vs_set,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    is_eval = F.col("vec_id") % 23 == 0
+    for id_expr, id_type in (
+        (F.concat(F.lit("doc-"), F.col("vec_id")), "string"),
+        (F.col("vec_id").cast("int"), "int"),
+    ):
+        base = emb.select(id_expr.alias("doc_id"), "embedding", "vec_id")
+        tr = base.where(~is_eval).drop("vec_id")
+        ev = base.where(is_eval).drop("vec_id")
+        fold = {
+            r["doc_id"]: round(r["max_cos"], 5)
+            for r in max_cosine_vs_set(tr, "embedding", "doc_id", ev).collect()
+        }
+        arrow_df = max_cosine_vs_set(
+            tr, "embedding", "doc_id", ev, method="arrow"
+        )
+        assert dict(arrow_df.dtypes)["doc_id"] == id_type
+        arrow = {
+            r["doc_id"]: round(r["max_cos"], 5) for r in arrow_df.collect()
+        }
+        assert fold == arrow and len(fold) > 0

@@ -241,6 +241,46 @@ def test_cms_weighted_and_unseen_probes(spark):
         count_min_table(df, "src", width=0, depth=4)
 
 
+def test_cms_null_probe_returns_null_not_none_literal(spark):
+    """ADVICE r10: a NULL probe used to stringify to the literal 'None' and
+    read an arbitrary bucket's overcount; the build side drops NULLs, so
+    the only honest answer is NULL — and non-NULL probes sharing the batch
+    must be unaffected. StreamingCountMin.estimate rejects None probes for
+    the same reason."""
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.sketches import (
+        cms_estimates,
+        count_min_table,
+    )
+    from savio_training_dask_2019_spark.streaming import StreamingCountMin
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "tok string")
+    w, d = 2048, 4
+    tab = count_min_table(df, "tok", width=w, depth=d)
+    probes = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "tok string"
+    )
+    got = {
+        (r["tok"],): r["est_count"]
+        for r in cms_estimates(tab, probes, "tok", width=w, depth=d).collect()
+    }
+    assert got[("a",)] >= 7 and got[("b",)] >= 3
+    assert got[(None,)] is None
+    # the literal string 'None' was never inserted either — and must not
+    # alias the NULL probe's (former) bucket
+    lit = spark.createDataFrame([("None",)], "tok string")
+    [r] = cms_estimates(tab, lit, "tok", width=w, depth=d).collect()
+    assert r["est_count"] is not None  # a real (collision-only) counter
+
+    scm = StreamingCountMin("tok", width=w, depth=d)
+    scm(df, batch_id=0)
+    assert scm.estimate(["a"])["a"] >= 7
+    with pytest.raises(ValueError, match="None probe"):
+        scm.estimate(["a", None])
+
+
 def test_cms_catalog_query_contract(spark, sf_dir):
     """cms_counts: 20 probes, every estimate >= its exact count, and the
     1-row folded-table attach is the only nested-loop join."""
