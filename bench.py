@@ -93,6 +93,13 @@ HEADLINE = {
     # the only row exercising per-iteration lineage truncation
     "fuzzy_join": "fuzzy_join",
     "pagerank": "pagerank",
+    # r11 additions (frozen r11, same-day 4-run medians): the exact-integer
+    # Lloyd loop — the only row exercising the per-iteration
+    # bounded-collect + broadcast-literal-fold mechanism — and the
+    # degree-oriented wedge join, the only row exercising the
+    # O(sqrt(m))-bounded triangle closure
+    "kmeans_train": "kmeans_train",
+    "triangle_count": "triangle_count",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

@@ -179,3 +179,105 @@ def pagerank_oracle_cte(
         )
     final = select_sql or f"SELECT id, rank_micro FROM r{iters}"
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def triangle_counts(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle participation counts — ``(id, n_triangles)`` for
+    every node in at least one triangle — over an undirected edge list
+    (any orientation/duplication; canonicalized and deduped here).
+
+    Algorithm: degree-ordered node-iterator (the MapReduce triangle
+    classic — Suri & Vassilvitskii, WWW 2011 "Counting Triangles and the
+    Curse of the Last Reducer"). Orient every edge from its
+    lexicographically-smaller ``(degree, id)`` endpoint to the larger;
+    the orientation is acyclic and every triangle {x,y,z} with
+    κ(x)<κ(y)<κ(z) is counted EXACTLY once, as the wedge (x→y, x→z)
+    closed by the edge {y,z}.
+
+    Scale: the whole point of the orientation is that out-degrees are
+    bounded by O(sqrt(m)) — the "curse of the last reducer" is the
+    unoriented hub whose deg² wedges land on one task; after orientation a
+    hub's edges point INTO it, so its wedge count collapses. Plan: two
+    equi-joins (wedge build on src, closure probe on the canonical pair)
+    and one explode+groupBy — all shuffle-partitioned, no broadcast of
+    anything corpus-sized, no BNLJ. The canonical edge list and the
+    oriented edge list are each referenced from multiple plan branches
+    (deg, both wedge sides, the closure probe), so both are
+    ``localCheckpoint``ed — without it Spark re-executes the edge
+    derivation per branch (22 source scans on the catalog query; the
+    pagerank / connected_components lineage-truncation precedent).
+    Exact, so the oracle is the same SQL.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))  # drops self-loops
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)  # read by BOTH wedge sides
+    o1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    o2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    # wedge (x→y, x→z) with y<z (node id — dedupes the unordered pair),
+    # closed by the canonical edge {y,z}; y<z makes (y,z) already canonical
+    tri = (
+        o1.join(o2, "x")
+        .where(F.col("y") < F.col("z"))
+        .join(e, (F.col("y") == F.col("a")) & (F.col("z") == F.col("b")))
+        .select("x", "y", "z")
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def triangle_counts_oracle_sql(pairs_sql: str, final_sql: str | None = None) -> str:
+    """DuckDB twin: the identical canonicalize → degree-orient → wedge →
+    close pipeline (exact — same joins, no approximation). ``pairs_sql``
+    selects columns ``a, b``; ``final_sql`` overrides the projection over
+    ``cnt(id, n_triangles)``."""
+    return f"""WITH raw AS ({pairs_sql}),
+e AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM raw WHERE least(a, b) < greatest(a, b)
+),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY id
+),
+o AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+),
+tri AS (
+  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+  JOIN e ON e.a = o1.dst AND e.b = o2.dst
+),
+cnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY id
+)
+{final_sql or "SELECT id, n_triangles FROM cnt"}"""

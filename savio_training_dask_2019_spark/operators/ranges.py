@@ -86,3 +86,54 @@ def banded_range_join(
             .drop("_fid")
         )
     return f.join(iv, "_band").where(cond).drop("_band")
+
+
+def interval_union_length(
+    df: DataFrame,
+    group_cols: "list[str]",
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """Per-group total length of the UNION of half-open integer intervals
+    ``[lo, hi)`` — overlap collapsed, gaps excluded (machine uptime from
+    overlapping sessions, days-with-inventory-in-flight, covered genome
+    bases). Returns one row per group: ``(*group_cols, n_intervals bigint,
+    union_len bigint, span_len bigint)``.
+
+    Algorithm: the sweep-line prefix-max — sort by ``lo`` within the
+    group; each row contributes ``max(0, hi - max(lo, M))`` where ``M`` is
+    the running max of ``hi`` over PRECEDING rows. The per-group SUM is
+    provably order-independent among equal-``lo`` ties (the tie group's
+    contributions telescope to ``max(0, max(hi) - max(lo, M))``), so the
+    result is engine- and partitioning-exact with integer bounds even
+    though individual row contributions are not.
+
+    Scale: ONE window (partitioned by the group — never unpartitioned)
+    plus one hash agg; no join, no explode (a day-level explode — the
+    naive alternative — multiplies the row count by the interval length).
+    Degenerate ``hi <= lo`` intervals contribute 0 but still count in
+    ``n_intervals``."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(lo_col).asc(), F.col(hi_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(F.col(hi_col)).over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("bigint"),
+        (
+            F.col(hi_col)
+            - F.greatest(F.col(lo_col), F.coalesce(prev_max, F.col(lo_col)))
+        ).cast("bigint"),
+    )
+    return (
+        df.select(*group_cols, lo_col, hi_col, contrib.alias("__c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("__c").cast("bigint").alias("union_len"),
+            (F.max(hi_col) - F.min(lo_col)).cast("bigint").alias("span_len"),
+        )
+    )

@@ -431,17 +431,35 @@ if _MISSING:
 #     row records only a row count).
 #     Queries BUILT this round (r11) are late additions on the standing
 #     precedent: replica-checked at both SFs + measured-once benched the
-#     day they land; first driver rows r12.  This round's late additions:
+#     day they land; first driver rows r12.  This round's late additions
+#     (catalog arithmetic: 158 at r10 close + 4 = 162; 138 + 3 = 141
+#     oracle-backed, 20 + 1 = 21 rows-only):
 #     kmeans_train (Lloyd k-means over int-quantized embeddings in exact
 #     BIGINT arithmetic — fixed iterations, floor-div centroid means, the
-#     IVF centroid-training story; oracle-backed via chained CTEs),
-#     triangle_count (degree-ordered node-iterator triangle counting —
-#     the canonical "join that explodes if you let it" graph shape;
-#     oracle-backed), groupby_kll (per-group mergeable KLL quantiles —
-#     the grouped tier of the sketch family; rows-only by contract with
-#     an accuracy pytest vs exact per-group percentiles), and
-#     interval_coverage (sweep-line union-length of overlapping
-#     intervals per group — stack-free prefix-max coverage; oracle-backed).
+#     IVF centroid-training story; oracle-backed via chained CTEs, both
+#     SFs; promoted to the bench headliner tier the day it landed —
+#     frozen 4,269 ms median, the bounded-collect + broadcast-literal-fold
+#     iteration mechanism row), triangle_count (degree-ordered
+#     node-iterator triangle counting, Suri & Vassilvitskii — the
+#     canonical "join that explodes if you let it" graph shape;
+#     oracle-backed both SFs; promoted to the headliner tier same day —
+#     frozen 1,665 ms median, the O(sqrt(m))-bounded wedge-join mechanism
+#     row), group_kll_quantiles (PER-GROUP mergeable KLL quantiles via
+#     one map-side-combinable kll_sketch_agg_double — the grouped tier of
+#     the sketch family; rows-only by contract with a ±3%-rank accuracy
+#     pytest vs exact per-group percentiles), and interval_coverage
+#     (sweep-line union-length of overlapping [o_orderdate, l_shipdate)
+#     intervals per supplier — prefix-max coverage whose per-group SUM is
+#     provably tie-order-independent; oracle-backed both SFs).
+#     TWO MORE r11 late additions (164 total; 143 oracle-backed, 21
+#     rows-only): skyline_parts (per-brand 2-D Pareto frontier, Börzsönyi
+#     ICDE'01 — price cents minimized, size maximized; Spark runs the
+#     O(n log n) two-window sweep, the oracle runs the DEFINITIONAL
+#     quadratic NOT-EXISTS form, so agreement checks semantics across
+#     different algorithms; oracle-backed both SFs) and twap
+#     (time-weighted average per event type — hold-duration-weighted
+#     value; exact BIGINT Σcents·dur and Σdur hash-checked, the ratio is
+#     one fixed-order float division; oracle-backed both SFs).
 #   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica

@@ -535,6 +535,39 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP mergeable KLL quantiles — the grouped tier of the sketch
+    family (`kll_quantiles` is the global fold; this is the shape a
+    per-tenant / per-status latency dashboard actually runs). ONE
+    map-side-combinable aggregation: `kll_sketch_agg_double` is an
+    associative Datasketches aggregate, so each partition reduces its
+    slice of every group to a ~KB sketch before the shuffle — per-group
+    exact percentiles re-sort each group's world instead. Same groups and
+    column as `percentiles` (exact), so the accuracy pytest compares the
+    two directly at matched rank tolerance.
+
+    Rows-only by contract: KLL is a randomized sampler; estimates are
+    engine- and seed-specific (no SQL oracle can reproduce them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_linestatus").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return g.select(
+        "l_linestatus",
+        "n_rows",
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 2
+        ).alias("p50_est"),
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 2
+        ).alias("p90_est"),
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 2
+        ).alias("p99_est"),
+    )
+
+
 def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-safe equi-join (`eqNullSafe` / IS NOT DISTINCT FROM): NULL keys
     match each other instead of vanishing — the semantic corner plain `=`
@@ -1281,6 +1314,104 @@ _PAGERANK_WEIGHTED_SQL = pagerank_oracle_cte(
 )
 
 
+_TRI_ORDER_MOD = 10  # demo subset: every 10th order (the vec_id % 29 pattern)
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph — the canonical
+    "join that explodes if you let it" graph analytic (clustering
+    coefficient, community density, spam-graph signals). Nodes are parts;
+    an undirected edge links two parts bought in the SAME order (every
+    10th order — the demo-subset pattern); output = the top 20 parts by
+    triangle participation (ties broken by part key — a deterministic
+    total order).
+
+    Scale: degree-ordered node-iterator (Suri & Vassilvitskii, WWW 2011) —
+    the orientation bounds every node's out-degree by O(sqrt(m)), so the
+    wedge join cannot melt a reducer under a hub (the "curse of the last
+    reducer" is the whole paper). Two equi-joins + one explode/groupBy,
+    no BNLJ, nothing corpus-sized broadcast; exact, so the oracle is the
+    identical SQL. See operators/graph.py:triangle_counts."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % _TRI_ORDER_MOD == 0
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b")
+            ),
+            "ok",
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return (
+        triangle_counts(pairs)
+        .orderBy(F.col("n_triangles").desc(), F.col("id"))
+        .limit(20)
+        .select(F.col("id").alias("part_key"), "n_triangles")
+    )
+
+
+def _triangle_sql() -> str:
+    from ..operators.graph import triangle_counts_oracle_sql
+
+    pairs = f"""SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_orderkey % {_TRI_ORDER_MOD} = 0 AND x.l_partkey < y.l_partkey"""
+    return triangle_counts_oracle_sql(
+        pairs,
+        final_sql=(
+            "SELECT id AS part_key, n_triangles FROM cnt "
+            "ORDER BY n_triangles DESC, id LIMIT 20"
+        ),
+    )
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline (Pareto frontier, Börzsönyi ICDE'01): the
+    parts where no same-brand part is both cheaper-or-equal and
+    larger-or-equal with one strict edge (minimize retail price, maximize
+    size) — the "best tradeoffs" shortlist query behind product search,
+    candidate pruning, and multi-objective config tuning.
+
+    Exactness: price in integer cents (the events-money pattern), size
+    already integer, and the output is a SET fully determined by the
+    dominance predicate — no tie-break, no rounding anywhere. The oracle
+    runs the DEFINITIONAL quadratic NOT-EXISTS form; the Spark plan is the
+    O(n log n) two-window sweep (operators/skyline.py) — agreement checks
+    semantics across genuinely different algorithms.
+
+    Scale: two brand-partitioned windows + one filter; no join, no
+    explode, nothing broadcast. The quadratic form the oracle runs is
+    exactly what this operator exists to avoid at 100 TB."""
+    from ..operators.skyline import pareto_front_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    return pareto_front_2d(p, ["p_brand"], "price_cents", "p_size")
+
+
+def _skyline_sql() -> str:
+    from ..operators.skyline import pareto_oracle_sql
+
+    src = """SELECT p_partkey, p_brand AS g,
+    CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+    CAST(p_size AS INTEGER) AS y
+  FROM part"""
+    return pareto_oracle_sql(
+        src,
+        "SELECT a.p_partkey, a.g AS p_brand, a.x AS price_cents, a.y AS p_size",
+    )
+
+
 _Z_CELL_DIV = 16  # drop the low 4 morton bits: each cell = a 4×4 (x,y) block
 
 
@@ -1616,6 +1747,7 @@ QUERIES = {
     "distinct_approx": q_distinct_approx,
     "hll_sketch_union": q_hll_sketch_union,
     "kll_quantiles": q_kll_quantiles,
+    "group_kll_quantiles": q_group_kll_quantiles,
     "nullsafe_join": q_nullsafe_join,
     "fuzzy_join": q_fuzzy_join,
     "fuzzy_lookup": q_fuzzy_lookup,
@@ -1626,6 +1758,8 @@ QUERIES = {
     "zorder_stats": q_zorder_stats,
     "pagerank": q_pagerank,
     "pagerank_weighted": q_pagerank_weighted,
+    "triangle_count": q_triangle_count,
+    "skyline_parts": q_skyline_parts,
     "percentiles": q_percentiles,
     "outlier_mad": q_outlier_mad,
     "corr_cov": q_corr_cov,
@@ -1676,6 +1810,8 @@ ORACLE = {
     "outlier_mad": _OUTLIER_MAD_SQL,
     "pagerank": _PAGERANK_SQL,
     "pagerank_weighted": _PAGERANK_WEIGHTED_SQL,
+    "triangle_count": _triangle_sql(),
+    "skyline_parts": _skyline_sql(),
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,

@@ -838,6 +838,129 @@ FROM shares
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier open-order coverage — how many calendar days the
+    supplier had AT LEAST ONE line ordered but not yet shipped
+    (``[o_orderdate, l_shipdate)``, overlaps collapsed, gaps excluded),
+    vs the raw span. The union-of-intervals analytic behind uptime,
+    SLA-in-force, and work-in-flight reporting — a different question
+    from every windowed agg in the catalog because overlapping rows must
+    NOT double count.
+
+    Exactness: dates become integer epoch-days (``datediff`` — exact), and
+    the sweep is the prefix-max algorithm whose per-group SUM is provably
+    tie-order-independent (operators/ranges.py:interval_union_length), so
+    the oracle needs no rounding at all.
+
+    Scale: one equi-join to fetch the order date (shuffle or broadcast —
+    Catalyst's call), one window partitioned by supplier, one hash agg;
+    no day-level explode (which would multiply rows by ~40×)."""
+    from ..operators.ranges import interval_union_length
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("supp_key"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "lo"
+        ),
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date")).alias(
+            "hi"
+        ),
+    )
+    return interval_union_length(iv, ["supp_key"], "lo", "hi").select(
+        "supp_key", "n_intervals", F.col("union_len").alias("days_covered"),
+        F.col("span_len").alias("days_span"),
+    )
+
+
+_INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT l_suppkey AS supp_key,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS lo,
+         datediff('day', DATE '1992-01-01', l_shipdate) AS hi
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sw AS (
+  SELECT supp_key, lo, hi,
+         max(hi) OVER (PARTITION BY supp_key ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+)
+SELECT supp_key,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(greatest(0, hi - greatest(lo, coalesce(prev_max, lo))))
+            AS BIGINT) AS days_covered,
+       CAST(max(hi) - min(lo) AS BIGINT) AS days_span
+FROM sw GROUP BY supp_key
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP — the
+    finance/metering aggregate where a reading counts for HOW LONG it was
+    current, not how often it was sampled): each event's value holds until
+    the next event of the same type; the last holds nothing.
+
+    Exactness: value in integer cents (the events-money pattern), hold
+    duration in integer SECONDS (floor of epoch micros — identical floors
+    both engines; ties on ts broken by event_id get duration 0 between
+    them, which the weighted sum is insensitive to). The hash-checked
+    heart is two exact BIGINT sums (Σ cents·dur, Σ dur); the ratio is ONE
+    fixed-order float division + round — the single-two-operand-float-op
+    rule from the drift_psi_windowed post-mortem. Int64 headroom:
+    cents (≤ ~5e4) × dur (≤ ~2.6e6 s in the 30-day fixture window) ≈
+    1.3e11 per row — exact past 7e7 rows per group per month; wider data
+    drops dur to minutes.
+
+    Scale: one type-partitioned lead window + one hash agg — the
+    lag/lead family's plan with a weighted-sum payload."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # ts is timestamp_ntz; the session TZ is pinned UTC, so the cast to
+    # TIMESTAMP (which unix_micros requires) is the identity mapping
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    rows = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        secs.alias("sec"),
+    ).withColumn("dur", F.lead("sec").over(w) - F.col("sec"))
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("cents") * F.col("dur")).cast("bigint").alias("wsum"),
+        F.sum("dur").cast("bigint").alias("dsum"),
+        F.round(
+            F.sum(F.col("cents") * F.col("dur"))
+            / (F.lit(100.0) * F.sum("dur")),
+            6,
+        ).alias("twap"),
+    )
+
+
+_TWAP_SQL = """
+WITH r AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 1000000 AS sec,
+         lead(epoch_us(ts) // 1000000) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) - (epoch_us(ts) // 1000000) AS dur
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents * dur) AS BIGINT) AS wsum,
+       CAST(sum(dur) AS BIGINT) AS dsum,
+       round(CAST(sum(cents * dur) AS BIGINT) / (100.0 * CAST(sum(dur) AS BIGINT)), 6) AS twap
+FROM r GROUP BY event_type
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -856,6 +979,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_tolerance": q_asof_tolerance,
     "pivot_daily": q_pivot_daily,
+    "interval_coverage": q_interval_coverage,
+    "twap": q_twap,
 }
 
 ORACLE = {
@@ -876,4 +1001,6 @@ ORACLE = {
     "asof_join": _ASOF_JOIN_SQL,
     "asof_tolerance": _ASOF_TOLERANCE_SQL,
     "pivot_daily": _PIVOT_DAILY_SQL,
+    "interval_coverage": _INTERVAL_COVERAGE_SQL,
+    "twap": _TWAP_SQL,
 }

@@ -1090,6 +1090,53 @@ FROM scored
 """
 
 
+_KM_K, _KM_ITERS, _KM_QUANT, _KM_OFFSET = 8, 3, 1000, 1.0
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic Lloyd k-means over the embedding corpus — the
+    oracle-backed TRAINING loop behind the IVF coarse quantizer
+    (``knn_ivf`` uses Spark ML's float k-means, rows-only by contract;
+    this is the engine-exact counterpart — vectors quantized to a 1e-3
+    grid, BIGINT distances, floor-div centroid means, ties to the
+    smallest centroid id). Output: the final round's model, one row per
+    (cluster, dim) with the centroid component and member count —
+    k·dim = 512 rows at any scale factor.
+
+    Scale: per iteration ONE narrow corpus scan (broadcast-literal argmin
+    fold, no join) + ONE map-side-combined groupBy(cluster, dim) whose
+    output is k·dim rows; driver state is the O(k·dim) centroid model
+    (bounded by the model, never the corpus — the PQ-codebook precedent).
+    See operators/kmeans.py for the determinism argument."""
+    from ..operators.kmeans import kmeans_lloyd_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(
+        emb,
+        "embedding",
+        "vec_id",
+        k=_KM_K,
+        iters=_KM_ITERS,
+        quant=_KM_QUANT,
+        offset=_KM_OFFSET,
+    )
+
+
+def _kmeans_sql() -> str:
+    from ..operators.kmeans import kmeans_oracle_cte
+
+    return kmeans_oracle_cte(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=_KM_K,
+        iters=_KM_ITERS,
+        quant=_KM_QUANT,
+        offset=_KM_OFFSET,
+    )
+
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
@@ -1113,6 +1160,7 @@ QUERIES = {
     "ivfpq_rerank": q_ivfpq_rerank,
     "quantize_int8": q_quantize_int8,
     "decontam_semantic": q_decontam_semantic,
+    "kmeans_train": q_kmeans_train,
 }
 
 ORACLE = {
@@ -1135,4 +1183,5 @@ ORACLE = {
     "ivfpq_rerank": _IVFPQ_RERANK_SQL,
     "quantize_int8": _QUANT_SQL,
     "decontam_semantic": _SEM_DECONTAM_SQL,
+    "kmeans_train": _kmeans_sql(),
 }

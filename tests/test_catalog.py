@@ -12,20 +12,19 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed before r10 — first rows (VERDICT r9 #1)
-    "drift_psi", "winnow_fp", "heavy_hitters", "ivf_balance",
-    "pq_encode", "pq_adc", "ivfpq", "pack_bfd", "repetition_stats",
-    # built this round — first rows
-    "drift_psi_windowed", "heavy_domains",
-    # pq_* also carry this round's code touch (ADC literal-size guard)
-    # — already listed above.
-    # the 22 r7-record riders VERDICT r9 #2 required back by name
-    "topk", "join_3way", "window_rank", "knn_brute", "passage_dedup",
-    "unigram_logprob", "bigram_logprob", "knn_lsh", "knn_ivf",
-    "multimodal_audio", "vector_stats", "vector_arith",
-    "multimodal_meta", "multimodal_decode", "multimodal_dims",
-    "map_in_pandas", "map_in_arrow", "udtf_tokens", "fanout_compute",
-    "dup_ngram_ratio", "shard_corpus", "length_buckets",
+    # never driver-witnessed — the 28 r10 late additions take first rows
+    # r11 (the only catalog entries with no driver row); six of them
+    # (zorder_stats, pagerank, pagerank_weighted, range_join_banded,
+    # cms_counts, decontam_semantic) also carry this round's ADVICE-fix
+    # code touches, so their first rows double as changed-code witnesses
+    "ivfpq_rerank", "decontam_bloom", "chunk_documents", "quantize_int8",
+    "cms_counts", "dedup_incremental_bloom", "source_overlap",
+    "drift_numeric", "decontam_semantic", "weighted_sample",
+    "snapshot_diff", "melt_metrics", "fuzzy_join", "skew_profile",
+    "retrieval_eval", "outlier_mad", "drift_ks", "pagerank",
+    "join_explosion", "rrf_hybrid", "fuzzy_clusters", "range_join_banded",
+    "ohlc_bars", "trend_slope", "pagerank_weighted", "fuzzy_lookup",
+    "apply_cdc", "zorder_stats",
 }
 
 

@@ -640,3 +640,308 @@ def test_zorder_layout_bounds_both_dims_vs_lexicographic(spark, sf_dir, tmp_path
     # z bounds BOTH dims well below the 255 domain width
     assert zx <= 160 and zy <= 160, (zx, zy)
     assert zy < ly
+
+
+# --- triangle_count -------------------------------------------------------------
+
+
+def test_triangle_counts_planted_graphs(spark):
+    """K4 (4 triangles, every node in 3), a triangle with a pendant edge,
+    and a square (0 triangles); duplicate/reversed/self-loop inputs are
+    canonicalized away."""
+    from savio_training_dask_2019_spark.operators.graph import triangle_counts
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(spark.createDataFrame(k4, ["a", "b"])).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 3), (3, 4), (1, 2)]
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(messy, ["a", "b"])
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}  # node 4 (pendant) absent
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert (
+        triangle_counts(spark.createDataFrame(square, ["a", "b"])).count() == 0
+    )
+
+
+def test_triangle_counts_differential_vs_brute(spark):
+    """Random-ish deterministic graph: degree-ordered wedge counting must
+    equal brute-force triple enumeration."""
+    import itertools
+    import random
+
+    from savio_training_dask_2019_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(23), rng.randrange(23)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    eset = set(edges)
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(range(23), 3):
+        if ((x, y) in eset) and ((x, z) in eset) and ((y, z) in eset):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(edges, ["a", "b"])
+        ).collect()
+    }
+    assert got == want and sum(want.values()) > 0
+
+
+def test_triangle_count_catalog_no_bnlj(spark, sf_dir):
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries.relational import q_triangle_count
+
+    df = q_triangle_count(spark, sf_dir)
+    assert plans.bnlj_count(df) == 0
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    # deterministic total order: strictly sorted by (cnt desc, part_key)
+    keys = [(-r["n_triangles"], r["part_key"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+# --- interval_coverage ----------------------------------------------------------
+
+
+def test_interval_union_length_planted(spark):
+    """Overlap collapses, gaps excluded, degenerate intervals count but
+    contribute 0, contained intervals add nothing."""
+    from savio_training_dask_2019_spark.operators.ranges import (
+        interval_union_length,
+    )
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 20, 25),   # union 20, span 25
+        ("b", 0, 100), ("b", 10, 20), ("b", 30, 30),  # union 100, span 100
+        ("c", 7, 7),                                  # degenerate only
+    ]
+    got = {
+        r["g"]: (r["n_intervals"], r["union_len"], r["span_len"])
+        for r in interval_union_length(
+            spark.createDataFrame(rows, "g string, lo int, hi int"),
+            ["g"], "lo", "hi",
+        ).collect()
+    }
+    assert got == {"a": (3, 20, 25), "b": (3, 100, 100), "c": (1, 0, 0)}
+
+
+def test_interval_union_length_differential_and_partition_invariant(spark):
+    """vs brute-force day sets on deterministic pseudo-random intervals;
+    identical across partitionings (the tie-order-independence claim)."""
+    from savio_training_dask_2019_spark.operators.ranges import (
+        interval_union_length,
+    )
+
+    rows = []
+    for i in range(300):
+        g = f"g{i % 7}"
+        lo = (i * 13 + 5) % 50
+        rows.append((g, lo, lo + ((i * 29) % 9)))
+    want = {}
+    for g in {r[0] for r in rows}:
+        ivs = [(lo, hi) for gg, lo, hi in rows if gg == g]
+        days = {d for lo, hi in ivs for d in range(lo, hi)}
+        want[g] = (
+            len(ivs),
+            len(days),
+            max(h for _, h in ivs) - min(l for l, _ in ivs),
+        )
+    df = spark.createDataFrame(rows, "g string, lo int, hi int")
+    outs = []
+    for parts in (1, 13):
+        outs.append(
+            {
+                r["g"]: (r["n_intervals"], r["union_len"], r["span_len"])
+                for r in interval_union_length(
+                    df.repartition(parts), ["g"], "lo", "hi"
+                ).collect()
+            }
+        )
+    assert outs[0] == want and outs[1] == want
+
+
+def test_interval_coverage_catalog_window_is_partitioned(spark, sf_dir):
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_interval_coverage,
+    )
+
+    df = q_interval_coverage(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "SinglePartition" not in plan
+    rows = df.collect()
+    assert rows and all(
+        0 <= r["days_covered"] <= r["days_span"] for r in rows
+    )
+
+
+# --- skyline_parts --------------------------------------------------------------
+
+
+def test_pareto_front_2d_planted(spark):
+    """Planted frontier: dominated, duplicate-frontier, equal-x, equal-y,
+    and NULL rows each get the definitional treatment."""
+    from savio_training_dask_2019_spark.operators.skyline import pareto_front_2d
+
+    rows = [
+        # g, id, x (min), y (max)
+        ("a", 1, 10, 100),   # frontier
+        ("a", 2, 10, 100),   # exact duplicate — both stay
+        ("a", 3, 10, 90),    # same x, smaller y -> dominated by 1
+        ("a", 4, 20, 100),   # same y, larger x -> dominated by 1
+        ("a", 5, 5, 50),     # frontier (cheapest)
+        ("a", 6, 30, 150),   # frontier (largest)
+        ("a", 7, 25, 120),   # frontier (between 1 and 6)
+        ("a", 8, 26, 120),   # dominated by 7
+        ("a", 9, None, 999), # NULL objective: dropped
+        ("b", 10, 99, 1),    # lone row in its group: frontier
+    ]
+    got = sorted(
+        r["id"]
+        for r in pareto_front_2d(
+            spark.createDataFrame(rows, "g string, id int, x int, y int"),
+            ["g"], "x", "y",
+        ).collect()
+    )
+    assert got == [1, 2, 5, 6, 7, 10]
+
+
+def test_pareto_front_2d_differential_vs_quadratic(spark):
+    """Window sweep vs brute-force dominance on a deterministic cloud."""
+    import random
+
+    from savio_training_dask_2019_spark.operators.skyline import pareto_front_2d
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 3}", i, rng.randrange(50), rng.randrange(50))
+        for i in range(400)
+    ]
+    want = sorted(
+        i
+        for g, i, x, y in rows
+        if not any(
+            gg == g and xx <= x and yy >= y and (xx < x or yy > y)
+            for gg, _, xx, yy in rows
+        )
+    )
+    got = sorted(
+        r["id"]
+        for r in pareto_front_2d(
+            spark.createDataFrame(rows, "g string, id int, x int, y int"),
+            ["g"], "x", "y",
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_skyline_parts_catalog_contract(spark, sf_dir):
+    """Every returned part is undominated within its brand (checked
+    against the full table), and every brand is represented."""
+    from savio_training_dask_2019_spark.queries.relational import q_skyline_parts
+    from savio_training_dask_2019_spark.sources import load_table
+
+    sky = q_skyline_parts(spark, sf_dir).collect()
+    assert sky
+    plan = q_skyline_parts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # both windows brand-partitioned
+    parts = [
+        (r["p_brand"], int(round(r["p_retailprice"] * 100)), r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    by_brand: dict[str, list] = {}
+    for b, x, y in parts:
+        by_brand.setdefault(b, []).append((x, y))
+    assert {r["p_brand"] for r in sky} == set(by_brand)
+    for r in sky:
+        x, y = r["price_cents"], r["p_size"]
+        assert not any(
+            xx <= x and yy >= y and (xx < x or yy > y)
+            for xx, yy in by_brand[r["p_brand"]]
+        ), r
+
+
+# --- twap -----------------------------------------------------------------------
+
+
+def test_twap_planted_holds(spark, tmp_path):
+    """Three readings of one type with known hold durations: value 1.00
+    held 10 s, 3.00 held 20 s, last reading holds nothing ->
+    twap = (100·10 + 300·20) / (100 · 30) ≈ 2.333333."""
+    import pandas as pd
+
+    ts0 = pd.Timestamp("2024-01-10 00:00:00")
+    rows = [
+        (0, ts0, 1, "m", 1.00),
+        (1, ts0 + pd.Timedelta(seconds=10), 1, "m", 3.00),
+        (2, ts0 + pd.Timedelta(seconds=30), 1, "m", 9.99),
+        (3, ts0, 2, "other", 5.0),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_twap
+
+    got = {r["event_type"]: r for r in q_twap(spark, str(tmp_path)).collect()}
+    m = got["m"]
+    assert m["n_events"] == 3
+    assert m["wsum"] == 100 * 10 + 300 * 20 and m["dsum"] == 30
+    assert m["twap"] == round((100 * 10 + 300 * 20) / (100.0 * 30), 6)
+    # a type with a single event holds nothing: sums are 0/NULL-safe
+    o = got["other"]
+    assert o["n_events"] == 1 and o["dsum"] is None and o["twap"] is None
+
+
+def test_twap_duplicate_ts_zero_duration(spark, tmp_path):
+    """Two readings at the SAME timestamp: the earlier (by event_id) holds
+    for 0 s and cannot move the average."""
+    import pandas as pd
+
+    ts0 = pd.Timestamp("2024-01-10 00:00:00")
+    rows = [
+        (0, ts0, "m", 500.0),          # dur 0 (tied, lower event_id)
+        (1, ts0, "m", 2.0),            # held 10 s
+        (2, ts0 + pd.Timedelta(seconds=10), "m", 7.0),  # last
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": 1,
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_twap
+
+    [m] = q_twap(spark, str(tmp_path)).collect()
+    assert m["wsum"] == 200 * 10 and m["dsum"] == 10
+    assert m["twap"] == 2.0

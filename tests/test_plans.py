@@ -210,6 +210,14 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     # build (drift_psi precedent), so the static plan is exchange-free.
     "fuzzy_join": (2, 0, 0, 2, (0, 1)),
     "pagerank": (0, 0, 0, 0, (0, 0)),
+    # r11: final-round groupBy(cluster, dim) over the checkpointed
+    # quantized corpus — ONE shuffle, zero scans (lineage truncated),
+    # assignment is a broadcast-literal fold (no join at all)
+    "kmeans_train": (0, 0, 0, 1, (0, 0)),
+    # r11: wedge equi-join + closure equi-join + explode/groupBy + the
+    # top-20 cut over checkpointed edge lists; joins may resolve as
+    # shuffle or (AQE, small SFs) broadcast — both correct
+    "triangle_count": (0, 0, 0, 6, (0, 2)),
 }
 
 

@@ -401,3 +401,87 @@ def test_join_explosion_11m_rows_analytic(spark):
     assert row["top_key_share"] == round(1.0 / k, 6)
     assert row["blowup"] == round(row["out_rows"] / (na + nb), 4)
     assert elapsed < 120, f"join-size smoke took {elapsed:.0f}s"
+
+
+def test_triangle_count_1m_edges_circulant_analytic(spark):
+    """1M undirected edges: the circulant graph {i, i+1}, {i, i+2}
+    (mod 500k) has EXACTLY n triangles ({i, i+1, i+2} for every i), each
+    node participating in exactly 3 — a closed-form pin for the
+    degree-oriented wedge join at scale."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.graph import triangle_counts
+
+    n = 500_000
+    base_df = spark.range(n)
+    pairs = base_df.select(
+        F.col("id").alias("a"),
+        F.explode(
+            F.array((F.col("id") + 1) % n, (F.col("id") + 2) % n)
+        ).alias("b"),
+    )
+    t0 = time.perf_counter()
+    agg = triangle_counts(pairs).agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.min("n_triangles").alias("mn"),
+        F.max("n_triangles").alias("mx"),
+        F.sum("n_triangles").alias("total"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    assert agg["nodes"] == n
+    assert agg["mn"] == 3 and agg["mx"] == 3
+    assert agg["total"] == 3 * n  # n triangles x 3 nodes each
+    assert elapsed < 180, f"triangle smoke took {elapsed:.0f}s"
+
+
+def test_kmeans_200k_vectors_planted_blobs_exact(spark):
+    """200k 8-dim vectors in 4 exactly-separated planted blobs (blob =
+    id % 4, so the first 4 ids seed one centroid per blob): the integer
+    Lloyd loop must assign every vector to its blob and land every
+    centroid component on the blob's closed-form quantized mean."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.kmeans import (
+        kmeans_lloyd_exact,
+    )
+
+    n, k, dim = 200_000, 4, 8
+    # component d of vector id: +-0.5 by bit (d % 2) of the blob id (all
+    # four blobs distinct: they differ in at least one bit position, i.e.
+    # in at least 4 of the 8 dims) plus a small per-id jitter
+    # (id div 4 mod 10)/1000 — blobs stay separated by ~1.0
+    blob = F.col("id") % k
+    jit = ((F.col("id") / 4).cast("bigint") % 10) / F.lit(1000.0)
+    vec = F.array(
+        *[
+            F.coalesce(
+                *[
+                    F.when(
+                        blob == b,
+                        F.lit(0.5 if ((b >> (d % 2)) & 1) == 0 else -0.5),
+                    )
+                    for b in range(k)
+                ]
+            )
+            + jit
+            for d in range(dim)
+        ]
+    )
+    df = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    t0 = time.perf_counter()
+    rows = kmeans_lloyd_exact(
+        df, "embedding", "vec_id", k=k, iters=2, quant=1000, offset=1.0
+    ).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(rows) == k * dim
+    for r in rows:
+        assert r["n_members"] == n // k, (r["cluster"], r["n_members"])
+    # closed-form centroid: the jitter cycles j/1000 (j = 0..9) uniformly
+    # within every blob, so the mean quantized component is
+    # floor(sum_j floor((c + j/1000 + 1.0)*1000) / 10)
+    for r in rows:
+        b, d = r["cluster"], r["dim"] - 1
+        c = 0.5 if ((b >> (d % 2)) & 1) == 0 else -0.5
+        want = sum(int((c + j / 1000.0 + 1.0) * 1000) for j in range(10)) // 10
+        assert r["c_q"] == want, (b, d, r["c_q"], want)
+    assert elapsed < 180, f"kmeans smoke took {elapsed:.0f}s"

@@ -292,3 +292,32 @@ def test_cms_catalog_query_contract(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 20
     assert all(r["est_count"] >= r["true_count"] for r in rows)
+
+
+def test_group_kll_quantiles_accuracy_vs_exact(spark, sf_dir):
+    """Per-group KLL estimates must land within rank tolerance of the
+    exact per-group quantiles: est(q) in [exact(q-eps), exact(q+eps)]
+    with eps = 3% (KLL default k=200 has ~1.65% normalized rank error at
+    99% confidence; 3% is the comfortable pytest band)."""
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_group_kll_quantiles,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    got = {r["l_linestatus"]: r for r in q_group_kll_quantiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 0.03
+    for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        bounds = li.groupBy("l_linestatus").agg(
+            F.percentile("l_extendedprice", F.lit(max(0.0, q - eps))).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(min(1.0, q + eps))).alias("hi"),
+        ).collect()
+        for b in bounds:
+            est = got[b["l_linestatus"]][col]
+            assert b["lo"] <= est <= b["hi"], (col, b["l_linestatus"], est)
+    # group member counts are exact (carried by the same agg)
+    exact_n = {
+        r["l_linestatus"]: r["n"]
+        for r in li.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v["n_rows"] for k, v in got.items()} == exact_n
