@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SUMMARY_SCHEMA = "item string, est long, pruned long"
@@ -125,6 +125,131 @@ def heavy_hitters(
         merged.crossJoin(err)
         .orderBy(F.col("est_count").desc(), F.col("item").asc())
         .limit(top)
+    )
+
+
+_GROUPED_SUMMARY_SCHEMA = "g string, item string, est long, pruned long"
+
+
+def grouped_misra_gries_summaries(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """PER-GROUP per-partition Misra-Gries(k): for every group value seen
+    in the partition, <= k (g, item, est, 0) rows plus ONE (g, NULL, 0,
+    pruned) error row — the grouped tier of the summary family (top tokens
+    PER LANGUAGE, heavy URLs per tenant). Output is O(partitions · groups
+    · k); the item stream never shuffles. The per-group error contract is
+    the ungrouped one applied within each group: est <= true <= est +
+    err(g).
+
+    Memory note: per-partition state is O(groups-in-partition · k) — for
+    high-cardinality group columns pre-partition by group (repartition on
+    g) so each task holds only its groups' sketches; the catalog query's
+    group is `lang` (a handful of values), where any partitioning is fine.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, pd.Series] = {}
+        pruned: dict[str, int] = {}
+        sel = [group_col, item_col] + ([weight_col] if weight_col else [])
+        for pdf in batches:
+            cols = pdf[sel].dropna(subset=[group_col, item_col])
+            if weight_col is None:
+                batch = cols.groupby([group_col, item_col], sort=False).size()
+            else:
+                if (cols[weight_col] < 0).any():
+                    raise ValueError(
+                        "grouped_misra_gries_summaries: negative weights "
+                        "break the est <= true <= est + err contract"
+                    )
+                cols = cols[cols[weight_col] > 0]
+                batch = cols.groupby([group_col, item_col], sort=False)[
+                    weight_col
+                ].sum()
+            for g, sub in batch.groupby(level=0, sort=False):
+                s = sub.droplevel(0).astype("int64")
+                cur = state.get(g)
+                cur = s if cur is None else cur.add(s, fill_value=0).astype("int64")
+                cur, cut = _prune(cur, k)
+                state[g] = cur
+                pruned[g] = pruned.get(g, 0) + cut
+        frames = []
+        for g, counts in state.items():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "g": g,
+                        "item": counts.index.astype(str),
+                        "est": counts.values,
+                        "pruned": 0,
+                    }
+                )
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"g": [g], "item": [None], "est": [0], "pruned": [pruned[g]]}
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {"g": [], "item": [], "est": [], "pruned": []}
+            ).astype({"g": str, "item": str, "est": "int64", "pruned": "int64"})
+
+    cols = [
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(item_col).cast("string").alias(item_col),
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias(weight_col))
+    return df.select(*cols).mapInPandas(summarize, _GROUPED_SUMMARY_SCHEMA)
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    top: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Approximate top items PER GROUP: merge the per-partition grouped
+    summaries and keep each group's ``top`` largest estimates with that
+    group's error bound attached — ``(g, item, est_count, err_bound)``.
+    Same contract as :func:`heavy_hitters`, scoped per group: within group
+    g, est <= true <= est + err_bound(g), and any item with
+    true > err_bound(g) survives.
+
+    Plan: one narrow summaries pass (checkpointed — two consumers), an
+    O(parts·groups·k)-row shuffle keyed (g, item), a groups-sized error
+    agg joined back on g, and a g-partitioned ranking window for the cut.
+    """
+    summaries = grouped_misra_gries_summaries(
+        df, group_col, item_col, k=k, weight_col=weight_col
+    ).localCheckpoint(eager=True)
+    err = summaries.groupBy("g").agg(
+        F.sum("pruned").cast("bigint").alias("err_bound")
+    )
+    merged = (
+        summaries.where(F.col("item").isNotNull())
+        .groupBy("g", "item")
+        .agg(F.sum("est").cast("bigint").alias("est_count"))
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("est_count").desc(), F.col("item").asc()
+    )
+    return (
+        merged.join(err, "g")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top)
+        .drop("__rn")
     )
 
 

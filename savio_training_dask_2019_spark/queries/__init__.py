@@ -460,6 +460,19 @@ if _MISSING:
 #     (time-weighted average per event type — hold-duration-weighted
 #     value; exact BIGINT Σcents·dur and Σdur hash-checked, the ratio is
 #     one fixed-order float division; oracle-backed both SFs).
+#     AND TWO FINAL r11 late additions (catalog at end of r11: 166
+#     queries, 144 oracle-backed, 22 rows-only): heavy_tokens_by_lang
+#     (PER-GROUP Misra-Gries — each language's top tokens without a
+#     per-language vocabulary shuffle; rows-only by contract with a
+#     per-group est<=true<=est+err(g) pytest + planted per-group-skew
+#     survival pin) and benford_digits (Benford's-law first-digit audit
+#     over order totals — digit from the cents STRING, exact counts, the
+#     log10 expectations injected as 6-dp literals in BOTH engines;
+#     oracle-backed both SFs). Non-query surface added alongside:
+#     streaming.StreamingTwap — q_twap's foreachBatch twin with EXACT
+#     merge across micro-batches (bridge-duration driver state, O(keys)
+#     scalars; equality-to-batch, replay-idempotence, and out-of-order
+#     fail-fast pinned in tests/test_streaming.py).
 #   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica

@@ -1371,6 +1371,70 @@ def _triangle_sql() -> str:
     )
 
 
+# Benford expected first-digit shares, log10(1 + 1/d) pre-rendered to 6dp
+# IN PYTHON so neither engine's log implementation is on the comparison
+# path (the literal text is shared verbatim with the oracle)
+_BENFORD = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data screen (Benford 1938; Nigrini's forensic
+    accounting use): natural multi-scale money data follows
+    P(d) = log10(1 + 1/d), and a corpus whose leading digits deviate is a
+    generated/corrupted-data signal — a data-ops quality gate next to the
+    drift family. Output per digit 1-9: exact count, observed share, and
+    the Benford expectation (injected as a 6-dp literal in BOTH engines,
+    so no log() is ever compared).
+
+    Exactness: the digit is extracted from the CENTS STRING (substr of a
+    BIGINT's decimal rendering — no float log10 on the extraction path);
+    counts are exact; share is ONE division + round. One scan, one 9-row
+    hash agg; the share's total rides a bounded 9-row window
+    (allowlisted, the zipf_curve precedent)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = o.select(cents.alias("c")).where(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()  # 9 rows — bounded by construction
+    expected = F.element_at(
+        F.create_map(
+            *[x for k, v in sorted(_BENFORD.items()) for x in (F.lit(k), F.lit(float(v)))]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+        expected.alias("benford_expected"),
+    )
+
+
+def _benford_sql() -> str:
+    case = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(_BENFORD.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+  WHERE c > 0
+),
+counts AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (), 6) AS share,
+       CASE digit {case} END AS benford_expected
+FROM counts
+"""
+
+
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand 2-D skyline (Pareto frontier, Börzsönyi ICDE'01): the
     parts where no same-brand part is both cheaper-or-equal and
@@ -1760,6 +1824,7 @@ QUERIES = {
     "pagerank_weighted": q_pagerank_weighted,
     "triangle_count": q_triangle_count,
     "skyline_parts": q_skyline_parts,
+    "benford_digits": q_benford_digits,
     "percentiles": q_percentiles,
     "outlier_mad": q_outlier_mad,
     "corr_cov": q_corr_cov,
@@ -1812,6 +1877,7 @@ ORACLE = {
     "pagerank_weighted": _PAGERANK_WEIGHTED_SQL,
     "triangle_count": _triangle_sql(),
     "skyline_parts": _skyline_sql(),
+    "benford_digits": _benford_sql(),
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,

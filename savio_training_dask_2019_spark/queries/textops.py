@@ -1015,6 +1015,43 @@ def q_heavy_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HL_K, _HL_TOP = 32, 5
+
+
+def q_heavy_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP heavy hitters: each language's top-{top} tokens via the
+    grouped Misra-Gries tier (operators/sketches.py:
+    grouped_heavy_hitters) — the per-language vocabulary-drift /
+    stopword-audit question a multilingual corpus pipeline asks, answered
+    without a vocabulary-wide shuffle per language. Per-group contract
+    (pinned in tests/test_sketches.py): within lang g,
+    est <= true <= est + err_bound(g), and anything with
+    true > err_bound(g) survives.
+
+    Scale: one Arrow-batched pass reduces each partition to <= k counters
+    PER LANGUAGE SEEN (langs here are a handful; for high-cardinality
+    groups pre-partition on the group — the operator docstring's memory
+    note); only O(parts·langs·k) summary rows shuffle, then a
+    lang-partitioned ranking window cuts the top. Rows-only by contract:
+    estimates depend on partition boundaries, like every MG sketch here.
+    """
+    from ..operators.sketches import grouped_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens("text")).alias("tok"))
+    out = grouped_heavy_hitters(
+        toks, "lang", "tok", k=_HL_K, top=_HL_TOP
+    )
+    return out.select(
+        F.col("g").alias("lang"), F.col("item").alias("tok"),
+        "est_count", "err_bound",
+    )
+
+
+q_heavy_tokens_by_lang.__doc__ = q_heavy_tokens_by_lang.__doc__.format(
+    top=_HL_TOP
+)
+
 _CMS_W = 4096  # counters per hash row
 _CMS_D = 4     # independent hash rows
 
@@ -1070,6 +1107,7 @@ QUERIES = {
     "winnow_fp": q_winnow_fp,
     "heavy_hitters": q_heavy_hitters,
     "heavy_domains": q_heavy_domains,
+    "heavy_tokens_by_lang": q_heavy_tokens_by_lang,
     "cms_counts": q_cms_counts,
     "dedup_stats": q_dedup_stats,
     "source_overlap": q_source_overlap,

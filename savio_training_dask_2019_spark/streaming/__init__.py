@@ -23,6 +23,7 @@ from .stateful import (
     DriftMonitor,
     NumericDriftMonitor,
     StreamingCountMin,
+    StreamingTwap,
     StreamingWeightedReservoir,
     ks_from_bin_counts,
     psi_from_counts,
@@ -45,6 +46,7 @@ __all__ = [
     "DriftMonitor",
     "NumericDriftMonitor",
     "StreamingCountMin",
+    "StreamingTwap",
     "StreamingWeightedReservoir",
     "ks_from_bin_counts",
     "psi_from_counts",

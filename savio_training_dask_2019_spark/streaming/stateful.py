@@ -484,3 +484,102 @@ class StreamingWeightedReservoir:
                 self._best.values(), key=lambda t: (-t[0], t[1][self.id_col])
             )
         ]
+
+
+class StreamingTwap:
+    """Streaming time-weighted average — the ``q_twap`` batch query's
+    ``foreachBatch`` twin, EXACT-merge across micro-batches: after any
+    number of batches, per-key ``(n_events, wsum, dsum)`` equal the batch
+    query's BIGINT sums over the concatenated stream (pinned in
+    tests/test_streaming.py), because the only cross-batch term — the
+    hold of each key's LAST event until the next batch's first — is a
+    bridge duration computable from O(keys) driver scalars.
+
+    Contract: batches must arrive in non-decreasing event time per key
+    (the incremental-ingest posture; a violation would silently corrupt
+    the weighted sums, so it RAISES instead). Within a batch any order is
+    fine — the distributed window sorts. Driver state: O(keys) scalar
+    tuples; per batch ONE distributed window + agg reduces the batch to
+    O(keys) rows before the collect. Replay-idempotent by batch_id.
+    """
+
+    def __init__(
+        self,
+        key: str = "event_type",
+        ts: str = "ts",
+        value: str = "value",
+        tiebreak: str = "event_id",
+    ) -> None:
+        self.key, self.ts, self.value, self.tiebreak = key, ts, value, tiebreak
+        # key -> [n_events, wsum, dsum, last_sec, last_cents]
+        self.state: dict[str, list[int]] = {}
+        self._seen: set[int] = set()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        self._seen.add(batch_id)
+        sec = F.expr(
+            f"unix_micros(cast({self.ts} as timestamp)) div 1000000"
+        )
+        cents = F.round(F.col(self.value) * 100).cast("bigint")
+        rows = batch_df.select(
+            F.col(self.key).alias("k"),
+            F.col(self.tiebreak).alias("tb"),
+            cents.alias("cents"),
+            sec.alias("sec"),
+        )
+        w = Window.partitionBy("k").orderBy("sec", "tb")
+        summary = (
+            rows.withColumn("dur", F.lead("sec").over(w) - F.col("sec"))
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("cents") * F.col("dur")).alias("wsum"),
+                F.sum("dur").alias("dsum"),
+                F.min_by(
+                    F.struct("sec", "cents"), F.struct("sec", "tb")
+                ).alias("first"),
+                F.max_by(
+                    F.struct("sec", "cents"), F.struct("sec", "tb")
+                ).alias("last"),
+            )
+            .collect()  # bounded: O(keys) rows — the DriftMonitor posture
+        )
+        for r in summary:
+            k = r["k"]
+            n = int(r["n"])
+            wsum = int(r["wsum"] or 0)
+            dsum = int(r["dsum"] or 0)
+            first_sec, last = r["first"]["sec"], r["last"]
+            if k in self.state:
+                st = self.state[k]
+                bridge = first_sec - st[3]
+                if bridge < 0:
+                    raise ValueError(
+                        f"StreamingTwap: batch {batch_id} key {k!r} starts "
+                        f"{-bridge}s BEFORE the previous batch's last event "
+                        "— out-of-order batches corrupt the weighted sums"
+                    )
+                st[0] += n
+                st[1] += st[4] * bridge + wsum
+                st[2] += bridge + dsum
+                st[3], st[4] = last["sec"], int(last["cents"])
+            else:
+                self.state[k] = [n, wsum, dsum, last["sec"], int(last["cents"])]
+
+    def result(self) -> dict[str, dict]:
+        """Per-key exact sums + the ratio (one float division, like the
+        batch query)."""
+        out = {}
+        for k, (n, wsum, dsum, _ls, _lc) in sorted(self.state.items()):
+            out[k] = {
+                "n_events": n,
+                "wsum": wsum,
+                "dsum": dsum,
+                "twap": round(wsum / (100.0 * dsum), 6) if dsum else None,
+            }
+        return out

