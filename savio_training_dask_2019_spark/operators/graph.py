@@ -281,3 +281,79 @@ cnt AS (
   ) GROUP BY id
 )
 {final_sql or "SELECT id, n_triangles FROM cnt"}"""
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS: ``(id, hops)`` — the minimum hop count (<=
+    ``max_hops``) from any seed, over a directed edge list. The
+    reachability / transitive-closure-to-depth-k member of the graph tier
+    (crawl frontier expansion, blast-radius analysis, supply-chain
+    exposure), exact by construction: hop levels are set membership, no
+    arithmetic at all.
+
+    Pregel-style frontier loop (the connected-components / pagerank
+    pattern): per hop ONE hash join frontier⋈edges on ``src`` + distinct
+    + ONE left-anti join against the visited set, localCheckpoint per
+    round (frontiers are O(reachable) and lineage must not stack). The
+    edge list is checkpointed once — it is read every hop. Empty
+    frontiers make remaining hops cheap no-ops (no driver branching, so
+    the loop is deterministic in plan count)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited
+
+
+def bfs_oracle_cte(
+    edges_sql: str, seeds_sql: str, max_hops: int, select_sql: str | None = None
+) -> str:
+    """DuckDB twin as chained CTEs — one frontier + one visited CTE per
+    hop, generated for a fixed ``max_hops`` (the pagerank_oracle_cte
+    pattern). ``edges_sql`` selects ``src, dst``; ``seeds_sql`` selects
+    ``id``; ``select_sql`` overrides the final projection over
+    ``v{max_hops}(id, hops)``."""
+    parts = [
+        f"e AS ({edges_sql})",
+        f"v0 AS (SELECT DISTINCT id, 0 AS hops FROM ({seeds_sql}))",
+    ]
+    for h in range(1, max_hops + 1):
+        prev = f"v{h - 1}"
+        parts.append(
+            f"""f{h} AS (
+  SELECT DISTINCT e.dst AS id FROM e JOIN {prev} v ON e.src = v.id
+  WHERE e.dst NOT IN (SELECT id FROM {prev})
+)""",
+        )
+        parts.append(
+            f"v{h} AS (SELECT id, hops FROM {prev} "
+            f"UNION ALL SELECT id, {h} FROM f{h})",
+        )
+    final = select_sql or f"SELECT id, hops FROM v{max_hops}"
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -473,6 +473,21 @@ if _MISSING:
 #     merge across micro-batches (bridge-duration driver state, O(keys)
 #     scalars; equality-to-batch, replay-idempotence, and out-of-order
 #     fail-fast pinned in tests/test_streaming.py).
+#     THREE MORE r11 late additions (catalog at end of r11: 169 queries,
+#     146 oracle-backed, 23 rows-only): ivm_agg (incremental view
+#     maintenance — base agg + signed changelog delta merge; Spark runs
+#     the MERGE, the oracle recomputes DIRECTLY over the post-change
+#     snapshot, so equality proves the incremental path; oracle-backed
+#     both SFs + in-Spark recompute pytest + zeroed-group drop pin),
+#     reachable_nodes (multi-source BFS to 3 hops over the trade graph —
+#     min-hop levels, exact set membership; chained-CTE oracle via
+#     operators/graph.bfs_oracle_cte, both SFs; planted chain/cycle/
+#     multi-seed + python-BFS differential pytest; seed nation 3 exists
+#     at ALL fixture SFs), and dedup_eval (precision/recall/F1 of the
+#     MinHash banded tier vs exact n-gram Jaccard truth at the same
+#     cutoff — the retrieval_eval of the dedup family; rows-only by
+#     contract with metric-arithmetic pytest vs independently recomputed
+#     pair sets).
 #   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.fuzzy import edit_distance_join, edit_distance_lookup
-from ..operators.graph import pagerank, pagerank_oracle_cte
+from ..operators.graph import bfs_hops, bfs_oracle_cte, pagerank, pagerank_oracle_cte
 from ..operators.ranges import banded_range_join
 from ..sources import load_table
 
@@ -1435,6 +1435,91 @@ FROM counts
 """
 
 
+def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — the lakehouse companion to
+    ``apply_cdc``: a materialized per-priority aggregate (count, cents
+    sum) is brought up to date by merging the BASE aggregate with a
+    signed DELTA aggregate from the changelog (+1 insert, -1 delete,
+    update = delete+insert pair) — the view never re-reads the snapshot.
+    The changelog is derived deterministically from orders so every
+    branch fires at every SF: inserts (keys %13==0), deletes (base keys
+    %9==0), updates (+100.00 on surviving %11==0 keys).
+
+    THE CHECK IS THE POINT: Spark runs the base+delta MERGE; the oracle
+    recomputes the aggregate DIRECTLY over the post-change snapshot —
+    equality proves the incremental path equals the full recompute
+    (count/sum are self-maintainable aggregates; Gupta & Mumick's IVM
+    survey, SIGMOD Record 1995). Exact integer cents throughout; groups
+    whose merged count reaches 0 are dropped on both sides.
+
+    Scale: the delta branches re-scan orders here because the demo
+    DERIVES its changelog (a real changelog is one small source — the
+    apply_cdc posture); the merge itself is two group-sized aggs + ONE
+    hash full-outer join on the group key. The corpus-sized snapshot is
+    touched once for the base aggregate and never again — that is the
+    entire point of IVM at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.where(F.col("k") % 13 != 0)
+    base_agg = base.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    sgn = lambda x: F.lit(x).cast("bigint")  # noqa: E731
+    ins = o.where(F.col("k") % 13 == 0).select(
+        "prio", sgn(1).alias("sign"), "cents"
+    )
+    dels = base.where(F.col("k") % 9 == 0).select(
+        "prio", sgn(-1).alias("sign"), "cents"
+    )
+    upd = base.where((F.col("k") % 9 != 0) & (F.col("k") % 11 == 0))
+    upd_old = upd.select("prio", sgn(-1).alias("sign"), "cents")
+    upd_new = upd.select(
+        "prio", sgn(1).alias("sign"), (F.col("cents") + 10000).alias("cents")
+    )
+    delta = ins.unionByName(dels).unionByName(upd_old).unionByName(upd_new)
+    delta_agg = delta.groupBy("prio").agg(
+        F.sum("sign").cast("bigint").alias("dn"),
+        F.sum(F.col("sign") * F.col("cents")).cast("bigint").alias("ds"),
+    )
+    return (
+        base_agg.join(delta_agg, "prio", "full_outer")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .where(F.col("n_orders") != 0)
+    )
+
+
+# oracle: the DIRECT recompute over the post-change snapshot — a different
+# algorithm from the Spark side's base+delta merge, which is the check
+_IVM_AGG_SQL = """
+WITH snap2 AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 13 <> 0 AND o_orderkey % 9 <> 0
+                       AND o_orderkey % 11 = 0
+                  THEN 10000 ELSE 0 END AS cents
+  FROM orders
+  WHERE o_orderkey % 13 = 0
+     OR (o_orderkey % 13 <> 0 AND o_orderkey % 9 <> 0)
+)
+SELECT prio AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snap2 GROUP BY prio
+"""
+
+
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand 2-D skyline (Pareto frontier, Börzsönyi ICDE'01): the
     parts where no same-brand part is both cheaper-or-equal and
@@ -1474,6 +1559,69 @@ def _skyline_sql() -> str:
         src,
         "SELECT a.p_partkey, a.g AS p_brand, a.x AS price_cents, a.y AS p_size",
     )
+
+
+_BFS_HOPS = 3
+_BFS_SEED_NATION = 3  # present at ALL fixture SFs (sf0.001 has 10 nations)
+
+
+def q_reachable_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to depth {h} over the supplier↔customer trade
+    graph: every node within {h} hops of nation-{n} suppliers, with its
+    minimum hop count — the reachability / blast-radius question
+    (supply-chain exposure, crawl frontier expansion, contamination
+    spread) completing the graph tier beside components (membership),
+    pagerank (importance), and triangles (density).
+
+    Exact by construction — hop levels are set membership, no arithmetic
+    — so the chained-CTE DuckDB oracle matches exactly. Scale: per hop
+    ONE frontier⋈edges hash join + distinct + ONE anti-join vs visited,
+    checkpointed per round (operators/graph.bfs_hops); the edge list is
+    checkpointed once and re-read per hop."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == _BFS_SEED_NATION)
+        .select((F.col("s_suppkey") * 2).alias("id"))
+    )
+    v = bfs_hops(edges, seeds, max_hops=_BFS_HOPS)
+    return v.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        "hops",
+    )
+
+
+q_reachable_nodes.__doc__ = q_reachable_nodes.__doc__.format(
+    h=_BFS_HOPS, n=_BFS_SEED_NATION
+)
+
+_BFS_SEEDS_SQL = f"""SELECT s_suppkey * 2 AS id FROM supplier
+  WHERE s_nationkey = {_BFS_SEED_NATION}"""
+
+_REACHABLE_SQL = bfs_oracle_cte(
+    _PR_EDGES_SQL,
+    _BFS_SEEDS_SQL,
+    max_hops=_BFS_HOPS,
+    select_sql=(
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END"
+        f" AS node_type, hops FROM v{_BFS_HOPS}"
+    ),
+)
 
 
 _Z_CELL_DIV = 16  # drop the low 4 morton bits: each cell = a 4×4 (x,y) block
@@ -1825,6 +1973,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "skyline_parts": q_skyline_parts,
     "benford_digits": q_benford_digits,
+    "ivm_agg": q_ivm_agg,
+    "reachable_nodes": q_reachable_nodes,
     "percentiles": q_percentiles,
     "outlier_mad": q_outlier_mad,
     "corr_cov": q_corr_cov,
@@ -1878,6 +2028,8 @@ ORACLE = {
     "triangle_count": _triangle_sql(),
     "skyline_parts": _skyline_sql(),
     "benford_digits": _benford_sql(),
+    "ivm_agg": _IVM_AGG_SQL,
+    "reachable_nodes": _REACHABLE_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,

@@ -1015,6 +1015,52 @@ def q_heavy_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DE_THRESH = 0.5
+
+
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation — the metrics loop that grades the
+    APPROXIMATE near-dup tier against exact ground truth, exactly as
+    `retrieval_eval` grades the ANN tiers: exact n-gram Jaccard pairs at
+    threshold {t} are the truth set, MinHash banded candidates at the
+    same similarity cutoff are the prediction, and the output is one row
+    of (n_true, n_pred, n_hit, precision, recall, f1). This is the
+    number a pipeline owner reads before trusting MinHash at 100 TB —
+    run on a sample there; exact truth is affordable at evaluation
+    scale BY DESIGN (the approximate tier exists so only the evaluation
+    pays the exact cost).
+
+    Plan: both pair sets flow into ONE hash full-outer join on (id_a,
+    id_b) + a single-row agg — neither set is collected or re-computed.
+    Rows-only by contract: the MinHash side is hash-seeded (like every
+    sketch tier); the metric arithmetic is pinned in pytest against
+    independently recomputed pair sets."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=_DE_THRESH
+    ).select("id_a", "id_b", F.lit(1).alias("in_t"))
+    pred = minhash_banded_pairs(
+        d, "text", "doc_id", n=3, max_jaccard_distance=1.0 - _DE_THRESH
+    ).select("id_a", "id_b", F.lit(1).alias("in_p"))
+    j = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum("in_t").cast("bigint").alias("n_true"),
+        F.sum("in_p").cast("bigint").alias("n_pred"),
+        F.sum(F.col("in_t") * F.col("in_p")).cast("bigint").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_pred"), 4).alias("precision"),
+        F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        F.round(
+            2.0 * F.col("n_hit") / (F.col("n_true") + F.col("n_pred")), 4
+        ).alias("f1"),
+    )
+
+
+q_dedup_eval.__doc__ = q_dedup_eval.__doc__.format(t=_DE_THRESH)
+
 _HL_K, _HL_TOP = 32, 5
 
 
@@ -1108,6 +1154,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "heavy_domains": q_heavy_domains,
     "heavy_tokens_by_lang": q_heavy_tokens_by_lang,
+    "dedup_eval": q_dedup_eval,
     "cms_counts": q_cms_counts,
     "dedup_stats": q_dedup_stats,
     "source_overlap": q_source_overlap,

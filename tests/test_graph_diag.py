@@ -993,3 +993,184 @@ def test_benford_digits_fixture_is_roughly_benford(spark, sf_dir):
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
     total = sum(r["n"] for r in rows)
     assert total > 0
+
+
+# --- ivm_agg --------------------------------------------------------------------
+
+
+def test_ivm_agg_equals_direct_recompute(spark, sf_dir):
+    """The IVM claim itself, checked inside Spark: base+delta merge ==
+    direct aggregate over the post-change snapshot (the oracle makes the
+    same comparison cross-engine)."""
+    from savio_training_dask_2019_spark.queries.relational import q_ivm_agg
+    from savio_training_dask_2019_spark.sources import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["sum_cents"])
+        for r in q_ivm_agg(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    snap2 = o.where(
+        (F.col("k") % 13 == 0)
+        | ((F.col("k") % 13 != 0) & (F.col("k") % 9 != 0))
+    ).select(
+        "prio",
+        F.when(
+            (F.col("k") % 13 != 0) & (F.col("k") % 9 != 0) & (F.col("k") % 11 == 0),
+            F.col("cents") + 10000,
+        ).otherwise(F.col("cents")).alias("cents"),
+    )
+    want = {
+        r["prio"]: (r["n"], r["s"])
+        for r in snap2.groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivm_agg_drops_zeroed_groups(spark, tmp_path):
+    """A group whose every row is deleted by the changelog must vanish
+    from the merged view (count reaches 0), not linger as a zero row."""
+    import pandas as pd
+
+    # priority 'GONE' rows all have k % 13 != 0 and k % 9 == 0 -> deleted
+    rows = [(9, "GONE", 10.0), (18, "GONE", 20.0), (1, "KEEP", 5.0)]
+    pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": 1,
+            "o_orderstatus": "O",
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": pd.Timestamp("2024-01-01").date(),
+            "o_orderpriority": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_ivm_agg
+
+    got = {r["o_orderpriority"]: r for r in q_ivm_agg(spark, str(tmp_path)).collect()}
+    assert "GONE" not in got
+    assert got["KEEP"]["n_orders"] == 1 and got["KEEP"]["sum_cents"] == 500
+
+
+# --- reachable_nodes / bfs_hops -------------------------------------------------
+
+
+def test_bfs_hops_planted_chain_cycle_multiseed(spark):
+    from savio_training_dask_2019_spark.operators.graph import bfs_hops
+
+    # chain 0->1->2->3->4, plus a cycle edge 2->0 (must not re-visit)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (2, 0)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # 3,4 beyond the horizon
+
+    # multi-seed: min hops wins; duplicate seeds collapse
+    seeds2 = spark.createDataFrame([(0,), (3,), (3,)], ["id"])
+    got2 = {r["id"]: r["hops"] for r in bfs_hops(edges, seeds2, max_hops=2).collect()}
+    assert got2 == {0: 0, 3: 0, 1: 1, 2: 2, 4: 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hops(edges, seeds, max_hops=-1)
+
+
+def test_bfs_hops_differential_vs_python(spark):
+    import random
+    from collections import deque
+
+    from savio_training_dask_2019_spark.operators.graph import bfs_hops
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    seeds = [0, 7]
+    want = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if want[u] >= 3:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    got = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            spark.createDataFrame([(s,) for s in seeds], ["id"]),
+            max_hops=3,
+        ).collect()
+    }
+    assert got == want and len(got) > len(seeds)
+
+
+def test_reachable_nodes_catalog_contract(spark, sf_dir):
+    """Seeds at hops 0 are exactly nation-0 suppliers; the bipartite graph
+    forces hop parity (even hops = suppliers, odd = customers)."""
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_reachable_nodes,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = q_reachable_nodes(spark, sf_dir).collect()
+    assert rows
+    seeds = {
+        r["s_suppkey"] * 2
+        for r in load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .collect()
+    }
+    got_seeds = {r["id"] for r in rows if r["hops"] == 0}
+    assert got_seeds == seeds
+    for r in rows:
+        is_supplier = r["node_type"] == "supplier"
+        assert (r["hops"] % 2 == 0) == is_supplier, r
+
+
+# --- dedup_eval -----------------------------------------------------------------
+
+
+def test_dedup_eval_metric_arithmetic(spark, sf_dir):
+    """The one-row metrics must equal precision/recall/F1 recomputed from
+    independently collected truth and prediction pair sets."""
+    from savio_training_dask_2019_spark.operators.dedup import (
+        minhash_banded_pairs,
+        ngram_jaccard_pairs,
+    )
+    from savio_training_dask_2019_spark.queries.textops import q_dedup_eval
+    from savio_training_dask_2019_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+        .collect()
+    }
+    pred = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_banded_pairs(
+            d, "text", "doc_id", n=3, max_jaccard_distance=0.5
+        ).collect()
+    }
+    hit = truth & pred
+    [m] = q_dedup_eval(spark, sf_dir).collect()
+    assert (m["n_true"], m["n_pred"], m["n_hit"]) == (
+        len(truth), len(pred), len(hit),
+    )
+    assert m["precision"] == round(len(hit) / len(pred), 4)
+    assert m["recall"] == round(len(hit) / len(truth), 4)
+    assert m["f1"] == round(2 * len(hit) / (len(truth) + len(pred)), 4)
+    # banding at the matched cutoff keeps recall high on the fixture
+    assert m["recall"] >= 0.5

@@ -287,6 +287,9 @@ _BOUNDED_WINDOW_ALLOWLIST = {
 #                    corpus count (cheap columnar count scan)
 _MAX_PARQUET_SCANS = {
     "set_ops": 6,
+    # base agg + 4 changelog branches: the demo DERIVES its changelog from
+    # orders (a real changelog is one small source — the apply_cdc posture)
+    "ivm_agg": 5,
     # the three-stage IVF-PQ composition: centroid-model subtree (printed
     # under both the probe-selection collect and the assignment fold),
     # codebook subtree, and the corpus scan feeding assignment+encode; at
@@ -423,6 +426,7 @@ _MAX_BNLJ = {
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
     "benford_digits": 1,  # the bounded 9-row share window's exchange
+    "dedup_eval": 1,  # the one-row metrics aggregate
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
     "cms_counts": 2,  # 1-row table fold + the 20-probe global limit
     "collocations": 1, "corr_cov": 1, "decontam_bloom": 1,
