@@ -1036,3 +1036,51 @@ def max_cosine_vs_set(
         [df.schema[id_col], StructField("max_cos", DoubleType())]
     )
     return df.select(id_col, vin.alias("__v")).mapInPandas(score, out_schema)
+
+
+def mmr_select(
+    cands: "list[tuple]",
+    k: int,
+    lam: float = 0.7,
+) -> "list[tuple]":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998) — the diversification stage between retrieval and the context
+    window: greedily pick the candidate maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected``, so near
+    duplicates of an already-chosen passage are penalized out.
+
+    ``cands`` is the RETRIEVED candidate list — (id, relevance, vector)
+    tuples, len ~ top-k·(2..5) — NOT the corpus: MMR is inherently a
+    small-list greedy (each step needs similarities to the selected set),
+    so it runs driver-side on O(|cands|·dim) floats, exactly like
+    ``probe_cells_for``'s bounded driver math. The distributed stages
+    before it (scoring, top-k) are where the corpus lives. Ties break to
+    the smallest id; vectors are unit-normalized here (zero-norm clamped
+    at _NORM_FLOOR). Returns (id, relevance, mmr_score) in selection
+    order."""
+    import numpy as np
+
+    if k < 0 or not 0.0 <= lam <= 1.0:
+        raise ValueError(f"need k >= 0 and 0 <= lam <= 1, got k={k} lam={lam}")
+    if not cands:
+        return []
+    ids = [c[0] for c in cands]
+    rel = np.asarray([float(c[1]) for c in cands])
+    mat = np.asarray([c[2] for c in cands], dtype="float64")
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1), _NORM_FLOOR)[:, None]
+    sims = mat @ mat.T
+    remaining = list(range(len(cands)))
+    out = []
+    max_sel = np.zeros(len(cands))  # max cosine to the selected set
+    for _ in range(min(k, len(cands))):
+        best = min(
+            remaining,
+            key=lambda i: (-(lam * rel[i] - (1.0 - lam) * max_sel[i]), ids[i]),
+        )
+        out.append(
+            (ids[best], float(rel[best]),
+             float(lam * rel[best] - (1.0 - lam) * max_sel[best]))
+        )
+        remaining.remove(best)
+        max_sel = np.maximum(max_sel, sims[:, best])
+    return out

@@ -460,8 +460,8 @@ if _MISSING:
 #     (time-weighted average per event type — hold-duration-weighted
 #     value; exact BIGINT Σcents·dur and Σdur hash-checked, the ratio is
 #     one fixed-order float division; oracle-backed both SFs).
-#     AND TWO FINAL r11 late additions (catalog at end of r11: 166
-#     queries, 144 oracle-backed, 22 rows-only): heavy_tokens_by_lang
+#     AND TWO MORE r11 late additions (catalog then at 166 queries,
+#     144 oracle-backed, 22 rows-only): heavy_tokens_by_lang
 #     (PER-GROUP Misra-Gries — each language's top tokens without a
 #     per-language vocabulary shuffle; rows-only by contract with a
 #     per-group est<=true<=est+err(g) pytest + planted per-group-skew
@@ -473,7 +473,7 @@ if _MISSING:
 #     merge across micro-batches (bridge-duration driver state, O(keys)
 #     scalars; equality-to-batch, replay-idempotence, and out-of-order
 #     fail-fast pinned in tests/test_streaming.py).
-#     THREE MORE r11 late additions (catalog at end of r11: 169 queries,
+#     THREE MORE r11 late additions (catalog then at 169 queries,
 #     146 oracle-backed, 23 rows-only): ivm_agg (incremental view
 #     maintenance — base agg + signed changelog delta merge; Spark runs
 #     the MERGE, the oracle recomputes DIRECTLY over the post-change
@@ -488,6 +488,16 @@ if _MISSING:
 #     cutoff — the retrieval_eval of the dedup family; rows-only by
 #     contract with metric-arithmetic pytest vs independently recomputed
 #     pair sets).
+#     TWO FINAL r11 late additions (catalog at end of r11: 171 queries,
+#     147 oracle-backed, 24 rows-only): spatial_pairs (fixed-grid spatial
+#     radius self-join, Patel & DeWitt PBSM — one cell-key equi-join, 9×
+#     one-side replication, exact BIGINT dist²; oracle is the
+#     DEFINITIONAL quadratic distance join, so agreement proves the
+#     blocking lossless; oracle-backed both SFs + planted-boundary and
+#     brute-differential pytest) and mmr_rerank (MMR diversification of
+#     the retrieved top-20, Carbonell & Goldstein — driver-side greedy
+#     over the bounded candidate list; rows-only by contract with
+#     λ=1≡relevance, planted near-dup exclusion, and determinism pytest).
 #   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica

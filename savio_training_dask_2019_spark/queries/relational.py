@@ -1624,6 +1624,60 @@ _REACHABLE_SQL = bfs_oracle_cte(
 )
 
 
+_SP_RADIUS = 150
+_SP_MOD = 10_000
+
+
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join — all customer pairs within L2 distance
+    {r} on a derived integer 2-D embedding (x = account-balance cents mod
+    {m}, y = custkey·7919 mod {m}): the "find nearby points" join behind
+    geo dedup, store-catchment overlap, and sensor co-location, blocked
+    by a fixed grid so it is ONE equi-join instead of O(n²)
+    (operators/spatial.py — Patel & DeWitt's PBSM grid, points case).
+
+    Exactness: integer coordinates, BIGINT dist² = dx²+dy² <= r² — no
+    floats anywhere, and the grid produces each qualifying pair EXACTLY
+    once (3×3 replica uniqueness + id ordering), so the oracle can run
+    the DEFINITIONAL quadratic distance join (DuckDB's IEJoin handles the
+    range predicate) — agreement checks the blocking is lossless, the
+    fuzzy_join posture in 2-D.
+
+    Scale: one shuffle on the cell key carrying (id, x, y) only, 9×
+    replication on one side; hot cells are equi-join hot keys (AQE)."""
+    from ..operators.spatial import grid_neighbor_pairs
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") % _SP_MOD).alias("x"),
+        ((F.col("c_custkey") * 7919) % _SP_MOD).alias("y"),
+    )
+    return grid_neighbor_pairs(c, "x", "y", "cid", radius=_SP_RADIUS)
+
+
+q_spatial_pairs.__doc__ = q_spatial_pairs.__doc__.format(
+    r=_SP_RADIUS, m=_SP_MOD
+)
+
+_SPATIAL_SQL = f"""
+WITH p AS (
+  SELECT c_custkey AS cid,
+         CAST(round(c_acctbal * 100) AS BIGINT) % {_SP_MOD} AS x,
+         (c_custkey * 7919) % {_SP_MOD} AS y
+  FROM customer
+)
+SELECT a.cid AS id_a, b.cid AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist2
+FROM p a JOIN p b
+  ON a.cid < b.cid
+ AND b.x BETWEEN a.x - {_SP_RADIUS} AND a.x + {_SP_RADIUS}
+ AND b.y BETWEEN a.y - {_SP_RADIUS} AND a.y + {_SP_RADIUS}
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_SP_RADIUS * _SP_RADIUS}
+"""
+
+
 _Z_CELL_DIV = 16  # drop the low 4 morton bits: each cell = a 4×4 (x,y) block
 
 
@@ -1975,6 +2029,7 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "ivm_agg": q_ivm_agg,
     "reachable_nodes": q_reachable_nodes,
+    "spatial_pairs": q_spatial_pairs,
     "percentiles": q_percentiles,
     "outlier_mad": q_outlier_mad,
     "corr_cov": q_corr_cov,
@@ -2030,6 +2085,7 @@ ORACLE = {
     "benford_digits": _benford_sql(),
     "ivm_agg": _IVM_AGG_SQL,
     "reachable_nodes": _REACHABLE_SQL,
+    "spatial_pairs": _SPATIAL_SQL,
     "describe_summary": _DESCRIBE_SUMMARY_SQL,
     "melt_metrics": _MELT_SQL,
     "window_rank": _WINDOW_RANK_SQL,

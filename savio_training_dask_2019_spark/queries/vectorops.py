@@ -1137,6 +1137,53 @@ def _kmeans_sql() -> str:
     )
 
 
+_MMR_CANDS, _MMR_K, _MMR_LAM = 20, 5, 0.7
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein, SIGIR'98) — the
+    re-ranking stage between retrieval and the context window: retrieve
+    the exact cosine top-{c} for the vec_id-0 query, then greedily select
+    {k} with ``{lam}·relevance − {mlam}·max-sim-to-selected``, so
+    near-duplicate passages are penalized out of the final set. Returns
+    (rank, vec_id, relevance, mmr_score) in selection order.
+
+    Scale split: retrieval is the distributed tier (brute/IVF/IVF-PQ);
+    MMR itself is a small-list greedy — each step needs similarities to
+    the selected set — so it runs driver-side over the O({c}·dim)
+    candidate floats (the probe_cells_for bounded-driver-math pattern;
+    the corpus never reaches the driver). Rows-only by contract: the
+    greedy's float comparisons are not SQL-reproducible; the selection
+    contracts (λ=1 ≡ relevance order, planted near-dup exclusion,
+    determinism) are pinned in pytest."""
+    from ..operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    top = brute_knn(emb, "embedding", "vec_id", qv, k=_MMR_CANDS, exclude_id=0)
+    withv = top.join(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    # bounded collect: _MMR_CANDS rows × dim floats — the candidate list,
+    # never the corpus (see docstring)
+    cands = [
+        (r["id"], r["cosine"], list(r["embedding"])) for r in withv.collect()
+    ]
+    sel = mmr_select(cands, k=_MMR_K, lam=_MMR_LAM)
+    rows = [
+        (i + 1, int(cid), round(rel, 5), round(score, 5))
+        for i, (cid, rel, score) in enumerate(sel)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )
+
+
+q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(
+    c=_MMR_CANDS, k=_MMR_K, lam=_MMR_LAM, mlam=round(1 - _MMR_LAM, 2)
+)
+
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
@@ -1161,6 +1208,7 @@ QUERIES = {
     "quantize_int8": q_quantize_int8,
     "decontam_semantic": q_decontam_semantic,
     "kmeans_train": q_kmeans_train,
+    "mmr_rerank": q_mmr_rerank,
 }
 
 ORACLE = {

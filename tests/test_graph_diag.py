@@ -1174,3 +1174,79 @@ def test_dedup_eval_metric_arithmetic(spark, sf_dir):
     assert m["f1"] == round(2 * len(hit) / (len(truth) + len(pred)), 4)
     # banding at the matched cutoff keeps recall high on the fixture
     assert m["recall"] >= 0.5
+
+
+# --- spatial_pairs --------------------------------------------------------------
+
+
+def test_grid_neighbor_pairs_planted_boundaries(spark):
+    """Pairs exactly ON the radius are included (dist² == r²), cell-border
+    pairs are found, co-located points give dist 0, negative coordinates
+    work, and far points are excluded."""
+    from savio_training_dask_2019_spark.operators.spatial import (
+        grid_neighbor_pairs,
+    )
+
+    pts = [
+        (1, 0, 0), (2, 10, 0),      # dist² = 100 == r² (r=10): included
+        (3, 9, 9),                  # to 1: 162 > 100 out; to 2: 82 in
+        (4, 0, 0),                  # duplicate of 1: dist 0
+        (5, -7, -7),                # negative coords; to 1: 98 in
+        (6, 100, 100),              # far from everything
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): r["dist2"]
+        for r in grid_neighbor_pairs(
+            spark.createDataFrame(pts, ["id", "x", "y"]), "x", "y", "id", 10
+        ).collect()
+    }
+    want = {}
+    for i, xa, ya in pts:
+        for j, xb, yb in pts:
+            if i < j and (xa - xb) ** 2 + (ya - yb) ** 2 <= 100:
+                want[(i, j)] = (xa - xb) ** 2 + (ya - yb) ** 2
+    assert got == want
+    assert got[(1, 2)] == 100  # exactly ON the radius: included
+    assert got[(1, 4)] == 0    # co-located points
+    assert got[(1, 5)] == 98   # negative coordinates
+    assert (1, 3) not in got and all(6 not in k for k in got)
+
+
+def test_grid_neighbor_pairs_differential_vs_brute(spark):
+    """Lossless blocking: grid pairs == brute-force quadratic pairs on a
+    deterministic random cloud (duplicates and cell borders included)."""
+    import random
+
+    from savio_training_dask_2019_spark.operators.spatial import (
+        grid_neighbor_pairs,
+    )
+
+    rng = random.Random(17)
+    pts = [(i, rng.randrange(-200, 200), rng.randrange(-200, 200)) for i in range(300)]
+    r = 25
+    want = {}
+    for i, xa, ya in pts:
+        for j, xb, yb in pts:
+            if i < j:
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                if d2 <= r * r:
+                    want[(i, j)] = d2
+    got = {
+        (row["id_a"], row["id_b"]): row["dist2"]
+        for row in grid_neighbor_pairs(
+            spark.createDataFrame(pts, ["id", "x", "y"]), "x", "y", "id", r
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+
+
+def test_spatial_pairs_catalog_no_bnlj(spark, sf_dir):
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries.relational import q_spatial_pairs
+
+    df = q_spatial_pairs(spark, sf_dir)
+    assert plans.bnlj_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert all(0 <= r["dist2"] <= 150 * 150 for r in rows)

@@ -539,3 +539,68 @@ def test_max_cosine_arrow_tier_nonbigint_id_columns(spark, sf_dir):
             r["doc_id"]: round(r["max_cos"], 5) for r in arrow_df.collect()
         }
         assert fold == arrow and len(fold) > 0
+
+
+def test_mmr_select_lambda_one_is_relevance_order(spark):
+    """λ=1 disables the diversity term: selection must equal the top-k by
+    (relevance desc, id asc), including the tie rule."""
+    from savio_training_dask_2019_spark.operators.similarity import mmr_select
+
+    cands = [
+        (3, 0.9, [1.0, 0.0]), (1, 0.9, [0.0, 1.0]),
+        (2, 0.7, [1.0, 1.0]), (4, 0.95, [0.5, 0.5]),
+    ]
+    got = [c[0] for c in mmr_select(cands, k=3, lam=1.0)]
+    assert got == [4, 1, 3]  # 0.95, then the 0.9 tie -> smaller id first
+
+
+def test_mmr_select_penalizes_near_duplicate(spark):
+    """A near-duplicate of the already-selected top hit must lose to a
+    less-relevant but orthogonal candidate — the operator's entire point."""
+    from savio_training_dask_2019_spark.operators.similarity import mmr_select
+
+    a = (1, 0.99, [1.0, 0.0, 0.0])
+    a_dup = (2, 0.98, [1.0, 0.0, 0.0])   # identical direction to a
+    b = (3, 0.60, [0.0, 1.0, 0.0])       # orthogonal
+    got = [c[0] for c in mmr_select([a, a_dup, b], k=2, lam=0.7)]
+    assert got == [1, 3]  # a first; dup (0.386) loses to b (0.42)
+    # pure relevance WOULD have taken the duplicate
+    rel_only = [c[0] for c in mmr_select([a, a_dup, b], k=2, lam=1.0)]
+    assert rel_only == [1, 2]
+
+
+def test_mmr_select_guards_and_bounds(spark):
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.similarity import mmr_select
+
+    assert mmr_select([], k=3) == []
+    cands = [(1, 0.5, [1.0, 0.0])]
+    assert [c[0] for c in mmr_select(cands, k=5)] == [1]  # k > n: all
+    with pytest.raises(ValueError, match="lam"):
+        mmr_select(cands, k=1, lam=1.5)
+    with pytest.raises(ValueError, match="k >= 0"):
+        mmr_select(cands, k=-1)
+
+
+def test_mmr_rerank_catalog_contract(spark, sf_dir):
+    """5 rows, ranks 1..5, rank 1 = the exact top-1, deterministic across
+    invocations, and every selected id comes from the top-20 candidates."""
+    from savio_training_dask_2019_spark.operators.similarity import brute_knn
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _query_vec,
+        q_mmr_rerank,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = q_mmr_rerank(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = brute_knn(
+        emb, "embedding", "vec_id", _query_vec(spark, sf_dir, 0), k=20,
+        exclude_id=0,
+    ).collect()
+    assert rows[0]["vec_id"] == top[0]["id"]  # rank 1 == global argmax
+    assert {r["vec_id"] for r in rows} <= {t["id"] for t in top}
+    again = q_mmr_rerank(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
