@@ -498,6 +498,12 @@ if _MISSING:
 #     the retrieved top-20, Carbonell & Goldstein — driver-side greedy
 #     over the bounded candidate list; rows-only by contract with
 #     λ=1≡relevance, planted near-dup exclusion, and determinism pytest).
+#     MID-ROUND r11 evidence (after the four query waves): FULL-catalog
+#     replica at sf0.01 AND at sf0.1 — 147 ok / 24 rows-only / 0 FAILED
+#     of 171 at BOTH scale factors (the r9 scale-sensitivity precedent,
+#     now run over the complete catalog every round); full pytest suite
+#     500 passed / 1 skipped / 0 failed; full 38-row bench suite 56.4 s
+#     with 38/38 rows inside their frozen targets.
 #   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
