@@ -498,6 +498,13 @@ if _MISSING:
 #     the retrieved top-20, Carbonell & Goldstein — driver-side greedy
 #     over the bounded candidate list; rows-only by contract with
 #     λ=1≡relevance, planted near-dup exclusion, and determinism pytest).
+#     ONE FINAL r11 late addition (catalog at end of r11: 172 queries,
+#     148 oracle-backed, 24 rows-only): funnel_window (windowed funnel
+#     depth, the ClickHouse windowFunnel shape — deepest ordered
+#     view→click→purchase prefix completable within 2 h; Spark runs a
+#     LINEAR per-user fold over time-sorted step events, the oracle the
+#     DEFINITIONAL EXISTS triple-join — different algorithms agreeing;
+#     oracle-backed both SFs + planted chain/window/order pytest).
 #     MID-ROUND r11 evidence (after the four query waves): FULL-catalog
 #     replica at sf0.01 AND at sf0.1 — 147 ok / 24 rows-only / 0 FAILED
 #     of 171 at BOTH scale factors (the r9 scale-sensitivity precedent,

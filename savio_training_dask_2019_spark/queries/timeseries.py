@@ -961,6 +961,125 @@ FROM r GROUP BY event_type
 """
 
 
+_FW_W = 7200  # funnel window: chain must complete within 2 hours
+_FW_NEG = -(10**15)  # "no timestamp yet" sentinel, below any epoch second
+
+
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel depth (ClickHouse's ``windowFunnel`` shape): per
+    user, the deepest prefix of view → click → purchase completable with
+    ORDERED events whose total span fits in {w} s — the
+    conversion-within-deadline question `funnel_stages` (unwindowed)
+    can't answer. Depth d requires t_view <= t_click <= t_purchase and
+    t_last − t_first <= {w}.
+
+    Two genuinely different algorithms agree: Spark runs a LINEAR fold
+    over each user's time-sorted step events (state = best chain-start
+    per reached level — maxV, maxVC — plus the reached flags; all integer
+    second comparisons), while the oracle runs the DEFINITIONAL
+    EXISTS-joins (view⋈click⋈purchase with the time constraints). The
+    fold sorts same-second events view < click < purchase so equal-time
+    chains match the definitional ``<=`` exactly.
+
+    Scale: one groupBy(user) collect_list of that user's STEP events only
+    (3 of 5 types pass the filter; per-user arrays are session-bounded —
+    the session_window posture) + a JVM-side aggregate fold; no join, no
+    window. The oracle's triple join is what this avoids."""
+    e = load_table(spark, sf_dir, "events")
+    step = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+    )
+    rows = e.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("sec"),
+        step.alias("step"),
+        "event_id",
+    ).where(F.col("step").isNotNull())
+    evs = F.array_sort(
+        F.collect_list(F.struct("sec", "step", "event_id"))
+    )  # (sec, step, id): same-second views sort before clicks before buys
+    neg = F.lit(_FW_NEG).cast("bigint")
+    w = F.lit(_FW_W).cast("bigint")
+    init = F.struct(
+        neg.alias("maxV"),
+        neg.alias("maxVC"),
+        F.lit(False).alias("d1"),
+        F.lit(False).alias("d2"),
+        F.lit(False).alias("d3"),
+    )
+
+    def fold(acc, ev):
+        is_v = ev["step"] == 0
+        is_c = ev["step"] == 1
+        is_p = ev["step"] == 2
+        has_v = acc["maxV"] != neg
+        has_vc = acc["maxVC"] != neg
+        return F.struct(
+            F.when(is_v, F.greatest(acc["maxV"], ev["sec"]))
+            .otherwise(acc["maxV"])
+            .alias("maxV"),
+            F.when(is_c & has_v, F.greatest(acc["maxVC"], acc["maxV"]))
+            .otherwise(acc["maxVC"])
+            .alias("maxVC"),
+            (acc["d1"] | is_v).alias("d1"),
+            (acc["d2"] | (is_c & has_v & (ev["sec"] - acc["maxV"] <= w))).alias(
+                "d2"
+            ),
+            (acc["d3"] | (is_p & has_vc & (ev["sec"] - acc["maxVC"] <= w))).alias(
+                "d3"
+            ),
+        )
+
+    folded = rows.groupBy("user_id").agg(
+        F.aggregate(evs, init, fold).alias("st")
+    )
+    return folded.select(
+        "user_id",
+        F.when(F.col("st.d3"), 3)
+        .when(F.col("st.d2"), 2)
+        .when(F.col("st.d1"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_depth"),
+    )
+
+
+_FUNNEL_WINDOW_SQL = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+u AS (SELECT DISTINCT user_id FROM s),
+d1 AS (SELECT DISTINCT user_id FROM s WHERE event_type = 'view'),
+d2 AS (
+  SELECT DISTINCT v.user_id
+  FROM s v JOIN s c ON c.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND v.sec <= c.sec AND c.sec - v.sec <= {_FW_W}
+),
+d3 AS (
+  SELECT DISTINCT v.user_id
+  FROM s v
+  JOIN s c ON c.user_id = v.user_id
+  JOIN s p ON p.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND v.sec <= c.sec AND c.sec <= p.sec AND p.sec - v.sec <= {_FW_W}
+)
+SELECT u.user_id,
+       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                 WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                 WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_depth
+FROM u
+"""
+
+
+q_funnel_window.__doc__ = q_funnel_window.__doc__.format(w=_FW_W)
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -981,6 +1100,7 @@ QUERIES = {
     "pivot_daily": q_pivot_daily,
     "interval_coverage": q_interval_coverage,
     "twap": q_twap,
+    "funnel_window": q_funnel_window,
 }
 
 ORACLE = {
@@ -1003,4 +1123,5 @@ ORACLE = {
     "pivot_daily": _PIVOT_DAILY_SQL,
     "interval_coverage": _INTERVAL_COVERAGE_SQL,
     "twap": _TWAP_SQL,
+    "funnel_window": _FUNNEL_WINDOW_SQL,
 }

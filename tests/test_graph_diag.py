@@ -1250,3 +1250,57 @@ def test_spatial_pairs_catalog_no_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan
     rows = df.collect()
     assert all(0 <= r["dist2"] <= 150 * 150 for r in rows)
+
+
+# --- funnel_window --------------------------------------------------------------
+
+
+def test_funnel_window_planted_chains(spark, tmp_path):
+    """Chains inside/outside the 2 h window, same-second ordering, and
+    out-of-order steps: the linear fold must reproduce the definitional
+    EXISTS semantics on every planted case."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-10 00:00:00")
+
+    def ev(uid, etype, offset_s):
+        return (uid, etype, t0 + pd.Timedelta(seconds=offset_s))
+
+    rows = [
+        # u1: full chain inside the window -> 3
+        ev(1, "view", 0), ev(1, "click", 3600), ev(1, "purchase", 7000),
+        # u2: purchase lands past the 7200 s span -> 2
+        ev(2, "view", 0), ev(2, "click", 100), ev(2, "purchase", 7300),
+        # u2 second view restarts a chain, but no later click -> still 2
+        ev(2, "view", 7250),
+        # u3: click BEFORE any view; same-second view+click pair later -> 2
+        ev(3, "click", 0), ev(3, "view", 50), ev(3, "click", 50),
+        # u4: purchase before the click -> ordered chain stops at 2
+        ev(4, "view", 0), ev(4, "purchase", 10), ev(4, "click", 20),
+        # u5: only clicks/purchases, no view -> 0
+        ev(5, "click", 0), ev(5, "purchase", 1),
+        # u6: a LATER view rescues the window: v@0 c@100 p@9000 fails, but
+        # v@5000 c@5001 p@9000 fits -> 3
+        ev(6, "view", 0), ev(6, "click", 100), ev(6, "view", 5000),
+        ev(6, "click", 5001), ev(6, "purchase", 9000),
+        # noise types are ignored
+        ev(1, "signup", 5), ev(5, "error", 5),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[2] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_funnel_window
+
+    got = {
+        r["user_id"]: r["funnel_depth"]
+        for r in q_funnel_window(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 2, 4: 2, 5: 0, 6: 3}
