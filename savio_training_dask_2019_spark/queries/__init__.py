@@ -505,6 +505,15 @@ if _MISSING:
 #     LINEAR per-user fold over time-sorted step events, the oracle the
 #     DEFINITIONAL EXISTS triple-join — different algorithms agreeing;
 #     oracle-backed both SFs + planted chain/window/order pytest).
+#     TWO LAST r11 late additions (catalog at end of r11: 174 queries,
+#     150 oracle-backed, 24 rows-only): rolling_anomaly (trailing-window
+#     z-score alerting with the variance test cleared to PURE BIGINT —
+#     (n−1)(nx−S)² > 9n(nQ−S²) — zero float exposure on a second-moment
+#     statistic; oracle-backed both SFs + planted flat/spike/noisy
+#     pytest) and ann_recall (recall@3 of the cell-join ANN tier vs the
+#     exact top-3 — FULLY oracle-backed because the demo-centroid
+#     pipeline replays in SQL, reusing the knn_cells oracle as a CTE;
+#     both SFs + contract pytest).
 #     MID-ROUND r11 evidence (after the four query waves): FULL-catalog
 #     replica at sf0.01 AND at sf0.1 — 147 ok / 24 rows-only / 0 FAILED
 #     of 171 at BOTH scale factors (the r9 scale-sensitivity precedent,

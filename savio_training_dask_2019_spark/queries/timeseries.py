@@ -1080,6 +1080,103 @@ FROM u
 q_funnel_window.__doc__ = q_funnel_window.__doc__.format(w=_FW_W)
 
 
+_RA_LOOKBACK = 20   # trailing window (rows, current excluded)
+_RA_MIN_N = 10      # minimum history before scoring
+_RA_K = 3           # flag at |z| > 3
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event type — each value is
+    scored against the trailing {lb}-event window (current row excluded),
+    flagged when |z| > {k} — the classic streaming-metrics alert, as a
+    batch query. Per type: events scored (>= {mn} history), anomalies,
+    and the anomaly rate.
+
+    THE TRICK IS THE EXACTNESS: the flag |x−μ| > {k}σ is evaluated in
+    PURE BIGINT by clearing denominators —
+    ``(n−1)·(n·x − S)² > {k}²·n·(n·Q − S²)`` where S = Σcents and
+    Q = Σcents² over the window — so a windowed VARIANCE test carries
+    ZERO float exposure (the drift_ks lesson applied to second moments;
+    int64 headroom documented: max term ~2e14 at this fixture's cents).
+    The only float in the output is the final rate division.
+
+    Scale: ONE type-partitioned window (two running sums + a count over a
+    ROWS frame) + one hash agg — the rolling_avg plan with a
+    second-moment payload."""
+    e = load_table(spark, sf_dir, "events")
+    rows = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-_RA_LOOKBACK, -1)
+    )
+    scored = rows.select(
+        "event_type",
+        F.col("c").alias("x"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("bigint").alias("q"),
+    ).where(F.col("n") >= _RA_MIN_N)
+    lhs = (F.col("n") - 1) * (
+        (F.col("n") * F.col("x") - F.col("s"))
+        * (F.col("n") * F.col("x") - F.col("s"))
+    )
+    rhs = (
+        F.lit(_RA_K * _RA_K)
+        * F.col("n")
+        * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return (
+        scored.withColumn("is_anom", (lhs > rhs).cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum("is_anom").cast("bigint").alias("n_anomalies"),
+            F.round(F.sum("is_anom") / F.count(F.lit(1)), 4).alias(
+                "anomaly_rate"
+            ),
+        )
+    )
+
+
+q_rolling_anomaly.__doc__ = q_rolling_anomaly.__doc__.format(
+    lb=_RA_LOOKBACK, k=_RA_K, mn=_RA_MIN_N
+)
+
+_ROLLING_ANOMALY_SQL = f"""
+WITH r AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) // 1000000 AS sec,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+scored AS (
+  SELECT event_type, c AS x,
+         CAST(count(*) OVER tw AS BIGINT) AS n,
+         CAST(sum(c) OVER tw AS BIGINT) AS s,
+         CAST(sum(c * c) OVER tw AS BIGINT) AS q
+  FROM r
+  WINDOW tw AS (PARTITION BY event_type ORDER BY sec, event_id
+                ROWS BETWEEN {_RA_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN (n - 1) * (n * x - s) * (n * x - s)
+                          > {_RA_K * _RA_K} * n * (n * q - s * s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       round(sum(CASE WHEN (n - 1) * (n * x - s) * (n * x - s)
+                           > {_RA_K * _RA_K} * n * (n * q - s * s)
+                      THEN 1 ELSE 0 END) / count(*), 4) AS anomaly_rate
+FROM scored WHERE n >= {_RA_MIN_N}
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1101,6 +1198,7 @@ QUERIES = {
     "interval_coverage": q_interval_coverage,
     "twap": q_twap,
     "funnel_window": q_funnel_window,
+    "rolling_anomaly": q_rolling_anomaly,
 }
 
 ORACLE = {
@@ -1124,4 +1222,5 @@ ORACLE = {
     "interval_coverage": _INTERVAL_COVERAGE_SQL,
     "twap": _TWAP_SQL,
     "funnel_window": _FUNNEL_WINDOW_SQL,
+    "rolling_anomaly": _ROLLING_ANOMALY_SQL,
 }

@@ -418,6 +418,75 @@ SELECT query_id, corpus_id, cosine FROM (
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k — the number that certifies an approximate index
+    before anyone trusts it: per query (vec_id % {qm} == 0), how many of
+    the EXACT cosine top-3 the cell-join tier (`knn_cells`' plan: demo
+    centroids, nprobe 2) actually returned. Output (query_id, n_exact,
+    n_hit, recall). `retrieval_eval` grades label relevance;
+    `dedup_eval` grades MinHash; this grades the ANN index itself —
+    and unlike fitted-k-means tiers it is FULLY ORACLE-BACKED, because
+    the demo centroids are a deterministic corpus subset so both the
+    approximate and the exact arm replay in SQL.
+
+    Scale: the approximate arm is the cell⋈cell join (never broadcasts a
+    fact side), the exact arm is the broadcast-query scored scan (the
+    eval set is small by design), and the comparison is ONE left join on
+    (query, neighbor) + a per-query agg."""
+    from ..operators.similarity import cell_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
+    )
+    queries = emb.where((F.col("vec_id") % _CELL_QUERY_MOD) == 0)
+    approx = cell_knn_join(
+        queries, emb, cents, "embedding", "vec_id", k=3, nprobe=2,
+        exclude_self=True,
+    ).select("query_id", "corpus_id", F.lit(1).alias("in_a"))
+    exact = brute_knn_join(
+        queries, emb, "embedding", "vec_id", k=3, exclude_self=True
+    ).select("query_id", "corpus_id", F.lit(1).alias("in_e"))
+    j = exact.join(approx, ["query_id", "corpus_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum("in_e").cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce("in_a", F.lit(0))).cast("bigint").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce("in_a", F.lit(0))) / F.sum("in_e"), 4
+        ).alias("recall"),
+    )
+
+
+q_ann_recall.__doc__ = q_ann_recall.__doc__.format(qm=_CELL_QUERY_MOD)
+
+_ANN_RECALL_SQL = f"""
+WITH approx AS (
+  SELECT query_id, corpus_id FROM ({_KNN_CELLS_SQL}) t
+),
+exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS corpus_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        {_DD.format(col='q.embedding')},
+                        {_DD.format(col='x.embedding')}), 5) DESC, x.vec_id
+           ) AS rn
+    FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+    WHERE q.vec_id % {_CELL_QUERY_MOD} = 0
+  ) WHERE rn <= 3
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, corpus_id)
+GROUP BY e.query_id
+"""
+
+
 def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dask.array-style grouped reductions over vectors: per-label count,
     mean L2 norm, mean first component."""
@@ -1209,6 +1278,7 @@ QUERIES = {
     "decontam_semantic": q_decontam_semantic,
     "kmeans_train": q_kmeans_train,
     "mmr_rerank": q_mmr_rerank,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLE = {
@@ -1232,4 +1302,5 @@ ORACLE = {
     "quantize_int8": _QUANT_SQL,
     "decontam_semantic": _SEM_DECONTAM_SQL,
     "kmeans_train": _kmeans_sql(),
+    "ann_recall": _ANN_RECALL_SQL,
 }

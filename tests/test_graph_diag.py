@@ -1304,3 +1304,63 @@ def test_funnel_window_planted_chains(spark, tmp_path):
         for r in q_funnel_window(spark, str(tmp_path)).collect()
     }
     assert got == {1: 3, 2: 2, 3: 2, 4: 2, 5: 0, 6: 3}
+
+
+# --- rolling_anomaly ------------------------------------------------------------
+
+
+def test_rolling_anomaly_planted_spike(spark, tmp_path):
+    """A flat series never flags (zero deviation); one 10x spike against a
+    flat trailing window flags exactly once (zero variance + any deviation
+    => |z| unbounded); noisy-but-stable series stays quiet."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-10")
+    rows = []
+    # 'flat': 40 identical values -> zero anomalies
+    rows += [("flat", 100.0)] * 40
+    # 'spiky': 25 flat values, one 999.0 spike, then flat again
+    rows += [("spiky", 100.0)] * 25 + [("spiky", 999.0)] + [("spiky", 100.0)] * 10
+    # 'noisy': alternating 99/101 — well within 3 sigma of itself
+    rows += [("noisy", 99.0 if i % 2 else 101.0) for i in range(40)]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [t0 + pd.Timedelta(seconds=i) for i in range(len(rows))],
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_rolling_anomaly,
+    )
+
+    got = {r["event_type"]: r for r in q_rolling_anomaly(spark, str(tmp_path)).collect()}
+    assert got["flat"]["n_anomalies"] == 0
+    assert got["spiky"]["n_anomalies"] == 1  # exactly the planted spike
+    assert got["noisy"]["n_anomalies"] == 0
+    # scored = rows with >= 10 history
+    assert got["flat"]["n_scored"] == 40 - 10
+
+
+# --- ann_recall -----------------------------------------------------------------
+
+
+def test_ann_recall_contract(spark, sf_dir):
+    """Per query: exactly 3 exact neighbors, 0 <= hits <= 3, recall is the
+    rounded ratio, and the query set matches the knn_cells demo subset."""
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _CELL_QUERY_MOD,
+        q_ann_recall,
+    )
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["query_id"] % _CELL_QUERY_MOD == 0
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hit"] <= 3
+        assert r["recall"] == round(r["n_hit"] / 3, 4)

@@ -290,6 +290,9 @@ _MAX_PARQUET_SCANS = {
     # base agg + 4 changelog branches: the demo DERIVES its changelog from
     # orders (a real changelog is one small source — the apply_cdc posture)
     "ivm_agg": 5,
+    # the knn_cells arm (4 — its own budget) + the exact eval arm's
+    # query/corpus scans; the eval comparison re-runs both pipelines
+    "ann_recall": 6,
     # the three-stage IVF-PQ composition: centroid-model subtree (printed
     # under both the probe-selection collect and the assignment fold),
     # codebook subtree, and the corpus scan feeding assignment+encode; at
@@ -406,6 +409,7 @@ _MAX_BNLJ = {
     "ivfpq_rerank": 3,      # same stages as ivfpq; the top-R attach is a BHJ
     "ivf_balance": 1,       # 1-row centroid-model array (assignment fold)
     "knn_cells": 2,         # 1-row centroid-model array onto each fact side
+    "ann_recall": 3,        # knn_cells' 2 centroid folds + the exact arm's broadcast-query cross join
     "knn_join": 1,          # broadcast query batch (size = caller's lever)
     "mixture_weights": 1,   # 1-row normalizer
     "pq_adc": 1,            # 1-row codebook-array attach (encode stage)
@@ -425,6 +429,7 @@ _MAX_BNLJ = {
 # cases (r8 sweep): corpus totals/counts, sketch merges, the 1-row
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
+    "ann_recall": 2,  # inherits knn_cells' two scalar folds
     "benford_digits": 1,  # the bounded 9-row share window's exchange
     "dedup_eval": 1,  # the one-row metrics aggregate
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
