@@ -520,6 +520,14 @@ if _MISSING:
 #     now run over the complete catalog every round); full pytest suite
 #     500 passed / 1 skipped / 0 failed; full 38-row bench suite 56.4 s
 #     with 38/38 rows inside their frozen targets.
+#     END-OF-ROUND r11 evidence (re-run after the LAST catalog change —
+#     rolling_anomaly + ann_recall): FULL-catalog replica 150 ok / 24
+#     rows-only / 0 FAILED of 174 at sf0.01 AND the identical 150/24/0
+#     at sf0.1; full pytest suite 506 passed / 1 skipped / 0 failed.
+#     Every r11 query therefore carries: oracle (or rows-only-contract)
+#     green at BOTH SFs, a measured-once bench row (two promoted to
+#     frozen headliner targets), plan-budget coverage, and
+#     planted/differential pytest pins.
 #   r12+: same pattern — swap the representative slots; re-window anything
 #       whose code or oracle changed that round; everything else rides its
 #       newest green row + the every-round local replica
