@@ -485,3 +485,33 @@ def test_kmeans_200k_vectors_planted_blobs_exact(spark):
         want = sum(int((c + j / 1000.0 + 1.0) * 1000) for j in range(10)) // 10
         assert r["c_q"] == want, (b, d, r["c_q"], want)
     assert elapsed < 180, f"kmeans smoke took {elapsed:.0f}s"
+
+
+def test_spatial_grid_join_1m_points_lattice_analytic(spark):
+    """1M points on a 1000×1000 lattice (spacing 100), radius 100: every
+    axis neighbor qualifies exactly ON the radius (dist² = r²), no
+    diagonal does (2r² > r²) — so the pair count is the closed-form
+    2·1000·999 and every distance is exactly r². Pins the 9×-replication
+    grid join beyond toy scale with aggregate-only checks."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.spatial import (
+        grid_neighbor_pairs,
+    )
+
+    side, r = 1000, 100
+    pts = spark.range(side * side).select(
+        F.col("id"),
+        ((F.col("id") % side) * r).alias("x"),
+        ((F.col("id") / side).cast("bigint") * r).alias("y"),
+    )
+    t0 = time.perf_counter()
+    agg = grid_neighbor_pairs(pts, "x", "y", "id", radius=r).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dist2").alias("mn"),
+        F.max("dist2").alias("mx"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    assert agg["n"] == 2 * side * (side - 1)
+    assert agg["mn"] == r * r and agg["mx"] == r * r
+    assert elapsed < 180, f"spatial smoke took {elapsed:.0f}s"
