@@ -121,8 +121,37 @@ def _substrings(s: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _candidate_ids(seg: DataFrame, sub: DataFrame) -> DataFrame:
+    """Unordered candidate id pairs ``(id_a < id_b)`` from the block
+    equi-join, carrying NO string payload — each side ships only
+    ``(id, i, La, blk)`` through the candidate shuffle, so the shuffle
+    width is bounded by the SEGMENT length (~``L/(k+1)`` chars), not the
+    document length."""
+    return (
+        seg.select("id", "i", "La", "blk")
+        .alias("a")
+        .join(
+            sub.select("id", "i", "La", "blk").alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.La") == F.col("b.La"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        # one verify per unordered pair, however many blocks matched
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def edit_distance_join(
-    df: DataFrame, id_col: str, str_col: str, k: int = 2
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    k: int = 2,
+    rejoin_by_id: bool = False,
 ) -> DataFrame:
     """All pairs ``(id_a < id_b)`` whose strings are within levenshtein
     distance ``k`` — exact result via lossless pigeonhole blocking.
@@ -132,33 +161,58 @@ def edit_distance_join(
     involving such near-empty strings are trivially enumerable off to the
     side and are out of scope here, as in the paper's length filter).
 
+    ``rejoin_by_id`` (VERDICT r11 #3): the default path carries both full
+    strings through the candidate join — fine for customer-name-sized
+    strings, but at document-scale strings the candidate shuffle's width
+    scales with string length.  With ``rejoin_by_id=True`` the candidate
+    join ships only ``(id, i, La, blk)`` per side, deduplicates to id
+    pairs, then fetches the two strings back with two hash joins against
+    the ``(id, s)`` table for the verify — shuffle width stops scaling
+    with string length (two extra id-keyed joins are the price; AQE
+    broadcasts the pair side when it is small).  Semantics are identical;
+    both paths return the same exact pair set.
+
     Returns columns ``id_a, id_b, dist`` (dist as INT).
     """
     s = _prep(df, id_col, str_col, k)
     seg = _segments(s, k)
     sub = _substrings(s, k)
-    cand = (
-        seg.alias("a")
-        .join(
-            sub.alias("b"),
-            (F.col("a.i") == F.col("b.i"))
-            & (F.col("a.La") == F.col("b.La"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") != F.col("b.id")),
+    if rejoin_by_id:
+        strs = s.select("id", "s")
+        cand = (
+            _candidate_ids(seg, sub)
+            .join(
+                strs.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")),
+                "id_a",
+            )
+            .join(
+                strs.select(F.col("id").alias("id_b"), F.col("s").alias("s_b")),
+                "id_b",
+            )
         )
-        .select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
-            F.when(F.col("a.id") < F.col("b.id"), F.col("a.s"))
-            .otherwise(F.col("b.s"))
-            .alias("s_a"),
-            F.when(F.col("a.id") < F.col("b.id"), F.col("b.s"))
-            .otherwise(F.col("a.s"))
-            .alias("s_b"),
+    else:
+        cand = (
+            seg.alias("a")
+            .join(
+                sub.alias("b"),
+                (F.col("a.i") == F.col("b.i"))
+                & (F.col("a.La") == F.col("b.La"))
+                & (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+                F.when(F.col("a.id") < F.col("b.id"), F.col("a.s"))
+                .otherwise(F.col("b.s"))
+                .alias("s_a"),
+                F.when(F.col("a.id") < F.col("b.id"), F.col("b.s"))
+                .otherwise(F.col("a.s"))
+                .alias("s_b"),
+            )
+            # one verify per unordered pair, however many blocks matched
+            .dropDuplicates(["id_a", "id_b"])
         )
-        # one verify per unordered pair, however many blocks matched
-        .dropDuplicates(["id_a", "id_b"])
-    )
 
     return cand.select(
         "id_a",

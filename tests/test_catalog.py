@@ -12,19 +12,19 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed — the 28 r10 late additions take first rows
-    # r11 (the only catalog entries with no driver row); six of them
-    # (zorder_stats, pagerank, pagerank_weighted, range_join_banded,
-    # cms_counts, decontam_semantic) also carry this round's ADVICE-fix
-    # code touches, so their first rows double as changed-code witnesses
-    "ivfpq_rerank", "decontam_bloom", "chunk_documents", "quantize_int8",
-    "cms_counts", "dedup_incremental_bloom", "source_overlap",
-    "drift_numeric", "decontam_semantic", "weighted_sample",
-    "snapshot_diff", "melt_metrics", "fuzzy_join", "skew_profile",
-    "retrieval_eval", "outlier_mad", "drift_ks", "pagerank",
-    "join_explosion", "rrf_hybrid", "fuzzy_clusters", "range_join_banded",
-    "ohlc_bars", "trend_slope", "pagerank_weighted", "fuzzy_lookup",
-    "apply_cdc", "zorder_stats",
+    # never driver-witnessed — the 16 r11 late additions take first rows
+    # r12 (the only catalog entries with no driver row; judge replica r11
+    # passed all 16 at both SFs — VERDICT r11 #1)
+    "kmeans_train", "triangle_count", "group_kll_quantiles",
+    "interval_coverage", "skyline_parts", "twap", "heavy_tokens_by_lang",
+    "benford_digits", "ivm_agg", "reachable_nodes", "dedup_eval",
+    "spatial_pairs", "mmr_rerank", "funnel_window", "rolling_anomaly",
+    "ann_recall",
+    # the 10 r8-record riders — four rounds old, the oldest rows of
+    # record, committed "first in line r12" at the r11 window note
+    "bm25_search", "dsir_weights", "emb_near_dup_lsh", "ngram_jaccard",
+    "simhash_pairs", "substring_dup_stats", "substring_rebuild",
+    "bpe_train_merges", "multimodal_imgstats", "mixture_sample",
 }
 
 
