@@ -357,6 +357,181 @@ def count_min_table(
     )
 
 
+_GROUPED_CMS_SCHEMA = "g string, d int, counts array<long>"
+
+
+def grouped_count_min_table(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """PER-GROUP merged Count-Min tables: for every group value, exactly
+    ``depth`` rows of (g, d, counts array<long>[width]) — the grouped tier
+    of the CMS family (per-language token frequencies, per-tenant URL
+    counts), completing the grouped sketch set next to grouped MG (r11)
+    and grouped KLL (r11).
+
+    Same exact-merge property as the ungrouped table, applied within each
+    group: updates are pure additions, so each group's merged table is the
+    elementwise sum of its per-partition tables and is PARTITION-
+    INDEPENDENT — identical to building a separate CMS over only that
+    group's rows (pinned in tests/test_sketches.py). Hash rows are keyed
+    siphash shared with the ungrouped build (the bucket of an item does
+    not depend on its group), so a group's table IS the ungrouped table of
+    the group-filtered stream, bit for bit.
+
+    Plan shape: one narrow Arrow-batched pass reduces each partition to a
+    depth×width table PER GROUP SEEN (per batch the items are bucketed by
+    exact per-group value_counts first — the hash runs once per distinct
+    (g, item) per batch); only O(parts·groups·depth) summary rows move,
+    merged by an O(groups·depth·width) posexplode + sum. The item stream
+    never shuffles.
+
+    Memory note (the grouped-MG one): per-partition state is
+    O(groups-in-partition · depth · width) — for high-cardinality group
+    columns pre-partition on the group so each task holds only its groups'
+    tables; the catalog query's group is ``lang`` (a handful of values).
+    """
+    import numpy as np
+
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables: dict[str, "np.ndarray"] = {}
+        sel = [group_col, item_col] + ([weight_col] if weight_col else [])
+        for pdf in batches:
+            cols = pdf[sel].dropna(subset=[group_col, item_col])
+            if weight_col is None:
+                batch = cols.groupby([group_col, item_col], sort=False).size()
+            else:
+                if (cols[weight_col] < 0).any():
+                    raise ValueError(
+                        "grouped_count_min_table: negative weights break "
+                        "the overcount-only guarantee"
+                    )
+                batch = cols.groupby([group_col, item_col], sort=False)[
+                    weight_col
+                ].sum()
+            for g, sub in batch.groupby(level=0, sort=False):
+                items = sub.droplevel(0)
+                counts = items.values.astype("int64")
+                tab = tables.get(g)
+                if tab is None:
+                    tab = tables[g] = np.zeros((depth, width), dtype="int64")
+                for d in range(depth):
+                    np.add.at(
+                        tab[d], _cms_buckets(items.index, d, width), counts
+                    )
+        frames = [
+            pd.DataFrame(
+                {
+                    "g": g,
+                    "d": range(depth),
+                    "counts": [row.tolist() for row in tab],
+                }
+            )
+            for g, tab in tables.items()
+        ]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            # counts must be object-dtyped: an empty float64 column can't
+            # convert to Arrow list<int64>
+            yield pd.DataFrame(
+                {
+                    "g": pd.Series([], dtype=str),
+                    "d": pd.Series([], dtype="int32"),
+                    "counts": pd.Series([], dtype=object),
+                }
+            )
+
+    cols = [
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(item_col).cast("string").alias(item_col),
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias(weight_col))
+    per_part = df.select(*cols).mapInPandas(summarize, _GROUPED_CMS_SCHEMA)
+    return (
+        per_part.select("g", "d", F.posexplode("counts").alias("pos", "c"))
+        .groupBy("g", "d", "pos")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("g", "d")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("counts")
+        )
+    )
+
+
+def grouped_cms_estimates(
+    table: DataFrame,
+    probes: DataFrame,
+    group_col: str,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """``probes`` (carrying a ``group_col`` and an ``item_col``) plus an
+    ``est_count`` column: the CMS point query against THAT GROUP's table.
+    ``width``/``depth`` MUST match the build parameters.
+
+    NULL probe items return NULL (build side drops NULLs — the ungrouped
+    rule); a probe whose group has no table (group never seen) also
+    returns NULL, not 0 — "no sketch" is not "count zero".
+
+    Plan: each group's table folds to ONE (g, array<array<long>>) row —
+    O(groups·depth·width) longs, bounded by the sketch parameters times
+    the group cardinality, never by the data — attached by an equi-join on
+    g (AQE broadcasts it while the folded side stays small); probe buckets
+    come from the same Arrow-batched keyed-siphash UDF as the build, and
+    the min-of-counters is JVM-side zip_with + array_min."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(items: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(items), dtype=object, index=items.index)
+        nn = items.dropna().astype(str)
+        if len(nn):
+            cols = [_cms_buckets(nn.values, d, width) for d in range(depth)]
+            out.loc[nn.index] = pd.Series(
+                [list(bs) for bs in zip(*cols)], index=nn.index
+            )
+        return out
+
+    folded = table.groupBy(F.col("g").alias("__g")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "counts"))),
+            lambda s: s["counts"],
+        ).alias("__cms")
+    )
+    return (
+        probes.withColumn("__bk", buckets(F.col(item_col).cast("string")))
+        .join(
+            folded,
+            F.col(group_col).cast("string") == F.col("__g"),
+            "left",
+        )
+        .withColumn(
+            "est_count",
+            F.array_min(
+                F.zip_with(
+                    "__cms",
+                    "__bk",
+                    lambda row, b: F.element_at(row, b + F.lit(1)),
+                )
+            ).cast("bigint"),
+        )
+        .drop("__bk", "__cms", "__g")
+    )
+
+
 def cms_estimates(
     table: DataFrame,
     probes: DataFrame,

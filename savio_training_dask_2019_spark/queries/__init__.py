@@ -100,7 +100,14 @@ if _MISSING:
 #     two rounds old — the normal cadence); queries BUILT this round are
 #     late additions on the standing precedent (replica-checked at both
 #     SFs + measured-once benched the day they land; first driver rows
-#     r13).
+#     r13).  This round's late additions (catalog arithmetic: 174 at r11
+#     close + 1 = 175; 150 oracle-backed, 24 + 1 = 25 rows-only):
+#     group_cms_counts (PER-GROUP Count-Min point frequencies — each
+#     language's top tokens probed against that language's own CMS table,
+#     completing the grouped sketch set MG/KLL/CMS — VERDICT r11 #6;
+#     rows-only by contract with partition-independence,
+#     bit-identity-to-filtered-ungrouped, per-group overcount-bound,
+#     cross-group-isolation, and NULL/unseen-group pytest pins).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -1136,6 +1136,50 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP Count-Min point frequencies: each language's top-5 tokens
+    (exact counts as the measuring stick) probed against that language's
+    own CMS table — the grouped tier of the CMS family (VERDICT r11 #6),
+    completing the grouped sketch set: grouped MG (heavy_tokens_by_lang),
+    grouped KLL (group_kll_quantiles), and now grouped CMS. The question
+    it answers at 100 TB: "how often does THIS token occur in THIS
+    language's slice" for any token, in O(langs·depth·width) memory,
+    without a per-language vocabulary shuffle.
+
+    Scale: the token stream never shuffles for the sketch — one narrow
+    Arrow-batched pass reduces each partition to a depth×width table per
+    language seen; O(parts·langs·depth) summary rows merge elementwise;
+    the folded per-language model rides an AQE-broadcast equi-join onto
+    the probes. The exact branch exists only as the demo's measuring
+    stick. Rows-only by contract (keyed siphash no SQL engine shares) —
+    but each group's table is PARTITION-INDEPENDENT and bit-identical to
+    the ungrouped table of the group-filtered stream (pinned in
+    tests/test_sketches.py), with the per-group overcount-only guarantee
+    est >= true, est <= true + 2·N_g/width w.p. 1-2^-depth."""
+    from ..operators.sketches import grouped_cms_estimates, grouped_count_min_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens("text")).alias("tok"))
+    tab = grouped_count_min_table(
+        toks, "lang", "tok", width=_CMS_W, depth=_CMS_D
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("true_count").desc(), F.col("tok").asc()
+    )
+    true_top = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+    return (
+        grouped_cms_estimates(tab, true_top, "lang", "tok", width=_CMS_W, depth=_CMS_D)
+        .select("lang", "tok", "true_count", "est_count")
+        .orderBy("lang", F.col("true_count").desc(), "tok")
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
@@ -1156,6 +1200,7 @@ QUERIES = {
     "heavy_tokens_by_lang": q_heavy_tokens_by_lang,
     "dedup_eval": q_dedup_eval,
     "cms_counts": q_cms_counts,
+    "group_cms_counts": q_group_cms_counts,
     "dedup_stats": q_dedup_stats,
     "source_overlap": q_source_overlap,
     "dedup_keep_first": q_dedup_keep_first,

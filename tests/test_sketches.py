@@ -281,6 +281,112 @@ def test_cms_null_probe_returns_null_not_none_literal(spark):
         scm.estimate(["a", None])
 
 
+def _grouped_cms_stream(spark):
+    """Two groups with disjoint skewed vocabularies plus a shared token —
+    cross-group isolation is checkable exactly."""
+    rows = [("en", f"tok{j}") for j in range(40) for _ in range(max(1, 800 // (j + 1)))]
+    rows += [("de", f"wort{j}") for j in range(40) for _ in range(max(1, 500 // (j + 1)))]
+    rows += [("en", "shared")] * 37 + [("de", "shared")] * 11
+    return spark.createDataFrame(rows, "lang string, tok string")
+
+
+def test_grouped_cms_equals_per_group_ungrouped_and_partition_independent(spark):
+    """Each group's merged table must be bit-identical to the UNGROUPED
+    table built over only that group's rows (the hash ignores the group),
+    and identical under any partitioning — the exact-merge property
+    applied per group."""
+    from savio_training_dask_2019_spark.operators.sketches import (
+        count_min_table,
+        grouped_count_min_table,
+    )
+
+    df = _grouped_cms_stream(spark)
+    w, d = 512, 3
+    g1 = {
+        (r["g"], r["d"]): r["counts"]
+        for r in grouped_count_min_table(df.repartition(1), "lang", "tok", width=w, depth=d).collect()
+    }
+    g13 = {
+        (r["g"], r["d"]): r["counts"]
+        for r in grouped_count_min_table(df.repartition(13), "lang", "tok", width=w, depth=d).collect()
+    }
+    assert g1 == g13
+    for lang in ("en", "de"):
+        solo = {
+            r["d"]: r["counts"]
+            for r in count_min_table(
+                df.where(F.col("lang") == lang), "tok", width=w, depth=d
+            ).collect()
+        }
+        n = df.where(F.col("lang") == lang).count()
+        for i in range(d):
+            assert g1[(lang, i)] == solo[i]
+            assert sum(g1[(lang, i)]) == n
+
+
+def test_grouped_cms_estimates_contract(spark):
+    """Per-group overcount-only + per-group error bound; a shared token is
+    counted against EACH group's own mass (no cross-group bleed beyond
+    collisions); NULL item and never-seen group both return NULL."""
+    from savio_training_dask_2019_spark.operators.sketches import (
+        grouped_cms_estimates,
+        grouped_count_min_table,
+    )
+
+    df = _grouped_cms_stream(spark)
+    w, d = 1024, 4
+    tab = grouped_count_min_table(df, "lang", "tok", width=w, depth=d)
+    true = df.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("true_count"))
+    est = grouped_cms_estimates(tab, true, "lang", "tok", width=w, depth=d).collect()
+    n_by_g = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(r["est_count"] >= r["true_count"] for r in est)
+    for r in est:
+        assert r["est_count"] - r["true_count"] <= 2 * n_by_g[r["lang"]] // w
+    shared = {r["lang"]: r["est_count"] for r in est if r["tok"] == "shared"}
+    assert shared["en"] >= 37 and shared["de"] >= 11
+    assert shared["de"] < 37 + 2 * n_by_g["de"] // w + 1  # de's table, not en's
+
+    probes = spark.createDataFrame(
+        [("en", None), ("fr", "tok0")], "lang string, tok string"
+    )
+    got = {
+        (r["lang"], r["tok"]): r["est_count"]
+        for r in grouped_cms_estimates(tab, probes, "lang", "tok", width=w, depth=d).collect()
+    }
+    assert got[("en", None)] is None
+    assert got[("fr", "tok0")] is None  # no sketch for fr != count zero
+
+
+def test_grouped_cms_negative_weight_raises(spark):
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.sketches import (
+        grouped_count_min_table,
+    )
+
+    neg = spark.createDataFrame([("en", "a", -1)], "lang string, tok string, m long")
+    with pytest.raises(Exception, match="negative weights"):
+        grouped_count_min_table(neg, "lang", "tok", weight_col="m").collect()
+    with pytest.raises(ValueError, match="width/depth"):
+        grouped_count_min_table(neg, "lang", "tok", width=0)
+
+
+def test_group_cms_catalog_query_contract(spark, sf_dir):
+    """group_cms_counts: 5 probes per language, every estimate >= its
+    exact count, no nested-loop join (the model attaches by equi-join)."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    df = QUERIES["group_cms_counts"](spark, sf_dir)
+    assert plans.bnlj_count(df) == 0
+    rows = df.collect()
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in rows)
+    assert all(c == 5 for c in per_lang.values()) and len(per_lang) >= 2
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+
+
 def test_cms_catalog_query_contract(spark, sf_dir):
     """cms_counts: 20 probes, every estimate >= its exact count, and the
     1-row folded-table attach is the only nested-loop join."""
