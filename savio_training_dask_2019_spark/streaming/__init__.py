@@ -17,7 +17,7 @@ from .windows import (
     with_watermark,
 )
 from .io import file_stream, foreach_batch_sink, memory_sink, rate_stream
-from .ingest import incremental_ingest
+from .ingest import StreamingAnnIngest, incremental_ingest
 from .joins import interval_join
 from .stateful import (
     DriftMonitor,
@@ -51,5 +51,6 @@ __all__ = [
     "ks_from_bin_counts",
     "psi_from_counts",
     "interval_join",
+    "StreamingAnnIngest",
     "incremental_ingest",
 ]

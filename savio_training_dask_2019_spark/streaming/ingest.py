@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,3 +52,150 @@ def incremental_ingest(
     else:
         deduped = novel.dropDuplicates(["__h"])
     return deduped.drop("__h")
+
+
+class StreamingAnnIngest:
+    """End-to-end streaming corpus ingestion (VERDICT r11 #4): new
+    documents arrive → Bloom-prefiltered exact dedup → IVF cell assignment
+    → ANN match against the existing corpus — the
+    ``dedup_incremental_bloom`` shape and ``assign_cells``/
+    ``cell_knn_join`` wired into ONE ``foreachBatch`` pipeline (pass an
+    instance to :func:`streaming.foreach_batch_sink`).
+
+    Per micro-batch, all DISTRIBUTED:
+
+    1. hash ``text_col`` (xxhash64) and probe the Bloom bitset built ONCE
+       over the historical snapshot's hashes — bloom-negative rows are
+       DEFINITELY novel and skip the confirm join; bloom-positive rows
+       (true re-crawls + ~FP rate) re-check against the exact hash set;
+    2. anti-join against everything ADMITTED earlier in the stream (the
+       admitted parquet paths are re-read per batch — stream-growth is a
+       scan cost, not driver state; at production scale this side is
+       compacted into the snapshot + a rebuilt bloom on a schedule);
+    3. intra-batch keep-first on the hash (lowest id wins);
+    4. admitted docs' embeddings take their argmax-cosine IVF cell and
+       match top-``k`` against the corpus via the two-sided cell join
+       (``cell_knn_join`` — neither fact side broadcast);
+    5. admitted (id, h) and matches (query_id, corpus_id, cosine) land as
+       idempotent per-batch parquet overwrites (``.../batch=N``).
+
+    Driver state: the seen-batch-id set plus one 4-int report per batch —
+    O(batches) scalars, never rows (the foreachBatch-monitor discipline).
+    Replayed batch_ids (recovery) are skipped idempotently; the per-batch
+    output paths make re-writes idempotent too.
+
+    ``corpus`` must carry the same ``id_col``/``vec_col`` columns as the
+    incoming stream; ``centroids`` is the (cid, ce) IVF model frame
+    (O(nlist) rows — train offline, e.g. ``operators.kmeans``)."""
+
+    def __init__(
+        self,
+        snapshot: DataFrame,
+        corpus: DataFrame,
+        centroids: DataFrame,
+        out_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        vec_col: str = "vec",
+        k: int = 3,
+        nprobe: int = 2,
+        bits_per_key: int = 10,
+    ) -> None:
+        from ..operators.bloom import bloom_build, next_pow2
+
+        self.text_col, self.id_col, self.vec_col = text_col, id_col, vec_col
+        self.k, self.nprobe, self.out_dir = k, nprobe, out_dir
+        self.corpus = corpus
+        self.centroids = centroids
+        self.reports: list[dict] = []
+        self._seen: set[int] = set()
+        self._admitted_paths: list[str] = []
+        # snapshot hash set: persisted (sizing count + bitset build +
+        # every batch's confirm join); the bitset itself is ONE row of
+        # m_bits/64 words
+        self._snap = (
+            snapshot.select(F.xxhash64(F.col(text_col)).alias("__h"))
+            .distinct()
+            .persist()
+        )
+        self._m_bits = next_pow2(max(1024, bits_per_key * max(1, self._snap.count())))
+        self._bloom = bloom_build(self._snap, "__h", self._m_bits).persist()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.bloom import bloom_flag
+        from ..operators.similarity import cell_knn_join
+
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        self._seen.add(batch_id)
+        spark = batch_df.sparkSession
+
+        hashed = batch_df.withColumn("__h", F.xxhash64(F.col(self.text_col)))
+        flagged = bloom_flag(hashed, "__h", self._bloom, self._m_bits)
+        maybe = flagged.where(F.col("__maybe")).join(
+            self._snap.withColumn("__known", F.lit(1)), "__h", "left"
+        )
+        novel = flagged.where(~F.col("__maybe")).withColumn(
+            "__known", F.lit(None).cast("int")
+        )
+        uni = maybe.unionByName(novel).drop("__maybe")
+        if self._admitted_paths:  # hashes admitted earlier in the stream
+            prior = spark.read.parquet(*self._admitted_paths).select(
+                F.col("h").alias("__h")
+            )
+            uni = uni.join(
+                prior.withColumn("__prior", F.lit(1)).distinct(), "__h", "left"
+            )
+        else:
+            uni = uni.withColumn("__prior", F.lit(None).cast("int"))
+        w = Window.partitionBy("__h").orderBy(self.id_col)
+        flags = uni.withColumn("__rn", F.row_number().over(w)).select(
+            *batch_df.columns,
+            "__h",
+            (F.col("__known").isNotNull() | F.col("__prior").isNotNull()).alias(
+                "__is_known"
+            ),
+            (
+                F.col("__known").isNull()
+                & F.col("__prior").isNull()
+                & (F.col("__rn") > 1)
+            ).alias("__is_dup"),
+        )
+        flags = flags.localCheckpoint(eager=True)  # 3 consumers below
+
+        [c] = flags.agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("__is_known").cast("long")).alias("n_known"),
+            F.sum(F.col("__is_dup").cast("long")).alias("n_dup"),
+        ).collect()
+        admitted = flags.where(~F.col("__is_known") & ~F.col("__is_dup"))
+
+        apath = f"{self.out_dir}/admitted/batch={batch_id}"
+        admitted.select(
+            F.col(self.id_col), F.col("__h").alias("h")
+        ).write.mode("overwrite").parquet(apath)
+
+        matches = cell_knn_join(
+            admitted.select(self.id_col, self.vec_col),
+            self.corpus,
+            self.centroids,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            k=self.k,
+            nprobe=self.nprobe,
+        )
+        matches.write.mode("overwrite").parquet(
+            f"{self.out_dir}/matches/batch={batch_id}"
+        )
+
+        self._admitted_paths.append(apath)
+        n_admitted = int(c["n_batch"] - (c["n_known"] or 0) - (c["n_dup"] or 0))
+        self.reports.append(
+            {
+                "batch_id": batch_id,
+                "n_batch": int(c["n_batch"]),
+                "n_known": int(c["n_known"] or 0),
+                "n_dup": int(c["n_dup"] or 0),
+                "n_admitted": n_admitted,
+            }
+        )

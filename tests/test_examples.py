@@ -48,3 +48,10 @@ def test_streaming_monitor_example_runs(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "SHIFTED" in out  # the planted mix flip alarmed
     assert "streaming monitor complete" in out
+
+
+def test_streaming_ann_ingest_example_runs(spark, capsys, tmp_path):
+    _load("streaming_ann_ingest").main("/root/testdata/sf0.001", str(tmp_path / "ann"))
+    out = capsys.readouterr().out
+    assert "admitted" in out
+    assert "streaming ann ingest complete" in out

@@ -914,3 +914,114 @@ def test_streaming_twap_exact_merge_and_order_guard(spark, sf_dir):
     # out-of-order: a batch starting before a key's last event raises
     with pytest.raises(ValueError, match="out-of-order"):
         acc(batches[0], batch_id=99)
+
+
+def test_streaming_ann_ingest_composition(spark, tmp_path):
+    """StreamingAnnIngest (VERDICT r11 #4): bloom dedup → cell assign →
+    ANN match composed in one foreachBatch pipeline over a file-replay
+    stream. Pins: per-batch ingest reports (snapshot dup, CROSS-BATCH dup
+    via the admitted read-back, intra-batch keep-first), the planted
+    near-dup's top-1 ANN match, per-batch idempotent outputs, and
+    replayed-batch_id skip."""
+    import time as _time
+
+    from savio_training_dask_2019_spark.streaming import (
+        StreamingAnnIngest,
+        file_stream,
+        foreach_batch_sink,
+    )
+
+    # existing corpus: 6 vectors split between two well-separated cells
+    corpus = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (101, [0.9, 0.1, 0.0, 0.0]),
+            (102, [0.8, 0.0, 0.1, 0.0]),
+            (103, [0.0, 1.0, 0.0, 0.0]),
+            (104, [0.0, 0.9, 0.1, 0.0]),
+            (105, [0.1, 0.8, 0.0, 0.0]),
+        ],
+        "doc_id long, vec array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, ce array<double>",
+    )
+    snapshot = spark.createDataFrame(
+        [(9000, "known historical doc")], "doc_id long, text string"
+    )
+
+    src = str(tmp_path / "ann_src")
+    now = _time.time()
+    schema = "doc_id long, text string, vec array<double>"
+
+    def wbatch(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+        for root, _dirs, files in os.walk(f"{src}/{name}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    # batch 0: one novel doc planted next to corpus 101, one snapshot dup
+    wbatch(
+        "b1",
+        [
+            (1, "fresh alpha", [0.9, 0.1, 0.0, 0.0]),
+            (2, "known historical doc", [0.0, 0.0, 1.0, 0.0]),
+        ],
+        now - 30,
+    )
+    # batch 1: novel; cross-batch dup of doc 1; intra-batch dup pair
+    wbatch(
+        "b2",
+        [
+            (3, "fresh beta", [0.0, 1.0, 0.0, 0.0]),
+            (4, "fresh alpha", [0.5, 0.5, 0.0, 0.0]),
+            (5, "fresh gamma", [0.7, 0.3, 0.0, 0.0]),
+            (6, "fresh gamma", [0.7, 0.3, 0.0, 0.0]),
+        ],
+        now - 20,
+    )
+
+    out = str(tmp_path / "ann_out")
+    handle = StreamingAnnIngest(
+        snapshot, corpus, centroids, out, k=2, nprobe=2
+    )
+    stream = file_stream(spark, f"{src}/*", schema)
+    q = foreach_batch_sink(stream, handle)
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    reps = {r["batch_id"]: r for r in handle.reports}
+    assert reps[0] == {
+        "batch_id": 0, "n_batch": 2, "n_known": 1, "n_dup": 0, "n_admitted": 1,
+    }
+    assert reps[1] == {
+        "batch_id": 1, "n_batch": 4, "n_known": 1, "n_dup": 1, "n_admitted": 2,
+    }
+
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(*(f"{out}/admitted/batch={b}" for b in (0, 1))).collect()
+    )
+    assert admitted == [1, 3, 5]
+
+    matches = spark.read.parquet(
+        *(f"{out}/matches/batch={b}" for b in (0, 1))
+    ).collect()
+    assert len(matches) == 3 * 2  # 3 admitted docs × k=2
+    top = {}
+    for r in matches:
+        cur = top.get(r["query_id"])
+        if cur is None or (r["cosine"], -r["corpus_id"]) > (cur[1], -cur[0]):
+            top[r["query_id"]] = (r["corpus_id"], r["cosine"])
+    assert top[1][0] == 101 and top[1][1] > 0.999  # planted near-dup
+    assert top[3][0] == 103  # exact centroid-1 match
+
+    # recovery replay: same batch_id again must change nothing
+    n_reports = len(handle.reports)
+    handle(spark.createDataFrame([(7, "x", [0.0] * 4)], schema), batch_id=1)
+    assert len(handle.reports) == n_reports
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/admitted/batch=1").collect()
+    ) == [3, 5]
