@@ -515,3 +515,36 @@ def test_spatial_grid_join_1m_points_lattice_analytic(spark):
     assert agg["n"] == 2 * side * (side - 1)
     assert agg["mn"] == r * r and agg["mx"] == r * r
     assert elapsed < 180, f"spatial smoke took {elapsed:.0f}s"
+
+
+def test_bfs_1m_edge_ring_multi_seed_analytic(spark):
+    """1M-edge directed ring (i -> i+1 mod 2^20), seeds at every multiple
+    of 1024, 3 hops (VERDICT r11 #8 — the frontier loop's scale smoke):
+    level h is EXACTLY {k*1024 + h}, so per-level count (1024) and id-sum
+    (1024*(1023*1024/2) + 1024*h) are closed-form. Every hop joins the
+    full 1M-edge list against the frontier — the per-round join + anti-
+    join + checkpoint machinery at real width, aggregate-only checks."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.graph import bfs_hops
+
+    n, spacing, hops = 1 << 20, 1024, 3
+    edges = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    seeds = spark.range(n // spacing).select((F.col("id") * spacing).alias("id"))
+    t0 = time.perf_counter()
+    levels = {
+        r["hops"]: (r["n"], r["s"])
+        for r in bfs_hops(edges, seeds, max_hops=hops)
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    elapsed = time.perf_counter() - t0
+    n_seeds = n // spacing
+    base_sum = spacing * (n_seeds - 1) * n_seeds // 2
+    assert set(levels) == {0, 1, 2, 3}
+    for h in range(hops + 1):
+        assert levels[h] == (n_seeds, base_sum + n_seeds * h), f"hop {h}"
+    assert elapsed < 180, f"bfs smoke took {elapsed:.0f}s"
