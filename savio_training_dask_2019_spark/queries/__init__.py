@@ -108,6 +108,12 @@ if _MISSING:
 #     rows-only by contract with partition-independence,
 #     bit-identity-to-filtered-ungrouped, per-group overcount-bound,
 #     cross-group-isolation, and NULL/unseen-group pytest pins).
+#     PLUS (176 queries; 151 oracle-backed, 25 rows-only): gap_fill
+#     (missing-bucket generation + forward fill — the resample().ffill()
+#     member of the time-series family; per-series dense hourly grid via
+#     sequence/explode, exact BIGINT cents carried by last(ignorenulls);
+#     zero float exposure; oracle-backed at ALL THREE SFs + planted
+#     gap/identity pytest pins).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

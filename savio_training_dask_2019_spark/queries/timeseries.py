@@ -1177,6 +1177,90 @@ GROUP BY event_type
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + forward fill — the ``resample().ffill()`` member of
+    the time-series family the catalog lacked: per (event_type, user
+    segment) hourly series, MISSING buckets are generated from each
+    series' own [min, max] span and the last observed hourly cents total
+    carries forward across them. The dashboard/feature-store question:
+    "what was the running level at every hour, including silent ones".
+
+    Exactness: the carried metric is the exact BIGINT hourly cents sum
+    (events-money pattern) — forward fill is pure value propagation, no
+    arithmetic, so there is zero float exposure anywhere. The first
+    bucket of every series is observed by construction (spans start at
+    each series' own min), so ``cents_ffill`` is never NULL.
+
+    Scale: one groupBy to hourly buckets (the only corpus-wide shuffle),
+    a groups-sized span agg, a narrow ``sequence``/``explode`` dense
+    grid (rows = Σ span_g — bounded by time-range × series count, never
+    by event count), one equi-join back, and ONE series-partitioned
+    ``last(ignorenulls)`` window. The dense grid is the scale knob: at
+    100 TB you bound it by bucketing coarser or windowing the span —
+    never by scanning the corpus twice (events is read once; obs feeds
+    spans and the join via its own lineage)."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (F.col("user_id") % 20).alias("seg"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    spans = obs.groupBy("event_type", "seg").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    dense = spans.select(
+        "event_type",
+        "seg",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = dense.join(obs, ["event_type", "seg", "h"], "left")
+    w = (
+        Window.partitionBy("event_type", "seg")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "seg",
+        F.col("h").alias("bucket_ts"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH obs AS (
+  SELECT event_type, CAST(user_id % 20 AS BIGINT) AS seg,
+         date_trunc('hour', ts) AS h, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2, 3
+), spans AS (
+  SELECT event_type, seg, min(h) AS mn, max(h) AS mx FROM obs GROUP BY 1, 2
+), dense AS (
+  SELECT event_type, seg,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM spans
+)
+SELECT d.event_type, d.seg, d.h AS bucket_ts,
+       COALESCE(o.n, 0) AS n_events,
+       o.n IS NULL AS is_gap,
+       last_value(o.cents IGNORE NULLS) OVER (
+         PARTITION BY d.event_type, d.seg ORDER BY d.h
+         ROWS UNBOUNDED PRECEDING) AS cents_ffill
+FROM dense d
+LEFT JOIN obs o
+  ON d.event_type = o.event_type AND d.seg = o.seg AND d.h = o.h
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1199,6 +1283,7 @@ QUERIES = {
     "twap": q_twap,
     "funnel_window": q_funnel_window,
     "rolling_anomaly": q_rolling_anomaly,
+    "gap_fill": q_gap_fill,
 }
 
 ORACLE = {
@@ -1223,4 +1308,5 @@ ORACLE = {
     "twap": _TWAP_SQL,
     "funnel_window": _FUNNEL_WINDOW_SQL,
     "rolling_anomaly": _ROLLING_ANOMALY_SQL,
+    "gap_fill": _GAP_FILL_SQL,
 }

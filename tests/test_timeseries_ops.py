@@ -1,0 +1,73 @@
+"""Planted-fixture pins for the r12 time-series additions (gap_fill et
+al.): tiny hand-computable series where every filled bucket, flag, and
+carried value is known exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[4]) for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+
+def test_gap_fill_planted_series(spark, tmp_path):
+    """One series with two interior gaps + one single-bucket series + one
+    bucket holding two events (sum): every output cell is hand-computed.
+    The first bucket of each series is observed by construction, so
+    cents_ffill is never NULL."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:10", 1, "click", 1.00),
+            (2, "2024-01-01 01:20", 1, "click", 2.00),
+            (3, "2024-01-01 01:40", 1, "click", 0.50),  # same bucket as #2
+            (4, "2024-01-01 04:05", 1, "click", 4.00),  # gaps at 02, 03
+            (5, "2024-01-01 09:00", 22, "click", 7.25),  # seg 2, lone bucket
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_gap_fill
+
+    rows = {
+        (r["event_type"], r["seg"], r["bucket_ts"].hour): r
+        for r in q_gap_fill(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 5 + 1  # hours 0..4 for seg 1, hour 9 for seg 2
+
+    expect = {
+        0: (1, False, 100),
+        1: (2, False, 250),
+        2: (0, True, 250),
+        3: (0, True, 250),
+        4: (1, False, 400),
+    }
+    for h, (n, gap, cents) in expect.items():
+        r = rows[("click", 1, h)]
+        assert (r["n_events"], r["is_gap"], r["cents_ffill"]) == (n, gap, cents), h
+    lone = rows[("click", 2, 9)]
+    assert (lone["n_events"], lone["is_gap"], lone["cents_ffill"]) == (1, False, 725)
+
+
+def test_gap_fill_no_gaps_is_identity(spark, tmp_path):
+    """A dense series produces no filled rows — output rows == observed
+    buckets and every is_gap is False (the sf0.1 fixture regime)."""
+    _write_events(
+        tmp_path,
+        [(i, f"2024-01-01 {h:02d}:30", 3, "view", 1.0) for i, h in enumerate(range(6))],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_gap_fill
+
+    rows = q_gap_fill(spark, str(tmp_path)).collect()
+    assert len(rows) == 6
+    assert not any(r["is_gap"] for r in rows)
+    assert all(r["cents_ffill"] == 100 for r in rows)
