@@ -113,7 +113,13 @@ if _MISSING:
 #     member of the time-series family; per-series dense hourly grid via
 #     sequence/explode, exact BIGINT cents carried by last(ignorenulls);
 #     zero float exposure; oracle-backed at ALL THREE SFs + planted
-#     gap/identity pytest pins).
+#     gap/identity pytest pins).  PLUS (177 queries; 152 oracle-backed,
+#     25 rows-only): transition_matrix (first-order Markov transitions
+#     over each user's event sequence — exact BIGINT counts from one
+#     lead window + one groupBy, row-normalized p as ONE fixed-order
+#     BIGINT division rounded 4 dp; oracle-backed at ALL THREE SFs +
+#     planted-journeys pytest with same-ts tie-break and no-cross-user
+#     pins).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -1261,6 +1261,64 @@ LEFT JOIN obs o
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and row-normalized probabilities of event_type →
+    next event_type, ordered by (ts, event_id) within user — the
+    session-flow / clickstream-model fit (the matrix behind "what do
+    users do after an error?"), and the sequence-mining member of the
+    §2.5 family next to funnel_window's fixed-pattern match.
+
+    Exactness: transition counts are exact BIGINTs from ONE lead window
+    + ONE groupBy; the probability is ONE fixed-order division of two
+    exact BIGINTs rounded to 4 dp (the twap single-float-op rule — both
+    engines divide identical integers, IEEE-identically). The per-source
+    total comes from a from_type-partitioned window over the GROUPED
+    matrix — O(|types|²) rows, bounded by the vocabulary, never the
+    corpus.
+
+    Scale: one user-partitioned lead window (the lag_lead plan class) +
+    one |types|²-group agg; nothing else touches the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(wt), 4
+        ).alias("p"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_trans,
+       round(n_trans / CAST(sum(n_trans) OVER (PARTITION BY from_type)
+                            AS BIGINT), 4) AS p
+FROM trans
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1284,6 +1342,7 @@ QUERIES = {
     "funnel_window": q_funnel_window,
     "rolling_anomaly": q_rolling_anomaly,
     "gap_fill": q_gap_fill,
+    "transition_matrix": q_transition_matrix,
 }
 
 ORACLE = {
@@ -1309,4 +1368,5 @@ ORACLE = {
     "funnel_window": _FUNNEL_WINDOW_SQL,
     "rolling_anomaly": _ROLLING_ANOMALY_SQL,
     "gap_fill": _GAP_FILL_SQL,
+    "transition_matrix": _TRANSITION_SQL,
 }

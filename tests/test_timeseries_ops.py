@@ -71,3 +71,42 @@ def test_gap_fill_no_gaps_is_identity(spark, tmp_path):
     assert len(rows) == 6
     assert not any(r["is_gap"] for r in rows)
     assert all(r["cents_ffill"] == 100 for r in rows)
+
+
+def test_transition_matrix_planted_sequences(spark, tmp_path):
+    """Two hand-built user journeys: every transition count and
+    row-normalized probability is known; the (ts, event_id) tie-break
+    decides the order of two same-timestamp events."""
+    _write_events(
+        tmp_path,
+        [
+            # user 1: view -> click -> purchase -> view
+            (1, "2024-01-01 00:00", 1, "view", 0),
+            (2, "2024-01-01 00:01", 1, "click", 0),
+            (3, "2024-01-01 00:02", 1, "purchase", 0),
+            (4, "2024-01-01 00:03", 1, "view", 0),
+            # user 2: view -> view -> click; the two views share a
+            # timestamp — event_id orders them
+            (11, "2024-01-02 00:00", 2, "view", 0),
+            (10, "2024-01-02 00:00", 2, "view", 0),
+            (12, "2024-01-02 00:05", 2, "click", 0),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_transition_matrix,
+    )
+
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["p"])
+        for r in q_transition_matrix(spark, str(tmp_path)).collect()
+    }
+    # from view: ->click twice (u1 first hop, u2 second hop), ->view once
+    # (u2's same-ts pair, id 10 -> 11); u2's click and u1's final view are
+    # terminals (dropped), so from click the only hop is u1's ->purchase
+    assert got[("view", "click")] == (2, 0.6667)
+    assert got[("view", "view")] == (1, 0.3333)
+    assert got[("click", "purchase")] == (1, 1.0)
+    assert got[("purchase", "view")] == (1, 1.0)
+    assert sum(n for n, _ in got.values()) == 5  # 7 events - 2 terminals
+    # no cross-user chain: u1's terminal view never points into u2's rows
+    assert ("view", "purchase") not in got
