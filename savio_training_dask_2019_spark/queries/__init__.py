@@ -119,7 +119,12 @@ if _MISSING:
 #     lead window + one groupBy, row-normalized p as ONE fixed-order
 #     BIGINT division rounded 4 dp; oracle-backed at ALL THREE SFs +
 #     planted-journeys pytest with same-ts tie-break and no-cross-user
-#     pins).
+#     pins).  PLUS (178 queries; 153 oracle-backed, 25 rows-only):
+#     basket_pairs (market-basket brand affinity — co-occurrence counts,
+#     supports, and lift per unordered brand pair; basket self-join on
+#     the order key so fan-out is basket-width-bounded, all counts exact
+#     BIGINT, lift one fixed-order division rounded 4 dp; oracle-backed
+#     at ALL THREE SFs + hand-computed-baskets pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -1991,6 +1991,94 @@ _SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (association-rule mining's counting core,
+    Agrawal & Srikant VLDB'94): for every unordered brand pair, the
+    number of orders whose baskets contain BOTH, each side's own basket
+    support, and the lift n_co·N/(sup_a·sup_b) — the "bought together"
+    matrix behind recommendations and cross-sell analytics.
+
+    Exactness: all counts are exact BIGINTs; lift is ONE fixed-order
+    division of two exact BIGINT products rounded to 4 dp (the twap
+    single-float-op rule).
+
+    Scale: baskets self-join ON THE ORDER KEY — the per-basket pair
+    fan-out is (basket size choose 2), bounded by basket width, never
+    |orders|² (join_explosion is the pre-flight that proves it); the
+    item frame is localCheckpoint-ed (three consumers — supports, both
+    join sides — would otherwise re-scan the corpus), the 25-row brand
+    supports broadcast, and the 1-row basket total rides the
+    model-attach crossJoin. Output is |brands|² — vocabulary-bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_baskets = items.agg(
+        F.countDistinct("ok").cast("bigint").alias("n_baskets")
+    )
+    sup = items.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+    co = (
+        items.alias("a")
+        .join(
+            items.alias("c"),
+            (F.col("a.ok") == F.col("c.ok")) & (F.col("a.b") < F.col("c.b")),
+        )
+        .groupBy(
+            F.col("a.b").alias("brand_a"), F.col("c.b").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    return (
+        co.join(
+            F.broadcast(sup.select(F.col("b").alias("brand_a"), F.col("sup").alias("sup_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("b").alias("brand_b"), F.col("sup").alias("sup_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            "sup_a",
+            "sup_b",
+            F.round(
+                (F.col("n_co") * F.col("n_baskets"))
+                / (F.col("sup_a") * F.col("sup_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items
+), sup AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY b
+), co AS (
+  SELECT a.b AS brand_a, c.b AS brand_b, CAST(count(*) AS BIGINT) AS n_co
+  FROM items a JOIN items c ON a.ok = c.ok AND a.b < c.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_co, sa.sup AS sup_a, sb.sup AS sup_b,
+       round((n_co * n_baskets) / (sa.sup * sb.sup), 4) AS lift
+FROM co
+JOIN sup sa ON co.brand_a = sa.b
+JOIN sup sb ON co.brand_b = sb.b
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -2044,6 +2132,7 @@ QUERIES = {
     "ntile_percent": q_ntile_percent,
     "string_funcs": q_string_funcs,
     "json_extract": q_json_extract,
+    "basket_pairs": q_basket_pairs,
 }
 
 ORACLE = {
@@ -2095,4 +2184,5 @@ ORACLE = {
     "ntile_percent": _NTILE_PERCENT_SQL,
     "string_funcs": _STRING_FUNCS_SQL,
     "json_extract": _JSON_EXTRACT_SQL,
+    "basket_pairs": _BASKET_PAIRS_SQL,
 }

@@ -1364,3 +1364,33 @@ def test_ann_recall_contract(spark, sf_dir):
         assert r["n_exact"] == 3
         assert 0 <= r["n_hit"] <= 3
         assert r["recall"] == round(r["n_hit"] / 3, 4)
+
+
+def test_basket_pairs_hand_computed(spark, tmp_path):
+    """4 hand-built baskets: every co-count, support, and lift is known;
+    a duplicate part inside one order must not double-count its brand."""
+    import pandas as pd
+
+    # parts: 10->A, 11->A (second A part), 20->B, 30->C
+    pd.DataFrame(
+        {"p_partkey": [10, 11, 20, 30], "p_brand": ["A", "A", "B", "C"]}
+    ).to_parquet(tmp_path / "part.parquet")
+    # baskets: 1={A,B} (A twice via parts 10+11), 2={A,B}, 3={A,C}, 4={B}
+    rows = [(1, 10), (1, 11), (1, 20), (2, 10), (2, 20), (3, 11), (3, 30), (4, 20)]
+    pd.DataFrame(
+        {"l_orderkey": [r[0] for r in rows], "l_partkey": [r[1] for r in rows]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_basket_pairs
+
+    got = {
+        (r["brand_a"], r["brand_b"]): r
+        for r in q_basket_pairs(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C")}
+    ab = got[("A", "B")]
+    assert (ab["n_co"], ab["sup_a"], ab["sup_b"]) == (2, 3, 3)
+    assert ab["lift"] == round(2 * 4 / (3 * 3), 4)
+    ac = got[("A", "C")]
+    assert (ac["n_co"], ac["sup_a"], ac["sup_b"]) == (1, 3, 1)
+    assert ac["lift"] == round(1 * 4 / (3 * 1), 4)

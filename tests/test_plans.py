@@ -385,6 +385,7 @@ def test_unpartitioned_window_detector_is_not_vacuous(spark):
 # size is the operator's documented lever, and the two intentional
 # non-equi demos.
 _MAX_BNLJ = {
+    "basket_pairs": 1,      # 1-row basket-total attach (lift normalizer)
     "bigram_logprob": 1,    # 1-row corpus total
     "bm25_search": 1,       # 1-row corpus stats (N, avgdl)
     "ccnet_bands": 2,       # 1-row total ×2 (unigram fit + band thresholds)
@@ -430,6 +431,7 @@ _MAX_BNLJ = {
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
     "ann_recall": 2,  # inherits knn_cells' two scalar folds
+    "basket_pairs": 1,  # the one-row basket-total aggregate
     "benford_digits": 1,  # the bounded 9-row share window's exchange
     "dedup_eval": 1,  # the one-row metrics aggregate
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
