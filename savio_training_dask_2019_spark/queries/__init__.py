@@ -124,7 +124,12 @@ if _MISSING:
 #     supports, and lift per unordered brand pair; basket self-join on
 #     the order key so fan-out is basket-width-bounded, all counts exact
 #     BIGINT, lift one fixed-order division rounded 4 dp; oracle-backed
-#     at ALL THREE SFs + hand-computed-baskets pytest).
+#     at ALL THREE SFs + hand-computed-baskets pytest).  PLUS (179
+#     queries; 154 oracle-backed, 25 rows-only): weighted_median (exact
+#     quantity-weighted median price per supplier nation — the weighted
+#     member of the quantile family; 2·cumw >= W in pure BIGINT over
+#     distinct prices, zero float anywhere; oracle-backed at ALL THREE
+#     SFs + hand-computed lower-median/tie/collapse pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -2057,6 +2057,79 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median line price per supplier nation —
+    the weighted member of the quantile family (`percentiles` is
+    unweighted, `kll_quantiles` is the sketch): each price counts with
+    its shipped quantity, the median is the smallest price whose
+    cumulative weight reaches half the nation's total (the lower
+    weighted median, Cormen et al. §9 problem form).
+
+    Exactness: cents and quantities are exact BIGINTs (TPC-H quantities
+    are integral — asserted by the fixture); the defining inequality is
+    ``2·cumw >= W`` in pure integer arithmetic, so there is NO float
+    anywhere — the selection is engine/partitioning-exact with no
+    rounding and no tie-break (weights collapse per distinct price
+    first, so the cumulative walk visits each value once).
+
+    Scale: one broadcast dim join (1,000 suppliers), one groupBy on
+    (nation, price) — the shuffle that bounds the window input to
+    DISTINCT values per nation, not rows — then ONE nation-partitioned
+    cumulative window. High-cardinality value domains at 100 TB switch
+    to the weighted-KLL sketch tier; this is the exact tier."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    g = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey", "cents")
+        .agg(F.sum("qty").cast("bigint").alias("w"))
+    )
+    wc = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("s_nationkey")
+    x = g.select(
+        "s_nationkey",
+        "cents",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("W"),
+    )
+    return (
+        x.where(2 * F.col("cumw") >= F.col("W"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.min("cents").cast("bigint").alias("median_cents"),
+            F.max("W").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH g AS (
+  SELECT s_nationkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), x AS (
+  SELECT s_nationkey, cents,
+         CAST(sum(w) OVER (PARTITION BY s_nationkey ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY s_nationkey) AS BIGINT) AS W
+  FROM g
+)
+SELECT s_nationkey, CAST(min(cents) AS BIGINT) AS median_cents,
+       CAST(max(W) AS BIGINT) AS total_qty
+FROM x WHERE 2 * cumw >= W
+GROUP BY s_nationkey
+"""
+
+
 _BASKET_PAIRS_SQL = """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS ok, p_brand AS b
@@ -2133,6 +2206,7 @@ QUERIES = {
     "string_funcs": q_string_funcs,
     "json_extract": q_json_extract,
     "basket_pairs": q_basket_pairs,
+    "weighted_median": q_weighted_median,
 }
 
 ORACLE = {
@@ -2185,4 +2259,5 @@ ORACLE = {
     "string_funcs": _STRING_FUNCS_SQL,
     "json_extract": _JSON_EXTRACT_SQL,
     "basket_pairs": _BASKET_PAIRS_SQL,
+    "weighted_median": _WEIGHTED_MEDIAN_SQL,
 }

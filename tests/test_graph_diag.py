@@ -1394,3 +1394,35 @@ def test_basket_pairs_hand_computed(spark, tmp_path):
     ac = got[("A", "C")]
     assert (ac["n_co"], ac["sup_a"], ac["sup_b"]) == (1, 3, 1)
     assert ac["lift"] == round(1 * 4 / (3 * 1), 4)
+
+
+def test_weighted_median_hand_computed(spark, tmp_path):
+    """Hand-built weighted sets: the lower-weighted-median inequality
+    2*cumw >= W on a walk over DISTINCT prices. Nation 0: weights
+    1/2/1 over 100/200/300 -> median 200. Nation 1: even split 2|2 over
+    100/300 -> the LOWER median 100. Nation 2: duplicate price rows
+    collapse (two 1.00 lines sum to weight 2) -> median 100."""
+    import pandas as pd
+
+    sup = pd.DataFrame({"s_suppkey": [10, 11, 12], "s_nationkey": [0, 1, 2]})
+    sup.to_parquet(tmp_path / "supplier.parquet")
+    rows = [
+        (10, 1.00, 1), (10, 2.00, 2), (10, 3.00, 1),
+        (11, 1.00, 2), (11, 3.00, 2),
+        (12, 1.00, 1), (12, 1.00, 1), (12, 2.00, 2),
+    ]
+    pd.DataFrame(
+        {
+            "l_suppkey": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+            "l_quantity": [float(r[2]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_weighted_median
+
+    got = {
+        r["s_nationkey"]: (r["median_cents"], r["total_qty"])
+        for r in q_weighted_median(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (200, 4), 1: (100, 4), 2: (100, 4)}
