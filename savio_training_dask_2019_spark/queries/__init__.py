@@ -129,7 +129,13 @@ if _MISSING:
 #     quantity-weighted median price per supplier nation — the weighted
 #     member of the quantile family; 2·cumw >= W in pure BIGINT over
 #     distinct prices, zero float anywhere; oracle-backed at ALL THREE
-#     SFs + hand-computed lower-median/tie/collapse pytest).
+#     SFs + hand-computed lower-median/tie/collapse pytest).  PLUS (180
+#     queries; 155 oracle-backed, 25 rows-only): chi2_abtest (per-segment
+#     2×2 chi-squared A/B readout — exact BIGINT cells from one
+#     conditional-sum groupBy, marginal products bounded inside int64,
+#     statistic one fixed-order double chain, zero marginals -> explicit
+#     NULL; oracle-backed at ALL THREE SFs + planted chi2=20.0/0.0/NULL
+#     pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -2110,6 +2110,85 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment 2×2 chi-squared independence test — the A/B-readout
+    member of the drift/monitoring family (drift_psi asks "did the mix
+    move", this asks "does the treatment arm differ"): users split into
+    arms by ``user_id % 2``, success = ``value > 50``, one test per
+    event_type with Yates-free χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d))
+    and the df=1 α=0.05 significance cut (3.841).
+
+    Exactness: the four cells are exact BIGINTs from ONE conditional-sum
+    groupBy; the marginal products stay in BIGINT (≤ ~1.6e17 at sf0.1 —
+    inside int64); only the final statistic is float — a FIXED-ORDER
+    chain ``((x·x)·N)/den`` over exactly-equal inputs, identical IEEE
+    ops in both engines (the (ad−bc)² term can exceed 2^53, so it is
+    computed as double x·x from the exact int difference — the same
+    correctly-rounded conversion on both sides). Zero marginals yield
+    NULL via an explicit CASE, not an engine-specific div-by-zero.
+
+    Scale: one scan, one |segments|-group agg — the cheapest possible
+    experiment readout; nothing else touches the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.sum(((F.col("user_id") % 2 == 1) & (F.col("value") > 50)).cast("long"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(((F.col("user_id") % 2 == 1) & ~(F.col("value") > 50)).cast("long"))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(((F.col("user_id") % 2 == 0) & (F.col("value") > 50)).cast("long"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(((F.col("user_id") % 2 == 0) & ~(F.col("value") > 50)).cast("long"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    x = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = F.when(
+        den > 0, F.round(x * x * n.cast("double") / den.cast("double"), 4)
+    )
+    return g.select(
+        "event_type",
+        "a",
+        "b",
+        "c",
+        "d",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("significant"),
+    )
+
+
+_CHI2_SQL = """
+WITH g AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN user_id % 2 = 1 AND NOT (value > 50) THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT (value > 50) THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM events GROUP BY event_type
+), s AS (
+  SELECT *,
+         (a + b) * (c + d) * (a + c) * (b + d) AS den,
+         CAST(a * d - b * c AS DOUBLE) AS x,
+         CAST(a + b + c + d AS DOUBLE) AS nn
+  FROM g
+)
+SELECT event_type, a, b, c, d,
+       CASE WHEN den > 0 THEN round(x * x * nn / CAST(den AS DOUBLE), 4) END AS chi2,
+       CASE WHEN den > 0
+            THEN round(x * x * nn / CAST(den AS DOUBLE), 4) > 3.841 END AS significant
+FROM s
+"""
+
+
 _WEIGHTED_MEDIAN_SQL = """
 WITH g AS (
   SELECT s_nationkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -2207,6 +2286,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "basket_pairs": q_basket_pairs,
     "weighted_median": q_weighted_median,
+    "chi2_abtest": q_chi2_abtest,
 }
 
 ORACLE = {
@@ -2260,4 +2340,5 @@ ORACLE = {
     "json_extract": _JSON_EXTRACT_SQL,
     "basket_pairs": _BASKET_PAIRS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "chi2_abtest": _CHI2_SQL,
 }

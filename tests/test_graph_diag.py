@@ -1426,3 +1426,56 @@ def test_weighted_median_hand_computed(spark, tmp_path):
         for r in q_weighted_median(spark, str(tmp_path)).collect()
     }
     assert got == {0: (200, 4), 1: (100, 4), 2: (100, 4)}
+
+
+def test_chi2_abtest_planted_effect(spark, tmp_path):
+    """Hand-computed 2×2 tables: a strong planted treatment effect gives
+    χ² = 20.0 exactly (significant); a perfectly balanced segment gives
+    0.0; an all-success segment has a zero marginal -> NULL, not a
+    div-by-zero artifact. Arms: user_id%2 (odd = treatment); success:
+    value > 50."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+
+    def add(seg, treated, success, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                (eid, "2024-01-05", 1 if treated else 2, seg,
+                 99.0 if success else 1.0)
+            )
+            eid += 1
+
+    # effect: a=30 b=10 c=10 d=30 -> chi2 = 80*800^2/40^4 = 20.0
+    add("effect", True, True, 30), add("effect", True, False, 10)
+    add("effect", False, True, 10), add("effect", False, False, 30)
+    # balanced: all cells 10 -> chi2 = 0
+    for t in (True, False):
+        for s in (True, False):
+            add("balanced", t, s, 10)
+    # degenerate: everyone succeeds -> (b+d)=0 -> NULL
+    add("degenerate", True, True, 5), add("degenerate", False, True, 5)
+
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_chi2_abtest
+
+    got = {r["event_type"]: r for r in q_chi2_abtest(spark, str(tmp_path)).collect()}
+    eff = got["effect"]
+    assert (eff["a"], eff["b"], eff["c"], eff["d"]) == (30, 10, 10, 30)
+    assert eff["chi2"] == 20.0 and eff["significant"]
+    bal = got["balanced"]
+    assert bal["chi2"] == 0.0 and not bal["significant"]
+    deg = got["degenerate"]
+    assert deg["chi2"] is None and deg["significant"] is None
