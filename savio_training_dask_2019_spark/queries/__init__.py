@@ -135,7 +135,11 @@ if _MISSING:
 #     conditional-sum groupBy, marginal products bounded inside int64,
 #     statistic one fixed-order double chain, zero marginals -> explicit
 #     NULL; oracle-backed at ALL THREE SFs + planted chi2=20.0/0.0/NULL
-#     pytest).
+#     pytest).  PLUS (181 queries; 156 oracle-backed, 25 rows-only):
+#     activity_streaks (gaps-and-islands longest consecutive-day streak
+#     per user, histogram output — date-minus-row_number island id, ONE
+#     user window, pure date/integer arithmetic; oracle-backed at ALL
+#     THREE SFs + planted-calendars pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -1319,6 +1319,52 @@ FROM trans
 """
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the longest consecutive-day activity streak per
+    user, reported as a histogram (streak length → user count): the
+    engagement/retention question behind streak badges, churn features,
+    and SLA uptime runs. The classic island id is ``date − row_number``
+    (consecutive days share it; any gap shifts it), which needs only ONE
+    user-partitioned window — no self-join, no recursive walk.
+
+    Exactness: pure date/integer arithmetic end to end (distinct day →
+    island id → count → max → histogram); nothing is rounded, summed in
+    float, or tie-broken.
+
+    Scale: distinct-day projection first (the shuffle that bounds
+    everything downstream to user-days, not events), one user window,
+    two hash aggs that only shrink. The histogram is ≤ span-days rows."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("dt")).distinct()
+    w = Window.partitionBy("user_id").orderBy("dt")
+    isl = d.withColumn("isl", F.date_sub("dt", F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "isl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("best_streak"))
+    return best.groupBy("best_streak").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+_ACTIVITY_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events
+), i AS (
+  SELECT user_id, dt,
+         dt - CAST(row_number() OVER (PARTITION BY user_id ORDER BY dt)
+                   AS INTEGER) AS isl
+  FROM d
+), s AS (
+  SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1, 2
+), m AS (
+  SELECT user_id, max(len) AS best_streak FROM s GROUP BY 1
+)
+SELECT best_streak, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY best_streak
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1343,6 +1389,7 @@ QUERIES = {
     "rolling_anomaly": q_rolling_anomaly,
     "gap_fill": q_gap_fill,
     "transition_matrix": q_transition_matrix,
+    "activity_streaks": q_activity_streaks,
 }
 
 ORACLE = {
@@ -1369,4 +1416,5 @@ ORACLE = {
     "rolling_anomaly": _ROLLING_ANOMALY_SQL,
     "gap_fill": _GAP_FILL_SQL,
     "transition_matrix": _TRANSITION_SQL,
+    "activity_streaks": _ACTIVITY_STREAKS_SQL,
 }

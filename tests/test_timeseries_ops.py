@@ -110,3 +110,30 @@ def test_transition_matrix_planted_sequences(spark, tmp_path):
     assert sum(n for n, _ in got.values()) == 5  # 7 events - 2 terminals
     # no cross-user chain: u1's terminal view never points into u2's rows
     assert ("view", "purchase") not in got
+
+
+def test_activity_streaks_planted_islands(spark, tmp_path):
+    """Hand-built calendars: u1 runs 3 consecutive days + an isolated day
+    (best 3, duplicate events within a day collapse); u2 runs 2+2 split
+    by one gap (best 2); u3 is a single day (best 1)."""
+    rows, eid = [], 0
+    cal = {
+        1: ["01-01", "01-02", "01-03", "01-03", "01-10"],
+        2: ["01-01", "01-02", "01-04", "01-05"],
+        3: ["01-07"],
+    }
+    for uid, days in cal.items():
+        for d in days:
+            rows.append((eid, f"2024-{d} 12:00", uid, "view", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_activity_streaks,
+    )
+
+    got = {
+        r["best_streak"]: r["n_users"]
+        for r in q_activity_streaks(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 1, 2: 1, 1: 1}
