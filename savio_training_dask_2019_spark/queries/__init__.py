@@ -139,7 +139,11 @@ if _MISSING:
 #     activity_streaks (gaps-and-islands longest consecutive-day streak
 #     per user, histogram output — date-minus-row_number island id, ONE
 #     user window, pure date/integer arithmetic; oracle-backed at ALL
-#     THREE SFs + planted-calendars pytest).
+#     THREE SFs + planted-calendars pytest).  PLUS (182 queries; 157
+#     oracle-backed, 25 rows-only): null_profile (per-column null
+#     count/rate + exact distinct cardinality of events, long-form via
+#     one wide aggregate + stack — the schema-drift/ingest-contract
+#     profile; oracle-backed at ALL THREE SFs + planted-nulls pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

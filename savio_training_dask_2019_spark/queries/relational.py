@@ -2166,6 +2166,78 @@ def q_chi2_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of ``events`` — null count, null
+    rate, and exact distinct cardinality for every column, long-form
+    (the schema-drift / ingest-contract check a pipeline runs before
+    trusting a new drop; melt_metrics reshapes values, this profiles
+    the columns themselves).
+
+    Exactness: counts are exact BIGINTs from ONE wide aggregate;
+    null_rate is one fixed-order BIGINT division rounded 4 dp. The
+    wide→long flip is a ``stack`` over the 1-row aggregate — six
+    literal rows, no second scan.
+
+    Scale: one pass; the multi-column exact ``countDistinct`` plans one
+    Expand (rows × columns-profiled) — the documented cost of EXACT
+    cardinalities; at 100 TB swap in ``approx_count_distinct`` per
+    column and the Expand disappears (the HLL tier this profile's
+    exact twin grades)."""
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+    wide = e.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    long = wide.selectExpr(
+        "n_rows", f"stack({len(cols)}, {stack}) AS (col, n_non_null, n_distinct)"
+    )
+    return long.select(
+        "col",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).cast("bigint").alias("n_null"),
+        F.round(
+            (F.col("n_rows") - F.col("n_non_null")) / F.col("n_rows"), 4
+        ).alias("null_rate"),
+        "n_distinct",
+    )
+
+
+_NULL_PROFILE_SQL = """
+WITH w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(event_id) AS BIGINT) AS nn_event_id,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+         CAST(count(ts) AS BIGINT) AS nn_ts,
+         CAST(count(DISTINCT ts) AS BIGINT) AS nd_ts,
+         CAST(count(user_id) AS BIGINT) AS nn_user_id,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+         CAST(count(event_type) AS BIGINT) AS nn_event_type,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+         CAST(count(value) AS BIGINT) AS nn_value,
+         CAST(count(DISTINCT value) AS BIGINT) AS nd_value,
+         CAST(count(props) AS BIGINT) AS nn_props,
+         CAST(count(DISTINCT props) AS BIGINT) AS nd_props
+  FROM events
+)
+SELECT u.col, w.n_rows,
+       CAST(w.n_rows - u.n_non_null AS BIGINT) AS n_null,
+       round((w.n_rows - u.n_non_null) / CAST(w.n_rows AS DOUBLE), 4)
+         AS null_rate,
+       u.n_distinct
+FROM w, LATERAL (
+  VALUES ('event_id', nn_event_id, nd_event_id),
+         ('ts', nn_ts, nd_ts),
+         ('user_id', nn_user_id, nd_user_id),
+         ('event_type', nn_event_type, nd_event_type),
+         ('value', nn_value, nd_value),
+         ('props', nn_props, nd_props)
+) AS u(col, n_non_null, n_distinct)
+"""
+
+
 _CHI2_SQL = """
 WITH g AS (
   SELECT event_type,
@@ -2287,6 +2359,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "weighted_median": q_weighted_median,
     "chi2_abtest": q_chi2_abtest,
+    "null_profile": q_null_profile,
 }
 
 ORACLE = {
@@ -2341,4 +2414,5 @@ ORACLE = {
     "basket_pairs": _BASKET_PAIRS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
     "chi2_abtest": _CHI2_SQL,
+    "null_profile": _NULL_PROFILE_SQL,
 }

@@ -1479,3 +1479,39 @@ def test_chi2_abtest_planted_effect(spark, tmp_path):
     assert bal["chi2"] == 0.0 and not bal["significant"]
     deg = got["degenerate"]
     assert deg["chi2"] is None and deg["significant"] is None
+
+
+def test_null_profile_planted_nulls(spark, tmp_path):
+    """A fixture with known nulls per column: every count, rate, and
+    exact distinct cardinality is hand-computed (count(DISTINCT) ignores
+    NULLs in both engines)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", None, "2024-01-02"]
+            ),
+            "user_id": pd.array([7, None, 7, 9], dtype="Int64"),
+            "event_type": ["a", "a", "b", None],
+            "value": [1.5, None, None, 1.5],
+            "props": ["{}", "{}", "{}", "{}"],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_null_profile
+
+    got = {r["col"]: r for r in q_null_profile(spark, str(tmp_path)).collect()}
+    assert len(got) == 6 and all(r["n_rows"] == 4 for r in got.values())
+    expect = {
+        "event_id": (0, 0.0, 4),
+        "ts": (1, 0.25, 2),
+        "user_id": (1, 0.25, 2),
+        "event_type": (1, 0.25, 2),
+        "value": (2, 0.5, 1),
+        "props": (0, 0.0, 1),
+    }
+    for c, (nn, rate, nd) in expect.items():
+        r = got[c]
+        assert (r["n_null"], r["null_rate"], r["n_distinct"]) == (nn, rate, nd), c

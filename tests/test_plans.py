@@ -448,7 +448,9 @@ _MAX_SINGLE_PARTITION = {
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
     "ivfpq": 3, "ivfpq_rerank": 3, "kll_quantiles": 1,
     "knn_cells": 2,
-    "mixture_weights": 1, "norm_dedup_stats": 1, "pq_adc": 1,
+    "mixture_weights": 1, "norm_dedup_stats": 1,
+    "null_profile": 1,  # the one-row wide profile aggregate
+    "pq_adc": 1,
     "pq_encode": 1,
     "join_explosion": 3,  # one scalar fold per candidate join's key table
     "rrf_hybrid": 2,  # <=10-row ranking-window funnels, one per arm
