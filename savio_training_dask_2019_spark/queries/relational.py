@@ -2075,8 +2075,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one broadcast dim join (1,000 suppliers), one groupBy on
     (nation, price) — the shuffle that bounds the window input to
     DISTINCT values per nation, not rows — then ONE nation-partitioned
-    cumulative window. High-cardinality value domains at 100 TB switch
-    to the weighted-KLL sketch tier; this is the exact tier."""
+    cumulative window. Value domains too wide to walk at 100 TB get
+    quantized first (fixed-width bins with summed weights — the
+    drift_numeric binning, which bounds the walk by bin count at a
+    known rank error); this is the exact tier."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
