@@ -144,6 +144,14 @@ if _MISSING:
 #     count/rate + exact distinct cardinality of events, long-form via
 #     one wide aggregate + stack — the schema-drift/ingest-contract
 #     profile; oracle-backed at ALL THREE SFs + planted-nulls pytest).
+#     PLUS (184 queries; 159 oracle-backed, 25 rows-only):
+#     conversion_lag (first-view -> first-qualifying-purchase lag per
+#     user as an hour histogram — integer-second arithmetic end to end,
+#     one user-key join; oracle-backed at ALL THREE SFs +
+#     planted-journeys pytest) and ref_integrity (orphan counts/rates
+#     for the schema's four FK edges — lineitem's three edges share one
+#     scan via flag joins, NULL FKs dangle by definition; oracle-backed
+#     at ALL THREE SFs + planted-orphans pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

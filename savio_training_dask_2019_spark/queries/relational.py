@@ -2207,6 +2207,101 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts and rates for the four
+    FK edges of the schema (lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer): the load-contract check a
+    warehouse runs after every ingest, completing the data-quality tier
+    next to null_profile (columns) and skew_profile (keys).
+
+    Mechanics: lineitem's three edges share ONE scan — three broadcast
+    LEFT joins attach a match flag each, one aggregate counts the
+    misses; orders→customer is its own single-scan chain. NULL FK values
+    count as orphans (a NULL reference dangles by definition).
+
+    Exactness: counts exact BIGINT; rate one fixed-order division
+    rounded 4 dp. The fixture satisfies all four constraints, so the
+    orphan branch is pinned by the planted pytest instead (the
+    pii_redact convention for clean-fixture paths).
+
+    Scale: parents project to their key column before the broadcast
+    (8 bytes/row); a parent too big to broadcast flips to a shuffle
+    LEFT join on the key — the audit stays one pass per child table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ok = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__ok")
+    )
+    pk = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.lit(1).alias("__pk")
+    )
+    sk = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.lit(1).alias("__sk")
+    )
+    li_flags = (
+        li.join(F.broadcast(ok), "l_orderkey", "left")
+        .join(F.broadcast(pk), "l_partkey", "left")
+        .join(F.broadcast(sk), "l_suppkey", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__ok").isNull().cast("long")).cast("bigint").alias("o_ord"),
+            F.sum(F.col("__pk").isNull().cast("long")).cast("bigint").alias("o_prt"),
+            F.sum(F.col("__sk").isNull().cast("long")).cast("bigint").alias("o_sup"),
+        )
+    )
+    li_long = li_flags.selectExpr(
+        "n",
+        "stack(3, 'lineitem->orders', o_ord, 'lineitem->part', o_prt, "
+        "'lineitem->supplier', o_sup) AS (relation, n_orphans)",
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_custkey")
+    ck = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__ck")
+    )
+    od_row = (
+        od.join(F.broadcast(ck), "o_custkey", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__ck").isNull().cast("long")).cast("bigint").alias("n_orphans"),
+        )
+        .select("n", F.lit("orders->customer").alias("relation"), "n_orphans")
+    )
+    return li_long.unionByName(od_row).select(
+        "relation",
+        F.col("n").alias("n_child"),
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n"), 4).alias("orphan_rate"),
+    )
+
+
+_REF_INTEGRITY_SQL = """
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_ord,
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_prt,
+         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_sup
+  FROM lineitem l
+  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), od AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), longform AS (
+  SELECT 'lineitem->orders' AS relation, n, o_ord AS n_orphans FROM li
+  UNION ALL SELECT 'lineitem->part', n, o_prt FROM li
+  UNION ALL SELECT 'lineitem->supplier', n, o_sup FROM li
+  UNION ALL SELECT 'orders->customer', n, n_orphans FROM od
+)
+SELECT relation, n AS n_child, n_orphans,
+       round(n_orphans / CAST(n AS DOUBLE), 4) AS orphan_rate
+FROM longform
+"""
+
+
 _NULL_PROFILE_SQL = """
 WITH w AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2362,6 +2457,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
+    "ref_integrity": q_ref_integrity,
 }
 
 ORACLE = {
@@ -2417,4 +2513,5 @@ ORACLE = {
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
+    "ref_integrity": _REF_INTEGRITY_SQL,
 }

@@ -1365,6 +1365,66 @@ FROM m GROUP BY best_streak
 """
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user, the lag from their FIRST view to
+    the first purchase AT OR AFTER it, reported as an hour-bucket
+    histogram — the activation-latency readout next to funnel_window's
+    depth count (that asks "how far do users get", this asks "how long
+    does the key hop take").
+
+    Exactness: the lag is an integer second difference of two exact
+    event timestamps (unix_micros over UTC-pinned casts — the
+    TIMESTAMP_NTZ rule), floor-divided to hours; counts are exact
+    BIGINTs. No float anywhere.
+
+    Scale: two filtered aggregates (first view per user; first
+    qualifying purchase per user after ONE hash join on user) — the
+    funnel hop is a join on the user key, never an event×event
+    comparison; the histogram is ≤ span-hours rows."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.expr(  # noqa: E731  — integer div end to end
+        f"unix_micros(CAST({c} AS TIMESTAMP)) div 1000000"
+    )
+    mv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    pu = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_p = (
+        pu.join(mv, "user_id")
+        .where(F.col("ts") >= F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"), F.min("v").alias("v"))
+    )
+    return (
+        first_p.select(
+            ((us("p") - us("v")).cast("bigint"))
+            .alias("lag_s")
+        )
+        .select(F.expr("lag_s div 3600").cast("bigint").alias("lag_hours"))
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+_CONVERSION_LAG_SQL = """
+WITH mv AS (
+  SELECT user_id, min(ts) AS v FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, min(e.ts) AS p, min(m.v) AS v
+  FROM events e JOIN mv m ON e.user_id = m.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= m.v
+  GROUP BY e.user_id
+)
+SELECT CAST((epoch_us(p) // 1000000 - epoch_us(v) // 1000000) // 3600
+            AS BIGINT) AS lag_hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM fp GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1390,6 +1450,7 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "transition_matrix": q_transition_matrix,
     "activity_streaks": q_activity_streaks,
+    "conversion_lag": q_conversion_lag,
 }
 
 ORACLE = {
@@ -1417,4 +1478,5 @@ ORACLE = {
     "gap_fill": _GAP_FILL_SQL,
     "transition_matrix": _TRANSITION_SQL,
     "activity_streaks": _ACTIVITY_STREAKS_SQL,
+    "conversion_lag": _CONVERSION_LAG_SQL,
 }

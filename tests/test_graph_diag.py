@@ -1515,3 +1515,68 @@ def test_null_profile_planted_nulls(spark, tmp_path):
     for c, (nn, rate, nd) in expect.items():
         r = got[c]
         assert (r["n_null"], r["null_rate"], r["n_distinct"]) == (nn, rate, nd), c
+
+
+def test_ref_integrity_planted_orphans(spark, tmp_path):
+    """Planted dangling references: 2 lineitems point at a missing order,
+    1 at a missing part, 1 carries a NULL suppkey (NULL dangles by
+    definition), and 1 order references a missing customer — every
+    count and rate is hand-computed."""
+    import pandas as pd
+
+    pd.DataFrame({"o_orderkey": [1, 2], "o_custkey": [10, 99]}).to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    pd.DataFrame({"c_custkey": [10]}).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({"p_partkey": [100, 101]}).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame({"s_suppkey": [1000]}).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 7, 7, 2],
+            "l_partkey": [100, 101, 100, 555, 101],
+            "l_suppkey": pd.array([1000, 1000, 1000, 1000, None], dtype="Int64"),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_ref_integrity
+
+    got = {r["relation"]: r for r in q_ref_integrity(spark, str(tmp_path)).collect()}
+    assert got["lineitem->orders"]["n_orphans"] == 2  # the two l_orderkey=7
+    assert got["lineitem->part"]["n_orphans"] == 1    # partkey 555
+    assert got["lineitem->supplier"]["n_orphans"] == 1  # the NULL suppkey
+    assert got["orders->customer"]["n_orphans"] == 1  # custkey 99
+    assert got["lineitem->orders"]["n_child"] == 5
+    assert got["lineitem->orders"]["orphan_rate"] == 0.4
+    assert got["orders->customer"]["orphan_rate"] == 0.5
+
+
+def test_conversion_lag_planted_journeys(spark, tmp_path):
+    """Hand-built journeys: u1 converts 90 min after first view (bucket
+    1); u2's purchase PRECEDES every view (no qualifying conversion);
+    u3 converts in the same hour (bucket 0); u4 never purchases."""
+    import pandas as pd
+
+    rows = [
+        (1, "2024-01-01 10:00", 1, "view"), (2, "2024-01-01 11:30", 1, "purchase"),
+        (3, "2024-01-02 10:00", 2, "purchase"), (4, "2024-01-02 11:00", 2, "view"),
+        (5, "2024-01-03 09:00", 3, "view"), (6, "2024-01-03 09:20", 3, "purchase"),
+        (7, "2024-01-04 08:00", 4, "view"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp(r[1]) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_conversion_lag
+
+    got = {
+        r["lag_hours"]: r["n_users"]
+        for r in q_conversion_lag(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 1: 1}

@@ -344,6 +344,9 @@ _MAX_PARQUET_SCANS = {
     # query-label join-backs (at prod scale labels live in the same scan;
     # the fixture derives all four from one table)
     "retrieval_eval": 4,
+    # five distinct tables audited in two chains (lineitem's three FK
+    # edges share one scan; orders appears as both parent and child)
+    "ref_integrity": 6,
 }
 
 
@@ -450,6 +453,7 @@ _MAX_SINGLE_PARTITION = {
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1,
     "null_profile": 1,  # the one-row wide profile aggregate
+    "ref_integrity": 2,  # one scalar audit aggregate per chain
     "pq_adc": 1,
     "pq_encode": 1,
     "join_explosion": 3,  # one scalar fold per candidate join's key table
