@@ -151,7 +151,14 @@ if _MISSING:
 #     planted-journeys pytest) and ref_integrity (orphan counts/rates
 #     for the schema's four FK edges — lineitem's three edges share one
 #     scan via flag joins, NULL FKs dangle by definition; oracle-backed
-#     at ALL THREE SFs + planted-orphans pytest).
+#     at ALL THREE SFs + planted-orphans pytest).  PLUS (185 queries;
+#     160 oracle-backed, 25 rows-only): heaps_curve (Heaps'-law
+#     vocabulary-growth diagnostic, zipf_curve's companion — new 3-gram
+#     shingle types per 50-doc slice + cumulative vocabulary via
+#     min-doc-per-type, one bounded <=100-row cumulative window; the
+#     explode rides load_table_spread after the first 4-run bench caught
+#     the single-task scan at 4.7 s — 0.92 s after; oracle-backed at ALL
+#     THREE SFs + planted-vocabulary pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

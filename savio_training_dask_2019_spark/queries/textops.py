@@ -1180,6 +1180,71 @@ def q_group_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEAPS_BUCKET = 50  # docs per curve point
+
+
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — zipf_curve's companion
+    diagnostic (Zipf: frequency vs rank; Heaps: distinct types vs corpus
+    consumed): how many NEW 3-gram shingle types each 50-doc slice of
+    the corpus introduces, plus the cumulative vocabulary. The corpus-
+    prep question it answers: is the vocabulary saturating (dedup/
+    near-dup corpus) or still growing (fresh data is adding signal)?
+
+    Mechanics: a type's first appearance is ``min(doc_id)`` over the
+    shingle index — ONE groupBy per type, no ordered scan of the corpus;
+    the cumulative sum runs over the ≤ ``ceil(ids/50)``-row bucket
+    table (the zipf_curve bounded-window convention). All counts exact
+    BIGINT; nothing rounded.
+
+    Scale: the shingle explode + type groupBy is the ngram_jaccard
+    index shuffle; everything after is bucket-table-sized."""
+    from ..operators.dedup import word_shingles
+    from ..sources import load_table_spread
+
+    # spread: the shingle construction is expression-heavy and the fixture
+    # file is one row group — without the spread it runs in one task
+    d = load_table_spread(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "doc_id", n=3)
+    first = sh.groupBy("shingle").agg(F.min("id").alias("fd"))
+    b = (
+        first.select(
+            F.expr(f"fd div {_HEAPS_BUCKET}").cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "bucket",
+        "new_types",
+        F.sum("new_types").over(w).cast("bigint").alias("vocab_cum"),
+    )
+
+
+_HEAPS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(t) - 1, 1))]
+         )) AS shingle
+  FROM toks
+),
+first AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle),
+b AS (
+  SELECT CAST(fd // {_HEAPS_BUCKET} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM first GROUP BY 1
+)
+SELECT bucket, new_types,
+       CAST(sum(new_types) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_cum
+FROM b
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
@@ -1194,6 +1259,7 @@ QUERIES = {
     "collocations": q_collocations,
     "wordcount": q_wordcount,
     "zipf_curve": q_zipf_curve,
+    "heaps_curve": q_heaps_curve,
     "winnow_fp": q_winnow_fp,
     "heavy_hitters": q_heavy_hitters,
     "heavy_domains": q_heavy_domains,
@@ -1224,6 +1290,7 @@ ORACLE = {
     "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,
     "zipf_curve": _ZIPF_SQL,
+    "heaps_curve": _HEAPS_SQL,
     "winnow_fp": _WINNOW_SQL,
     "dedup_stats": _DEDUP_STATS_SQL,
     "source_overlap": _SOURCE_OVERLAP_SQL,

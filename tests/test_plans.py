@@ -270,6 +270,7 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "vocab_coverage": 1,
     "zipf_curve": 1,
     "drift_ks": 1,
+    "heaps_curve": 1,
     "rrf_hybrid": 2,
     # share total over the 9-digit count table — bounded by construction
     "benford_digits": 1,

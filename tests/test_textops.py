@@ -404,3 +404,33 @@ def test_melt_metrics_expand_no_shuffle(spark, sf_dir):
     assert {r["metric"] for r in rows} == {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     }
+
+
+def test_heaps_curve_planted_vocabulary(spark, tmp_path):
+    """Hand-built corpus: bucket 0 introduces 2 shingle types, bucket 1
+    re-uses one of them and adds 1 new type, so new_types = [2, 1] and
+    vocab_cum = [2, 3]; a repeat of a known doc adds nothing."""
+    import pandas as pd
+
+    from savio_training_dask_2019_spark.queries import textops
+
+    docs = [
+        (0, "a b c d"),          # shingles: 'a b c', 'b c d'
+        (60, "a b c x"),         # re-uses 'a b c', adds 'a b c x'→'b c x'
+        (70, "a b c d"),         # exact repeat — nothing new
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["bucket"]: (r["new_types"], r["vocab_cum"])
+        for r in textops.q_heaps_curve(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (2, 2), 1: (1, 3)}
