@@ -158,7 +158,13 @@ if _MISSING:
 #     min-doc-per-type, one bounded <=100-row cumulative window; the
 #     explode rides load_table_spread after the first 4-run bench caught
 #     the single-task scan at 4.7 s — 0.92 s after; oracle-backed at ALL
-#     THREE SFs + planted-vocabulary pytest).
+#     THREE SFs + planted-vocabulary pytest).  PLUS (186 queries; 161
+#     oracle-backed, 25 rows-only): session_stats (session-duration
+#     histogram over 30-min-gap islands — the statistics layer above
+#     session_window, sharing its strict-< merge rule; lag + running-sum
+#     island ids in one window pass, integer durations, one float mean;
+#     oracle-backed at ALL THREE SFs + planted-sessions pytest pinning
+#     the exactly-30-min split).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -1425,6 +1425,95 @@ FROM fp GROUP BY 1
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration profile — the statistics layer over the
+    gaps-and-islands sessionization ``session_window`` only counts:
+    sessions are 30-min-inactivity islands per user (the same
+    strictly-less-than merge rule as F.session_window, so the two
+    queries agree on what a session IS), profiled as a histogram of
+    10-minute duration buckets with each bucket's session count and
+    mean events per session.
+
+    Exactness: island ids come from a lag + cumulative-sum window pair
+    (pure integers), durations are integer second differences, and the
+    only float is the events-per-session mean — ONE fixed-order BIGINT
+    division rounded 4 dp.
+
+    Scale: one user-partitioned window pass (lag and the running sum
+    share the same sort), one (user, session) agg, one bucket agg —
+    the sessionize-then-aggregate shape with no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.expr(  # noqa: E731
+        f"unix_micros(CAST({c} AS TIMESTAMP)) div 1000000"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # new session when no previous event or the gap reaches 30 minutes
+    flagged = e.select("user_id", "ts", "event_id").withColumn(
+        "__prev", F.lag("ts").over(w)
+    ).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev").isNotNull()
+            & ((us("ts") - us("__prev")) < 1800),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sid = flagged.withColumn(
+        "sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    dur = sess.select(
+        "n_events",
+        (us("t1") - us("t0")).cast("bigint").alias("dur_s"),
+    )
+    return (
+        dur.select(
+            F.expr("dur_s div 600").cast("bigint").alias("dur_bucket"),
+            "n_events",
+        )
+        .groupBy("dur_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum("n_events") / F.count(F.lit(1)), 4
+            ).alias("avg_events"),
+        )
+    )
+
+
+_SESSION_STATS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NOT NULL
+               AND epoch_us(ts) // 1000000
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) // 1000000
+                   < 1800
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sess AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+         epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS dur_s
+  FROM numbered GROUP BY 1, 2
+)
+SELECT CAST(dur_s // 600 AS BIGINT) AS dur_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(sum(n_events) / CAST(count(*) AS DOUBLE), 4) AS avg_events
+FROM sess GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1451,6 +1540,7 @@ QUERIES = {
     "transition_matrix": q_transition_matrix,
     "activity_streaks": q_activity_streaks,
     "conversion_lag": q_conversion_lag,
+    "session_stats": q_session_stats,
 }
 
 ORACLE = {
@@ -1479,4 +1569,5 @@ ORACLE = {
     "transition_matrix": _TRANSITION_SQL,
     "activity_streaks": _ACTIVITY_STREAKS_SQL,
     "conversion_lag": _CONVERSION_LAG_SQL,
+    "session_stats": _SESSION_STATS_SQL,
 }

@@ -137,3 +137,33 @@ def test_activity_streaks_planted_islands(spark, tmp_path):
         for r in q_activity_streaks(spark, str(tmp_path)).collect()
     }
     assert got == {3: 1, 2: 1, 1: 1}
+
+
+def test_session_stats_planted_sessions(spark, tmp_path):
+    """Hand-built sessions: u1 has a 45-min 3-event session (bucket 4)
+    and a singleton (bucket 0, duration 0); u2 has one 5-min 2-event
+    session (bucket 0). Exactly-30-min gaps SPLIT (the strict-< merge
+    rule shared with session_window): u3's pair is two singletons."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 10:00", 1, "view", 0),
+            (2, "2024-01-01 10:20", 1, "view", 0),
+            (3, "2024-01-01 10:45", 1, "view", 0),   # 45-min session
+            (4, "2024-01-01 13:00", 1, "view", 0),   # singleton
+            (5, "2024-01-02 09:00", 2, "view", 0),
+            (6, "2024-01-02 09:05", 2, "view", 0),   # 5-min session
+            (7, "2024-01-03 08:00", 3, "view", 0),
+            (8, "2024-01-03 08:30", 3, "view", 0),   # exactly 30 min: split
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_session_stats
+
+    got = {
+        r["dur_bucket"]: (r["n_sessions"], r["avg_events"])
+        for r in q_session_stats(spark, str(tmp_path)).collect()
+    }
+    # bucket 0: u1's singleton + u2's 5-min pair + u3's two singletons
+    #   -> 4 sessions, (1 + 2 + 1 + 1) / 4 = 1.25 events
+    # bucket 4 (40-50 min): u1's 3-event session
+    assert got == {0: (4, 1.25), 4: (1, 3.0)}
