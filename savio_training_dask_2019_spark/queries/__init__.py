@@ -164,7 +164,12 @@ if _MISSING:
 #     session_window, sharing its strict-< merge rule; lag + running-sum
 #     island ids in one window pass, integer durations, one float mean;
 #     oracle-backed at ALL THREE SFs + planted-sessions pytest pinning
-#     the exactly-30-min split).
+#     the exactly-30-min split).  PLUS (187 queries; 162 oracle-backed,
+#     25 rows-only): degree_histogram (trade-graph degree distribution,
+#     log2-bucketed via length(bin(deg)) — the graph-profile/skew
+#     pre-flight member of the graph tier; pair frame checkpointed for
+#     its two union consumers; oracle-backed at ALL THREE SFs +
+#     hand-computed pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

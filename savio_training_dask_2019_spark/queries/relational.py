@@ -2275,6 +2275,71 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier↔customer trade graph — the
+    data-profile member of the graph tier (pagerank ranks nodes,
+    triangle_count measures closure, THIS asks what the graph even
+    looks like: is it power-law, is there a hub that will make the
+    next join skew): per-node degree over the same symmetrized edge
+    list as pagerank, log₂-bucketed via ``length(bin(degree))`` — an
+    exact integer both engines compute identically, no float log.
+
+    Output per bucket: node count, total and max degree (the skew
+    pre-flight numbers — max_deg IS the hot-row bound of any
+    edges⋈nodes join).
+
+    Scale: one distinct pair shuffle + one degree groupBy + a
+    ≤64-bucket agg; the same first two stages every graph query here
+    already pays."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+        # both union branches read it — without the checkpoint each
+        # re-runs the lineitem⋈orders distinct (the triangle_count lesson)
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(F.col("a").alias("src")).unionByName(
+        pairs.select(F.col("b").alias("src"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    return (
+        deg.select(
+            F.length(F.bin("deg")).cast("int").alias("deg_bucket"), "deg"
+        )
+        .groupBy("deg_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("sum_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+    )
+
+
+_DEGREE_HIST_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), ends AS (
+  SELECT a AS src FROM pairs UNION ALL SELECT b FROM pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ends GROUP BY src
+)
+SELECT CAST(length(bin(deg)) AS INTEGER) AS deg_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(deg) AS BIGINT) AS sum_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+
 _REF_INTEGRITY_SQL = """
 WITH li AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -2458,6 +2523,7 @@ QUERIES = {
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
+    "degree_histogram": q_degree_histogram,
 }
 
 ORACLE = {
@@ -2514,4 +2580,5 @@ ORACLE = {
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,
+    "degree_histogram": _DEGREE_HIST_SQL,
 }

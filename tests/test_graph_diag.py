@@ -1580,3 +1580,31 @@ def test_conversion_lag_planted_journeys(spark, tmp_path):
         for r in q_conversion_lag(spark, str(tmp_path)).collect()
     }
     assert got == {0: 1, 1: 1}
+
+
+def test_degree_histogram_hand_computed(spark, tmp_path):
+    """Tiny trade graph: s10-{c1,c2,c3}, s11-{c1}; degrees 3/1 (suppliers)
+    and 2/1/1 (customers). log2 buckets via length(bin(deg)): bucket 1 =
+    {s11,c2,c3}, bucket 2 = {s10 (deg 3), c1 (deg 2)}. A duplicate
+    lineitem for the same pair must not add degree."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 3, 1]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3, 4],  # order 1 doubled: same (s,c) pair
+            "l_suppkey": [10, 10, 10, 10, 11],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_degree_histogram,
+    )
+
+    got = {
+        r["deg_bucket"]: (r["n_nodes"], r["sum_deg"], r["max_deg"])
+        for r in q_degree_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 3, 1), 2: (2, 5, 3)}
