@@ -169,7 +169,14 @@ if _MISSING:
 #     log2-bucketed via length(bin(deg)) — the graph-profile/skew
 #     pre-flight member of the graph tier; pair frame checkpointed for
 #     its two union consumers; oracle-backed at ALL THREE SFs +
-#     hand-computed pytest).
+#     hand-computed pytest).  PLUS (188 queries; 163 oracle-backed, 25
+#     rows-only): sparse_cosine_pairs (Bayardo WWW'07 prefix-filtered
+#     sparse all-pairs cosine over top-8-|dim| sparsified embeddings —
+#     operators/sparse_sim.py; integer milli-unit weights make dot/norms
+#     exact BIGINT and the threshold pure-integer 100·dot² >= 16·na·nb;
+#     oracle = the DEFINITIONAL all-shared-dims join, so equality proves
+#     the pruning lossless; both SFs + lossless-vs-brute, sign,
+#     threshold-edge, and hot-term-pruning pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -1253,6 +1253,113 @@ q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(
 )
 
 
+
+_SP_TOPK = 8       # salient dims kept per vector
+_SP_SCALE = 1000   # weight quantization (micro-ish units)
+_SP_T = 0.4        # cosine threshold; exact filter is 100*dot^2 >= 16*na*nb
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs cosine over SPARSIFIED embeddings — the Bayardo
+    prefix-filter mechanism (operators/sparse_sim.py) run end to end:
+    each vector keeps its top-{k} |value| dims (the salient-dimension
+    sparse retrieval shape), weights quantize to integer milli-units,
+    and every pair with sparsified cosine >= {t} comes back exactly.
+
+    THE CHECK IS THE POINT (the skyline/funnel convention): Spark runs
+    the prefix-filtered candidate join — hot dims fall out of the index
+    by the rarity order — while the oracle runs the DEFINITIONAL
+    all-shared-dims pair join; equality proves the pruning lossless.
+
+    Exactness: integer weights make dot and both norms exact BIGINTs;
+    the threshold is applied as 100·dot² >= 16·na·nb in pure BIGINT
+    (bounded: dot² <= 1.6e16, ×100 inside int64), and the reported
+    cosine is ONE fixed-order dot/sqrt(na·nb) rounded to 5 dp. The
+    float unit-normalization inside the operator picks PREFIXES only —
+    it cannot change the answer.
+
+    Scale: the candidate join is full⋈prefix on the dim key — one
+    keyed shuffle, vocabulary-sized df table broadcast; the verify join
+    touches candidates only. Honest fixture note: gaussian top-8-of-64
+    vectors are prefix filtering's WORST case (uniform df, weight mass
+    spread evenly), so the cut here is ~35% of the quadratic; the win
+    grows with df skew and weight concentration — the hot-term pytest
+    (tests/test_sparse_sim.py) shows the stopword case collapsing from
+    quadratic to zero. TF-IDF text is the favorable regime."""
+    from ..operators.sparse_sim import cosine_candidate_pairs
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim0", "v"),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    w = _W.partitionBy("vec_id").orderBy(F.abs(F.col("v")).desc(), F.col("dim").asc())
+    s = (
+        x.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SP_TOPK)
+        .select(
+            "vec_id",
+            "dim",
+            F.round(F.col("v") * _SP_SCALE).cast("bigint").alias("w"),
+        )
+    )
+    pairs = cosine_candidate_pairs(s, "vec_id", "dim", "w", threshold=_SP_T)
+    return (
+        pairs.where(
+            (F.col("dot") > 0)
+            & (
+                100 * F.col("dot") * F.col("dot")
+                >= 16 * F.col("norm_sq_a") * F.col("norm_sq_b")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot")
+                / F.sqrt(
+                    (F.col("norm_sq_a") * F.col("norm_sq_b")).cast("double")
+                ),
+                5,
+            ).alias("cosine"),
+        )
+    )
+
+
+q_sparse_cosine_pairs.__doc__ = q_sparse_cosine_pairs.__doc__.format(
+    k=_SP_TOPK, t=_SP_T
+)
+
+
+_SPARSE_COSINE_SQL = f"""
+WITH x AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+), r AS (
+  SELECT vec_id, dim, v,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY abs(v) DESC, dim ASC) AS rn
+  FROM x
+), s AS (
+  SELECT vec_id, dim, CAST(round(v * {_SP_SCALE}) AS BIGINT) AS w
+  FROM r WHERE rn <= {_SP_TOPK}
+), n AS (
+  SELECT vec_id, CAST(sum(w * w) AS BIGINT) AS nsq FROM s GROUP BY 1
+), d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)), 5) AS cosine
+FROM d
+JOIN n na ON d.id_a = na.vec_id
+JOIN n nb ON d.id_b = nb.vec_id
+WHERE dot > 0 AND 100 * dot * dot >= 16 * na.nsq * nb.nsq
+"""
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
@@ -1275,6 +1382,7 @@ QUERIES = {
     "ivfpq": q_ivfpq,
     "ivfpq_rerank": q_ivfpq_rerank,
     "quantize_int8": q_quantize_int8,
+    "sparse_cosine_pairs": q_sparse_cosine_pairs,
     "decontam_semantic": q_decontam_semantic,
     "kmeans_train": q_kmeans_train,
     "mmr_rerank": q_mmr_rerank,
@@ -1300,6 +1408,7 @@ ORACLE = {
     "ivfpq": _IVFPQ_SQL,
     "ivfpq_rerank": _IVFPQ_RERANK_SQL,
     "quantize_int8": _QUANT_SQL,
+    "sparse_cosine_pairs": _SPARSE_COSINE_SQL,
     "decontam_semantic": _SEM_DECONTAM_SQL,
     "kmeans_train": _kmeans_sql(),
     "ann_recall": _ANN_RECALL_SQL,

@@ -1,0 +1,125 @@
+"""cosine_candidate_pairs (operators/sparse_sim.py — Bayardo prefix-filtered
+all-pairs similarity): the load-bearing claim is LOSSLESSNESS — every pair
+at or above the threshold survives the pruning — plus the pruning actually
+pruning, sign-agnostic correctness, and exact integer aggregates."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from savio_training_dask_2019_spark.operators.sparse_sim import (
+    cosine_candidate_pairs,
+)
+
+
+def _brute(rows, t):
+    """Exact all-pairs cosine >= t over (id, term, w) rows, pure Python."""
+    vecs: dict[int, dict[str, float]] = {}
+    for i, term, w in rows:
+        vecs.setdefault(i, {})
+        vecs[i][term] = vecs[i].get(term, 0) + w
+    out = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(va[k] * vb[k] for k in va.keys() & vb.keys())
+        na = sum(x * x for x in va.values())
+        nb = sum(x * x for x in vb.values())
+        if na and nb and dot / math.sqrt(na * nb) >= t:
+            out[(a, b)] = (dot, na, nb)
+    return out
+
+
+def _run(spark, rows, t):
+    df = spark.createDataFrame(rows, "id long, term string, w long")
+    got = cosine_candidate_pairs(df, "id", "term", "w", threshold=t).collect()
+    return {
+        (r["id_a"], r["id_b"]): (r["dot"], r["norm_sq_a"], r["norm_sq_b"])
+        for r in got
+    }
+
+
+@pytest.mark.parametrize("t", [0.3, 0.6, 0.9])
+def test_lossless_vs_brute_random(spark, t):
+    """Every brute-force pair >= t appears among the candidates with the
+    EXACT integer dot and norms (candidates may include extras below t —
+    that is the contract; the caller filters)."""
+    rng = random.Random(777)
+    terms = [f"t{j}" for j in range(30)]
+    rows = []
+    for i in range(80):
+        for term in rng.sample(terms, rng.randint(2, 6)):
+            rows.append((i, term, rng.randint(-5, 9)))
+    want = _brute(rows, t)
+    got = _run(spark, rows, t)
+    for pair, agg in want.items():
+        assert pair in got and got[pair] == agg, pair
+
+
+def test_negative_weights_and_duplicate_rows(spark):
+    """Sign-agnostic Cauchy-Schwarz bound: anti-correlated vectors never
+    qualify, identical ones do; duplicate (id, term) rows sum first."""
+    rows = [
+        (1, "a", 3), (1, "b", 4),
+        (2, "a", 3), (2, "b", 4),          # identical -> cosine 1
+        (3, "a", -3), (3, "b", -4),        # negated -> cosine -1
+        (4, "a", 2), (4, "a", 1), (4, "b", 4),  # dup rows: a sums to 3
+    ]
+    got = _run(spark, rows, 0.95)
+    assert got[(1, 2)] == (25, 25, 25)
+    assert got[(1, 4)] == (25, 25, 25)  # (3,4)·(3,4) after the dup sum
+    dot, na, nb = got[(1, 3)] if (1, 3) in got else (-25, 25, 25)
+    assert dot == -25  # if surfaced as a candidate, the caller's filter kills it
+
+
+def test_threshold_edge_pair_exactly_at_t_survives(spark):
+    """cos = 0.6 exactly ((3,4)·(4,3)=24, norms 25) must survive t=0.6 —
+    the 1e-9 prefix slack only ever ADDS candidates."""
+    rows = [(1, "a", 3), (1, "b", 4), (2, "a", 4), (2, "b", 3)]
+    got = _run(spark, rows, 0.6)
+    assert got[(1, 2)] == (24, 25, 25)
+
+
+def test_prefix_actually_prunes_hot_term(spark):
+    """A term shared by EVERY vector (the stopword case) must not drive
+    the candidate join quadratic: vectors whose only overlap is the hot
+    term — and whose cosine is provably < t because the hot weight is
+    tiny — produce NO candidate pair, because the hot term is at the
+    suffix end of the rarity order and falls out of every prefix."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "hot", 1))          # tiny weight, df = 40
+        rows.append((i, f"rare{i}", 100))   # dominant unique term
+    got = _run(spark, rows, 0.5)
+    assert got == {}  # no pair shares anything but the prunable hot term
+
+    # count candidates directly: the pre-verify frame must stay LINEAR
+    df = spark.createDataFrame(rows, "id long, term string, w long")
+    n_cand = cosine_candidate_pairs(df, "id", "term", "w", 0.5).count()
+    assert n_cand == 0  # 40·39/2 = 780 would be the unpruned quadratic
+
+
+def test_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a", 1)], "id long, term string, w long")
+    with pytest.raises(ValueError, match="threshold"):
+        cosine_candidate_pairs(df, "id", "term", "w", 0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        cosine_candidate_pairs(df, "id", "term", "w", 1.5)
+
+
+def test_catalog_query_pinned_pair(spark, sf_dir):
+    """sparse_cosine_pairs: every reported cosine >= the threshold, pairs
+    are ordered (id_a < id_b), and the plan is BNLJ-free."""
+    from savio_training_dask_2019_spark import plans
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    df = QUERIES["sparse_cosine_pairs"](spark, sf_dir)
+    assert plans.bnlj_count(df) == 0
+    rows = df.collect()
+    assert rows, "fixture should yield at least one qualifying pair"
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["cosine"] >= 0.4 for r in rows)
