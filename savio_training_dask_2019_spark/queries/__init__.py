@@ -176,7 +176,12 @@ if _MISSING:
 #     exact BIGINT and the threshold pure-integer 100·dot² >= 16·na·nb;
 #     oracle = the DEFINITIONAL all-shared-dims join, so equality proves
 #     the pruning lossless; both SFs + lossless-vs-brute, sign,
-#     threshold-edge, and hot-term-pruning pytest).
+#     threshold-edge, and hot-term-pruning pytest).  PLUS (189 queries; 164
+#     oracle-backed, 25 rows-only): cohort_ltv (cohort lifetime-value
+#     matrix — first-order-month cohorts × months_since with active
+#     customers / orders / exact cents; months_between of
+#     month-truncated timestamps is integer-exact on both engines;
+#     oracle-backed at ALL THREE SFs + hand-computed pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

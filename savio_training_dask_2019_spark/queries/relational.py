@@ -2323,6 +2323,62 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the acquisition-quality readout
+    behind every growth dashboard (retention_daily asks "did they come
+    back tomorrow", this asks "what is each signup vintage worth over
+    time"): customers cohort by the month of their FIRST order; every
+    order lands in (cohort_month, months_since_cohort) with active
+    customers, order count, and exact revenue cents.
+
+    Exactness: cents are exact BIGINTs; months_since is
+    ``months_between`` of two month-TRUNCATED timestamps — an exact
+    integer by construction on both engines (DuckDB: datediff). The
+    day-as-truncated-TIMESTAMP convention (retention_daily) applies.
+
+    Scale: one customer groupBy for the cohort map (customer-sized —
+    at 100 TB a dimension join, not a broadcast; here AQE broadcasts
+    it), one join back on the customer key, one matrix-sized agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between("m", F.col("cohort_month"))
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1
+)
+SELECT cohort_month,
+       CAST(datediff('month', cohort_month, m) AS INTEGER) AS months_since,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM o JOIN first ON o.o_custkey = first.o_custkey
+GROUP BY 1, 2
+"""
+
+
 _DEGREE_HIST_SQL = """
 WITH pairs AS (
   SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
@@ -2524,6 +2580,7 @@ QUERIES = {
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
     "degree_histogram": q_degree_histogram,
+    "cohort_ltv": q_cohort_ltv,
 }
 
 ORACLE = {
@@ -2581,4 +2638,5 @@ ORACLE = {
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,
     "degree_histogram": _DEGREE_HIST_SQL,
+    "cohort_ltv": _COHORT_LTV_SQL,
 }

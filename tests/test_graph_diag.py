@@ -1608,3 +1608,39 @@ def test_degree_histogram_hand_computed(spark, tmp_path):
         for r in q_degree_histogram(spark, str(tmp_path)).collect()
     }
     assert got == {1: (3, 3, 1), 2: (2, 5, 3)}
+
+
+def test_cohort_ltv_hand_computed(spark, tmp_path):
+    """Two cohorts: c1 first-orders in Jan (orders in Jan + Mar), c2 in
+    Mar only; every (cohort, months_since) cell is hand-computed and a
+    same-month repeat order counts the customer once in n_active."""
+    import pandas as pd
+
+    rows = [
+        (1, "1995-01-10", 10.00), (1, "1995-01-20", 5.00),  # Jan, m0 ×2
+        (1, "1995-03-05", 7.00),                            # Jan, m2
+        (2, "1995-03-15", 20.00),                           # Mar cohort
+    ]
+    pd.DataFrame(
+        {
+            "o_custkey": [r[0] for r in rows],
+            "o_orderdate": pd.Series(
+                [pd.Timestamp(r[1]) for r in rows], dtype="datetime64[us]"
+            ),
+            "o_totalprice": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_cohort_ltv
+
+    got = {
+        (r["cohort_month"].strftime("%Y-%m"), r["months_since"]): (
+            r["n_active"], r["n_orders"], r["sum_cents"],
+        )
+        for r in q_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("1995-01", 0): (1, 2, 1500),
+        ("1995-01", 2): (1, 1, 700),
+        ("1995-03", 0): (1, 1, 2000),
+    }
