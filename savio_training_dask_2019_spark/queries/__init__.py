@@ -181,7 +181,13 @@ if _MISSING:
 #     matrix — first-order-month cohorts × months_since with active
 #     customers / orders / exact cents; months_between of
 #     month-truncated timestamps is integer-exact on both engines;
-#     oracle-backed at ALL THREE SFs + hand-computed pytest).
+#     oracle-backed at ALL THREE SFs + hand-computed pytest).  PLUS (190
+#     queries; 165 oracle-backed, 25 rows-only): abc_by_brand
+#     (within-brand ABC/Pareto 80-15-5 revenue classification — exact
+#     BIGINT cumulative cents with pure-integer class cuts 5·cum<=4·tot
+#     / 20·cum<=19·tot, brand-partitioned walk over parts not
+#     lineitems; oracle-backed at ALL THREE SFs + hand-computed
+#     inclusive-boundary pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -2361,6 +2361,86 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-brand ABC (Pareto) classification — inventory analytics'
+    80/15/5 revenue cut: inside each brand, parts sorted by revenue
+    take class A while cumulative revenue is ≤80% of the brand total,
+    B to ≤95%, C after; reported per (brand, class) with part count
+    and exact revenue cents (skyline_parts finds the per-brand
+    frontier, THIS splits the whole catalog by revenue concentration).
+
+    Exactness: revenue and its cumulative are exact BIGINT cents and
+    the class cuts are pure-integer inequalities (5·cum ≤ 4·tot for A,
+    20·cum ≤ 19·tot for B) — no percentage float anywhere, so the
+    class of every part is engine/partitioning-exact. (A part whose
+    cumulative crosses the 80% line lands in B — the standard
+    convention — with the (revenue desc, partkey) tie-break fixing the
+    walk order on both engines.)
+
+    Scale: one part-level revenue agg, ONE brand-partitioned
+    cumulative window over parts (the weighted_median posture: the
+    window walks parts-per-brand, not lineitems), a brand-sized total
+    via the same partition, and a |brands|·3 output agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    )
+    wc = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("rev").desc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("p_brand")
+    x = rev.select(
+        "p_brand",
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+    )
+    cls = F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A").otherwise(
+        F.when(20 * F.col("cum") <= 19 * F.col("tot"), "B").otherwise("C")
+    )
+    return (
+        x.select("p_brand", cls.alias("abc_class"), "rev")
+        .groupBy("p_brand", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), x AS (
+  SELECT p_brand, rev,
+         CAST(sum(rev) OVER (PARTITION BY p_brand
+                             ORDER BY rev DESC, p_partkey ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(rev) OVER (PARTITION BY p_brand) AS BIGINT) AS tot
+  FROM rev
+)
+SELECT p_brand,
+       CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+            WHEN 20 * cum <= 19 * tot THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS sum_cents
+FROM x GROUP BY 1, 2
+"""
+
+
 _COHORT_LTV_SQL = """
 WITH o AS (
   SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
@@ -2581,6 +2661,7 @@ QUERIES = {
     "ref_integrity": q_ref_integrity,
     "degree_histogram": q_degree_histogram,
     "cohort_ltv": q_cohort_ltv,
+    "abc_by_brand": q_abc_by_brand,
 }
 
 ORACLE = {
@@ -2639,4 +2720,5 @@ ORACLE = {
     "ref_integrity": _REF_INTEGRITY_SQL,
     "degree_histogram": _DEGREE_HIST_SQL,
     "cohort_ltv": _COHORT_LTV_SQL,
+    "abc_by_brand": _ABC_SQL,
 }

@@ -1644,3 +1644,28 @@ def test_cohort_ltv_hand_computed(spark, tmp_path):
         ("1995-01", 2): (1, 1, 700),
         ("1995-03", 0): (1, 1, 2000),
     }
+
+
+def test_abc_by_brand_hand_computed(spark, tmp_path):
+    """One brand, revenues 50/30/15/5 (total 100): cumulative 50/80/95/100
+    -> A/A/B/C with the <=80%% / <=95%% integer cuts INCLUSIVE (part 2's
+    cum=80 is exactly 4/5 of total and stays A; part 3's cum=95 stays B)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"p_partkey": [1, 2, 3, 4], "p_brand": ["X"] * 4}
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "l_partkey": [1, 2, 3, 4],
+            "l_extendedprice": [0.50, 0.30, 0.15, 0.05],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_abc_by_brand
+
+    got = {
+        r["abc_class"]: (r["n_parts"], r["sum_cents"])
+        for r in q_abc_by_brand(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": (2, 80), "B": (1, 15), "C": (1, 5)}
