@@ -55,3 +55,10 @@ def test_streaming_ann_ingest_example_runs(spark, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "admitted" in out
     assert "streaming ann ingest complete" in out
+
+
+def test_quality_audit_example_runs(spark, capsys):
+    _load("quality_audit").main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "referential integrity" in out and "[OK ]" in out
+    assert "quality audit complete (clean)" in out
