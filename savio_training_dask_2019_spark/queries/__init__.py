@@ -187,7 +187,13 @@ if _MISSING:
 #     BIGINT cumulative cents with pure-integer class cuts 5·cum<=4·tot
 #     / 20·cum<=19·tot, brand-partitioned walk over parts not
 #     lineitems; oracle-backed at ALL THREE SFs + hand-computed
-#     inclusive-boundary pytest).
+#     inclusive-boundary pytest).  PLUS (192 queries; 167
+#     oracle-backed, 25 rows-only): wow_change (week-over-week exact
+#     cents per event type, lag ratio with a zero-prior NULL guard;
+#     oracle-backed at ALL THREE SFs + planted-weeks pytest) and
+#     backlog_monthly (placed-vs-shipped monthly flow + running backlog
+#     over the bounded span-months table — two cumulative walks, pure
+#     integers; oracle-backed at ALL THREE SFs + planted-flow pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

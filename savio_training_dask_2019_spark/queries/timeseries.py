@@ -1514,6 +1514,125 @@ FROM sess GROUP BY 1
 """
 
 
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type — the trend readout every
+    operational dashboard opens with: weekly exact cents totals, the
+    previous week's total alongside (lag over a type-partitioned walk
+    of the ≤ span-weeks weekly table), and the WoW ratio.
+
+    Exactness: weekly sums are exact BIGINT cents; the ratio is ONE
+    fixed-order division of two BIGINTs rounded 4 dp; the first week's
+    ratio is NULL (no prior), never a div-by-zero artifact (a zero
+    prior week also yields NULL via an explicit guard).
+
+    Scale: one (type, week) groupBy — the only corpus shuffle — then a
+    window over the weeks-×-types table."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week_start")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    out = wk.withColumn("prev_cents", F.lag("cents").over(w))
+    return out.select(
+        "event_type",
+        "week_start",
+        "cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents") > 0,
+            F.round(F.col("cents") / F.col("prev_cents"), 4),
+        ).alias("wow_ratio"),
+    )
+
+
+_WOW_SQL = """
+WITH wk AS (
+  SELECT event_type, date_trunc('week', ts) AS week_start,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week_start, cents,
+       lag(cents) OVER (PARTITION BY event_type ORDER BY week_start)
+         AS prev_cents,
+       CASE WHEN lag(cents) OVER (PARTITION BY event_type
+                                  ORDER BY week_start) > 0
+            THEN round(cents / CAST(lag(cents) OVER (
+                   PARTITION BY event_type ORDER BY week_start)
+                   AS DOUBLE), 4)
+       END AS wow_ratio
+FROM wk
+"""
+
+
+def q_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order backlog — placed vs shipped flow and the running
+    open-order balance (the interval_coverage question asked as a
+    balance-sheet curve): orders enter at their order month, lineitems
+    retire at their ship month, backlog = cumulative placed − shipped.
+
+    Exactness: the flows are exact BIGINT counts; the cumulative walk
+    runs over the ≤ span-months union table (two bounded windows — the
+    zipf_curve allowlist convention) in pure integers.
+
+    Scale: one month-groupBy per side; everything after is
+    calendar-sized. (Line-level: an order 'ships' per lineitem here —
+    the demo's flow definition, applied identically in both engines.)"""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("m")
+    )
+    placed = o.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n_placed"))
+    shipped = li.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipped")
+    )
+    j = placed.join(shipped, "m", "full_outer").select(
+        F.col("m").alias("month_start"),
+        F.coalesce("n_placed", F.lit(0)).cast("bigint").alias("n_placed"),
+        F.coalesce("n_shipped", F.lit(0)).cast("bigint").alias("n_shipped"),
+    )
+    w = Window.orderBy("month_start").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "month_start",
+        "n_placed",
+        "n_shipped",
+        (F.sum("n_placed").over(w) - F.sum("n_shipped").over(w))
+        .cast("bigint")
+        .alias("backlog"),
+    )
+
+
+_BACKLOG_SQL = """
+WITH placed AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         CAST(count(*) AS BIGINT) AS n_placed
+  FROM orders GROUP BY 1
+), shipped AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         CAST(count(*) AS BIGINT) AS n_shipped
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT COALESCE(placed.m, shipped.m) AS month_start,
+         COALESCE(n_placed, 0) AS n_placed,
+         COALESCE(n_shipped, 0) AS n_shipped
+  FROM placed FULL OUTER JOIN shipped ON placed.m = shipped.m
+)
+SELECT month_start, CAST(n_placed AS BIGINT) AS n_placed,
+       CAST(n_shipped AS BIGINT) AS n_shipped,
+       CAST(sum(n_placed) OVER (ORDER BY month_start
+                                ROWS UNBOUNDED PRECEDING)
+            - sum(n_shipped) OVER (ORDER BY month_start
+                                   ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS backlog
+FROM j
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1541,6 +1660,8 @@ QUERIES = {
     "activity_streaks": q_activity_streaks,
     "conversion_lag": q_conversion_lag,
     "session_stats": q_session_stats,
+    "wow_change": q_wow_change,
+    "backlog_monthly": q_backlog_monthly,
 }
 
 ORACLE = {
@@ -1570,4 +1691,6 @@ ORACLE = {
     "activity_streaks": _ACTIVITY_STREAKS_SQL,
     "conversion_lag": _CONVERSION_LAG_SQL,
     "session_stats": _SESSION_STATS_SQL,
+    "wow_change": _WOW_SQL,
+    "backlog_monthly": _BACKLOG_SQL,
 }

@@ -271,6 +271,7 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "zipf_curve": 1,
     "drift_ks": 1,
     "heaps_curve": 1,
+    "backlog_monthly": 2,  # two cumulative walks over the <=span-months table
     "rrf_hybrid": 2,
     # share total over the 9-digit count table — bounded by construction
     "benford_digits": 1,
@@ -435,6 +436,7 @@ _MAX_BNLJ = {
 # centroid-model build (knn_cells ×2 branches), and dsir's two LM fits.
 _MAX_SINGLE_PARTITION = {
     "ann_recall": 2,  # inherits knn_cells' two scalar folds
+    "backlog_monthly": 1,  # the <=span-months cumulative window's exchange
     "basket_pairs": 1,  # the one-row basket-total aggregate
     "benford_digits": 1,  # the bounded 9-row share window's exchange
     "dedup_eval": 1,  # the one-row metrics aggregate

@@ -167,3 +167,67 @@ def test_session_stats_planted_sessions(spark, tmp_path):
     #   -> 4 sessions, (1 + 2 + 1 + 1) / 4 = 1.25 events
     # bucket 4 (40-50 min): u1's 3-event session
     assert got == {0: (4, 1.25), 4: (1, 3.0)}
+
+
+def test_wow_change_planted_weeks(spark, tmp_path):
+    """Three ISO weeks of one type: 100 -> 250 -> 125 cents gives ratios
+    NULL / 2.5 / 0.5; a zero prior week yields NULL, not an artifact."""
+    _write_events(
+        tmp_path,
+        [
+            # 2024-01-01 is a Monday: weeks start 01-01, 01-08, 01-15
+            (1, "2024-01-02 10:00", 1, "view", 1.00),
+            (2, "2024-01-09 10:00", 1, "view", 2.50),
+            (3, "2024-01-16 10:00", 1, "view", 1.25),
+            # second type: 0-cents week then a real week
+            (4, "2024-01-02 10:00", 1, "click", 0.00),
+            (5, "2024-01-09 10:00", 1, "click", 3.00),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_wow_change
+
+    got = {
+        (r["event_type"], r["week_start"].day): (
+            r["cents"], r["prev_cents"], r["wow_ratio"],
+        )
+        for r in q_wow_change(spark, str(tmp_path)).collect()
+    }
+    assert got[("view", 1)] == (100, None, None)
+    assert got[("view", 8)] == (250, 100, 2.5)
+    assert got[("view", 15)] == (125, 250, 0.5)
+    assert got[("click", 8)] == (300, 0, None)  # zero prior -> NULL
+
+
+def test_backlog_monthly_planted_flow(spark, tmp_path):
+    """Hand-built flow: Jan places 3, ships 1 (backlog 2); Feb places 0,
+    ships 2 (backlog 0); Mar places 1, ships 0 (backlog 1). A month with
+    only shipments still appears (full outer)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderdate": pd.Series(
+                pd.to_datetime(["1995-01-05", "1995-01-10", "1995-01-20",
+                                "1995-03-03"]),
+                dtype="datetime64[us]",
+            )
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_shipdate": pd.Series(
+                pd.to_datetime(["1995-01-25", "1995-02-07", "1995-02-20"]),
+                dtype="datetime64[us]",
+            )
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_backlog_monthly,
+    )
+
+    got = {
+        r["month_start"].month: (r["n_placed"], r["n_shipped"], r["backlog"])
+        for r in q_backlog_monthly(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 1, 2), 2: (0, 2, 0), 3: (1, 0, 1)}
