@@ -548,3 +548,45 @@ def test_bfs_1m_edge_ring_multi_seed_analytic(spark):
     for h in range(hops + 1):
         assert levels[h] == (n_seeds, base_sum + n_seeds * h), f"hop {h}"
     assert elapsed < 180, f"bfs smoke took {elapsed:.0f}s"
+
+
+def test_sparse_cosine_50k_vectors_zipfian_prefix_prune(spark):
+    """50k sparse vectors in the regime prefix filtering exists for: each
+    carries one dominant rare term (its group id, 10k groups of 5) plus
+    three light stopwords shared by everyone. The prefix reduces to the
+    rare term alone (suffix mass 3/10003 << t²), so candidates are
+    exactly the within-group pairs — 10k·C(5,2) = 100k — instead of the
+    ~1.25e9 the stopwords would generate unpruned. Every surviving pair
+    is an exact duplicate (cosine 1, dot == norms)."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.sparse_sim import (
+        cosine_candidate_pairs,
+    )
+
+    n_groups, reps = 10_000, 5
+    base = spark.range(n_groups * reps).select(
+        F.col("id"), (F.col("id") % n_groups).alias("g")
+    )
+    heavy = base.select("id", F.concat(F.lit("grp"), F.col("g")).alias("term"),
+                        F.lit(100).cast("long").alias("w"))
+    lights = base.select(
+        "id",
+        F.explode(F.array(F.lit("the"), F.lit("a"), F.lit("of"))).alias("term"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    vecs = heavy.unionByName(lights)
+
+    t0 = time.perf_counter()
+    pairs = cosine_candidate_pairs(vecs, "id", "term", "w", threshold=0.8)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dot") == F.col("norm_sq_a")).cast("long")).alias("n_exact"),
+        F.min("dot").alias("mn"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    expected = n_groups * reps * (reps - 1) // 2
+    assert agg["n"] == expected, f"candidates {agg['n']} != {expected}"
+    assert agg["n_exact"] == expected  # all dup pairs: dot == norm² == 10003
+    assert agg["mn"] == 10_003
+    assert elapsed < 180, f"sparse smoke took {elapsed:.0f}s"
