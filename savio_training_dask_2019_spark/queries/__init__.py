@@ -193,7 +193,15 @@ if _MISSING:
 #     oracle-backed at ALL THREE SFs + planted-weeks pytest) and
 #     backlog_monthly (placed-vs-shipped monthly flow + running backlog
 #     over the bounded span-months table — two cumulative walks, pure
-#     integers; oracle-backed at ALL THREE SFs + planted-flow pytest).
+#     integers; oracle-backed at ALL THREE SFs + planted-flow pytest).  FINAL r12
+#     late additions (catalog at end of r12: 194 queries; 169
+#     oracle-backed, 25 rows-only): market_hhi (Herfindahl supplier
+#     concentration per nation — HHI from TWO exact BIGINT moments
+#     (Σrev², (Σrev)²) and one fixed-order division, dollars-truncated
+#     for int64 headroom; oracle-backed at ALL THREE SFs +
+#     monopoly/duopoly pytest) and late_shipment_rate (>90-day SLA per
+#     order month — integer day lateness, strict boundary pinned;
+#     oracle-backed at ALL THREE SFs + +90/+91-day pytest).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",

@@ -2416,6 +2416,100 @@ def q_abc_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    the market-structure readout (is this nation's supply one giant or
+    many smalls) that pairs with skew_profile: HHI = Σ share² over each
+    nation's suppliers, in the 0–10,000 antitrust convention.
+
+    Exactness trick: HHI = Σ rev_i² / (Σ rev_i)² needs no per-share
+    floats — both moments are exact BIGINT sums (revenue in whole
+    DOLLARS, ``cents div 100``, keeps Σ rev² ≤ ~3e15 inside int64 at
+    sf0.1 ×100 headroom) and the index is ONE fixed-order division
+    ×10,000 rounded 4 dp. Sum-of-squared-shares in float would be
+    summation-order exposed; this is not.
+
+    Scale: one supplier-revenue groupBy (the corpus shuffle), one
+    broadcast dim join, one nation-sized moment agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.expr("sum(cents) div 100").cast("bigint").alias("rev"))
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+    )
+    return rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("rev").cast("bigint").alias("total_rev"),
+        F.round(
+            10000
+            * F.sum(F.col("rev") * F.col("rev")).cast("double")
+            / (F.sum("rev") * F.sum("rev")).cast("double"),
+            4,
+        ).alias("hhi"),
+    )
+
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT s_nationkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 100
+              AS BIGINT) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+)
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(rev) AS BIGINT) AS total_rev,
+       round(10000 * CAST(sum(rev * rev) AS DOUBLE)
+             / CAST(sum(rev) * sum(rev) AS DOUBLE), 4) AS hhi
+FROM rev GROUP BY s_nationkey
+"""
+
+
+def q_late_shipment_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment SLA tracking per order month: lineitems shipping
+    more than 90 days after their order date count as late — the
+    operations cousin of backlog_monthly (that tracks the open balance,
+    this tracks how late the closes were).
+
+    Exactness: lateness is an integer day difference (datediff of two
+    timestamps both engines truncate identically), counts exact BIGINT,
+    rate one fixed-order division rounded 4 dp.
+
+    Scale: one orderkey hash join (the fact⋈fact spine every TPC-H
+    query pays) + one month agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.datediff("l_shipdate", "o_orderdate") > 90).alias("late"),
+    )
+    return j.groupBy("month_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("late").cast("long")).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(F.col("late").cast("long")) / F.count(F.lit(1)), 4
+        ).alias("late_rate"),
+    )
+
+
+_LATE_SHIP_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month_start,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+         AS late_rate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 _ABC_SQL = """
 WITH rev AS (
   SELECT p_brand, p_partkey,
@@ -2662,6 +2756,8 @@ QUERIES = {
     "degree_histogram": q_degree_histogram,
     "cohort_ltv": q_cohort_ltv,
     "abc_by_brand": q_abc_by_brand,
+    "market_hhi": q_market_hhi,
+    "late_shipment_rate": q_late_shipment_rate,
 }
 
 ORACLE = {
@@ -2721,4 +2817,6 @@ ORACLE = {
     "degree_histogram": _DEGREE_HIST_SQL,
     "cohort_ltv": _COHORT_LTV_SQL,
     "abc_by_brand": _ABC_SQL,
+    "market_hhi": _HHI_SQL,
+    "late_shipment_rate": _LATE_SHIP_SQL,
 }

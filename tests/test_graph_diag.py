@@ -1669,3 +1669,61 @@ def test_abc_by_brand_hand_computed(spark, tmp_path):
         for r in q_abc_by_brand(spark, str(tmp_path)).collect()
     }
     assert got == {"A": (2, 80), "B": (1, 15), "C": (1, 5)}
+
+
+def test_market_hhi_hand_computed(spark, tmp_path):
+    """Monopoly nation -> HHI 10000 exactly; 50/50 duopoly -> 5000; the
+    dollars truncation (cents div 100) applies before squaring."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_nationkey": [0, 1, 1]}
+    ).to_parquet(tmp_path / "supplier.parquet")
+    rows = [
+        (1, 500.00),             # nation 0: single supplier
+        (2, 300.00), (3, 300.00),  # nation 1: equal duopoly
+    ]
+    pd.DataFrame(
+        {
+            "l_suppkey": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_market_hhi
+
+    got = {r["s_nationkey"]: r for r in q_market_hhi(spark, str(tmp_path)).collect()}
+    assert (got[0]["n_suppliers"], got[0]["hhi"]) == (1, 10000.0)
+    assert (got[1]["n_suppliers"], got[1]["total_rev"], got[1]["hhi"]) == (2, 600, 5000.0)
+
+
+def test_late_shipment_rate_boundary(spark, tmp_path):
+    """Exactly 90 days is ON TIME (strict >); 91 days is late — pinned
+    with a two-line month where the rate is exactly 0.5."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": pd.Series(
+                pd.to_datetime(["1995-01-01", "1995-01-01"]),
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2],
+            "l_shipdate": pd.Series(
+                pd.to_datetime(["1995-04-01", "1995-04-02"]),  # +90, +91 days
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_late_shipment_rate,
+    )
+
+    [r] = q_late_shipment_rate(spark, str(tmp_path)).collect()
+    assert (r["n_lines"], r["n_late"], r["late_rate"]) == (2, 1, 0.5)
