@@ -450,6 +450,7 @@ _MAX_SINGLE_PARTITION = {
     "drift_ks": 2,  # 1-row totals fold + the <=_KS_B-row cumulative window
     "drift_numeric": 1, "drift_psi": 1,
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
+    "heaps_curve": 1,  # the <=100-row cumulative window's exchange
     "heavy_domains": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
     "ivfpq": 3, "ivfpq_rerank": 3, "kll_quantiles": 1,
