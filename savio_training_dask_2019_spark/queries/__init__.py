@@ -202,6 +202,21 @@ if _MISSING:
 #     monopoly/duopoly pytest) and late_shipment_rate (>90-day SLA per
 #     order month — integer day lateness, strict boundary pinned;
 #     oracle-backed at ALL THREE SFs + +90/+91-day pytest).
+#     END-OF-ROUND r12 evidence (re-run after the LAST catalog change —
+#     market_hhi + late_shipment_rate): FULL-catalog replica 169 ok / 25
+#     rows-only / 0 FAILED of 194 at sf0.01 AND the identical 169/25/0
+#     at sf0.1; full pytest suite 565 passed / 1 skipped / 0 failed
+#     (18 m 0 s); one complete 38-row bench suite on a quiet host after
+#     the last code change: 64.6 s total, 38/38 rows inside their frozen
+#     2x targets, 0 breaches, mean 1.27x, worst substring_dup_stats
+#     1.99x (its own freeze runs spanned 1385-3029 ms — the documented
+#     spread class) with join_3way at 1.06x in-suite (the r12 audit's
+#     quiet-host 636 ms median holding).  Every r12 query carries:
+#     oracle green at ALL THREE SFs, a measured-once bench row, plan-
+#     budget coverage, and planted/differential pytest pins; the 20 r12
+#     late additions take first driver rows r13 on the standing
+#     precedent, alongside the 26 r9-record riders named above (first
+#     in line r13).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
