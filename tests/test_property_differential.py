@@ -597,3 +597,181 @@ def test_cms_overcount_only_any_stream(items, width, depth, spark):
     )
     est = cms_estimates(tab, probes, "tok", width=width, depth=depth).collect()
     assert all(r["est_count"] >= r["true_count"] for r in est)
+
+
+# --- r12 additions: weighted median / streaks / gap fill vs pure Python ------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # nation
+            st.integers(min_value=1, max_value=20),   # price cents
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_matches_python(rows, spark, tmp_path_factory):
+    """q_weighted_median's 2*cumw >= W walk vs a direct python weighted
+    median over the expanded multiset (each value repeated weight times
+    -> lower median = element at ceil(W/2))."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("wmed")
+    sup = pd.DataFrame({"s_suppkey": [0, 1, 2], "s_nationkey": [0, 1, 2]})
+    sup.to_parquet(tmp / "supplier.parquet")
+    pd.DataFrame(
+        {
+            "l_suppkey": [r[0] for r in rows],
+            "l_extendedprice": [r[1] / 100.0 for r in rows],
+            "l_quantity": [float(r[2]) for r in rows],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_weighted_median
+
+    got = {
+        r["s_nationkey"]: r["median_cents"]
+        for r in q_weighted_median(spark, str(tmp)).collect()
+    }
+    from collections import defaultdict
+
+    expanded = defaultdict(list)
+    for nat, cents, wgt in rows:
+        expanded[nat].extend([cents] * wgt)
+    for nat, vals in expanded.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]  # lower weighted median
+        assert got[nat] == want, (nat, vals)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cal=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=1, max_value=25),   # day of Jan
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_activity_streaks_matches_python(cal, spark, tmp_path_factory):
+    """q_activity_streaks vs a direct python longest-run scan over each
+    user's distinct sorted days."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("streaks")
+    pd.DataFrame(
+        {
+            "event_id": range(len(cal)),
+            "ts": [pd.Timestamp(f"2024-01-{d:02d} 09:00") for _, d in cal],
+            "user_id": [u for u, _ in cal],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import Counter, defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_activity_streaks,
+    )
+
+    days = defaultdict(set)
+    for u, d in cal:
+        days[u].add(d)
+    best = {}
+    for u, ds in days.items():
+        run = mx = 0
+        prev = None
+        for d in sorted(ds):
+            run = run + 1 if prev is not None and d == prev + 1 else 1
+            mx = max(mx, run)
+            prev = d
+        best[u] = mx
+    want = Counter(best.values())
+
+    got = {
+        r["best_streak"]: r["n_users"]
+        for r in q_activity_streaks(spark, str(tmp)).collect()
+    }
+    assert got == dict(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # user (one segment each)
+            st.integers(min_value=0, max_value=30),   # hour offset
+            st.integers(min_value=1, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gap_fill_matches_python(evs, spark, tmp_path_factory):
+    """q_gap_fill vs a direct python dense-grid forward fill per series
+    (user 0/1 land in segments 0/1 of event_type 'view')."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("gapfill")
+    pd.DataFrame(
+        {
+            "event_id": range(len(evs)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, minutes=7)
+                for _, h, _ in evs
+            ],
+            "user_id": [u for u, _, _ in evs],
+            "event_type": "view",
+            "value": [c / 100.0 for _, _, c in evs],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_gap_fill
+
+    series = defaultdict(lambda: defaultdict(int))
+    for u, h, c in evs:
+        series[u][h] += c
+    want = {}
+    for u, hours in series.items():
+        lo, hi = min(hours), max(hours)
+        carried = None
+        for h in range(lo, hi + 1):
+            if h in hours:
+                carried = hours[h]
+                want[(u, h)] = (False, carried)
+            else:
+                want[(u, h)] = (True, carried)
+
+    got = {
+        (r["seg"], r["bucket_ts"].day * 24 - 24 + r["bucket_ts"].hour): (
+            r["is_gap"], r["cents_ffill"],
+        )
+        for r in q_gap_fill(spark, str(tmp)).collect()
+    }
+    assert got == want
