@@ -590,3 +590,54 @@ def test_sparse_cosine_50k_vectors_zipfian_prefix_prune(spark):
     assert agg["n_exact"] == expected  # all dup pairs: dot == norm² == 10003
     assert agg["mn"] == 10_003
     assert elapsed < 180, f"sparse smoke took {elapsed:.0f}s"
+
+
+def test_basket_pairs_mega_basket_bounded_fanout(spark):
+    """The association-rule counting core's skew case: 100k small baskets
+    (2 brands each) plus ONE 400-brand mega-basket. Pair volume is
+    Σ(w_i choose 2) = 100k·1 + 79,800 — bounded by basket width, never
+    |orders|². Closed-form co-counts: small baskets all contribute the
+    same (b0, b1) pair; the mega-basket contributes every (gX, gY) pair
+    once."""
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from savio_training_dask_2019_spark.queries.relational import q_basket_pairs
+
+    import pandas as pd
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp(prefix="basket_smoke_")
+    n_small, mega_w = 100_000, 400
+    # parts: 0 -> b0, 1 -> b1, 1000+i -> gi (mega brands)
+    parts = pd.DataFrame(
+        {
+            "p_partkey": [0, 1] + [1000 + i for i in range(mega_w)],
+            "p_brand": ["b0", "b1"] + [f"g{i}" for i in range(mega_w)],
+        }
+    )
+    parts.to_parquet(os.path.join(tmp, "part.parquet"))
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [k for k in range(n_small) for _ in (0, 1)]
+            + [10_000_000] * mega_w,
+            "l_partkey": [p for _ in range(n_small) for p in (0, 1)]
+            + [1000 + i for i in range(mega_w)],
+        }
+    )
+    li.to_parquet(os.path.join(tmp, "lineitem.parquet"))
+
+    t0 = time.perf_counter()
+    out = q_basket_pairs(spark, tmp)
+    agg = out.agg(
+        F2.count(F2.lit(1)).alias("n_pairs"),
+        F2.sum("n_co").alias("total_co"),
+        F2.max("n_co").alias("max_co"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    mega_pairs = mega_w * (mega_w - 1) // 2
+    assert agg["n_pairs"] == 1 + mega_pairs          # (b0,b1) + all (gX,gY)
+    assert agg["total_co"] == n_small + mega_pairs   # co-counts sum exactly
+    assert agg["max_co"] == n_small                  # the (b0,b1) pair
+    assert elapsed < 180, f"basket smoke took {elapsed:.0f}s"
