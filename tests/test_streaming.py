@@ -1025,3 +1025,35 @@ def test_streaming_ann_ingest_composition(spark, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(f"{out}/admitted/batch=1").collect()
     ) == [3, 5]
+
+
+def test_streaming_ann_ingest_empty_batch(spark, tmp_path):
+    """An empty micro-batch must produce a zero report and empty (but
+    readable) per-batch outputs — not a crash; the next real batch is
+    unaffected."""
+    from savio_training_dask_2019_spark.streaming import StreamingAnnIngest
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "doc_id long, vec array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, ce array<double>"
+    )
+    snapshot = spark.createDataFrame([(9, "known")], "doc_id long, text string")
+    out = str(tmp_path / "out")
+    handle = StreamingAnnIngest(snapshot, corpus, centroids, out, k=1, nprobe=1)
+
+    schema = "doc_id long, text string, vec array<double>"
+    handle(spark.createDataFrame([], schema), batch_id=0)
+    assert handle.reports[0] == {
+        "batch_id": 0, "n_batch": 0, "n_known": 0, "n_dup": 0, "n_admitted": 0,
+    }
+    assert spark.read.parquet(f"{out}/admitted/batch=0").count() == 0
+    assert spark.read.parquet(f"{out}/matches/batch=0").count() == 0
+
+    handle(
+        spark.createDataFrame([(1, "fresh", [0.9, 0.1])], schema), batch_id=1
+    )
+    assert handle.reports[1]["n_admitted"] == 1
+    [m] = spark.read.parquet(f"{out}/matches/batch=1").collect()
+    assert m["corpus_id"] == 100
