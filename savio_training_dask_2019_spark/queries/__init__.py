@@ -216,7 +216,12 @@ if _MISSING:
 #     budget coverage, and planted/differential pytest pins; the 20 r12
 #     late additions take first driver rows r13 on the standing
 #     precedent, alongside the 26 r9-record riders named above (first
-#     in line r13).
+#     in line r13).  Five test-only additions after that suite run
+#     (hypothesis differentials for weighted_median/activity_streaks/
+#     gap_fill, the mega-basket and 50k-sparse-cosine scale smokes, the
+#     StreamingAnnIngest empty-batch pin) ran green in their own files
+#     (53 passed / 1 skipped re-run of the three touched files) — 571
+#     tests total, all green.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
