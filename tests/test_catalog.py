@@ -12,19 +12,23 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed — the 16 r11 late additions take first rows
-    # r12 (the only catalog entries with no driver row; judge replica r11
-    # passed all 16 at both SFs — VERDICT r11 #1)
-    "kmeans_train", "triangle_count", "group_kll_quantiles",
-    "interval_coverage", "skyline_parts", "twap", "heavy_tokens_by_lang",
-    "benford_digits", "ivm_agg", "reachable_nodes", "dedup_eval",
-    "spatial_pairs", "mmr_rerank", "funnel_window", "rolling_anomaly",
-    "ann_recall",
-    # the 10 r8-record riders — four rounds old, the oldest rows of
-    # record, committed "first in line r12" at the r11 window note
-    "bm25_search", "dsir_weights", "emb_near_dup_lsh", "ngram_jaccard",
-    "simhash_pairs", "substring_dup_stats", "substring_rebuild",
-    "bpe_train_merges", "multimodal_imgstats", "mixture_sample",
+    # never driver-witnessed — the 20 r12 late additions take first rows
+    # r13 (the only catalog entries with no driver row; judge replica r12
+    # passed all 20 at both SFs — VERDICT r12 #1)
+    "group_cms_counts", "gap_fill", "transition_matrix", "basket_pairs",
+    "weighted_median", "chi2_abtest", "activity_streaks", "null_profile",
+    "ref_integrity", "conversion_lag", "heaps_curve", "session_stats",
+    "degree_histogram", "sparse_cosine_pairs", "cohort_ltv", "abc_by_brand",
+    "wow_change", "backlog_monthly", "market_hhi", "late_shipment_rate",
+    # the 26 r9-record riders — four rounds old, the oldest rows of
+    # record, committed "first in line r13" at the r12 window note
+    "semi_join", "distinct_approx", "json_extract", "time_bucket",
+    "decontam_check", "knn_cells", "semdedup_clusters", "hll_sketch_union",
+    "kll_quantiles", "rolling_fp", "svd_embeddings", "multimodal_resize",
+    "multimodal_frames", "bpe_apply", "select_filter", "derived_column",
+    "null_handling", "sample_mod", "sort_limit", "cross_join", "cumsum",
+    "lag_lead", "tumbling_window", "distinct", "emb_near_dup",
+    "hard_negatives",
 }
 
 
