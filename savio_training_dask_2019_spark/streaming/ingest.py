@@ -81,8 +81,15 @@ class StreamingAnnIngest:
 
     Driver state: the seen-batch-id set plus one 4-int report per batch —
     O(batches) scalars, never rows (the foreachBatch-monitor discipline).
-    Replayed batch_ids (recovery) are skipped idempotently; the per-batch
-    output paths make re-writes idempotent too.
+    A batch_id is marked seen only AFTER both parquet writes succeed, so a
+    batch that fails mid-write is fully re-processed on recovery replay
+    (the per-batch ``.../batch=N`` overwrite paths make the rerun
+    idempotent); a batch_id that already completed is skipped. Batches
+    that admit zero rows contribute no path to the cross-batch anti-join
+    re-read, and ``compact_every`` (optional) folds the admitted hashes
+    back into the snapshot set + a rebuilt Bloom every N non-empty
+    batches, bounding the per-batch re-scan list — the production
+    compaction the module docstring describes, in-process.
 
     ``corpus`` must carry the same ``id_col``/``vec_col`` columns as the
     incoming stream; ``centroids`` is the (cid, ce) IVF model frame
@@ -100,11 +107,13 @@ class StreamingAnnIngest:
         k: int = 3,
         nprobe: int = 2,
         bits_per_key: int = 10,
+        compact_every: int | None = None,
     ) -> None:
         from ..operators.bloom import bloom_build, next_pow2
 
         self.text_col, self.id_col, self.vec_col = text_col, id_col, vec_col
         self.k, self.nprobe, self.out_dir = k, nprobe, out_dir
+        self.compact_every = compact_every
         self.corpus = corpus
         self.centroids = centroids
         self.reports: list[dict] = []
@@ -125,9 +134,11 @@ class StreamingAnnIngest:
         from ..operators.bloom import bloom_flag
         from ..operators.similarity import cell_knn_join
 
-        if batch_id in self._seen:  # recovery replay — idempotent skip
+        if batch_id in self._seen:  # completed-batch replay — idempotent skip
             return
-        self._seen.add(batch_id)
+        # NOT marked seen yet: a mid-batch failure (either write throwing)
+        # leaves the batch unmarked, so the recovery replay re-processes it
+        # in full; the per-batch overwrite paths make that rerun idempotent.
         spark = batch_df.sparkSession
 
         hashed = batch_df.withColumn("__h", F.xxhash64(F.col(self.text_col)))
@@ -188,8 +199,9 @@ class StreamingAnnIngest:
             f"{self.out_dir}/matches/batch={batch_id}"
         )
 
-        self._admitted_paths.append(apath)
         n_admitted = int(c["n_batch"] - (c["n_known"] or 0) - (c["n_dup"] or 0))
+        if n_admitted > 0:  # empty writes add nothing to the anti-join
+            self._admitted_paths.append(apath)
         self.reports.append(
             {
                 "batch_id": batch_id,
@@ -199,3 +211,34 @@ class StreamingAnnIngest:
                 "n_admitted": n_admitted,
             }
         )
+        self._seen.add(batch_id)  # durable side effects all landed
+
+        if (
+            self.compact_every is not None
+            and len(self._admitted_paths) >= self.compact_every
+        ):
+            self._compact(spark)
+
+    def _compact(self, spark) -> None:
+        """Fold the admitted-so-far hashes into the snapshot hash set and
+        rebuild the Bloom bitset over the union, then clear the path list —
+        bounds the per-batch anti-join re-read at O(compact_every) paths.
+        ``_m_bits`` stays fixed (sized for the initial snapshot ×
+        bits_per_key), so the Bloom FP rate degrades gracefully as the
+        corpus grows past the initial sizing; re-instantiate with a fresh
+        snapshot for a full re-size (the scheduled-rebuild production
+        path)."""
+        from ..operators.bloom import bloom_build
+
+        admitted = (
+            spark.read.parquet(*self._admitted_paths)
+            .select(F.col("h").alias("__h"))
+            .distinct()
+        )
+        new_snap = self._snap.unionByName(admitted).distinct().persist()
+        new_snap.count()  # materialize before unpersisting the old lineage
+        self._snap.unpersist()
+        self._bloom.unpersist()
+        self._snap = new_snap
+        self._bloom = bloom_build(self._snap, "__h", self._m_bits).persist()
+        self._admitted_paths = []

@@ -1057,3 +1057,166 @@ def test_streaming_ann_ingest_empty_batch(spark, tmp_path):
     assert handle.reports[1]["n_admitted"] == 1
     [m] = spark.read.parquet(f"{out}/matches/batch=1").collect()
     assert m["corpus_id"] == 100
+    # the empty batch contributed no path to the cross-batch anti-join
+    # re-read (ADVICE r12): only batch 1's non-empty admitted write is kept
+    assert handle._admitted_paths == [f"{out}/admitted/batch=1"]
+
+
+def test_streaming_ann_ingest_failed_batch_replays_in_full(spark, tmp_path):
+    """ADVICE r12 (medium): a batch whose write throws mid-processing must
+    NOT be marked seen — the recovery replay of the same batch_id
+    re-processes it in full (idempotent per-batch overwrite paths), so its
+    admitted hashes and ANN matches are not silently lost."""
+    import pytest
+
+    from savio_training_dask_2019_spark.operators import similarity
+    from savio_training_dask_2019_spark.streaming import StreamingAnnIngest
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "doc_id long, vec array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, ce array<double>"
+    )
+    snapshot = spark.createDataFrame([(9, "known")], "doc_id long, text string")
+    out = str(tmp_path / "out")
+    handle = StreamingAnnIngest(snapshot, corpus, centroids, out, k=1, nprobe=1)
+
+    schema = "doc_id long, text string, vec array<double>"
+    batch = spark.createDataFrame([(1, "fresh", [0.9, 0.1])], schema)
+
+    real = similarity.cell_knn_join
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated mid-batch sink failure")
+        return real(*args, **kwargs)
+
+    similarity.cell_knn_join = flaky
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            handle(batch, batch_id=0)
+        # failed batch left no durable driver state behind
+        assert handle.reports == []
+        assert handle._admitted_paths == []
+        assert 0 not in handle._seen
+        # recovery replay of the SAME batch_id processes it in full
+        handle(batch, batch_id=0)
+    finally:
+        similarity.cell_knn_join = real
+
+    assert handle.reports[0]["n_admitted"] == 1
+    assert 0 in handle._seen
+    [m] = spark.read.parquet(f"{out}/matches/batch=0").collect()
+    assert m["corpus_id"] == 100
+    # and a completed-batch replay still skips
+    handle(batch, batch_id=0)
+    assert len(handle.reports) == 1
+
+
+def test_streaming_ann_ingest_compaction_bounds_rescan(spark, tmp_path):
+    """``compact_every`` folds admitted hashes into the snapshot set + a
+    rebuilt Bloom and clears the path list (ADVICE r12): the per-batch
+    anti-join re-read stays O(compact_every) paths, and docs admitted
+    BEFORE the compaction are still recognized as duplicates after it."""
+    from savio_training_dask_2019_spark.streaming import StreamingAnnIngest
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "doc_id long, vec array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, ce array<double>"
+    )
+    snapshot = spark.createDataFrame([(9, "known")], "doc_id long, text string")
+    out = str(tmp_path / "out")
+    handle = StreamingAnnIngest(
+        snapshot, corpus, centroids, out, k=1, nprobe=1, compact_every=2
+    )
+
+    schema = "doc_id long, text string, vec array<double>"
+    handle(spark.createDataFrame([(1, "alpha", [0.9, 0.1])], schema), batch_id=0)
+    assert len(handle._admitted_paths) == 1
+    handle(spark.createDataFrame([(2, "beta", [0.1, 0.9])], schema), batch_id=1)
+    # second non-empty batch hit compact_every=2 → paths folded + cleared
+    assert handle._admitted_paths == []
+    # a re-sent copy of a COMPACTED doc is caught via the snapshot set now
+    handle(spark.createDataFrame([(3, "alpha", [0.5, 0.5])], schema), batch_id=2)
+    assert handle.reports[2] == {
+        "batch_id": 2, "n_batch": 1, "n_known": 1, "n_dup": 0, "n_admitted": 0,
+    }
+    # nothing admitted in batch 2 → still no paths
+    assert handle._admitted_paths == []
+
+
+def test_streaming_ann_ingest_rate_source_end_to_end(spark, tmp_path):
+    """VERDICT r12 #8: StreamingAnnIngest under a REAL streaming runtime —
+    a ``rate-micro-batch`` readStream with a checkpointLocation and
+    Trigger.AvailableNow, not a hand-called foreachBatch. Pins the
+    streaming-runtime wiring: the query terminates, the handle sees the
+    checkpointed batch_id, per-batch outputs land, and a RESTART from the
+    same checkpoint resumes at the next offset (values 8..15) whose texts
+    all dedup against batch 0's admitted hashes."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.streaming import StreamingAnnIngest
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "doc_id long, vec array<double>"
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, ce array<double>"
+    )
+    snapshot = spark.createDataFrame([(9, "known")], "doc_id long, text string")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    handle = StreamingAnnIngest(snapshot, corpus, centroids, out, k=1, nprobe=1)
+
+    def rate_docs():
+        # values v → 4 distinct texts per 8-row batch (intra-batch dups)
+        return (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 8)
+            .option("numPartitions", 2)
+            .load()
+            .select(
+                F.col("value").alias("doc_id"),
+                F.concat(F.lit("doc-"), (F.col("value") % 4).cast("string")).alias(
+                    "text"
+                ),
+                F.array(
+                    ((F.col("value") % 2) == 0).cast("double"),
+                    ((F.col("value") % 2) == 1).cast("double"),
+                ).alias("vec"),
+            )
+        )
+
+    q = (
+        rate_docs()
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "rate-source query did not finish"
+    assert handle.reports[0] == {
+        "batch_id": 0, "n_batch": 8, "n_known": 0, "n_dup": 4, "n_admitted": 4,
+    }
+    assert spark.read.parquet(f"{out}/admitted/batch=0").count() == 4
+    assert spark.read.parquet(f"{out}/matches/batch=0").count() == 4  # k=1
+
+    # restart from the SAME checkpoint: the runtime resumes at batch 1
+    # (values 8..15) — same 4 texts, all cross-batch duplicates now
+    q2 = (
+        rate_docs()
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120), "restarted query did not finish"
+    # every row's hash was admitted in batch 0 → all 8 are prior-known
+    assert handle.reports[1] == {
+        "batch_id": 1, "n_batch": 8, "n_known": 8, "n_dup": 0, "n_admitted": 0,
+    }
