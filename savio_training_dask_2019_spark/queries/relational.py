@@ -2112,6 +2112,81 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WQB_BIN_CENTS = 500  # fixed $5 bins over the line-price domain
+_WQB_PCTS = (25, 50, 75, 90)
+
+
+def q_weighted_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned weighted quantiles (p25/p50/p75/p90) of line price per
+    supplier nation — the quantized SKETCH tier of the weighted-quantile
+    family (`weighted_median` is the exact tier, `kll_quantiles`/
+    `group_kll_quantiles` the unweighted sketch tier): weights (shipped
+    quantities) sum into fixed-width ``_WQB_BIN_CENTS`` price bins, and
+    the q-quantile is the midpoint of the FIRST bin whose cumulative
+    weight reaches q% of the nation's total — ``100·cumw >= q·W`` in
+    pure BIGINT (the weighted_median inequality generalized from q=50).
+
+    Error bound: binning preserves value order, so the selected bin
+    always CONTAINS the exact weighted q-quantile; the reported midpoint
+    is within ±bin_width/2 = ±250 cents of the exact value
+    (pytest-pinned against the exact tier). This IS the "quantize wide
+    domains to bins first" tier the exact tier's docstring points
+    wide-domain users at — now a first-class query instead of a caveat.
+
+    Exactness: every selection step — binning, weight sums, the
+    cumulative walk, the threshold inequality, the midpoint — is BIGINT
+    arithmetic; there is no float anywhere, so the oracle replays the
+    selection verbatim and the result is engine/partitioning-exact.
+
+    Scale: identical shape to the exact tier, but the groupBy key is
+    (nation, bin), so the shuffle AND the cumulative window are bounded
+    by domain/bin_width rows per nation REGARDLESS of corpus size — the
+    knob that keeps the per-group walk constant at 100 TB where a
+    distinct-price walk could not be."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    g = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            "s_nationkey",
+            F.expr(f"cents div {_WQB_BIN_CENTS}").alias("bin"),
+        )
+        .agg(F.sum("qty").cast("bigint").alias("w"))
+    )
+    wc = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("s_nationkey")
+    x = g.select(
+        "s_nationkey",
+        "bin",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("W"),
+    )
+    return (
+        x.select(
+            "s_nationkey",
+            "bin",
+            "cumw",
+            "W",
+            F.explode(F.array(*[F.lit(p) for p in _WQB_PCTS])).alias("pct"),
+        )
+        .where(100 * F.col("cumw") >= F.col("pct") * F.col("W"))
+        .groupBy("s_nationkey", "pct")
+        .agg(
+            (F.min("bin") * _WQB_BIN_CENTS + _WQB_BIN_CENTS // 2)
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+
+
 def q_chi2_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment 2×2 chi-squared independence test — the A/B-readout
     member of the drift/monitoring family (drift_psi asks "did the mix
@@ -2673,6 +2748,29 @@ GROUP BY s_nationkey
 """
 
 
+# bin width 500 and pcts (25,50,75,90) mirror _WQB_BIN_CENTS/_WQB_PCTS
+_WEIGHTED_QUANTILES_BINNED_SQL = """
+WITH g AS (
+  SELECT s_nationkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // 500 AS bin,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), x AS (
+  SELECT s_nationkey, bin,
+         CAST(sum(w) OVER (PARTITION BY s_nationkey ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY s_nationkey) AS BIGINT) AS W
+  FROM g
+), p AS (SELECT CAST(unnest([25, 50, 75, 90]) AS INTEGER) AS pct)
+SELECT x.s_nationkey, p.pct AS pct,
+       CAST(min(x.bin) * 500 + 250 AS BIGINT) AS value_cents
+FROM x CROSS JOIN p
+WHERE 100 * x.cumw >= p.pct * x.W
+GROUP BY 1, 2
+"""
+
+
 _BASKET_PAIRS_SQL = """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS ok, p_brand AS b
@@ -2750,6 +2848,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "basket_pairs": q_basket_pairs,
     "weighted_median": q_weighted_median,
+    "weighted_quantiles_binned": q_weighted_quantiles_binned,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -2811,6 +2910,7 @@ ORACLE = {
     "json_extract": _JSON_EXTRACT_SQL,
     "basket_pairs": _BASKET_PAIRS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "weighted_quantiles_binned": _WEIGHTED_QUANTILES_BINNED_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

@@ -1727,3 +1727,86 @@ def test_late_shipment_rate_boundary(spark, tmp_path):
 
     [r] = q_late_shipment_rate(spark, str(tmp_path)).collect()
     assert (r["n_lines"], r["n_late"], r["late_rate"]) == (2, 1, 0.5)
+
+
+def test_weighted_quantiles_binned_contains_exact_quantile(spark, sf_dir):
+    """The binned tier's error contract (VERDICT r12 #3): binning preserves
+    value order, so the selected bin CONTAINS the exact weighted q-quantile
+    and the reported midpoint is within ±bin_width/2 of it. Verified
+    against an independent pure-python exact weighted-quantile walk over
+    the fixture."""
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        _WQB_BIN_CENTS,
+        _WQB_PCTS,
+        q_weighted_quantiles_binned,
+    )
+    from savio_training_dask_2019_spark.sources import load_table
+
+    binned = {
+        (r["s_nationkey"], r["pct"]): r["value_cents"]
+        for r in q_weighted_quantiles_binned(spark, sf_dir).collect()
+    }
+    assert binned, "fixture produced no quantile rows"
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rows = li.join(su, li.l_suppkey == su.s_suppkey).collect()
+    by_nation = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        cents = int(round(r["l_extendedprice"] * 100))
+        by_nation[r["s_nationkey"]][cents] += int(r["l_quantity"])
+
+    for nation, masses in by_nation.items():
+        total = sum(masses.values())
+        cum = 0
+        exact = {}
+        pending = list(_WQB_PCTS)
+        for cents in sorted(masses):
+            cum += masses[cents]
+            while pending and 100 * cum >= pending[0] * total:
+                exact[pending.pop(0)] = cents
+        assert not pending
+        for pct, exact_cents in exact.items():
+            mid = binned[(nation, pct)]
+            lo = mid - _WQB_BIN_CENTS // 2
+            assert lo <= exact_cents < lo + _WQB_BIN_CENTS, (
+                f"nation {nation} p{pct}: exact {exact_cents} outside the "
+                f"selected bin [{lo}, {lo + _WQB_BIN_CENTS})"
+            )
+
+
+def test_weighted_quantiles_binned_hand_computed(spark, tmp_path):
+    """Hand-built masses pin the bin boundaries and the >= threshold.
+    Nation 0: weight 10 at 100 cents (bin 0) + 10 at 700 cents (bin 1) —
+    p25/p50 land in bin 0 (cum 10/20 = 50% >= 25/50), p75/p90 in bin 1;
+    midpoints 250 and 750. Nation 1: all weight in one bin → every pct
+    returns that bin's midpoint."""
+    import pandas as pd
+
+    sup = pd.DataFrame({"s_suppkey": [10, 11], "s_nationkey": [0, 1]})
+    sup.to_parquet(tmp_path / "supplier.parquet")
+    rows = [(10, 1.00, 10), (10, 7.00, 10), (11, 12.34, 3)]
+    pd.DataFrame(
+        {
+            "l_suppkey": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+            "l_quantity": [float(r[2]) for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_weighted_quantiles_binned,
+    )
+
+    got = {
+        (r["s_nationkey"], r["pct"]): r["value_cents"]
+        for r in q_weighted_quantiles_binned(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 25): 250, (0, 50): 250, (0, 75): 750, (0, 90): 750,
+        (1, 25): 1250, (1, 50): 1250, (1, 75): 1250, (1, 90): 1250,
+    }
