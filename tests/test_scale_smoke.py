@@ -641,3 +641,87 @@ def test_basket_pairs_mega_basket_bounded_fanout(spark):
     assert agg["total_co"] == n_small + mega_pairs   # co-counts sum exactly
     assert agg["max_co"] == n_small                  # the (b0,b1) pair
     assert elapsed < 180, f"basket smoke took {elapsed:.0f}s"
+
+
+def test_ivm_merge_1m_rows_planted_changelog_equals_recompute(spark):
+    """VERDICT r12 #5: the ivm_agg merge mechanism (two group-sized aggs +
+    ONE full-outer hash join on the group key) at 1M base rows with a
+    planted changelog — inserts, deletes, updates, and one group deleted
+    ENTIRELY (its merged count reaches 0 and must drop). The incremental
+    merge must equal the direct recompute over the post-change snapshot
+    exactly (count/sum are self-maintainable aggregates), inside a wall
+    bound."""
+    import time
+
+    n, k = 1_000_000, 1_000
+    # group: ids 0..999 form their own doomed group k; everyone else id % k
+    grp = F.when(F.col("id") < k, F.lit(k)).otherwise(F.col("id") % k)
+    base = spark.range(n).select(
+        F.col("id").alias("key"), grp.alias("g"), F.col("id").alias("val")
+    )
+
+    sgn = lambda x: F.lit(x).cast("bigint")  # noqa: E731
+    # changelog: 50k inserts into id % k groups; delete ids % 97 == 0 AND
+    # the whole doomed group; update (+7) surviving ids % 101 == 0
+    ins = spark.range(n, n + 50_000).select(
+        (F.col("id") % k).alias("g"), sgn(1).alias("sign"), F.col("id").alias("val")
+    )
+    doomed = F.col("key") < k
+    dels = base.where((F.col("key") % 97 == 0) | doomed).select(
+        "g", sgn(-1).alias("sign"), "val"
+    )
+    upd = base.where((F.col("key") % 97 != 0) & ~doomed & (F.col("key") % 101 == 0))
+    delta = (
+        ins.unionByName(dels)
+        .unionByName(upd.select("g", sgn(-1).alias("sign"), "val"))
+        .unionByName(
+            upd.select("g", sgn(1).alias("sign"), (F.col("val") + 7).alias("val"))
+        )
+    )
+
+    t0 = time.perf_counter()
+    base_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s"),
+    )
+    delta_agg = delta.groupBy("g").agg(
+        F.sum("sign").cast("bigint").alias("dn"),
+        F.sum(F.col("sign") * F.col("val")).cast("bigint").alias("ds"),
+    )
+    merged = (
+        base_agg.join(delta_agg, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_val"),
+        )
+        .where(F.col("n_rows") != 0)
+    )
+    got = {r["g"]: (r["n_rows"], r["sum_val"]) for r in merged.collect()}
+    elapsed = time.perf_counter() - t0
+
+    # direct recompute over the post-change snapshot (different algorithm)
+    survivors = base.where((F.col("key") % 97 != 0) & ~doomed).select(
+        "g",
+        F.when(F.col("key") % 101 == 0, F.col("val") + 7)
+        .otherwise(F.col("val"))
+        .alias("val"),
+    )
+    snap2 = survivors.unionByName(ins.select("g", "val"))
+    want = {
+        r["g"]: (r["n_rows"], r["sum_val"])
+        for r in snap2.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert k not in got  # the fully-deleted group dropped, not zero-row
+    assert len(got) == k  # groups 0..k-1 all survive
+    assert elapsed < 180, f"ivm merge smoke took {elapsed:.0f}s"
