@@ -1633,6 +1633,77 @@ FROM j
 """
 
 
+_SCD2_CUTOFF = "2024-01-15 00:00:00"  # mid-range of events at every SF
+
+
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension reconstruction + point-in-time snapshot — the
+    lakehouse-dimension companion to ``apply_cdc`` (that query applies a
+    changelog to get the LATEST state; this one derives the full version
+    HISTORY and answers "what did the dimension say as of T"): each
+    user's events are attribute-change records, versions get half-open
+    validity ``[effective_from, effective_to)`` via ONE ``lead()`` per
+    user over the total order (ts, event_id), and the snapshot join at
+    ``_SCD2_CUTOFF`` returns each user's then-current version — the
+    temporal-table / FOR SYSTEM_TIME AS OF read path.
+
+    Exactness: validity bounds are integer MICROSECONDS
+    (``unix_micros``, session TZ pinned UTC — DuckDB twins it with
+    ``epoch_us``); the boundary is exact: an event AT the cutoff is
+    effective (from <= T), a version ending AT the cutoff is not
+    (to > T fails) — half-open semantics, pytest-pinned. Values are
+    exact BIGINT cents; same-microsecond ties total-order on event_id.
+
+    Scale: one user-partitioned window pass (version numbers + lead in
+    the same spec — one shuffle, one sort) and a cutoff filter; no
+    join at all. At 100 TB the cutoff filter prunes to one row per
+    entity with any history before T — the output is dimension-sized,
+    never event-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("from_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("from_us", "event_id")
+    cut = F.expr(f"unix_micros(timestamp'{_SCD2_CUTOFF}')")
+    v = e.select(
+        "user_id",
+        "value_cents",
+        "from_us",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("from_us").over(w).alias("to_us"),
+    )
+    return v.where(
+        (F.col("from_us") <= cut) & (F.col("to_us").isNull() | (F.col("to_us") > cut))
+    ).select(
+        "user_id",
+        "version",
+        "value_cents",
+        F.col("from_us").cast("bigint").alias("effective_from_us"),
+    )
+
+
+_SCD2_SQL = """
+WITH v AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS from_us,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS INT)
+           AS version,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS to_us
+  FROM events
+)
+SELECT user_id, version, value_cents,
+       CAST(from_us AS BIGINT) AS effective_from_us
+FROM v
+WHERE from_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+  AND (to_us IS NULL OR to_us > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1662,6 +1733,7 @@ QUERIES = {
     "session_stats": q_session_stats,
     "wow_change": q_wow_change,
     "backlog_monthly": q_backlog_monthly,
+    "scd2_snapshot": q_scd2_snapshot,
 }
 
 ORACLE = {
@@ -1693,4 +1765,5 @@ ORACLE = {
     "session_stats": _SESSION_STATS_SQL,
     "wow_change": _WOW_SQL,
     "backlog_monthly": _BACKLOG_SQL,
+    "scd2_snapshot": _SCD2_SQL,
 }

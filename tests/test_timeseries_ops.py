@@ -231,3 +231,32 @@ def test_backlog_monthly_planted_flow(spark, tmp_path):
         for r in q_backlog_monthly(spark, str(tmp_path)).collect()
     }
     assert got == {1: (3, 1, 2), 2: (0, 2, 0), 3: (1, 0, 1)}
+
+
+def test_scd2_snapshot_planted_history(spark, tmp_path):
+    """Hand-built version histories pin the half-open [from, to) semantics
+    and the as-of boundary at the fixed cutoff (2024-01-15 00:00:00):
+    u1's version AT the cutoff is effective (from <= T) and supersedes the
+    one ENDING at the cutoff (to > T fails); u2's single pre-cutoff
+    version is open-ended current; u3 has no history before T -> no row;
+    u4's same-timestamp tie total-orders on event_id (the later id wins
+    as of T)."""
+    _write_events(
+        tmp_path,
+        [
+            (10, "2024-01-14 09:00", 1, "set", 1.00),   # v1, ends AT cutoff
+            (11, "2024-01-15 00:00", 1, "set", 2.00),   # v2, AT cutoff: wins
+            (12, "2024-01-16 09:00", 1, "set", 3.00),   # v3, future
+            (20, "2024-01-02 08:00", 2, "set", 5.00),   # v1, open-ended
+            (30, "2024-01-20 08:00", 3, "set", 7.00),   # all post-cutoff
+            (40, "2024-01-10 12:00", 4, "set", 1.11),   # tie: v1 (id 40)
+            (41, "2024-01-10 12:00", 4, "set", 2.22),   # tie: v2 wins as-of
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_scd2_snapshot
+
+    got = {
+        r["user_id"]: (r["version"], r["value_cents"])
+        for r in q_scd2_snapshot(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 200), 2: (1, 500), 4: (2, 222)}
