@@ -1704,6 +1704,105 @@ WHERE from_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
 """
 
 
+_ATTR_GAP_US = 1_800_000_000  # 30-min session gap, in integer microseconds
+_ATTR_TOUCHES = ("view", "click", "signup")  # marketing touchpoints
+
+
+def q_sessionize_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution — the marketing-analytics layer on
+    top of the sessionization the session_stats/session_window family
+    builds: every purchase is credited to the nearest PRECEDING
+    marketing touch (view/click/signup) by the same user in the same
+    30-minute-gap session; purchases with no in-session prior touch are
+    'direct'. Output: per-channel purchase count + exact revenue cents.
+
+    Semantics pinned by pytest: strictly-preceding (a touch at the
+    purchase's own instant but a later event_id does NOT get credit),
+    cross-session isolation (a touch in the previous session never
+    carries over — that is the difference from a plain asof join), and
+    a gap of exactly 30 min starts a NEW session (the strict-< merge
+    rule shared with session_stats).
+
+    Exactness: timestamps are integer microseconds, revenue exact BIGINT
+    cents; ties total-order on event_id. The credited channel is a
+    ``last(ignorenulls)`` over the ROWS frame (unboundedPreceding, -1)
+    — pure value propagation, no float anywhere.
+
+    Scale: two window passes (island ids per user, then the last-touch
+    walk per (user, session)) — two keyed shuffles — and one tiny
+    groupBy. No self-join: the naive formulation (purchases ⋈ touches
+    with a per-pair max) is quadratic in dense sessions; the running
+    frame is linear and skew-safe (a hot user degrades to a sequential
+    within-partition scan, never a pair blow-up)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("us") - prev >= _ATTR_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    s = e.withColumn(
+        "sess",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin(*_ATTR_TOUCHES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w2)
+    return (
+        s.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id)
+                      >= 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sid AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+  FROM s
+), t AS (
+  SELECT *, last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                            THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id, sess ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS touch
+  FROM sid
+)
+SELECT COALESCE(touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1734,6 +1833,7 @@ QUERIES = {
     "wow_change": q_wow_change,
     "backlog_monthly": q_backlog_monthly,
     "scd2_snapshot": q_scd2_snapshot,
+    "sessionize_attribution": q_sessionize_attribution,
 }
 
 ORACLE = {
@@ -1766,4 +1866,5 @@ ORACLE = {
     "wow_change": _WOW_SQL,
     "backlog_monthly": _BACKLOG_SQL,
     "scd2_snapshot": _SCD2_SQL,
+    "sessionize_attribution": _ATTRIBUTION_SQL,
 }

@@ -260,3 +260,50 @@ def test_scd2_snapshot_planted_history(spark, tmp_path):
         for r in q_scd2_snapshot(spark, str(tmp_path)).collect()
     }
     assert got == {1: (2, 200), 2: (1, 500), 4: (2, 222)}
+
+
+def test_sessionize_attribution_planted_touchpoints(spark, tmp_path):
+    """Hand-built journeys pin the attribution rules. u1: view → click →
+    purchase in one session credits CLICK (nearest preceding touch, not
+    first); a second purchase in the same session still credits the same
+    click (no consumption). u2: touch, then a 30-min gap (NEW session —
+    strict-< rule), then purchase → DIRECT (cross-session isolation).
+    u3: purchase with no touch ever → direct; an 'error' event is not a
+    touch. u4: touch at the SAME timestamp as the purchase but a later
+    event_id gets no credit (strictly-preceding frame); the same-ts
+    EARLIER event_id does."""
+    _write_events(
+        tmp_path,
+        [
+            # u1: view 10:00, click 10:10, purchase 10:20 ($2), purchase 10:25 ($3)
+            (1, "2024-01-01 10:00", 1, "view", 0),
+            (2, "2024-01-01 10:10", 1, "click", 0),
+            (3, "2024-01-01 10:20", 1, "purchase", 2.00),
+            (4, "2024-01-01 10:25", 1, "purchase", 3.00),
+            # u2: signup 09:00, purchase 09:30 sharp (gap == 30 min: NEW session)
+            (5, "2024-01-02 09:00", 2, "signup", 0),
+            (6, "2024-01-02 09:30", 2, "purchase", 5.00),
+            # u3: error then purchase — error is not a touch
+            (7, "2024-01-03 08:00", 3, "error", 0),
+            (8, "2024-01-03 08:05", 3, "purchase", 7.00),
+            # u4a: purchase (id 9) then same-ts view (id 10): no credit
+            (9, "2024-01-04 12:00", 4, "purchase", 11.00),
+            (10, "2024-01-04 12:00", 4, "view", 0),
+            # u5: same-ts view with EARLIER id then purchase: view credited
+            (11, "2024-01-05 12:00", 5, "view", 0),
+            (12, "2024-01-05 12:00", 5, "purchase", 13.00),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_sessionize_attribution,
+    )
+
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in q_sessionize_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "click": (2, 500),       # u1's both purchases
+        "direct": (3, 2300),     # u2 (cross-session), u3 (error), u4a (same-ts later)
+        "view": (1, 1300),       # u5 (same-ts earlier id)
+    }
