@@ -2187,6 +2187,94 @@ def q_weighted_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_ANCHOR = "2002-01-01"  # first day after the orders date domain
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores within each market segment, rolled up to segment ×
+    RFM-label counts (the classic CRM cube; cohort_ltv slices by time,
+    this slices by behavior). Recency = days from the customer's last
+    order to a fixed anchor just past the date domain; frequency =
+    exact order count; monetary = exact cents. Each score is NTILE(5)
+    over (metric, c_custkey) — a TOTAL order, so the quotient+remainder
+    group assignment is deterministic and engine-identical (remainder
+    semantics pytest-pinned); 5 = best on all three axes.
+
+    Exactness: metrics are integers (days via date arithmetic on
+    midnight-aligned order dates, BIGINT count and cents); NTILE needs
+    no arithmetic at all — the output is pure integer labels + BIGINT
+    rollups, zero float.
+
+    Scale: orders pre-aggregate to ONE row per customer FIRST (the
+    fact-scan shuffle is the per-customer groupBy), so the three NTILE
+    windows walk the customer DIMENSION within each segment — never
+    fact rows. All three share one partition key: one shuffle, three
+    in-partition sorts. A dimension too large for per-segment sorts
+    quantizes each metric first (the weighted_quantiles_binned tier)
+    and scores by broadcast bin-boundary comparison instead."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.max("d")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    r = F.ntile(5).over(seg.orderBy(F.col("recency_days").desc(), "c_custkey"))
+    f = F.ntile(5).over(seg.orderBy(F.col("n_orders").asc(), "c_custkey"))
+    mo = F.ntile(5).over(seg.orderBy(F.col("cents").asc(), "c_custkey"))
+    return (
+        m.select(
+            "c_mktsegment",
+            "cents",
+            (r * 100 + f * 10 + mo).cast("int").alias("rfm"),
+        )
+        .groupBy("c_mktsegment", "rfm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+_RFM_SQL = """
+WITH m AS (
+  SELECT c_custkey, c_mktsegment,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   DATE '2002-01-01') AS recency_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT c_mktsegment, cents,
+         ntile(5) OVER (PARTITION BY c_mktsegment
+                        ORDER BY recency_days DESC, c_custkey) AS r,
+         ntile(5) OVER (PARTITION BY c_mktsegment
+                        ORDER BY n_orders, c_custkey) AS f,
+         ntile(5) OVER (PARTITION BY c_mktsegment
+                        ORDER BY cents, c_custkey) AS mo
+  FROM m
+)
+SELECT c_mktsegment, CAST(r * 100 + f * 10 + mo AS INT) AS rfm,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_chi2_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment 2×2 chi-squared independence test — the A/B-readout
     member of the drift/monitoring family (drift_psi asks "did the mix
@@ -2849,6 +2937,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "weighted_median": q_weighted_median,
     "weighted_quantiles_binned": q_weighted_quantiles_binned,
+    "rfm_segments": q_rfm_segments,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -2911,6 +3000,7 @@ ORACLE = {
     "basket_pairs": _BASKET_PAIRS_SQL,
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
     "weighted_quantiles_binned": _WEIGHTED_QUANTILES_BINNED_SQL,
+    "rfm_segments": _RFM_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

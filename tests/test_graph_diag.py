@@ -1810,3 +1810,63 @@ def test_weighted_quantiles_binned_hand_computed(spark, tmp_path):
         (0, 25): 250, (0, 50): 250, (0, 75): 750, (0, 90): 750,
         (1, 25): 1250, (1, 50): 1250, (1, 75): 1250, (1, 90): 1250,
     }
+
+
+def test_rfm_segments_planted_quintiles(spark, tmp_path):
+    """Hand-built single-segment population of 7 customers pins NTILE(5)
+    remainder semantics (7 = 5·1 + 2 → group sizes 2,2,1,1,1: the FIRST
+    two quintiles absorb the remainder) and the c_custkey tie-break on
+    equal metrics. Customers 1..7 get strictly increasing frequency and
+    monetary and strictly DECREASING recency (later last-order = more
+    recent), so all three scores agree by construction; customers 1 and 2
+    share every metric value except custkey order."""
+    import pandas as pd
+
+    n = 7
+    pd.DataFrame(
+        {
+            "c_custkey": range(1, n + 1),
+            "c_mktsegment": ["SEG"] * n,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    rows = []
+    ok = 0
+    for cust in range(1, n + 1):
+        # frequency = cust orders; last order day = Jan cust (later = better);
+        # per-order price 10.00·cust → monetary strictly increasing
+        n_orders = 1 if cust <= 2 else cust  # tie between 1 and 2
+        day = 3 if cust <= 2 else cust      # tie between 1 and 2
+        for _ in range(n_orders):
+            ok += 1
+            rows.append((ok, cust, f"2024-01-{day:02d}", 10.00 * cust))
+    odf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderdate": [pd.Timestamp(r[2]) for r in rows],
+            "o_totalprice": [r[3] for r in rows],
+        }
+    )
+    # non-events planted tables must write micros (nanos read back BIGINT)
+    odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
+    odf.to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_rfm_segments
+
+    got = {
+        r["rfm"]: (r["n_customers"], r["total_cents"])
+        for r in q_rfm_segments(spark, str(tmp_path)).collect()
+    }
+    # total order per metric (ties on custkey): customers 1..7 ascending.
+    # ntile(5) over 7 rows → quintiles (1,1,2,2,3,4,5) — first two groups
+    # absorb the remainder. cents: c1=1000, c2=2000, c3=3·3000=9000,
+    # c4=4·4000=16000, c5=25000, c6=36000, c7=49000.
+    # → per-customer scores r/f/m agree: c1=111, c2=111, c3=222, c4=222,
+    #   c5=333, c6=444, c7=555.
+    assert got == {
+        111: (2, 3000),
+        222: (2, 25000),
+        333: (1, 25000),
+        444: (1, 36000),
+        555: (1, 49000),
+    }
