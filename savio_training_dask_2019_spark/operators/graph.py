@@ -357,3 +357,89 @@ def bfs_oracle_cte(
         )
     final = select_sql or f"SELECT id, hops FROM v{max_hops}"
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded-round single/multi-source shortest paths — Bellman-Ford
+    relaxation for ``rounds`` iterations over a weighted directed edge
+    list: returns ``(id, cost)``, the exact minimum path cost from any
+    seed using at most ``rounds`` edges. The WEIGHTED completion of
+    :func:`bfs_hops` (hop count = SSSP with unit weights), finishing the
+    graph tier's question set: membership (components), importance
+    (pagerank), density (triangles), reach (bfs), and now cost.
+
+    Exactness: costs are sums and mins in the input weight dtype —
+    integer weights give pure-BIGINT arithmetic, so the result is
+    partitioning-exact and a chained-CTE SQL twin
+    (:func:`sssp_oracle_cte`) replays it verbatim.
+
+    Scale (the Pregel discipline shared with pagerank/bfs_hops): per
+    round ONE dist⋈edges hash join + one map-side-combinable min-groupBy
+    over (|dist| + |relaxed|) rows, localCheckpoint per round so lineage
+    never stacks; the edge list is checkpointed once. Distances carry
+    (id, cost) longs only — never paths. Negative weights are allowed
+    by the algebra (it is Bellman-Ford) but rounds must then reach the
+    longest useful path length; with non-negative weights ``rounds`` =
+    graph diameter recovers full Dijkstra semantics."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).alias("w"),
+    ).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist["id"] == e["src"]).select(
+            F.col("dst").alias("id"), (dist["cost"] + e["w"]).alias("cost")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def sssp_oracle_cte(
+    edges_sql: str, seeds_sql: str, rounds: int, select_sql: str | None = None
+) -> str:
+    """DuckDB twin of :func:`sssp_bounded` as chained CTEs — one
+    relax-and-min CTE per round (the bfs_oracle_cte pattern: min-agg per
+    round, NEVER path enumeration, so the oracle stays polynomial on
+    dense graphs). ``edges_sql`` selects ``src, dst, w``; ``seeds_sql``
+    selects ``id``; ``select_sql`` overrides the final projection over
+    ``d{rounds}(id, cost)``."""
+    parts = [
+        f"e AS ({edges_sql})",
+        f"d0 AS (SELECT DISTINCT id, CAST(0 AS BIGINT) AS cost "
+        f"FROM ({seeds_sql}))",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"d{r - 1}"
+        parts.append(
+            f"""d{r} AS (
+  SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM (
+    SELECT id, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, d.cost + e.w AS cost
+    FROM {prev} d JOIN e ON d.id = e.src
+  ) GROUP BY id
+)""",
+        )
+    final = select_sql or f"SELECT id, cost FROM d{rounds}"
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -15,7 +15,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.fuzzy import edit_distance_join, edit_distance_lookup
-from ..operators.graph import bfs_hops, bfs_oracle_cte, pagerank, pagerank_oracle_cte
+from ..operators.graph import (
+    bfs_hops,
+    bfs_oracle_cte,
+    pagerank,
+    pagerank_oracle_cte,
+    sssp_bounded,
+    sssp_oracle_cte,
+)
 from ..operators.ranges import banded_range_join
 from ..sources import load_table
 
@@ -1624,6 +1631,83 @@ _REACHABLE_SQL = bfs_oracle_cte(
 )
 
 
+_SSSP_ROUNDS = 3
+
+
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round shortest-path costs over the weighted trade graph —
+    Bellman-Ford relaxation for {r} rounds from nation-{n} suppliers
+    (operators/graph.sssp_bounded): each supplier↔customer edge costs
+    ``1000000 div n_trades`` (stronger trade relationships are cheaper
+    to traverse), and the answer is each node's exact minimum cost using
+    at most {r} edges — the WEIGHTED completion of ``reachable_nodes``
+    (whose hop counts are this query with unit weights), closing the
+    graph tier's question set: membership, importance, density, reach,
+    cost.
+
+    Exactness: weights, path sums, and mins are pure BIGINT (the edge
+    weight is one exact integer division), so the chained-CTE oracle —
+    one relax-and-min CTE per round, min-agg NOT path enumeration, the
+    bfs/pagerank oracle pattern — is bit-identical by construction.
+
+    Scale: per round ONE dist⋈edges hash join + one map-side-combinable
+    min-groupBy, checkpointed per round; distances carry (id, cost)
+    longs only, never paths. Same Pregel discipline as pagerank/bfs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select("a", "b", F.expr("1000000 div n").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == _BFS_SEED_NATION)
+        .select((F.col("s_suppkey") * 2).alias("id"))
+    )
+    d = sssp_bounded(edges, seeds, rounds=_SSSP_ROUNDS)
+    return d.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.col("cost").cast("bigint").alias("min_cost"),
+    )
+
+
+q_sssp_bounded.__doc__ = q_sssp_bounded.__doc__.format(
+    r=_SSSP_ROUNDS, n=_BFS_SEED_NATION
+)
+
+_SSSP_EDGES_SQL = """SELECT src, dst, w FROM (
+  SELECT a, b, 1000000 // n AS w FROM (
+    SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+  )
+) p, (SELECT 1 AS fwd UNION ALL SELECT 0) dirs(fwd),
+LATERAL (SELECT CASE WHEN fwd = 1 THEN a ELSE b END AS src,
+                CASE WHEN fwd = 1 THEN b ELSE a END AS dst) s"""
+
+_SSSP_SQL = sssp_oracle_cte(
+    _SSSP_EDGES_SQL,
+    _BFS_SEEDS_SQL,
+    rounds=_SSSP_ROUNDS,
+    select_sql=(
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'supplier' ELSE 'customer' END"
+        f" AS node_type, CAST(cost AS BIGINT) AS min_cost FROM d{_SSSP_ROUNDS}"
+    ),
+)
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -2938,6 +3022,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "weighted_quantiles_binned": q_weighted_quantiles_binned,
     "rfm_segments": q_rfm_segments,
+    "sssp_bounded": q_sssp_bounded,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3001,6 +3086,7 @@ ORACLE = {
     "weighted_median": _WEIGHTED_MEDIAN_SQL,
     "weighted_quantiles_binned": _WEIGHTED_QUANTILES_BINNED_SQL,
     "rfm_segments": _RFM_SQL,
+    "sssp_bounded": _SSSP_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

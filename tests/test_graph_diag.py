@@ -1870,3 +1870,76 @@ def test_rfm_segments_planted_quintiles(spark, tmp_path):
         444: (1, 36000),
         555: (1, 49000),
     }
+
+
+def test_sssp_bounded_planted_routes(spark):
+    """Planted weighted digraph pins Bellman-Ford semantics: the cheap
+    2-hop route (2+3=5) beats the direct edge (10); a still-cheaper
+    4-hop chain (1+1+1+1=4) is invisible at rounds=3 (the bound is real)
+    and found at rounds=4; rounds=1 sees only the direct edge."""
+    from savio_training_dask_2019_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),           # direct but expensive
+            (1, 3, 2), (3, 2, 3),  # 2-hop, cost 5
+            (1, 4, 1), (4, 5, 1), (5, 6, 1), (6, 2, 1),  # 4-hop, cost 4
+        ],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+
+    def run(rounds):
+        return {
+            r["id"]: r["cost"]
+            for r in sssp_bounded(edges, seeds, rounds=rounds).collect()
+        }
+
+    assert run(1)[2] == 10
+    assert run(3)[2] == 5           # 4-hop route out of reach
+    assert run(4)[2] == 4
+    d3 = run(3)
+    assert d3[1] == 0 and d3[3] == 2 and d3[6] == 3  # 1→4→5→6
+
+
+def test_sssp_bounded_matches_python_bellman_ford(spark):
+    """Differential: a deterministic pseudo-random 60-node digraph vs a
+    direct python Bellman-Ford with the same round bound."""
+    from savio_training_dask_2019_spark.operators.graph import sssp_bounded
+
+    n, rounds = 60, 4
+    edges = [
+        (a, (a * 7 + k * 13) % n, 1 + (a * 31 + k * 17) % 9)
+        for a in range(n)
+        for k in range(3)
+    ]
+    dist = {0: 0, 1: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if a in dist and dist[a] + w < nxt.get(b, 1 << 60):
+                nxt[b] = dist[a] + w
+        dist = nxt
+
+    got = {
+        r["id"]: r["cost"]
+        for r in sssp_bounded(
+            spark.createDataFrame(edges, "src long, dst long, w long"),
+            spark.createDataFrame([(0,), (1,)], "id long"),
+            rounds=rounds,
+        ).collect()
+    }
+    assert got == dist
+
+
+def test_sssp_bounded_rounds_validation(spark):
+    import pytest
+
+    from savio_training_dask_2019_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="rounds"):
+        sssp_bounded(e, s, rounds=-1)
+    # rounds=0: seeds only, cost 0
+    assert {r["id"]: r["cost"] for r in sssp_bounded(e, s, 0).collect()} == {1: 0}
