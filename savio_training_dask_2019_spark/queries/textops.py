@@ -535,7 +535,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
-_DEDUP_CLUSTERS_SQL = f"""
+# shared CTE chain: exact n-gram Jaccard edges -> recursive min-reachable-id
+# components; consumed by _DEDUP_CLUSTERS_SQL and _SURVIVORSHIP_SQL
+_CLUSTER_CTES = f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
 sh AS (
@@ -565,9 +567,85 @@ reach(id, r) AS (
   SELECT DISTINCT a, a FROM sym
   UNION
   SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id
+)"""
+
+_DEDUP_CLUSTERS_SQL = (
+    _CLUSTER_CTES
+    + "\nSELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id"
+    " ORDER BY doc_id\n"
 )
-SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction — the MDM survivorship step a real
+    dedup pipeline runs AFTER ``dedup_clusters``: per near-dup cluster,
+    elect the survivor document by the quality rule (longest n_chars,
+    doc_id tie-break) and merge the cluster's evidence — member count,
+    total chars, distinct-source count, and the survivor's language.
+    dedup_keep_best answers "which rows survive"; this builds the merged
+    record a master-data system actually stores.
+
+    Exactness: the survivor election is ONE row_number over the total
+    order (n_chars DESC, doc_id) — no arithmetic; all rollups are exact
+    BIGINTs. The oracle replays the SAME recursive-CTE cluster chain as
+    dedup_clusters (shared _CLUSTER_CTES), then the same election, so
+    agreement checks the whole pairs→components→survivorship pipeline
+    end to end.
+
+    Scale: everything after the (already bucketed) pair tier is keyed by
+    cluster_id — one groupBy + one window over cluster-sized partitions
+    + one group-sized join. Cluster sizes are the skew axis; a
+    boilerplate mega-cluster is exactly the hot key the AQE/salting
+    notes on the dedup tier cover."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(edges)
+    j = cc.select(F.col("id").alias("doc_id"), "cluster_id").join(
+        d.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    rollup = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    surv = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("lang").alias("survivor_lang"),
+        )
+    )
+    return rollup.join(surv, "cluster_id")
+
+
+_SURVIVORSHIP_SQL = (
+    _CLUSTER_CTES
+    + """,
+cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+j AS (
+  SELECT cc.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+  FROM cc JOIN documents d USING (doc_id)
+),
+rollup AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM j GROUP BY 1
+),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor_doc_id, lang AS survivor_lang
+  FROM j
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) = 1
+)
+SELECT cluster_id, n_members, total_chars, n_sources,
+       survivor_doc_id, survivor_lang
+FROM rollup JOIN surv USING (cluster_id)
 """
+)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,6 +1352,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "doc_tfidf": q_doc_tfidf,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivorship": q_dedup_survivorship,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
 }
@@ -1299,6 +1378,7 @@ ORACLE = {
     "ngram_jaccard": _NGRAM_JACCARD_SQL,
     "doc_tfidf": _DOC_TFIDF_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_survivorship": _SURVIVORSHIP_SQL,
     # minhash_pairs / simhash_pairs: intentionally no oracle (approximate /
     # engine-specific hash) → driver records rows-only checks.
 }

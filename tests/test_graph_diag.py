@@ -1943,3 +1943,38 @@ def test_sssp_bounded_rounds_validation(spark):
         sssp_bounded(e, s, rounds=-1)
     # rounds=0: seeds only, cost 0
     assert {r["id"]: r["cost"] for r in sssp_bounded(e, s, 0).collect()} == {1: 0}
+
+
+def test_dedup_survivorship_planted_conflicts(spark, tmp_path):
+    """Hand-built cluster with field conflicts: three copies of one text
+    (pairwise Jaccard 1.0 → one cluster, id = min doc_id) where the
+    longest n_chars wins and an n_chars tie breaks on the LOWER doc_id;
+    rollups merge across all members (total chars, distinct sources).
+    The unrelated singleton never appears — survivorship only speaks for
+    clustered docs."""
+    import pandas as pd
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 9],
+            "text": [dup, dup, dup, "completely different words entirely here"],
+            "lang": ["en", "fr", "de", "en"],
+            "source": ["s1", "s2", "s1", "s3"],
+            "n_chars": [10, 30, 30, 99],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from savio_training_dask_2019_spark.queries.textops import (
+        q_dedup_survivorship,
+    )
+
+    rows = q_dedup_survivorship(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r["cluster_id"] == 1
+    assert r["n_members"] == 3
+    assert r["total_chars"] == 70
+    assert r["n_sources"] == 2
+    assert r["survivor_doc_id"] == 2  # n_chars tie 30/30 → lower doc_id
+    assert r["survivor_lang"] == "fr"
