@@ -1360,6 +1360,121 @@ JOIN n nb ON d.id_b = nb.vec_id
 WHERE dot > 0 AND 100 * dot * dot >= 16 * na.nsq * nb.nsq
 """
 
+
+_EDRIFT_DIM = 64  # fixture embedding width (knn_brute's len-64 FLOAT[])
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift — the EMBEDDING member completing the
+    drift-monitor family (drift_psi: categorical mix; drift_numeric /
+    drift_ks: one numeric column; THIS: the vector modality a semantic
+    search / RAG index actually serves): split the corpus into reference
+    and current halves (vec_id parity — in production, last week vs this
+    week), compare their CENTROIDS by cosine and squared L2. A centroid
+    cosine falling from ~1 is the cheap first alarm that the embedding
+    distribution moved (new domain mix, new encoder version) and the ANN
+    index/centroids need retraining.
+
+    Exactness (the sparse_cosine_pairs quantization discipline): each
+    component is milli-quantized to BIGINT once (round half-away-from-
+    zero — identical in both engines), per-dimension sums and counts are
+    exact BIGINT with map-side combine, the centroid is the exact floor
+    division sum div n (milli-units), and all three moments (dot, the
+    two squared norms) are pure BIGINT over the 64-row centroid join —
+    the ONLY float is the final one fixed-order cosine rounded 5 dp.
+    Squared-L2 drift is reported fully exact (milli² BIGINT).
+
+    Scale: the per-dimension sum is a posexplode + groupBy(half, dim) —
+    rows×dim exploded rows REDUCE to 2·dim per partition before the
+    shuffle (partial agg), so the exchange carries O(dim) rows per
+    partition regardless of corpus size; everything after is a 64-row
+    frame. The two 1-row count attaches are the documented scalar
+    crossJoin shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    )
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"), F.posexplode(q).alias("p0", "qv")
+    )
+    s = (
+        e.groupBy("half", (F.col("p0") + 1).alias("p"))
+        .agg(
+            F.sum("qv").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        # 2·dim rows feeding three consumers (moments + both count
+        # attaches): checkpoint so the corpus scan runs exactly once
+        .localCheckpoint(eager=True)
+    )
+    m = s.select("half", "p", F.expr("s div n").alias("m"))
+    a = m.where(F.col("half") == 0).select("p", F.col("m").alias("ma"))
+    b = m.where(F.col("half") == 1).select("p", F.col("m").alias("mb"))
+    mom = (
+        a.join(b, "p")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).cast("bigint").alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).cast("bigint").alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).cast("bigint").alias("nb"),
+            F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            .cast("bigint")
+            .alias("l2_sq_milli"),
+        )
+    )
+    # counts ride the s frame (n is constant across p within a half) —
+    # no second corpus scan
+    nr = s.where((F.col("half") == 0) & (F.col("p") == 1)).select(
+        F.col("n").alias("n_ref")
+    )
+    nc = s.where((F.col("half") == 1) & (F.col("p") == 1)).select(
+        F.col("n").alias("n_cur")
+    )
+    return (
+        mom.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                5,
+            ).alias("centroid_cosine"),
+            "l2_sq_milli",
+        )
+    )
+
+
+_EDRIFT_SQL = f"""
+WITH pos AS (SELECT unnest(range(1, {_EDRIFT_DIM} + 1)) AS p),
+e AS (
+  SELECT vec_id % 2 AS half, pos.p AS p,
+         CAST(round(CAST(embedding[pos.p] AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings, pos
+),
+s AS (
+  SELECT half, p, CAST(sum(qv) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+m AS (SELECT half, p, s // n AS m FROM s),
+mom AS (
+  SELECT CAST(sum(a.m * b.m) AS BIGINT) AS dot,
+         CAST(sum(a.m * a.m) AS BIGINT) AS na,
+         CAST(sum(b.m * b.m) AS BIGINT) AS nb,
+         CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS l2_sq_milli
+  FROM (SELECT p, m FROM m WHERE half = 0) a
+  JOIN (SELECT p, m FROM m WHERE half = 1) b USING (p)
+),
+cnt AS (SELECT half, n FROM s WHERE p = 1)
+SELECT (SELECT n FROM cnt WHERE half = 0) AS n_ref,
+       (SELECT n FROM cnt WHERE half = 1) AS n_cur,
+       round(CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)), 5)
+         AS centroid_cosine,
+       l2_sq_milli
+FROM mom
+"""
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
@@ -1383,6 +1498,7 @@ QUERIES = {
     "ivfpq_rerank": q_ivfpq_rerank,
     "quantize_int8": q_quantize_int8,
     "sparse_cosine_pairs": q_sparse_cosine_pairs,
+    "embedding_drift": q_embedding_drift,
     "decontam_semantic": q_decontam_semantic,
     "kmeans_train": q_kmeans_train,
     "mmr_rerank": q_mmr_rerank,
@@ -1409,6 +1525,7 @@ ORACLE = {
     "ivfpq_rerank": _IVFPQ_RERANK_SQL,
     "quantize_int8": _QUANT_SQL,
     "sparse_cosine_pairs": _SPARSE_COSINE_SQL,
+    "embedding_drift": _EDRIFT_SQL,
     "decontam_semantic": _SEM_DECONTAM_SQL,
     "kmeans_train": _kmeans_sql(),
     "ann_recall": _ANN_RECALL_SQL,

@@ -1978,3 +1978,51 @@ def test_dedup_survivorship_planted_conflicts(spark, tmp_path):
     assert r["n_sources"] == 2
     assert r["survivor_doc_id"] == 2  # n_chars tie 30/30 → lower doc_id
     assert r["survivor_lang"] == "fr"
+
+
+def test_embedding_drift_planted_centroids(spark, tmp_path):
+    """Hand-built halves pin the centroid algebra. Identical halves →
+    cosine 1.0 and zero squared-L2; orthogonal centroids → cosine 0.0;
+    a hand-computed shifted pair reproduces the exact floor-div
+    milli-centroid moments."""
+    import pandas as pd
+
+    def write(rows):
+        pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [r[1] for r in rows],
+                "label": 0,
+            }
+        ).to_parquet(tmp_path / "embeddings.parquet")
+        spark.catalog.clearCache()
+
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        _EDRIFT_DIM,
+        q_embedding_drift,
+    )
+
+    def pad(v):
+        return v + [0.0] * (_EDRIFT_DIM - len(v))
+
+    # identical halves: evens and odds carry the same two vectors
+    write([(0, pad([0.5, 0.25])), (2, pad([0.1, 0.3])),
+           (1, pad([0.5, 0.25])), (3, pad([0.1, 0.3]))])
+    [r] = q_embedding_drift(spark, str(tmp_path)).collect()
+    assert (r["n_ref"], r["n_cur"]) == (2, 2)
+    assert r["centroid_cosine"] == 1.0
+    assert r["l2_sq_milli"] == 0
+
+    # orthogonal centroids: ref on dim 1, cur on dim 2
+    write([(0, pad([1.0, 0.0])), (1, pad([0.0, 1.0]))])
+    [r] = q_embedding_drift(spark, str(tmp_path)).collect()
+    assert r["centroid_cosine"] == 0.0
+    assert r["l2_sq_milli"] == 1000**2 + 1000**2
+
+    # hand-computed floor-div centroids: ref {1.0, 0.5} → sum 1500 div 2
+    # = 750 milli; cur {0.25} → 250 milli; dot = 750·250, norms 750², 250²
+    write([(0, pad([1.0])), (2, pad([0.5])), (1, pad([0.25]))])
+    [r] = q_embedding_drift(spark, str(tmp_path)).collect()
+    assert (r["n_ref"], r["n_cur"]) == (2, 1)
+    assert r["centroid_cosine"] == 1.0  # same direction exactly
+    assert r["l2_sq_milli"] == (750 - 250) ** 2

@@ -408,6 +408,7 @@ _MAX_BNLJ = {
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
+    "embedding_drift": 2,   # 1-row count attach ×2 (ref + cur scalars)
     "hard_negatives": 1,    # broadcast anchor batch (size = caller's lever)
     "heavy_domains": 1,     # 1-row error-bound scalar (weighted MG)
     "heavy_hitters": 1,     # 1-row error-bound scalar
@@ -449,6 +450,7 @@ _MAX_SINGLE_PARTITION = {
     "describe_summary": 1, "distinct_approx": 1, "doc_tfidf": 1,
     "drift_ks": 2,  # 1-row totals fold + the <=_KS_B-row cumulative window
     "drift_numeric": 1, "drift_psi": 1,
+    "embedding_drift": 1,  # the 1-row centroid-moments aggregate
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heaps_curve": 1,  # the <=100-row cumulative window's exchange
     "heavy_domains": 1,
