@@ -23,6 +23,7 @@ from .stateful import (
     DriftMonitor,
     NumericDriftMonitor,
     StreamingCountMin,
+    StreamingEmbeddingDrift,
     StreamingTwap,
     StreamingWeightedReservoir,
     ks_from_bin_counts,
@@ -46,6 +47,7 @@ __all__ = [
     "DriftMonitor",
     "NumericDriftMonitor",
     "StreamingCountMin",
+    "StreamingEmbeddingDrift",
     "StreamingTwap",
     "StreamingWeightedReservoir",
     "ks_from_bin_counts",

@@ -583,3 +583,99 @@ class StreamingTwap:
                 "twap": round(wsum / (100.0 * dsum), 6) if dsum else None,
             }
         return out
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark SQL ``div`` (and
+    DuckDB ``//`` on this path) semantics; python ``//`` floors, which
+    differs on negative sums and would break bit-equality to the batch
+    query's centroids."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+class StreamingEmbeddingDrift:
+    """Streaming EMBEDDING drift monitor — the vector member of the
+    streaming drift family (``DriftMonitor``: categorical PSI;
+    ``NumericDriftMonitor``: binned KS; this: centroid cosine), the
+    foreachBatch twin of ``queries.vectorops.q_embedding_drift``: a
+    reference centroid is frozen from a snapshot corpus at construction,
+    and every micro-batch's centroid is scored against it — the live
+    alarm that newly ingested embeddings come from a shifted
+    distribution (new encoder version, new domain mix) and the ANN
+    centroids/index need retraining.
+
+    EXACT-merge architecture (the StreamingTwap discipline): each batch
+    contributes milli-quantized per-dimension BIGINT sums + a count —
+    computed DISTRIBUTED (one aggregate, map-side combined), with only
+    the O(dim) sum vector collected. Running sums merge across batches
+    by integer addition, so after any batch split the running centroid
+    is BIT-IDENTICAL to a single-batch run over the union
+    (replay-idempotent via batch_id, equality-to-batch pytest-pinned).
+    Driver state: dim+1 ints for the running stream + dim+1 frozen
+    reference ints — O(dim), never rows.
+
+    Per batch, ``results`` records (batch_id, n_batch, batch_cosine,
+    running_cosine) — the batch's own centroid vs the reference, and the
+    stream-so-far centroid vs the reference (both the q_embedding_drift
+    fixed-order float, 5 dp; None while the side has no rows)."""
+
+    def __init__(self, snapshot: DataFrame, vec_col: str = "embedding") -> None:
+        self.vec_col = vec_col
+        self.results: list[tuple] = []
+        self._seen: set[int] = set()
+        self._sums: list[int] = []
+        self._n = 0
+        ref_sums, ref_n = self._batch_sums(snapshot)
+        if ref_n == 0:
+            raise ValueError("snapshot corpus is empty — no reference centroid")
+        self._ref = [_tdiv(s, ref_n) for s in ref_sums]
+
+    def _batch_sums(self, df: DataFrame) -> tuple[list[int], int]:
+        q = F.expr(
+            f"transform({self.vec_col},"
+            " x -> cast(round(cast(x as double) * 1000) as bigint))"
+        )
+        agg = df.where(F.col(self.vec_col).isNotNull()).select(
+            F.posexplode(q).alias("p", "qv")
+        )
+        rows = agg.groupBy("p").agg(
+            F.sum("qv").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        ).collect()
+        if not rows:
+            return [], 0
+        sums = [0] * len(rows)
+        for r in rows:
+            sums[r["p"]] = int(r["s"])
+        return sums, int(rows[0]["n"])
+
+    @staticmethod
+    def _cosine(a: list[int], b: list[int]) -> float | None:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(y * y for y in b)
+        if na == 0 or nb == 0:
+            return None
+        return round(dot / (na * nb) ** 0.5, 5)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        sums, n = self._batch_sums(batch_df)
+        if n:
+            if not self._sums:
+                self._sums = list(sums)
+            else:
+                self._sums = [a + b for a, b in zip(self._sums, sums)]
+            self._n += n
+        batch_cos = (
+            self._cosine([_tdiv(s, n) for s in sums], self._ref) if n else None
+        )
+        run_cos = (
+            self._cosine([_tdiv(s, self._n) for s in self._sums], self._ref)
+            if self._n
+            else None
+        )
+        self.results.append((batch_id, n, batch_cos, run_cos))
+        self._seen.add(batch_id)  # state mutation complete

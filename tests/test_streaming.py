@@ -1220,3 +1220,86 @@ def test_streaming_ann_ingest_rate_source_end_to_end(spark, tmp_path):
     assert handle.reports[1] == {
         "batch_id": 1, "n_batch": 8, "n_known": 8, "n_dup": 0, "n_admitted": 0,
     }
+
+
+def test_streaming_embedding_drift_exact_merge_and_alarm(spark):
+    """StreamingEmbeddingDrift: (1) EXACT merge — the running centroid
+    after any batch split is bit-identical to one batch over the union
+    (integer sums merge associatively); (2) the drift alarm — batches
+    drawn from the snapshot's own distribution score ~1.0, an orthogonal
+    batch scores ~0.0 and drags the running cosine down; (3) replayed
+    batch_ids and empty batches are no-ops that still record."""
+    from savio_training_dask_2019_spark.streaming import StreamingEmbeddingDrift
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rows)], "id long, embedding array<double>"
+        )
+
+    snapshot = vecs([[1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.8, 0.2, 0.0]])
+    b1 = [[1.0, 0.0, 0.0], [0.8, 0.0, 0.2]]
+    b2 = [[0.9, 0.1, 0.0]]
+    ortho = [[0.0, 0.0, 1.0], [0.0, 0.0, 0.9]]
+
+    # split replay
+    h = StreamingEmbeddingDrift(snapshot)
+    h(vecs(b1), 0)
+    h(vecs(b2), 1)
+    split_running = h.results[-1][3]
+    assert h.results[0][2] is not None and h.results[0][2] > 0.98
+
+    # single-batch union — running cosine must be BIT-identical
+    h2 = StreamingEmbeddingDrift(snapshot)
+    h2(vecs(b1 + b2), 0)
+    assert h2.results[0][3] == split_running
+
+    # orthogonal batch: its own cosine ~0, running cosine drops
+    h(vecs(ortho), 2)
+    bid, n, batch_cos, run_cos = h.results[-1]
+    assert (bid, n) == (2, 2)
+    assert batch_cos < 0.05
+    assert run_cos < split_running
+
+    # replayed id: no state change, no new row
+    n_res, run_before = len(h.results), h.results[-1][3]
+    h(vecs([[5.0, 5.0, 5.0]]), 2)
+    assert len(h.results) == n_res and h.results[-1][3] == run_before
+
+    # empty batch records (id, 0, None, running-unchanged)
+    h(vecs([]) if False else spark.createDataFrame([], "id long, embedding array<double>"), 3)
+    assert h.results[-1][:3] == (3, 0, None)
+    assert h.results[-1][3] == run_before
+
+    # empty snapshot refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="snapshot"):
+        StreamingEmbeddingDrift(
+            spark.createDataFrame([], "id long, embedding array<double>")
+        )
+
+
+def test_streaming_embedding_drift_matches_batch_query_discipline(spark, tmp_path):
+    """The monitor's running centroid-vs-reference cosine over the
+    fixture's 'current' half, with the 'reference' half as snapshot,
+    reproduces q_embedding_drift's centroid_cosine at the same SF — the
+    equality-to-batch pin tying the streaming twin to the oracle-checked
+    batch query."""
+    from pyspark.sql import functions as F
+
+    from savio_training_dask_2019_spark.queries.vectorops import q_embedding_drift
+    from savio_training_dask_2019_spark.sources import load_table
+    from savio_training_dask_2019_spark.streaming import StreamingEmbeddingDrift
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0).select("embedding")
+    cur = emb.where(F.col("vec_id") % 2 == 1).select("embedding")
+
+    h = StreamingEmbeddingDrift(ref)
+    # replay the current half as two micro-batches (vec_id % 4 splits it)
+    emb_cur = load_table(spark, sf, "embeddings").where(F.col("vec_id") % 2 == 1)
+    h(emb_cur.where(F.col("vec_id") % 4 == 1).select("embedding"), 0)
+    h(emb_cur.where(F.col("vec_id") % 4 == 3).select("embedding"), 1)
+    [batch_row] = q_embedding_drift(spark, sf).collect()
+    assert h.results[-1][3] == batch_row["centroid_cosine"]
