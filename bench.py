@@ -100,6 +100,10 @@ HEADLINE = {
     # O(sqrt(m))-bounded triangle closure
     "kmeans_train": "kmeans_train",
     "triangle_count": "triangle_count",
+    # r13 addition (frozen r13, same-day 4-run median): the bounded
+    # Bellman-Ford relaxation — the only row exercising the per-round
+    # join+min-groupBy+checkpoint mechanism over a WEIGHTED graph
+    "sssp_bounded": "sssp_bounded",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

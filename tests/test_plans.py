@@ -218,6 +218,10 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     # top-20 cut over checkpointed edge lists; joins may resolve as
     # shuffle or (AQE, small SFs) broadcast — both correct
     "triangle_count": (0, 0, 0, 6, (0, 2)),
+    # r13: Bellman-Ford — the returned frame reads the final round's
+    # checkpoint (the pagerank lineage-truncation posture), so the
+    # static plan is exchange- and scan-free
+    "sssp_bounded": (0, 0, 0, 0, (0, 0)),
 }
 
 

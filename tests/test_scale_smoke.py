@@ -725,3 +725,44 @@ def test_ivm_merge_1m_rows_planted_changelog_equals_recompute(spark):
     assert k not in got  # the fully-deleted group dropped, not zero-row
     assert len(got) == k  # groups 0..k-1 all survive
     assert elapsed < 180, f"ivm merge smoke took {elapsed:.0f}s"
+
+
+def test_sssp_bounded_1m_edges_circulant_closed_form(spark):
+    """sssp_bounded at 1M directed edges: the circulant graph i→i+1 (w=2),
+    i→i+2 (w=3) on 500k nodes has a closed-form bounded-round answer —
+    reaching forward offset k within R=4 edges costs
+    min{{2a+3b : a+2b=k, a+b<=4}}; offsets beyond 2R are unreachable."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.graph import sssp_bounded
+
+    n, rounds = 500_000, 4
+    base_df = spark.range(n)
+    edges = base_df.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array(
+                F.struct(((F.col("id") + 1) % n).alias("dst"), F.lit(2).alias("w")),
+                F.struct(((F.col("id") + 2) % n).alias("dst"), F.lit(3).alias("w")),
+            )
+        ).alias("e"),
+    ).select("src", F.col("e.dst").alias("dst"), F.col("e.w").cast("long").alias("w"))
+    seeds = spark.createDataFrame([(0,)], "id long")
+
+    def best(k):
+        return min(
+            2 * a + 3 * b
+            for b in range(rounds + 1)
+            for a in range(rounds + 1 - b)
+            if a + 2 * b == k
+        )
+
+    t0 = time.perf_counter()
+    got = {
+        r["id"]: r["cost"]
+        for r in sssp_bounded(edges, seeds, rounds=rounds).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    want = {k: best(k) for k in range(2 * rounds + 1)}
+    assert got == want  # exactly offsets 0..8 reachable, exact costs
+    assert elapsed < 180, f"sssp smoke took {elapsed:.0f}s"
