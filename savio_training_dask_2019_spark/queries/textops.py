@@ -112,6 +112,67 @@ SELECT doc_id, lang AS pred_lang FROM (
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVAL layer of the text-analysis
+    tier (retrieval has retrieval_eval, dedup has dedup_eval; this grades
+    the `lang_id` predictor against the corpus's labeled ``lang``
+    column): exact BIGINT count per (true, predicted) cell plus each
+    cell's share of its true-language row — precision/recall read
+    straight off the matrix, and an off-diagonal hot cell names the
+    marker list that needs work.
+
+    Exactness: the predictor is the SAME argmax-of-marker-hits
+    expression lang_id oracle-checks (deterministic score DESC, lang
+    DESC tie-break); cells are one exact groupBy; row_share is ONE
+    fixed-order BIGINT division rounded 4 dp over a language-partitioned
+    window whose input is the |langs|² cell table.
+
+    Scale: one corpus scan feeding the tokenize+score fold (narrow), one
+    |langs|²-group agg — the eval costs no more than the predictor."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(F.col("lang").alias("true_lang"), predict_lang("text").alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double"),
+            4,
+        ).alias("row_share"),
+    )
+
+
+# reuses lang_id's scores CTE verbatim (same marker lists, same tie-break)
+_LANGID_CONFUSION_SQL = (
+    _LANG_ID_SQL.rsplit("SELECT doc_id, lang AS pred_lang", 1)[0]
+    + """, pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang DESC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT d.lang AS true_lang, p.pred_lang,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE) /
+             CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE),
+             4) AS row_share
+FROM cells
+"""
+)
+
+
 _BM25_TERMS = ("hash", "join", "window")  # deterministic fixture query
 _BM25_K1, _BM25_B = 1.2, 0.75  # the standard Okapi defaults
 
@@ -1333,6 +1394,7 @@ QUERIES = {
     "rolling_fp": q_rolling_fp,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
+    "langid_confusion": q_langid_confusion,
     "bm25_search": q_bm25_search,
     "collocations": q_collocations,
     "wordcount": q_wordcount,
@@ -1365,6 +1427,7 @@ ORACLE = {
     # rolling_fp: rows-only (engine-specific hash)
     "doc_quality": _DOC_QUALITY_SQL,
     "lang_id": _LANG_ID_SQL,
+    "langid_confusion": _LANGID_CONFUSION_SQL,
     "bm25_search": _BM25_SQL,
     "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,

@@ -2026,3 +2026,38 @@ def test_embedding_drift_planted_centroids(spark, tmp_path):
     assert (r["n_ref"], r["n_cur"]) == (2, 1)
     assert r["centroid_cosine"] == 1.0  # same direction exactly
     assert r["l2_sq_milli"] == (750 - 250) ** 2
+
+
+def test_langid_confusion_planted_matrix(spark, tmp_path):
+    """Hand-built corpus with known predictions: two true-en docs predicted
+    en, one true-en doc written with French markers (the off-diagonal
+    cell), one true-fr doc predicted fr. Cells are exact counts and
+    row_share normalizes within the TRUE language."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat and the dog of it is in that",
+                "it is the best of the and to",
+                "le chat la et les des est une",   # labeled en, reads fr
+                "le la et les des est un une",
+            ],
+            "lang": ["en", "en", "en", "fr"],
+            "source": "s",
+            "n_chars": 10,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from savio_training_dask_2019_spark.queries.textops import q_langid_confusion
+
+    got = {
+        (r["true_lang"], r["pred_lang"]): (r["n_docs"], r["row_share"])
+        for r in q_langid_confusion(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "en"): (2, round(2 / 3, 4)),
+        ("en", "fr"): (1, round(1 / 3, 4)),
+        ("fr", "fr"): (1, 1.0),
+    }
