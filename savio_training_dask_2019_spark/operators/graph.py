@@ -443,3 +443,75 @@ def sssp_oracle_cte(
         )
     final = select_sql or f"SELECT id, cost FROM d{rounds}"
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel — ``rounds`` iterations of "drop every
+    node with degree < k, drop its incident edges" over a SYMMETRIC edge
+    list; returns ``(id, deg)`` for the nodes surviving all rounds, with
+    their residual degree. The density-core member of the graph tier
+    (triangles measure local density; THIS extracts the globally dense
+    backbone — community cores, spam-farm detection, the influencer
+    subgraph). At the fixpoint this is Seidman's k-core; with ``rounds``
+    bounded it is the truncated peel, exact by construction (set
+    membership + integer degrees — the bfs_hops honesty model: the
+    bound is part of the semantics).
+
+    Scale (the Pregel discipline): per round ONE map-side-combinable
+    degree groupBy + ONE semi-join per endpoint against the O(survivors)
+    keep-set, localCheckpoint per round so lineage never stacks. Edges
+    carry (src, dst) longs only. Monotone: the edge set only shrinks, so
+    rounds beyond convergence are cheap no-ops."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+
+
+def kcore_oracle_cte(
+    edges_sql: str, k: int, rounds: int, select_sql: str | None = None
+) -> str:
+    """DuckDB twin of :func:`kcore_peel` as chained CTEs — one
+    degree+filter CTE pair per round (the sssp_oracle_cte pattern).
+    ``edges_sql`` selects a symmetric ``src, dst``; ``select_sql``
+    overrides the final projection over ``e{rounds}(src, dst)``."""
+    parts = [f"e0 AS ({edges_sql})"]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"""k{r} AS (
+  SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {k}
+)""",
+        )
+        parts.append(
+            f"""e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{r} a ON e.src = a.src
+  JOIN k{r} b ON e.dst = b.src
+)""",
+        )
+    final = select_sql or (
+        f"SELECT src AS id, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM e{rounds} GROUP BY src"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -18,6 +18,8 @@ from ..operators.fuzzy import edit_distance_join, edit_distance_lookup
 from ..operators.graph import (
     bfs_hops,
     bfs_oracle_cte,
+    kcore_oracle_cte,
+    kcore_peel,
     pagerank,
     pagerank_oracle_cte,
     sssp_bounded,
@@ -1708,6 +1710,65 @@ _SSSP_SQL = sssp_oracle_cte(
 )
 
 
+_KCORE_K = 8
+_KCORE_ROUNDS = 3
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel of the trade graph — {r} rounds of "drop
+    nodes with fewer than {k} distinct trade partners" over the
+    supplier↔customer graph (operators/graph.kcore_peel): the surviving
+    dense backbone with residual degrees. Completes the graph tier's
+    density axis (triangle_count: local closure; THIS: the global dense
+    core — the subgraph where supply-chain risk or promotion effort
+    concentrates).
+
+    Exactness: set membership + integer degrees, no arithmetic at all —
+    the chained-CTE oracle (one degree+filter pair per round, the
+    sssp/bfs pattern) is identical by construction. The round bound is
+    part of the semantics (truncated peel; the fixpoint is Seidman's
+    k-core), matching the bfs_hops honesty model.
+
+    Scale: per round one map-side-combined degree groupBy + two
+    semi-joins against the O(survivors) keep set, checkpointed; the
+    edge set only shrinks, so post-convergence rounds are no-ops."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    core = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return core.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        "deg",
+    )
+
+
+q_kcore_peel.__doc__ = q_kcore_peel.__doc__.format(r=_KCORE_ROUNDS, k=_KCORE_K)
+
+_KCORE_SQL = kcore_oracle_cte(
+    _PR_EDGES_SQL,
+    k=_KCORE_K,
+    rounds=_KCORE_ROUNDS,
+    select_sql=(
+        "SELECT src AS id, CASE WHEN src % 2 = 0 THEN 'supplier' ELSE"
+        " 'customer' END AS node_type, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM e{_KCORE_ROUNDS} GROUP BY src"
+    ),
+)
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3023,6 +3084,7 @@ QUERIES = {
     "weighted_quantiles_binned": q_weighted_quantiles_binned,
     "rfm_segments": q_rfm_segments,
     "sssp_bounded": q_sssp_bounded,
+    "kcore_peel": q_kcore_peel,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3087,6 +3149,7 @@ ORACLE = {
     "weighted_quantiles_binned": _WEIGHTED_QUANTILES_BINNED_SQL,
     "rfm_segments": _RFM_SQL,
     "sssp_bounded": _SSSP_SQL,
+    "kcore_peel": _KCORE_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

@@ -2061,3 +2061,44 @@ def test_langid_confusion_planted_matrix(spark, tmp_path):
         ("en", "fr"): (1, round(1 / 3, 4)),
         ("fr", "fr"): (1, 1.0),
     }
+
+
+def test_kcore_peel_planted_cascade(spark):
+    """Planted graph pins the peel CASCADE: a 4-clique (1-4) with a
+    pendant chain 5-6 hanging off node 1. k=3: round 1 removes 6 (deg 1)
+    and 5 (deg 2)... 5's only edges are 1 and 6, so deg(5)=2 < 3 —
+    removed round 1; the clique survives with in-clique degree 3 each.
+    k=3 rounds=0 returns the input degrees untouched (bound semantics);
+    a 2-round bound on a 3-link chain shows the truncation: peeling a
+    path eats one layer per round."""
+    from savio_training_dask_2019_spark.operators.graph import kcore_peel
+
+    def sym(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src long, dst long",
+        )
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    g = sym(clique + [(1, 5), (5, 6)])
+
+    got = {r["id"]: r["deg"] for r in kcore_peel(g, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # clique only, pendant gone
+
+    # rounds=0: untouched input degrees
+    got0 = {r["id"]: r["deg"] for r in kcore_peel(g, k=3, rounds=0).collect()}
+    assert got0[1] == 4 and got0[5] == 2 and got0[6] == 1
+
+    # truncation: a 4-node path at k=2 loses ONE endpoint layer per round
+    path = sym([(1, 2), (2, 3), (3, 4)])
+    r1 = {r["id"] for r in kcore_peel(path, k=2, rounds=1).collect()}
+    assert r1 == {2, 3}  # endpoints 1, 4 peeled; 2-3 still linked
+    r2 = {r["id"] for r in kcore_peel(path, k=2, rounds=2).collect()}
+    assert r2 == set()  # second round empties it (no 2-core exists)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        kcore_peel(path, k=0, rounds=1)
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_peel(path, k=2, rounds=-1)
