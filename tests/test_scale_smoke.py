@@ -766,3 +766,36 @@ def test_sssp_bounded_1m_edges_circulant_closed_form(spark):
     want = {k: best(k) for k in range(2 * rounds + 1)}
     assert got == want  # exactly offsets 0..8 reachable, exact costs
     assert elapsed < 180, f"sssp smoke took {elapsed:.0f}s"
+
+
+def test_kcore_peel_1m_edges_circulant_closed_form(spark):
+    """kcore_peel at 1M directed (symmetric-by-construction) edges: the
+    circulant graph {i, i±1}, {i, i±2} on 250k nodes is 4-regular, so at
+    k=4 EVERY node survives any number of rounds with degree exactly 4,
+    and at k=5 the whole graph peels in round one."""
+    import time
+
+    from savio_training_dask_2019_spark.operators.graph import kcore_peel
+
+    n = 250_000
+    base_df = spark.range(n)
+    edges = base_df.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("id") + 1) % n, (F.col("id") + 2) % n,
+                (F.col("id") - 1 + n) % n, (F.col("id") - 2 + n) % n,
+            )
+        ).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    agg = kcore_peel(edges, k=4, rounds=3).agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.min("deg").alias("mn"),
+        F.max("deg").alias("mx"),
+    ).first()
+    empty = kcore_peel(edges, k=5, rounds=1).count()
+    elapsed = time.perf_counter() - t0
+    assert (agg["nodes"], agg["mn"], agg["mx"]) == (n, 4, 4)
+    assert empty == 0
+    assert elapsed < 180, f"kcore smoke took {elapsed:.0f}s"
