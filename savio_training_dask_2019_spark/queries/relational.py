@@ -2332,6 +2332,75 @@ def q_weighted_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KANON_K = 5
+_KANON_BAL_BUCKET = 50_000  # $500 account-balance buckets (cents)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a dataset passes BEFORE
+    release (pii_redact scrubs direct identifiers; THIS measures
+    re-identification risk from QUASI-identifiers): customers are
+    grouped into equivalence classes on (nation, market segment, $500
+    account-balance bucket), and the audit reports how many classes —
+    and how many ROWS — fall below k={k} (Sweeney's k-anonymity
+    criterion: any class smaller than k makes its members linkable).
+
+    Exactness: the bucket is integer floor division of exact cents;
+    class sizes and every audit number are exact BIGINTs from one
+    groupBy + one summary aggregate — no float anywhere.
+
+    Scale: one scan, one (quasi-id) groupBy whose shuffle carries
+    O(classes) rows after map-side combine, one scalar summary — the
+    audit costs one aggregation pass no matter the corpus size. The
+    remediation loop (generalize buckets / suppress violators) reruns
+    this same query with coarser buckets until n_rows_at_risk hits 0."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            f"cast(round(c_acctbal * 100) as bigint) div {_KANON_BAL_BUCKET}"
+        ).alias("bal_bucket"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return classes.agg(
+        F.lit(_KANON_K).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum((F.col("sz") < _KANON_K).cast("long")).cast("bigint").alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_class_size"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )
+
+
+q_k_anonymity.__doc__ = q_k_anonymity.__doc__.format(k=_KANON_K)
+
+_KANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // {_KANON_BAL_BUCKET}
+           AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CAST({_KANON_K} AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(min(sz) AS BIGINT) AS min_class_size,
+       CAST(sum(sz) AS BIGINT) AS n_rows
+FROM classes
+"""
+
+
 _RFM_ANCHOR = "2002-01-01"  # first day after the orders date domain
 
 
@@ -3085,6 +3154,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "sssp_bounded": q_sssp_bounded,
     "kcore_peel": q_kcore_peel,
+    "k_anonymity": q_k_anonymity,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3150,6 +3220,7 @@ ORACLE = {
     "rfm_segments": _RFM_SQL,
     "sssp_bounded": _SSSP_SQL,
     "kcore_peel": _KCORE_SQL,
+    "k_anonymity": _KANON_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

@@ -2102,3 +2102,45 @@ def test_kcore_peel_planted_cascade(spark):
         kcore_peel(path, k=0, rounds=1)
     with pytest.raises(ValueError, match="rounds"):
         kcore_peel(path, k=2, rounds=-1)
+
+
+def test_k_anonymity_planted_classes(spark, tmp_path):
+    """Hand-built equivalence classes: one class of 6 (safe at k=5), one
+    of 2 and one singleton (both violating), so n_rows_at_risk counts
+    ROWS (3), not classes (2). The $500 bucket boundary is exact: 499.99
+    and 500.00 land in different buckets; a negative balance truncates
+    toward zero (bucket 0 for -$3)."""
+    import pandas as pd
+
+    rows = []
+    # class A: nation 0, SEG, balances all inside bucket 0 → size 6
+    for i in range(6):
+        rows.append((i, 0, "SEG", 10.0 + i))
+    # class B: nation 1, SEG, bucket 0 → size 2 (violating)
+    rows.append((10, 1, "SEG", 1.0))
+    rows.append((11, 1, "SEG", 2.0))
+    # class C: nation 0, SEG, bucket 1 (balance 500.00) → singleton
+    rows.append((12, 0, "SEG", 500.00))
+    # boundary partner: 499.99 stays in bucket 0 with class A
+    rows.append((13, 0, "SEG", 499.99))
+    # negative balance: -3.00 → cents -300 div 50000 = 0 → joins class A
+    rows.append((14, 0, "SEG", -3.00))
+    pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "c_nationkey": [r[1] for r in rows],
+            "c_mktsegment": [r[2] for r in rows],
+            "c_acctbal": [r[3] for r in rows],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_k_anonymity
+
+    [r] = q_k_anonymity(spark, str(tmp_path)).collect()
+    # classes: A has 6+1+1=8 rows (i 0-5, 13, 14); B 2; C 1 → 3 classes
+    assert r["k"] == 5
+    assert r["n_classes"] == 3
+    assert r["n_violating_classes"] == 2
+    assert r["n_rows_at_risk"] == 3
+    assert r["min_class_size"] == 1
+    assert r["n_rows"] == 11

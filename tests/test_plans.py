@@ -455,6 +455,7 @@ _MAX_SINGLE_PARTITION = {
     "drift_ks": 2,  # 1-row totals fold + the <=_KS_B-row cumulative window
     "drift_numeric": 1, "drift_psi": 1,
     "embedding_drift": 1,  # the 1-row centroid-moments aggregate
+    "k_anonymity": 1,  # the 1-row audit summary over the class table
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heaps_curve": 1,  # the <=100-row cumulative window's exchange
     "heavy_domains": 1,
