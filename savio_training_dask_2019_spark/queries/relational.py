@@ -2332,6 +2332,78 @@ def q_weighted_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIER_LEVELS = 3  # decimal part families: p div 10, div 100, div 1000
+
+
+def q_part_family_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (bill-of-materials-style) revenue rollup — every
+    part's revenue aggregated into ALL of its ancestors at once, the
+    org-chart / product-taxonomy / BOM question asked without recursion:
+    ancestors are derived as COLUMN EXPRESSIONS (the decimal family tree
+    p div 10 / div 100 / div 1000 — a stand-in for a real parent table's
+    materialized path) and exploded, so the k-level rollup is ONE
+    explode + ONE groupBy instead of k self-joins or an iterative climb.
+    cube/rollup aggregate along INDEPENDENT dimensions; this rolls up a
+    NESTED hierarchy on one key.
+
+    Exactness: ancestor keys are exact integer divisions; revenue is
+    exact BIGINT cents; per-level part counts are exact distinct counts.
+
+    Scale: revenue first collapses to ONE row per part (the fact shuffle
+    — map-side combined), THEN the ×levels explode runs on the
+    dimension-sized frame, so the rollup adds levels·|parts| rows, never
+    levels·|lineitems|. The materialized-path trick is the same one a
+    real taxonomy uses: store the path, derive ancestors narrowly,
+    never join the hierarchy per level."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    anc = per_part.select(
+        "l_partkey",
+        "cents",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"l_partkey div {10 ** (lv + 1)}")
+                    for lv in range(_HIER_LEVELS)
+                ]
+            )
+        ).alias("lvl0", "family"),
+    )
+    return (
+        anc.groupBy((F.col("lvl0") + 1).cast("int").alias("level"), "family")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+_PART_FAMILY_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+lv AS (SELECT unnest(range(1, {_HIER_LEVELS} + 1)) AS level),
+anc AS (
+  SELECT CAST(lv.level AS INT) AS level,
+         l_partkey // CAST(power(10, lv.level) AS BIGINT) AS family,
+         l_partkey, cents
+  FROM per_part, lv
+)
+SELECT level, family,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM anc GROUP BY 1, 2
+"""
+
+
 _KANON_K = 5
 _KANON_BAL_BUCKET = 50_000  # $500 account-balance buckets (cents)
 
@@ -3155,6 +3227,7 @@ QUERIES = {
     "sssp_bounded": q_sssp_bounded,
     "kcore_peel": q_kcore_peel,
     "k_anonymity": q_k_anonymity,
+    "part_family_rollup": q_part_family_rollup,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3221,6 +3294,7 @@ ORACLE = {
     "sssp_bounded": _SSSP_SQL,
     "kcore_peel": _KCORE_SQL,
     "k_anonymity": _KANON_SQL,
+    "part_family_rollup": _PART_FAMILY_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

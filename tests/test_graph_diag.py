@@ -2144,3 +2144,35 @@ def test_k_anonymity_planted_classes(spark, tmp_path):
     assert r["n_rows_at_risk"] == 3
     assert r["min_class_size"] == 1
     assert r["n_rows"] == 11
+
+
+def test_part_family_rollup_hand_computed(spark, tmp_path):
+    """Hand-built family tree: parts 10, 11, 25 (revenue 1/2/4 dollars),
+    part 3 (8 dollars). Level 1 families: 1={10,11}, 2={25}, 0={3};
+    level 2: family 0 absorbs 10/11/25/3; level 3: all in family 0.
+    Every ancestor sum is the exact sum of its subtree."""
+    import pandas as pd
+
+    rows = [(10, 1.00), (11, 2.00), (25, 4.00), (3, 8.00), (10, 1.00)]
+    pd.DataFrame(
+        {
+            "l_partkey": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_part_family_rollup,
+    )
+
+    got = {
+        (r["level"], r["family"]): (r["n_parts"], r["revenue_cents"])
+        for r in q_part_family_rollup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 1): (2, 100 + 100 + 200),   # parts 10 (two lines) + 11
+        (1, 2): (1, 400),               # part 25
+        (1, 0): (1, 800),               # part 3
+        (2, 0): (4, 1600),              # every part
+        (3, 0): (4, 1600),
+    }
