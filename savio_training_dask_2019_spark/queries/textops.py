@@ -1200,6 +1200,63 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_dedup_eval.__doc__ = q_dedup_eval.__doc__.format(t=_DE_THRESH)
 
+_GMS_HASHES, _GMS_BANDS = 64, 32  # r=2: ~full recall at J>=0.5, 1/64 est grain
+
+
+def q_grouped_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE MinHash estimate accuracy — the companion readout to
+    `dedup_eval` (that grades retrieval P/R/F1 of the banded tier; THIS
+    grades the ESTIMATE itself): for every banded candidate pair, the
+    signature-agreement Jaccard estimate is compared against the exact
+    3-shingle Jaccard, aggregated per language — the per-corpus-slice
+    calibration check a multilingual pipeline runs before trusting one
+    global MinHash threshold across languages with different shingle
+    statistics (the grouped member beside group_kll_quantiles /
+    heavy_tokens_by_lang / group_cms_counts).
+
+    Rows-only by contract (the estimate is hash-seeded, like every
+    sketch tier); accuracy is pytest-pinned instead: a planted identical
+    pair estimates exactly 1.0 (all signature rows agree), and the
+    {h}-hash estimate of a planted half-overlap pair lands within the
+    binomial noise band.
+
+    Scale: candidates come from the banded tier (never all pairs); the
+    exact side reuses the inverted-index machinery at eval scope —
+    affordable BY DESIGN at evaluation scale (the dedup_eval posture);
+    one (id_a, id_b) hash join ties them, one lang join + groupBy
+    summarizes."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_banded_pairs(
+        d,
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=_GMS_HASHES,
+        bands=_GMS_BANDS,
+        max_jaccard_distance=1.0,
+    )
+    exact = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_j")
+    )
+    langs = d.select(F.col("doc_id").alias("id_a"), "lang")
+    err = F.abs((1.0 - F.col("jaccard_dist")) - F.col("exact_j"))
+    j = (
+        cand.join(exact, ["id_a", "id_b"], "left")
+        .join(langs, "id_a")
+        .select("lang", F.coalesce("exact_j", F.lit(0.0)).alias("exact_j"),
+                "jaccard_dist")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(err), 4).alias("mean_abs_err"),
+        F.round(F.max(err), 4).alias("max_abs_err"),
+    )
+
+
+q_grouped_minhash_sim.__doc__ = q_grouped_minhash_sim.__doc__.format(
+    h=_GMS_HASHES
+)
+
 _HL_K, _HL_TOP = 32, 5
 
 
@@ -1405,6 +1462,7 @@ QUERIES = {
     "heavy_domains": q_heavy_domains,
     "heavy_tokens_by_lang": q_heavy_tokens_by_lang,
     "dedup_eval": q_dedup_eval,
+    "grouped_minhash_sim": q_grouped_minhash_sim,
     "cms_counts": q_cms_counts,
     "group_cms_counts": q_group_cms_counts,
     "dedup_stats": q_dedup_stats,

@@ -2176,3 +2176,39 @@ def test_part_family_rollup_hand_computed(spark, tmp_path):
         (2, 0): (4, 1600),              # every part
         (3, 0): (4, 1600),
     }
+
+
+def test_grouped_minhash_sim_planted_accuracy(spark, tmp_path):
+    """Accuracy contract for the per-language MinHash estimate: a planted
+    identical pair estimates EXACTLY 1.0 (every signature row agrees →
+    that language's max_abs_err is 0), and a planted ~half-overlap pair's
+    64-hash estimate lands inside a generous binomial noise band (its
+    language's max_abs_err <= 0.35)."""
+    import pandas as pd
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    # ~50% shingle overlap: share the first half of the token stream
+    half_a = "one two three four five six seven eight"
+    half_b = "one two three four five nine ten eleven"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [dup, dup, half_a, half_b],
+            "lang": ["en", "en", "fr", "fr"],
+            "source": "s",
+            "n_chars": 10,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from savio_training_dask_2019_spark.queries.textops import (
+        q_grouped_minhash_sim,
+    )
+
+    got = {
+        r["lang"]: (r["n_pairs"], r["mean_abs_err"], r["max_abs_err"])
+        for r in q_grouped_minhash_sim(spark, str(tmp_path)).collect()
+    }
+    assert got["en"][0] == 1 and got["en"][2] == 0.0  # identical: exact 1.0
+    if "fr" in got:  # banding keeps the mid-J pair with r=2 (~99%+)
+        assert got["fr"][0] == 1
+        assert got["fr"][2] <= 0.35

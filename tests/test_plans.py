@@ -353,6 +353,9 @@ _MAX_PARQUET_SCANS = {
     # five distinct tables audited in two chains (lineitem's three FK
     # edges share one scan; orders appears as both parent and child)
     "ref_integrity": 6,
+    # the two eval arms (banded signatures + exact inverted index) + the
+    # lang dimension join — the dedup_eval two-pipelines-compared posture
+    "grouped_minhash_sim": 3,
 }
 
 
