@@ -775,3 +775,207 @@ def test_gap_fill_matches_python(evs, spark, tmp_path_factory):
         for r in q_gap_fill(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+# --- r13 additions: SCD2 / attribution / binned weighted quantiles ----------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=2880),   # minutes from Jan 14
+            st.integers(min_value=1, max_value=999),    # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_snapshot_matches_python(ev, spark, tmp_path_factory):
+    """q_scd2_snapshot vs a direct python as-of walk: versions ordered by
+    (micros, event_id), current = from <= T < next_from. Minute offsets
+    span Jan 14-16, so events land before, exactly AT (offset 1440), and
+    after the fixed cutoff."""
+    import datetime as dt
+
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("scd2")
+    base = dt.datetime(2024, 1, 14)
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": [pd.Timestamp(base + dt.timedelta(minutes=m)) for _, m, _ in ev],
+            "user_id": [u for u, _, _ in ev],
+            "event_type": "set",
+            "value": [c / 100.0 for _, _, c in ev],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_scd2_snapshot
+
+    got = {
+        r["user_id"]: (r["version"], r["value_cents"])
+        for r in q_scd2_snapshot(spark, str(tmp)).collect()
+    }
+
+    cut_us = int(dt.datetime(2024, 1, 15).timestamp()) * 1_000_000
+    by_user = {}
+    for eid, (u, m, c) in enumerate(ev):
+        us = int((base + dt.timedelta(minutes=m)).timestamp()) * 1_000_000
+        by_user.setdefault(u, []).append((us, eid, c))
+    want = {}
+    for u, vs in by_user.items():
+        vs.sort()
+        for i, (us, _eid, c) in enumerate(vs):
+            nxt = vs[i + 1][0] if i + 1 < len(vs) else None
+            if us <= cut_us and (nxt is None or nxt > cut_us):
+                want[u] = (i + 1, c)
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=300),    # minutes from base
+            st.integers(min_value=0, max_value=4),      # type index
+            st.integers(min_value=1, max_value=99),     # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sessionize_attribution_matches_python(ev, spark, tmp_path_factory):
+    """q_sessionize_attribution vs a direct python last-touch walk:
+    per-user (ts, event_id) order, >=30-min gaps split sessions, the
+    nearest strictly-preceding view/click/signup in-session gets the
+    credit, else 'direct'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    types = ["view", "click", "signup", "purchase", "error"]
+    tmp = tmp_path_factory.mktemp("attr")
+    base = dt.datetime(2024, 2, 1)
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": [pd.Timestamp(base + dt.timedelta(minutes=m)) for _, m, _, _ in ev],
+            "user_id": [u for u, _, _, _ in ev],
+            "event_type": [types[t] for _, _, t, _ in ev],
+            "value": [c / 100.0 for _, _, _, c in ev],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_sessionize_attribution,
+    )
+
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in q_sessionize_attribution(spark, str(tmp)).collect()
+    }
+
+    by_user = {}
+    for eid, (u, m, t, c) in enumerate(ev):
+        us = int((base + dt.timedelta(minutes=m)).timestamp()) * 1_000_000
+        by_user.setdefault(u, []).append((us, eid, types[t], c))
+    want = {}
+    gap = 1_800_000_000
+    for u, evs in by_user.items():
+        evs.sort()
+        prev_us, touch = None, None
+        for us, _eid, typ, c in evs:
+            if prev_us is None or us - prev_us >= gap:
+                touch = None  # new session
+            if typ == "purchase":
+                ch = touch or "direct"
+                n, s = want.get(ch, (0, 0))
+                want[ch] = (n + 1, s + c)
+            elif typ in ("view", "click", "signup"):
+                touch = typ
+            prev_us = us
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # nation
+            st.integers(min_value=1, max_value=3000),   # price cents
+            st.integers(min_value=1, max_value=9),      # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_quantiles_binned_property_contains_exact(
+    rows, spark, tmp_path_factory
+):
+    """Property form of the binned tier's error contract: for RANDOM
+    weighted sets, every reported bin midpoint's bin contains the exact
+    weighted q-quantile (binning preserves order), so the value error is
+    always < bin_width/2 + 1."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("wqb")
+    pd.DataFrame({"s_suppkey": [0, 1, 2], "s_nationkey": [0, 1, 2]}).to_parquet(
+        tmp / "supplier.parquet"
+    )
+    pd.DataFrame(
+        {
+            "l_suppkey": [r[0] for r in rows],
+            "l_extendedprice": [r[1] / 100.0 for r in rows],
+            "l_quantity": [float(r[2]) for r in rows],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        _WQB_BIN_CENTS,
+        _WQB_PCTS,
+        q_weighted_quantiles_binned,
+    )
+
+    got = {
+        (r["s_nationkey"], r["pct"]): r["value_cents"]
+        for r in q_weighted_quantiles_binned(spark, str(tmp)).collect()
+    }
+    masses = defaultdict(lambda: defaultdict(int))
+    for nat, cents, w in rows:
+        masses[nat][cents] += w
+    for nat, mm in masses.items():
+        total = sum(mm.values())
+        cum = 0
+        pending = list(_WQB_PCTS)
+        exact = {}
+        for cents in sorted(mm):
+            cum += mm[cents]
+            while pending and 100 * cum >= pending[0] * total:
+                exact[pending.pop(0)] = cents
+        for pct, want_cents in exact.items():
+            mid = got[(nat, pct)]
+            lo = mid - _WQB_BIN_CENTS // 2
+            assert lo <= want_cents < lo + _WQB_BIN_CENTS, (nat, pct)
