@@ -799,3 +799,111 @@ def test_kcore_peel_1m_edges_circulant_closed_form(spark):
     assert (agg["nodes"], agg["mn"], agg["mx"]) == (n, 4, 4)
     assert empty == 0
     assert elapsed < 180, f"kcore smoke took {elapsed:.0f}s"
+
+
+def test_part_family_rollup_1m_parts_closed_form(spark, tmp_path):
+    """part_family_rollup at 1M parts, one 1-cent line each: every FULL
+    level-L family holds exactly 10^L parts with revenue 10^L cents —
+    closed form for the collapse-then-explode rollup at scale."""
+    import time
+
+    n = 1_000_000
+    spark.range(n).select(
+        F.col("id").alias("l_partkey"), F.lit(0.01).alias("l_extendedprice")
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        _HIER_LEVELS,
+        q_part_family_rollup,
+    )
+
+    t0 = time.perf_counter()
+    agg = (
+        q_part_family_rollup(spark, str(tmp_path))
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_families"),
+            F.min("n_parts").alias("mn_p"),
+            F.max("n_parts").alias("mx_p"),
+            F.sum("revenue_cents").alias("total"),
+        )
+        .collect()
+    )
+    elapsed = time.perf_counter() - t0
+    by_level = {r["level"]: r for r in agg}
+    assert set(by_level) == set(range(1, _HIER_LEVELS + 1))
+    for lv in range(1, _HIER_LEVELS + 1):
+        r = by_level[lv]
+        assert r["n_families"] == n // 10**lv
+        assert r["mn_p"] == r["mx_p"] == 10**lv  # every family full
+        assert r["total"] == n  # each level partitions all revenue
+    assert elapsed < 120, f"rollup smoke took {elapsed:.0f}s"
+
+
+def test_sessionize_attribution_1m_events_closed_form(spark, tmp_path):
+    """sessionize_attribution at 1M events: 1,000 users × 1,000 events at
+    10-minute spacing alternating view/purchase — one session per user,
+    every purchase credited to 'view', none direct. Pins the two-window
+    mechanism at scale with an exact closed form."""
+    import time
+
+    import pandas as pd
+
+    n_users, per_user = 1_000, 1_000
+    base_us = int(pd.Timestamp("2024-03-01").timestamp()) * 1_000_000
+    ev = spark.range(n_users * per_user).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("id") % per_user) * 600_000_000
+        ).alias("ts"),
+        F.expr(f"id div {per_user}").alias("user_id"),
+        F.when((F.col("id") % 2) == 0, F.lit("view"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        F.lit(1.00).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_sessionize_attribution,
+    )
+
+    t0 = time.perf_counter()
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in q_sessionize_attribution(spark, str(tmp_path)).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    n_purch = n_users * per_user // 2
+    assert got == {"view": (n_purch, n_purch * 100)}
+    assert elapsed < 120, f"attribution smoke took {elapsed:.0f}s"
+
+
+def test_embedding_drift_1m_vectors_closed_form(spark, tmp_path):
+    """embedding_drift at 1M 8-dim vectors with planted half centroids:
+    evens all [1,0,...], odds all [0,1,0,...] — centroid cosine exactly
+    0.0 and squared-L2 exactly 2·1000² in milli units, independent of
+    row count (the per-dim BIGINT sums reduce before the exchange)."""
+    import time
+
+    n, dim = 1_000_000, 8
+    vec = F.array(
+        *[
+            F.when((F.col("id") % 2) == F.lit(d), F.lit(1.0)).otherwise(F.lit(0.0))
+            for d in range(dim)
+        ]
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"), F.lit(0).alias("label")
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from savio_training_dask_2019_spark.queries.vectorops import q_embedding_drift
+
+    t0 = time.perf_counter()
+    [r] = q_embedding_drift(spark, str(tmp_path)).collect()
+    elapsed = time.perf_counter() - t0
+    assert (r["n_ref"], r["n_cur"]) == (n // 2, n // 2)
+    assert r["centroid_cosine"] == 0.0
+    assert r["l2_sq_milli"] == 2 * 1000**2
+    assert elapsed < 120, f"drift smoke took {elapsed:.0f}s"
