@@ -2332,6 +2332,70 @@ def q_weighted_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_single_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply-risk audit — per brand: how many traded parts
+    have EXACTLY ONE shipping supplier, and how much revenue rides on
+    them (the supply-chain concentration question beside `market_hhi`'s
+    market-share view; ref_integrity audits keys, THIS audits
+    resilience). A brand with high single-source revenue share has no
+    fallback when that supplier fails.
+
+    Exactness: supplier counts are exact distinct counts per part,
+    revenue exact BIGINT cents, the share ONE fixed-order division
+    rounded 4 dp. The risky-part cut (n_suppliers = 1) is set
+    membership.
+
+    Scale: one lineitem scan collapsed to per-part (suppliers, cents)
+    first — the only fact shuffle — then a broadcast dim join to brand
+    and a |brands|-group rollup; dimension-sized after the first agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = per_part.join(F.broadcast(p), per_part.l_partkey == p.p_partkey)
+    risky = F.col("n_suppliers") == 1
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(risky.cast("long")).cast("bigint").alias("n_single_source"),
+        F.sum(F.when(risky, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("at_risk_cents"),
+        F.round(
+            F.sum(F.when(risky, F.col("cents")).otherwise(F.lit(0))).cast("double")
+            / F.sum("cents").cast("double"),
+            4,
+        ).alias("at_risk_share"),
+    )
+
+
+_SINGLE_SOURCE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS at_risk_cents,
+       round(CAST(sum(CASE WHEN n_suppliers = 1 THEN cents ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 4)
+         AS at_risk_share
+FROM per_part JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 _HIER_LEVELS = 3  # decimal part families: p div 10, div 100, div 1000
 
 
@@ -3228,6 +3292,7 @@ QUERIES = {
     "kcore_peel": q_kcore_peel,
     "k_anonymity": q_k_anonymity,
     "part_family_rollup": q_part_family_rollup,
+    "single_source_parts": q_single_source_parts,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3295,6 +3360,7 @@ ORACLE = {
     "kcore_peel": _KCORE_SQL,
     "k_anonymity": _KANON_SQL,
     "part_family_rollup": _PART_FAMILY_SQL,
+    "single_source_parts": _SINGLE_SOURCE_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

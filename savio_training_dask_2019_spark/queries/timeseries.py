@@ -1704,6 +1704,61 @@ WHERE from_us <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
 """
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonality heatmap — exact event counts per (day-of-week,
+    hour) cell per event type, each cell with its share of the type's
+    total: the load-shape profile behind capacity planning, bot-traffic
+    review, and crawl scheduling (dt_accessors extracts the fields; THIS
+    is the distribution over them — the calendar member of the drift/
+    profile family).
+
+    Exactness: dayofweek/hour are integer field extractions on the
+    shared UTC session (DuckDB reads the same naive timestamps); counts
+    are exact BIGINT; share is ONE fixed-order division rounded 4 dp
+    over a type-partitioned window whose input is the ≤ types·168 cell
+    table.
+
+    Scale: one scan, one (type, dow, hour) groupBy — the shuffle carries
+    O(types·168) rows after map-side combine; calendar-sized forever."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("int").alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour"),
+    )
+    cells = e.groupBy("event_type", "dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "dow",
+        "hour",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w).cast("double"),
+            4,
+        ).alias("type_share"),
+    )
+
+
+# Spark dayofweek: 1 = Sunday ... 7 = Saturday; DuckDB twin below derives
+# the same numbering from ISO dayofweek (0 = Sunday in DuckDB's dayofweek)
+_SEASONAL_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hour, n_events,
+       round(CAST(n_events AS DOUBLE) /
+             CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE),
+             4) AS type_share
+FROM cells
+"""
+
+
 _ATTR_GAP_US = 1_800_000_000  # 30-min session gap, in integer microseconds
 _ATTR_TOUCHES = ("view", "click", "signup")  # marketing touchpoints
 
@@ -1834,6 +1889,7 @@ QUERIES = {
     "backlog_monthly": q_backlog_monthly,
     "scd2_snapshot": q_scd2_snapshot,
     "sessionize_attribution": q_sessionize_attribution,
+    "seasonal_profile": q_seasonal_profile,
 }
 
 ORACLE = {
@@ -1867,4 +1923,5 @@ ORACLE = {
     "backlog_monthly": _BACKLOG_SQL,
     "scd2_snapshot": _SCD2_SQL,
     "sessionize_attribution": _ATTRIBUTION_SQL,
+    "seasonal_profile": _SEASONAL_SQL,
 }

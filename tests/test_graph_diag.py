@@ -2212,3 +2212,47 @@ def test_grouped_minhash_sim_planted_accuracy(spark, tmp_path):
     if "fr" in got:  # banding keeps the mid-J pair with r=2 (~99%+)
         assert got["fr"][0] == 1
         assert got["fr"][2] <= 0.35
+
+
+def test_single_source_parts_planted_risk(spark, tmp_path):
+    """Hand-built supply graph: brand A's part 1 ships from one supplier
+    (at risk, 3 dollars) and part 2 from two suppliers (safe, 5 dollars);
+    brand B's part 3 is single-sourced (all revenue at risk). Shares are
+    exact one-division ratios; a repeated (part, supplier) line must not
+    inflate the supplier count."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3],
+            "p_brand": ["A", "A", "B"],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    rows = [
+        (1, 10, 1.00), (1, 10, 2.00),        # part 1: supplier 10 only
+        (2, 10, 2.00), (2, 11, 3.00),        # part 2: two suppliers
+        (3, 12, 7.00),                        # part 3: single source
+    ]
+    pd.DataFrame(
+        {
+            "l_partkey": [r[0] for r in rows],
+            "l_suppkey": [r[1] for r in rows],
+            "l_extendedprice": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_single_source_parts,
+    )
+
+    got = {
+        r["p_brand"]: (
+            r["n_parts"], r["n_single_source"], r["at_risk_cents"],
+            r["at_risk_share"],
+        )
+        for r in q_single_source_parts(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (2, 1, 300, round(300 / 800, 4)),
+        "B": (1, 1, 700, 1.0),
+    }

@@ -307,3 +307,33 @@ def test_sessionize_attribution_planted_touchpoints(spark, tmp_path):
         "direct": (3, 2300),     # u2 (cross-session), u3 (error), u4a (same-ts later)
         "view": (1, 1300),       # u5 (same-ts earlier id)
     }
+
+
+def test_seasonal_profile_planted_cells(spark, tmp_path):
+    """Hand-built calendar: 2024-01-07 is a Sunday (Spark dayofweek=1) and
+    2024-01-08 a Monday (2); counts land in exact (dow, hour) cells and
+    type_share normalizes within the event type."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-07 09:15", 1, "view", 0),   # Sun 09
+            (2, "2024-01-07 09:45", 2, "view", 0),   # Sun 09
+            (3, "2024-01-07 23:05", 3, "view", 0),   # Sun 23
+            (4, "2024-01-08 00:30", 4, "view", 0),   # Mon 00
+            (5, "2024-01-08 00:59", 5, "click", 0),  # Mon 00
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_seasonal_profile,
+    )
+
+    got = {
+        (r["event_type"], r["dow"], r["hour"]): (r["n_events"], r["type_share"])
+        for r in q_seasonal_profile(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", 1, 9): (2, 0.5),
+        ("view", 1, 23): (1, 0.25),
+        ("view", 2, 0): (1, 0.25),
+        ("click", 2, 0): (1, 1.0),
+    }
