@@ -979,3 +979,183 @@ def test_weighted_quantiles_binned_property_contains_exact(
             mid = got[(nat, pct)]
             lo = mid - _WQB_BIN_CENTS // 2
             assert lo <= want_cents < lo + _WQB_BIN_CENTS, (nat, pct)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_kcore_peel_matches_python(pairs, k, spark):
+    """kcore_peel vs a direct python peel over random ≤10-node graphs:
+    same symmetric edge multiset, same round-by-round degree<k removal,
+    same surviving (id, residual degree) map after 4 rounds."""
+    from collections import Counter
+
+    from savio_training_dask_2019_spark.operators.graph import kcore_peel
+
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    rounds = 4
+    edges = list(sym)
+    for _ in range(rounds):
+        deg = Counter(a for a, _ in edges)
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    want = dict(Counter(a for a, _ in edges))
+
+    got = {
+        r["id"]: r["deg"]
+        for r in kcore_peel(
+            spark.createDataFrame(sym, "src long, dst long"), k=k, rounds=rounds
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # nation
+            st.sampled_from(["A", "B"]),                # segment
+            st.integers(min_value=-999, max_value=1999),  # balance cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_k_anonymity_matches_python(rows, spark, tmp_path_factory):
+    """q_k_anonymity vs a direct python Counter over the same
+    quasi-identifier classes (trunc-division bucketing on signed
+    cents)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("kanon")
+    pd.DataFrame(
+        {
+            "c_custkey": range(len(rows)),
+            "c_nationkey": [r[0] for r in rows],
+            "c_mktsegment": [r[1] for r in rows],
+            "c_acctbal": [r[2] / 100.0 for r in rows],
+        }
+    ).to_parquet(tmp / "customer.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        _KANON_BAL_BUCKET,
+        _KANON_K,
+        q_k_anonymity,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    classes = Counter(
+        (nat, seg, tdiv(cents, _KANON_BAL_BUCKET)) for nat, seg, cents in rows
+    )
+    viol = [sz for sz in classes.values() if sz < _KANON_K]
+
+    [r] = q_k_anonymity(spark, str(tmp)).collect()
+    assert r["n_classes"] == len(classes)
+    assert r["n_violating_classes"] == len(viol)
+    assert r["n_rows_at_risk"] == sum(viol)
+    assert r["min_class_size"] == min(classes.values())
+    assert r["n_rows"] == len(rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # n_orders
+            st.integers(min_value=1, max_value=28),   # last-order day of Jan
+            st.integers(min_value=1, max_value=99),   # per-order dollars
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_rfm_segments_matches_python(custs, spark, tmp_path_factory):
+    """q_rfm_segments vs a direct python NTILE (quotient+remainder group
+    assignment over the same (metric, custkey) total orders) on random
+    single-segment populations."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("rfm")
+    n = len(custs)
+    pd.DataFrame(
+        {"c_custkey": range(1, n + 1), "c_mktsegment": ["S"] * n}
+    ).to_parquet(tmp / "customer.parquet")
+    rows, ok = [], 0
+    for ck, (n_ord, day, dollars) in enumerate(custs, start=1):
+        for _ in range(n_ord):
+            ok += 1
+            rows.append((ok, ck, f"2024-01-{day:02d}", float(dollars)))
+    odf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderdate": [pd.Timestamp(r[2]) for r in rows],
+            "o_totalprice": [r[3] for r in rows],
+        }
+    )
+    odf["o_orderdate"] = odf["o_orderdate"].astype("datetime64[us]")
+    odf.to_parquet(tmp / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_rfm_segments
+
+    got = {
+        r["rfm"]: (r["n_customers"], r["total_cents"])
+        for r in q_rfm_segments(spark, str(tmp)).collect()
+    }
+
+    import datetime as dt
+
+    def ntile5(order):  # order: list of custkeys in window order
+        m, rem = divmod(len(order), 5)
+        out, i = {}, 0
+        for g in range(1, 6):
+            size = m + (1 if g <= rem else 0)
+            for ck in order[i : i + size]:
+                out[ck] = g
+            i += size
+        return out
+
+    anchor = dt.date(2002, 1, 1)
+    met = {}
+    for ck, (n_ord, day, dollars) in enumerate(custs, start=1):
+        rec = (anchor - dt.date(2024, 1, day)).days
+        met[ck] = (rec, n_ord, n_ord * dollars * 100)
+    r_s = ntile5(sorted(met, key=lambda c: (-met[c][0], c)))
+    f_s = ntile5(sorted(met, key=lambda c: (met[c][1], c)))
+    m_s = ntile5(sorted(met, key=lambda c: (met[c][2], c)))
+    want = {}
+    for ck in met:
+        label = r_s[ck] * 100 + f_s[ck] * 10 + m_s[ck]
+        cnt, tot = want.get(label, (0, 0))
+        want[label] = (cnt + 1, tot + met[ck][2])
+    assert got == want
