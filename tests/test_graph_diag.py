@@ -2256,3 +2256,30 @@ def test_single_source_parts_planted_risk(spark, tmp_path):
         "A": (2, 1, 300, round(300 / 800, 4)),
         "B": (1, 1, 700, 1.0),
     }
+
+
+def test_langid_confusion_ties_to_fixture_lang_counts(spark, sf_dir):
+    """Integration pin on real fixture data: every document lands in
+    exactly one confusion cell, so per-true-language cell sums equal the
+    corpus's lang counts, global totals match the doc count, and each
+    true-language's row_shares sum to ~1."""
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.textops import q_langid_confusion
+    from savio_training_dask_2019_spark.sources import load_table
+
+    rows = q_langid_confusion(spark, sf_dir).collect()
+    by_true = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        by_true[r["true_lang"]][0] += r["n_docs"]
+        by_true[r["true_lang"]][1] += r["row_share"]
+    truth = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {t: v[0] for t, v in by_true.items()} == truth
+    for t, (_n, share_sum) in by_true.items():
+        assert abs(share_sum - 1.0) < 0.01, t  # 4-dp rounding per cell
