@@ -3231,6 +3231,103 @@ CROSS JOIN n
 """
 
 
+def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-decile share of customer spend per market
+    segment — the INEQUALITY readout that completes the concentration
+    trio: market_hhi asks "how concentrated are the sellers",
+    abc_by_brand asks "which items carry the revenue", THIS asks "how
+    unequal are the buyers" (whale-dependence is the retention-risk
+    number a revenue team tracks).
+
+    Exactness trick: with spend ranked ascending and i = row_number,
+    Gini = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — numerator and denominator
+    are EXACT BIGINT (spend in whole dollars, ``cents div 100``;
+    Σ i·x ≤ n·Σx ≈ 1.4e13 per segment at sf0.1, ×100 headroom), so the
+    coefficient is ONE fixed-order division rounded 4 dp. Equal-spend
+    permutations cannot move Σ i·xᵢ, so the (rev, custkey) tie-break
+    makes ranks deterministic without affecting the statistic. The
+    top-decile cut (i > n − n div 10) is exact integer arithmetic; for
+    n < 10 it is the empty set and the share is 0 in both engines.
+    Customers with no orders never enter (inner join) — this is
+    inequality among ACTIVE buyers.
+
+    Scale: one orders shuffle collapses to per-customer spend, then a
+    broadcast dim join and ONE window shuffle partitioned by segment.
+    Per-segment rank needs the segment's customers in one task — fine
+    while customers stay dimension-sized; at billions of buyers the
+    scale path is binned Gini over the Lorenz curve (quantize spend to
+    K buckets exactly as weighted_quantiles_binned does, rank bucket
+    aggregates instead of rows — error ≤ 1/K), and the BIGINT numerator
+    would move to DECIMAL(38) first (n·Σx crosses int64 near n≈3e6 per
+    segment at this fixture's spend)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rev = o.groupBy("o_custkey").agg(
+        F.expr("sum(cents) div 100").cast("bigint").alias("rev")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "rev", "o_custkey"
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = j.select(
+        "segment",
+        "rev",
+        F.row_number()
+        .over(wseg.orderBy("rev", "o_custkey"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
+    )
+    top_cut = F.col("i") > F.col("n") - F.expr("n div 10")
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("total_rev"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("rev"))
+                - (F.max("n") + 1) * F.sum("rev")
+            ).cast("double")
+            / (F.max("n") * F.sum("rev")).cast("double"),
+            4,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(top_cut, F.col("rev")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("rev").cast("double"),
+            4,
+        ).alias("top_decile_share"),
+    )
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c_mktsegment AS segment, rev,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY rev, o_custkey) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS BIGINT) AS total_rev,
+       round(CAST(2 * sum(i * rev) - (max(n) + 1) * sum(rev) AS DOUBLE)
+             / CAST(max(n) * sum(rev) AS DOUBLE), 4) AS gini,
+       round(CAST(sum(CASE WHEN i > n - n // 10 THEN rev ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 4)
+         AS top_decile_share
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -3293,6 +3390,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "part_family_rollup": q_part_family_rollup,
     "single_source_parts": q_single_source_parts,
+    "gini_by_segment": q_gini_by_segment,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3361,6 +3459,7 @@ ORACLE = {
     "k_anonymity": _KANON_SQL,
     "part_family_rollup": _PART_FAMILY_SQL,
     "single_source_parts": _SINGLE_SOURCE_SQL,
+    "gini_by_segment": _GINI_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

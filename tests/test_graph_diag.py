@@ -2283,3 +2283,45 @@ def test_langid_confusion_ties_to_fixture_lang_counts(spark, sf_dir):
     assert {t: v[0] for t, v in by_true.items()} == truth
     for t, (_n, share_sum) in by_true.items():
         assert abs(share_sum - 1.0) < 0.01, t  # 4-dp rounding per cell
+
+
+def test_gini_by_segment_closed_forms(spark, tmp_path):
+    """Two segments with closed-form Gini: EQUAL (three customers at 100
+    dollars each -> gini 0, top-decile share 0 since n < 10) and WHALE
+    (ten customers where one holds everything -> gini (n-1)/n = 0.9 and
+    the decile cut isolates exactly the whale -> share 1). Multi-order
+    customers must collapse to one ranked row first."""
+    import pandas as pd
+
+    segs = ["EQUAL"] * 3 + ["WHALE"] * 10
+    pd.DataFrame(
+        {
+            "c_custkey": list(range(1, 14)),
+            "c_mktsegment": segs,
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    # EQUAL: cust 1 pays in two orders (60 + 40), 2 and 3 in one each.
+    rows = [(1, 60.0), (1, 40.0), (2, 100.0), (3, 100.0)]
+    # WHALE: custs 4..12 spend 0-dollar orders, cust 13 spends 500.
+    rows += [(k, 0.0) for k in range(4, 13)] + [(13, 500.0)]
+    pd.DataFrame(
+        {
+            "o_custkey": [r[0] for r in rows],
+            "o_totalprice": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_gini_by_segment,
+    )
+
+    got = {
+        r["segment"]: (
+            r["n_customers"], r["total_rev"], r["gini"], r["top_decile_share"]
+        )
+        for r in q_gini_by_segment(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "EQUAL": (3, 300, 0.0, 0.0),
+        "WHALE": (10, 500, 0.9, 1.0),
+    }
