@@ -1858,6 +1858,97 @@ GROUP BY 1
 """
 
 
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — where did this
+    metric's LEVEL shift? The offline twin of rolling_anomaly's pointwise
+    alert: CUSUM scores every prefix against the series mean
+    (S_d = Σ_{i≤d}(xᵢ − x̄)) and the max-|S| day is the single most
+    likely level-shift point (Page's statistic / binary-segmentation
+    step 1).
+
+    THE EXACTNESS TRICK (the rolling_anomaly lesson applied to means):
+    clear the denominator — n·S_d = n·P_d − d·T with P_d the running
+    cents sum and T the series total, so the argmax day and the maximum
+    are chosen by PURE BIGINT comparisons (n·P ≤ ~4e13 at sf0.1, ×100
+    headroom); the reported dollar magnitude max|S| = abs_ns/(n·100) is
+    ONE fixed-order division rounded 4 dp. Ties break to the EARLIEST
+    day via the rank ordering (abs desc, day asc) — deterministic
+    because days are unique within a type after the daily collapse.
+
+    Scale: the fact shuffle collapses events to (type, day) cells, so
+    both window passes (running sum + the rank pick) run over a
+    calendar-sized frame on ONE type-partitioned shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    word = wt.orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("c")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("p"),
+        F.row_number().over(word).cast("bigint").alias("idx"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+        F.sum("c").over(wt).cast("bigint").alias("t"),
+    ).withColumn(
+        "abs_ns",
+        F.abs(F.col("n") * F.col("p") - F.col("idx") * F.col("t")),
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(wt.orderBy(F.col("abs_ns").desc(), F.col("day"))),
+    ).where(F.col("rnk") == 1)
+    return ranked.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("day").alias("cp_date"),
+        F.round(
+            F.col("abs_ns").cast("double")
+            / (F.col("n") * 100).cast("double"),
+            4,
+        ).alias("cusum_dollars"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS idx,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+  FROM daily
+), ranked AS (
+  SELECT event_type, day, n,
+         abs(n * p - idx * t) AS abs_ns,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * p - idx * t) DESC, day) AS rnk
+  FROM scored
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       day AS cp_date,
+       round(CAST(abs_ns AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4)
+         AS cusum_dollars
+FROM ranked WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1890,6 +1981,7 @@ QUERIES = {
     "scd2_snapshot": q_scd2_snapshot,
     "sessionize_attribution": q_sessionize_attribution,
     "seasonal_profile": q_seasonal_profile,
+    "changepoint_cusum": q_changepoint_cusum,
 }
 
 ORACLE = {
@@ -1924,4 +2016,5 @@ ORACLE = {
     "scd2_snapshot": _SCD2_SQL,
     "sessionize_attribution": _ATTRIBUTION_SQL,
     "seasonal_profile": _SEASONAL_SQL,
+    "changepoint_cusum": _CUSUM_SQL,
 }

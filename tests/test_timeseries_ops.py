@@ -337,3 +337,36 @@ def test_seasonal_profile_planted_cells(spark, tmp_path):
         ("view", 2, 0): (1, 0.25),
         ("click", 2, 0): (1, 1.0),
     }
+
+
+def test_changepoint_cusum_planted_shift(spark, tmp_path):
+    """'click': 0,0,0,10,10,10 dollars daily -> mean 5, S (cents) =
+    -500,-1000,-1500,-1000,-500,0, so the changepoint lands on day 3
+    (the last pre-shift day) with max|S| = 15 dollars. 'view' is a
+    single day -> S_1 = 0 exactly. Two events in one bucket must sum
+    before scoring."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 05:00", 1, "click", 0.00),
+            (2, "2024-01-02 05:00", 1, "click", 0.00),
+            (3, "2024-01-03 05:00", 1, "click", 0.00),
+            (4, "2024-01-04 05:00", 1, "click", 4.00),
+            (5, "2024-01-04 06:00", 1, "click", 6.00),  # same day: 10 total
+            (6, "2024-01-05 05:00", 1, "click", 10.00),
+            (7, "2024-01-06 05:00", 1, "click", 10.00),
+            (8, "2024-01-06 07:00", 2, "view", 3.25),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_changepoint_cusum,
+    )
+
+    got = {
+        r["event_type"]: (r["n_days"], str(r["cp_date"])[:10], r["cusum_dollars"])
+        for r in q_changepoint_cusum(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "click": (6, "2024-01-03", 15.0),
+        "view": (1, "2024-01-06", 0.0),
+    }
