@@ -1949,6 +1949,125 @@ FROM ranked WHERE rnk = 1
 """
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-retention curve — S(w) = Π_{w'≤w} (1 − d/n)
+    over lifetime weeks, the survival-analysis answer to "how long do
+    users stay active" that retention_daily's fixed-day grid can't
+    give: CENSORING is handled properly (users whose last event is
+    within 14 days of the corpus end are still-alive, so they leave the
+    risk set without counting as churn — dropping them would bias S
+    down, counting them as deaths would bias it up).
+
+    Semantics: lifetime week = datediff(last, first) div 7 per user;
+    death = inactive > 14 days before the global horizon (the one-row
+    max-date fold, broadcast back); at-risk n_w = Σ_{w'≥w} enders — a
+    REVERSE running sum, so no total-count scalar is needed; the curve
+    steps only at death weeks. d_w, n_w are exact BIGINTs; the product
+    is exp(Σ ln(1−d/n)) — each ln's operands are IEEE-identical in both
+    engines and the 4-dp rounding absorbs libm last-ulp + running-sum
+    association noise (the repo's documented float discipline). A
+    deaths = n_at_risk week (only possible at the last step) is handled
+    WITHOUT ln(0): the hit_zero flag forces S = 0 from there on.
+
+    Scale: one user-key shuffle collapses events to per-user spans;
+    everything after is week-granular (≤ span/7 rows — calendar-bounded,
+    the documented bounded-window exception), so the two unpartitioned
+    running windows and the 1-row horizon fold all run on dimension-free
+    frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    horizon = per_user.agg(F.max("last_d").alias("max_d"))
+    u = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("datediff(last_d, first_d) div 7").cast("bigint").alias("week"),
+        (F.datediff("max_d", "last_d") > 14).cast("long").alias("death"),
+    )
+    weeks = u.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("enders"),
+        F.sum("death").cast("bigint").alias("deaths"),
+    )
+    w_risk = Window.orderBy("week").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = weeks.select(
+        "week",
+        "deaths",
+        F.sum("enders").over(w_risk).cast("bigint").alias("n_at_risk"),
+    ).where(F.col("deaths") > 0)
+    w_cum = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    frac = F.col("deaths").cast("double") / F.col("n_at_risk").cast("double")
+    km = risk.select(
+        "week",
+        "n_at_risk",
+        "deaths",
+        F.sum(
+            F.when(
+                F.col("deaths") < F.col("n_at_risk"), F.log(F.lit(1.0) - frac)
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_cum)
+        .alias("cumlog"),
+        F.max((F.col("deaths") == F.col("n_at_risk")).cast("int"))
+        .over(w_cum)
+        .alias("hit_zero"),
+    )
+    return km.select(
+        "week",
+        "n_at_risk",
+        "deaths",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("cumlog"), 4))
+        .alias("survival"),
+    )
+
+
+_SURVIVAL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_d,
+         max(CAST(ts AS DATE)) AS last_d
+  FROM events GROUP BY 1
+), horizon AS (SELECT max(last_d) AS max_d FROM per_user),
+u AS (
+  SELECT CAST(date_diff('day', first_d, last_d) // 7 AS BIGINT) AS week,
+         CASE WHEN date_diff('day', last_d, max_d) > 14 THEN 1 ELSE 0 END
+           AS death
+  FROM per_user CROSS JOIN horizon
+), weeks AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS enders,
+         CAST(sum(death) AS BIGINT) AS deaths
+  FROM u GROUP BY 1
+), risk AS (
+  SELECT week, deaths,
+         CAST(sum(enders) OVER (ORDER BY week ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_at_risk
+  FROM weeks
+), km AS (
+  SELECT week, n_at_risk, deaths,
+         sum(CASE WHEN deaths < n_at_risk
+                  THEN ln(1.0 - CAST(deaths AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cumlog,
+         max(CASE WHEN deaths = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS hit_zero
+  FROM risk WHERE deaths > 0
+)
+SELECT week, n_at_risk, deaths,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(cumlog), 4) END
+         AS survival
+FROM km
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -1982,6 +2101,7 @@ QUERIES = {
     "sessionize_attribution": q_sessionize_attribution,
     "seasonal_profile": q_seasonal_profile,
     "changepoint_cusum": q_changepoint_cusum,
+    "survival_curve": q_survival_curve,
 }
 
 ORACLE = {
@@ -2017,4 +2137,5 @@ ORACLE = {
     "sessionize_attribution": _ATTRIBUTION_SQL,
     "seasonal_profile": _SEASONAL_SQL,
     "changepoint_cusum": _CUSUM_SQL,
+    "survival_curve": _SURVIVAL_SQL,
 }

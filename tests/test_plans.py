@@ -279,6 +279,9 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "rrf_hybrid": 2,
     # share total over the 9-digit count table — bounded by construction
     "benford_digits": 1,
+    # two running walks (reverse at-risk sum + KM cumlog) over the
+    # <=span/7-row lifetime-week table — calendar-bounded by construction
+    "survival_curve": 2,
 }
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
@@ -413,6 +416,7 @@ _MAX_BNLJ = {
     "drift_numeric": 1,     # 1-row half-totals scalar (drift_psi's twin)
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
+    "survival_curve": 1,    # 1-row censoring-horizon (global max date) attach
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "embedding_drift": 2,   # 1-row count attach ×2 (ref + cur scalars)
@@ -474,6 +478,7 @@ _MAX_SINGLE_PARTITION = {
     "rrf_hybrid": 2,  # <=10-row ranking-window funnels, one per arm
     "sample_mod": 1,
     "skew_profile": 3,  # one scalar fold over each keyset's counts table
+    "survival_curve": 2,  # the two <=span/7-row running windows' exchanges
     "unigram_logprob": 2, "vocab_coverage": 1,
 }
 

@@ -370,3 +370,40 @@ def test_changepoint_cusum_planted_shift(spark, tmp_path):
         "click": (6, "2024-01-03", 15.0),
         "view": (1, "2024-01-06", 0.0),
     }
+
+
+def test_survival_curve_hand_km(spark, tmp_path):
+    """Five users, horizon 2024-06-30: deaths in weeks 0, 1, 4 and one
+    censored user in each of weeks 0 and 4. KM: S = 4/5, then 4/5*2/3 =
+    8/15, then 8/15*1/2 = 4/15 -> 0.8, 0.5333, 0.2667 at the exact
+    at-risk counts 5, 3, 2. u5 (last event ON the horizon) and u4
+    (1 day before) must be censored, not deaths."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 10:00", 1, "view", 0),  # u1 week 1, death
+            (2, "2024-01-10 10:00", 1, "view", 0),
+            (3, "2024-01-01 10:00", 2, "view", 0),  # u2 week 0, death
+            (4, "2024-01-01 10:00", 3, "view", 0),  # u3 week 4, death
+            (5, "2024-01-29 10:00", 3, "view", 0),
+            (6, "2024-06-01 10:00", 4, "view", 0),  # u4 week 4, censored
+            (7, "2024-06-29 10:00", 4, "view", 0),
+            (8, "2024-06-25 10:00", 5, "view", 0),  # u5 week 0, censored
+            (9, "2024-06-30 10:00", 5, "view", 0),  # defines the horizon
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_survival_curve,
+    )
+
+    got = [
+        (r["week"], r["n_at_risk"], r["deaths"], r["survival"])
+        for r in q_survival_curve(spark, str(tmp_path))
+        .orderBy("week")
+        .collect()
+    ]
+    assert got == [
+        (0, 5, 1, 0.8),
+        (1, 3, 1, 0.5333),
+        (4, 2, 1, 0.2667),
+    ]
