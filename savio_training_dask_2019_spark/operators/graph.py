@@ -515,3 +515,94 @@ def kcore_oracle_cte(
         f"FROM e{rounds} GROUP BY src"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round synchronous label propagation (Raghavan et al.'s
+    LPA, determinized) — the COMMUNITY-DETECTION member of the graph
+    tier: connected components says "reachable at all", k-core says
+    "dense backbone", THIS says "which cluster do you belong to" (the
+    market-segmentation / fraud-ring / topic-group readout). Returns
+    ``(id, lbl)`` after ``rounds`` synchronous updates; ``lbl`` is the
+    id of some member node, so communities are named deterministically.
+
+    Every node starts as its own label; each round every node adopts the
+    most frequent label among its neighbors' PREVIOUS-round labels, ties
+    broken to the SMALLEST label — integer counts + integer tie-break,
+    so the result is exact set arithmetic, bit-identical across engines
+    and partitionings, and the chained-CTE oracle is identical by
+    construction (the kcore/sssp honesty model: the round bound is part
+    of the semantics). Synchronous LPA oscillates on bipartite graphs;
+    callers on such graphs should include SELF-LOOPS in ``edges`` (the
+    node's own label then votes too — the standard damping fix), which
+    keeps the update rule itself unchanged.
+
+    Scale (the Pregel discipline): per round ONE hash join
+    ``edges ⋈ labels`` on dst + TWO map-side-combinable aggs (the
+    (id, lbl) count, then the per-id argmax via a struct max — no window,
+    so no per-node sort), localCheckpoint per round so lineage never
+    stacks; labels is O(nodes), edges the only corpus-sized state."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nbr = e.join(labels, e["dst"] == labels["id"]).select(
+            e["src"].alias("nid"), "lbl"
+        )
+        counts = nbr.groupBy("nid", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("nid")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))
+                ).alias("m")
+            )
+            .select(F.col("nid").alias("id"), (-F.col("m.neg")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def lpa_oracle_cte(
+    edges_sql: str, rounds: int, select_sql: str | None = None
+) -> str:
+    """DuckDB twin of :func:`label_propagation` as chained CTEs — one
+    count+argmax CTE pair per round (the kcore_oracle_cte pattern).
+    ``edges_sql`` selects the edge list (symmetric, plus self-loops if
+    the caller added them on the Spark side); ``select_sql`` overrides
+    the final projection over ``l{rounds}(id, lbl)``."""
+    parts = [
+        f"e0 AS ({edges_sql})",
+        "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (
+  SELECT e.src AS id, l.lbl, count(*) AS cnt
+  FROM e0 e JOIN l{r - 1} l ON e.dst = l.id GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""l{r} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl)
+             AS rn
+    FROM c{r}) t WHERE rn = 1
+)"""
+        )
+    final = select_sql or f"SELECT id, lbl FROM l{rounds}"
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -20,6 +20,8 @@ from ..operators.graph import (
     bfs_oracle_cte,
     kcore_oracle_cte,
     kcore_peel,
+    label_propagation,
+    lpa_oracle_cte,
     pagerank,
     pagerank_oracle_cte,
     sssp_bounded,
@@ -1769,6 +1771,80 @@ _KCORE_SQL = kcore_oracle_cte(
 )
 
 
+_LPA_ROUNDS = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection over the trade graph —
+    {r} synchronous LPA rounds (operators/graph.label_propagation),
+    rolled up to one row per detected community: size and its
+    supplier/customer split. Completes the graph tier's clustering
+    axis (dedup_clusters: exact connectivity; kcore_peel: density;
+    THIS: modularity-style grouping — the fraud-ring / market-cluster
+    readout).
+
+    Determinism: most-frequent-neighbor-label with smallest-label
+    tie-break is pure integer arithmetic; the bipartite-oscillation
+    hazard of synchronous LPA is damped the standard way — SELF-LOOPS
+    (each node's own previous label votes once), added on both engine
+    sides identically. Community names are member node ids, so the
+    rollup keys are engine-independent.
+
+    Scale: per round one edges⋈labels hash join + two map-side
+    aggs, checkpointed (the Pregel discipline); the final rollup is
+    communities-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    selfs = (
+        pairs.select(F.col("a").alias("src"))
+        .unionByName(pairs.select(F.col("b").alias("src")))
+        .distinct()
+        .select("src", F.col("src").alias("dst"))
+    )
+    labels = label_propagation(sym.unionByName(selfs), rounds=_LPA_ROUNDS)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum((F.col("id") % 2 == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum((F.col("id") % 2 == 1).cast("long"))
+        .cast("bigint")
+        .alias("n_customers"),
+    )
+
+
+q_lpa_communities.__doc__ = q_lpa_communities.__doc__.format(r=_LPA_ROUNDS)
+
+_LPA_EDGES_SQL = f"""{_PR_EDGES_SQL}
+UNION ALL
+SELECT DISTINCT a AS src, a AS dst FROM ({_PR_PAIRS}) s1
+UNION ALL
+SELECT DISTINCT b AS src, b AS dst FROM ({_PR_PAIRS}) s2"""
+
+_LPA_SQL = lpa_oracle_cte(
+    _LPA_EDGES_SQL,
+    rounds=_LPA_ROUNDS,
+    select_sql=(
+        "SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,"
+        " CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_suppliers,"
+        " CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_customers FROM l{_LPA_ROUNDS} GROUP BY lbl"
+    ),
+)
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3391,6 +3467,7 @@ QUERIES = {
     "part_family_rollup": q_part_family_rollup,
     "single_source_parts": q_single_source_parts,
     "gini_by_segment": q_gini_by_segment,
+    "lpa_communities": q_lpa_communities,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3460,6 +3537,7 @@ ORACLE = {
     "part_family_rollup": _PART_FAMILY_SQL,
     "single_source_parts": _SINGLE_SOURCE_SQL,
     "gini_by_segment": _GINI_SQL,
+    "lpa_communities": _LPA_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

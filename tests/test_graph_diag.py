@@ -2325,3 +2325,53 @@ def test_gini_by_segment_closed_forms(spark, tmp_path):
         "EQUAL": (3, 300, 0.0, 0.0),
         "WHALE": (10, 500, 0.9, 1.0),
     }
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by one bridge edge, self-loops included:
+    3 deterministic rounds settle each triangle on its smallest member
+    (1 and 4) and the bridge must not merge them."""
+    from savio_training_dask_2019_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    rows = [(a, b) for a, b in tri] + [(b, a) for a, b in tri]
+    rows += [(i, i) for i in range(1, 7)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        r["id"]: r["lbl"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lpa_communities_planted_cliques(spark, tmp_path):
+    """Two disjoint trade groups: suppliers {1,2} x customers {1,2} and
+    the lone pair supplier 3 / customer 3. LPA settles each group on its
+    smallest node id (supplier1 -> node 2, supplier3 -> node 6) with the
+    exact supplier/customer splits."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [101, 102, 103],
+            "o_custkey": [1, 2, 3],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [101, 101, 102, 102, 103],
+            "l_suppkey": [1, 2, 1, 2, 3],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_lpa_communities,
+    )
+
+    got = {
+        r["community"]: (r["n_nodes"], r["n_suppliers"], r["n_customers"])
+        for r in q_lpa_communities(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (4, 2, 2), 6: (2, 1, 1)}
