@@ -1845,6 +1845,141 @@ _LPA_SQL = lpa_oracle_cte(
 )
 
 
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking — which part attribute (brand,
+    type, size bucket) tells you most about whether a line gets
+    RETURNED: the model-free feature-selection pass a training pipeline
+    runs before fitting anything (chi2_abtest asks "are these two
+    proportions different"; THIS ranks many features on one target by
+    information). Reports MI in bits and the uncertainty coefficient
+    U = MI/H(target) so features are comparable across targets.
+
+    Exactness: all joint/marginal counts are exact BIGINTs from ONE
+    grouped cube; every MI term log2(c_xy·N/(c_x·c_y)) has
+    IEEE-identical integer-ratio operands in both engines, and the
+    final sums are rounded 5 dp (4 dp for U) — wide enough for
+    summation-association noise over the ≤ few-hundred-term sums.
+
+    Scale: one broadcast dim join + stack(3) fans each line into three
+    (feature, value) votes, collapsed by ONE map-side-combined groupBy
+    to the (feature, value, label) counts cube; marginals are windows
+    PARTITIONED BY FEATURE over that dimension-sized cube, so nothing
+    after the first shuffle scales with the corpus."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("int").alias("y")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).selectExpr(
+        "y",
+        "stack(3, 'brand', p_brand, 'type', p_type,"
+        " 'size_bucket', cast(p_size div 10 as string)) as (feature, val)",
+    )
+    counts = j.groupBy("feature", "val", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    wf = Window.partitionBy("feature")
+    enriched = counts.select(
+        "feature",
+        "val",
+        "y",
+        "cxy",
+        F.sum("cxy").over(wf).cast("bigint").alias("n"),
+        F.sum("cxy")
+        .over(Window.partitionBy("feature", "val"))
+        .cast("bigint")
+        .alias("cx"),
+        F.sum("cxy")
+        .over(Window.partitionBy("feature", "y"))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    term = F.col("cxy").cast("double") * F.log2(
+        (F.col("cxy") * F.col("n")).cast("double")
+        / (F.col("cx") * F.col("cy")).cast("double")
+    )
+    mi = enriched.groupBy("feature").agg(
+        F.countDistinct("val").cast("bigint").alias("n_vals"),
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.round(F.sum(term) / F.max("n"), 5).alias("mi_bits"),
+    )
+    ym = counts.groupBy("feature", "y").agg(
+        F.sum("cxy").cast("bigint").alias("cy")
+    )
+    hy = (
+        ym.withColumn("n", F.sum("cy").over(wf).cast("bigint"))
+        .groupBy("feature")
+        .agg(
+            F.round(
+                -F.sum(
+                    F.col("cy").cast("double")
+                    * F.log2(F.col("cy").cast("double") / F.col("n").cast("double"))
+                )
+                / F.max("n"),
+                5,
+            ).alias("h_target_bits")
+        )
+    )
+    out = mi.join(F.broadcast(hy), "feature")
+    return out.select(
+        "feature",
+        "n_vals",
+        "n_rows",
+        "mi_bits",
+        "h_target_bits",
+        F.round(F.col("mi_bits") / F.col("h_target_bits"), 4).alias(
+            "uncertainty_coef"
+        ),
+    )
+
+
+_FEATURE_MI_SQL = """
+WITH j AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         p_brand, p_type, CAST(p_size // 10 AS VARCHAR) AS size_bucket
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), stacked AS (
+  SELECT 'brand' AS feature, p_brand AS val, y FROM j
+  UNION ALL SELECT 'type', p_type, y FROM j
+  UNION ALL SELECT 'size_bucket', size_bucket, y FROM j
+), counts AS (
+  SELECT feature, val, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM stacked GROUP BY 1, 2, 3
+), enriched AS (
+  SELECT feature, val, y, cxy,
+         CAST(sum(cxy) OVER (PARTITION BY feature) AS BIGINT) AS n,
+         CAST(sum(cxy) OVER (PARTITION BY feature, val) AS BIGINT) AS cx,
+         CAST(sum(cxy) OVER (PARTITION BY feature, y) AS BIGINT) AS cy
+  FROM counts
+), mi AS (
+  SELECT feature,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_vals,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         round(sum(CAST(cxy AS DOUBLE)
+                   * log2(CAST(cxy * n AS DOUBLE)
+                          / CAST(cx * cy AS DOUBLE))) / max(n), 5)
+           AS mi_bits
+  FROM enriched GROUP BY 1
+), ym AS (
+  SELECT feature, y, CAST(sum(cxy) AS BIGINT) AS cy
+  FROM counts GROUP BY 1, 2
+), hy AS (
+  SELECT feature,
+         round(-sum(CAST(cy AS DOUBLE)
+                    * log2(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)))
+               / max(n), 5) AS h_target_bits
+  FROM (SELECT feature, y, cy,
+               CAST(sum(cy) OVER (PARTITION BY feature) AS BIGINT) AS n
+        FROM ym) t
+  GROUP BY 1
+)
+SELECT mi.feature, n_vals, n_rows, mi_bits, h_target_bits,
+       round(mi_bits / h_target_bits, 4) AS uncertainty_coef
+FROM mi JOIN hy ON mi.feature = hy.feature
+"""
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3468,6 +3603,7 @@ QUERIES = {
     "single_source_parts": q_single_source_parts,
     "gini_by_segment": q_gini_by_segment,
     "lpa_communities": q_lpa_communities,
+    "feature_mi": q_feature_mi,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3538,6 +3674,7 @@ ORACLE = {
     "single_source_parts": _SINGLE_SOURCE_SQL,
     "gini_by_segment": _GINI_SQL,
     "lpa_communities": _LPA_SQL,
+    "feature_mi": _FEATURE_MI_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

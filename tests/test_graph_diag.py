@@ -2375,3 +2375,40 @@ def test_lpa_communities_planted_cliques(spark, tmp_path):
         for r in q_lpa_communities(spark, str(tmp_path)).collect()
     }
     assert got == {2: (4, 2, 2), 6: (2, 1, 1)}
+
+
+def test_feature_mi_perfect_and_independent(spark, tmp_path):
+    """Closed-form MI: brand perfectly predicts the return flag on a
+    50/50 target -> MI = H(Y) = 1 bit, uncertainty coefficient 1; type
+    and size bucket are constant -> MI = 0, coefficient 0."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_brand": ["A", "B"],
+            "p_type": ["T1", "T1"],
+            "p_size": [1, 1],
+        }
+    ).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame(
+        {
+            "l_partkey": [1, 1, 2, 2],
+            "l_returnflag": ["R", "R", "N", "N"],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_feature_mi
+
+    got = {
+        r["feature"]: (
+            r["n_vals"], r["n_rows"], r["mi_bits"], r["h_target_bits"],
+            r["uncertainty_coef"],
+        )
+        for r in q_feature_mi(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "brand": (2, 4, 1.0, 1.0, 1.0),
+        "type": (1, 4, 0.0, 1.0, 0.0),
+        "size_bucket": (1, 4, 0.0, 1.0, 0.0),
+    }
