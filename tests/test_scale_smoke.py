@@ -907,3 +907,54 @@ def test_embedding_drift_1m_vectors_closed_form(spark, tmp_path):
     assert r["centroid_cosine"] == 0.0
     assert r["l2_sq_milli"] == 2 * 1000**2
     assert elapsed < 120, f"drift smoke took {elapsed:.0f}s"
+
+
+def test_label_propagation_1m_edges_stars_closed_form(spark):
+    """label_propagation at ~1M directed edges: 10k disjoint stars of
+    100 leaves each, centers carrying the smallest id in their star.
+    With self-loops every leaf ties {center, self} and takes the min
+    (= center) in round 1; the center's plurality is already itself from
+    round 2 on. Closed form: exactly 10k communities, each of size 101,
+    each labeled by its center."""
+    import time
+
+    stars, leaves = 10_000, 100
+    span = leaves + 1  # ids: center = s*span, leaves = s*span + 1..leaves
+    leaf = spark.range(stars * leaves).select(
+        ((F.col("id") / leaves).cast("long") * span).alias("center"),
+        (
+            (F.col("id") / leaves).cast("long") * span
+            + F.col("id") % leaves
+            + 1
+        ).alias("leaf"),
+    )
+    edges = (
+        leaf.select(F.col("center").alias("src"), F.col("leaf").alias("dst"))
+        .unionByName(
+            leaf.select(F.col("leaf").alias("src"), F.col("center").alias("dst"))
+        )
+    )
+    nodes = spark.range(stars * span).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    from savio_training_dask_2019_spark.operators.graph import (
+        label_propagation,
+    )
+
+    t0 = time.perf_counter()
+    sizes = (
+        label_propagation(edges.unionByName(nodes), rounds=2)
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = sizes.agg(
+        F.count(F.lit(1)).alias("n_comm"),
+        F.min("n").alias("mn"),
+        F.max("n").alias("mx"),
+        F.sum((F.col("lbl") % span == 0).cast("long")).alias("centers"),
+    ).first()
+    elapsed = time.perf_counter() - t0
+    assert (agg["n_comm"], agg["mn"], agg["mx"], agg["centers"]) == (
+        stars, 101, 101, stars,
+    )
+    assert elapsed < 180, f"lpa smoke took {elapsed:.0f}s"
