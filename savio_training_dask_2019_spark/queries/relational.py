@@ -1928,9 +1928,10 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "mi_bits",
         "h_target_bits",
-        F.round(F.col("mi_bits") / F.col("h_target_bits"), 4).alias(
-            "uncertainty_coef"
-        ),
+        # a constant target has no entropy to explain: NULL, not 0/0
+        F.when(F.col("h_target_bits") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("mi_bits") / F.col("h_target_bits"), 4))
+        .alias("uncertainty_coef"),
     )
 
 
@@ -1975,7 +1976,8 @@ WITH j AS (
   GROUP BY 1
 )
 SELECT mi.feature, n_vals, n_rows, mi_bits, h_target_bits,
-       round(mi_bits / h_target_bits, 4) AS uncertainty_coef
+       CASE WHEN h_target_bits = 0 THEN NULL ELSE
+         round(mi_bits / h_target_bits, 4) END AS uncertainty_coef
 FROM mi JOIN hy ON mi.feature = hy.feature
 """
 
@@ -3493,24 +3495,34 @@ def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
     )
     top_cut = F.col("i") > F.col("n") - F.expr("n div 10")
+    # a segment of all-zero-dollar buyers has no defined inequality:
+    # NULL in both engines (ANSI division would throw, IEEE would NaN)
     return ranked.groupBy("segment").agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.sum("rev").cast("bigint").alias("total_rev"),
-        F.round(
-            (
-                2 * F.sum(F.col("i") * F.col("rev"))
-                - (F.max("n") + 1) * F.sum("rev")
-            ).cast("double")
-            / (F.max("n") * F.sum("rev")).cast("double"),
-            4,
-        ).alias("gini"),
-        F.round(
-            F.sum(F.when(top_cut, F.col("rev")).otherwise(F.lit(0))).cast(
-                "double"
+        F.when(F.sum("rev") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (
+                    2 * F.sum(F.col("i") * F.col("rev"))
+                    - (F.max("n") + 1) * F.sum("rev")
+                ).cast("double")
+                / (F.max("n") * F.sum("rev")).cast("double"),
+                4,
             )
-            / F.sum("rev").cast("double"),
-            4,
-        ).alias("top_decile_share"),
+        )
+        .alias("gini"),
+        F.when(F.sum("rev") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum(F.when(top_cut, F.col("rev")).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum("rev").cast("double"),
+                4,
+            )
+        )
+        .alias("top_decile_share"),
     )
 
 
@@ -3530,10 +3542,12 @@ WITH rev AS (
 SELECT segment,
        CAST(max(n) AS BIGINT) AS n_customers,
        CAST(sum(rev) AS BIGINT) AS total_rev,
-       round(CAST(2 * sum(i * rev) - (max(n) + 1) * sum(rev) AS DOUBLE)
-             / CAST(max(n) * sum(rev) AS DOUBLE), 4) AS gini,
-       round(CAST(sum(CASE WHEN i > n - n // 10 THEN rev ELSE 0 END)
-                  AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 4)
+       CASE WHEN sum(rev) = 0 THEN NULL ELSE
+         round(CAST(2 * sum(i * rev) - (max(n) + 1) * sum(rev) AS DOUBLE)
+               / CAST(max(n) * sum(rev) AS DOUBLE), 4) END AS gini,
+       CASE WHEN sum(rev) = 0 THEN NULL ELSE
+         round(CAST(sum(CASE WHEN i > n - n // 10 THEN rev ELSE 0 END)
+                    AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 4) END
          AS top_decile_share
 FROM ranked GROUP BY 1
 """

@@ -1159,3 +1159,119 @@ def test_rfm_segments_matches_python(custs, spark, tmp_path_factory):
         cnt, tot = want.get(label, (0, 0))
         want[label] = (cnt + 1, tot + met[ck][2])
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),      # custkey
+            st.integers(min_value=1, max_value=50_000),  # price cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_gini_by_segment_matches_python(orders, spark, tmp_path_factory):
+    """q_gini_by_segment's rank identity vs a direct python Lorenz walk
+    over the sorted per-customer dollar totals (one segment)."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("gini")
+    custs = sorted({c for c, _ in orders})
+    pd.DataFrame(
+        {"c_custkey": custs, "c_mktsegment": ["S"] * len(custs)}
+    ).to_parquet(tmp / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_custkey": [c for c, _ in orders],
+            "o_totalprice": [p / 100.0 for _, p in orders],
+        }
+    ).to_parquet(tmp / "orders.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_gini_by_segment,
+    )
+
+    row = q_gini_by_segment(spark, str(tmp)).collect()[0]
+
+    cents = defaultdict(int)
+    for c, p in orders:
+        cents[c] += round((p / 100.0) * 100)
+    xs = sorted(v // 100 for v in cents.values())
+    n, t = len(xs), sum(xs)
+    six = sum(i * x for i, x in enumerate(xs, start=1))
+    topdec = sum(xs[n - n // 10:]) if n // 10 else 0
+    if t == 0:
+        # all-zero-dollar segment: inequality undefined -> NULL both sides
+        assert row["total_rev"] == 0
+        assert row["gini"] is None and row["top_decile_share"] is None
+        return
+    assert row["n_customers"] == n and row["total_rev"] == t
+    assert row["gini"] == round((2 * six - (n + 1) * t) / (n * t), 4)
+    assert row["top_decile_share"] == round(topdec / t, 4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),      # day of Jan
+            st.integers(min_value=-5_000, max_value=5_000),  # value cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_changepoint_cusum_matches_python(evs, spark, tmp_path_factory):
+    """q_changepoint_cusum's denominator-cleared argmax vs a direct
+    python prefix walk over the daily sums (earliest-day ties)."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("cusum")
+    pd.DataFrame(
+        {
+            "event_id": list(range(len(evs))),
+            "ts": [pd.Timestamp(f"2024-01-{d:02d} 09:00") for d, _ in evs],
+            "user_id": [1] * len(evs),
+            "event_type": ["click"] * len(evs),
+            "value": [c / 100.0 for _, c in evs],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_changepoint_cusum,
+    )
+
+    row = q_changepoint_cusum(spark, str(tmp)).collect()[0]
+
+    daily = defaultdict(int)
+    for d, c in evs:
+        daily[d] += round((c / 100.0) * 100)
+    days = sorted(daily)
+    n, t = len(days), sum(daily.values())
+    p = 0
+    best = (-1, None)  # (abs_ns, day) with earliest-day tie-break
+    for idx, d in enumerate(days, start=1):
+        p += daily[d]
+        a = abs(n * p - idx * t)
+        if a > best[0]:
+            best = (a, d)
+    assert row["n_days"] == n
+    assert str(row["cp_date"])[:10] == f"2024-01-{best[1]:02d}"
+    assert row["cusum_dollars"] == round(best[0] / (n * 100), 4)
