@@ -1876,8 +1876,12 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'brand', p_brand, 'type', p_type,"
         " 'size_bucket', cast(p_size div 10 as string)) as (feature, val)",
     )
-    counts = j.groupBy("feature", "val", "y").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    # the counts cube feeds BOTH the MI and the H(Y) branch: checkpoint it
+    # (it is vals×2-sized) so neither branch re-executes the corpus scan
+    counts = (
+        j.groupBy("feature", "val", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+        .localCheckpoint(eager=True)
     )
     wf = Window.partitionBy("feature")
     enriched = counts.select(

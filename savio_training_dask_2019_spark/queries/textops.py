@@ -1441,6 +1441,117 @@ FROM b
 """
 
 
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution
+    against the REST of the corpus — the mixture diagnostic a pretraining
+    pipeline reads before setting source weights (mixture_weights says
+    how much of each source you HAVE; THIS says how linguistically far
+    each source sits from everything else, in bits ∈ [0, 1] — near 0:
+    redundant with the rest, near 1: disjoint vocabulary).
+
+    The closed-form trick that keeps it one-sided: P's support lives
+    entirely on the source's own (source, token) rows, and every token
+    the source LACKS contributes exactly q·log2(2) = q to KL(Q‖M), so
+    Σ over missing tokens = 1 − Σ_{t∈s} q — no anti-join against the
+    full vocabulary is ever built. All counts are exact BIGINTs; p, q,
+    m are integer-ratio IEEE divisions identical in both engines; the
+    two KL sums are rounded 4 dp. A single-source corpus has no "rest"
+    (T_rest = 0): jsd is NULL, not a throw.
+
+    Scale: explode → ONE map-side-combined (source, token) groupBy (the
+    corpus shuffle); the token-marginal and source-total windows run
+    over the vocab×sources-sized count table; the corpus total is the
+    one-row scalar fold (documented BNLJ attach). Nothing after the
+    first shuffle scales with corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = st.agg(F.sum("c").cast("bigint").alias("tt"))
+    wtok = Window.partitionBy("token")
+    wsrc = Window.partitionBy("source")
+    rows = st.withColumn(
+        "ctok", F.sum("c").over(wtok).cast("bigint")
+    ).withColumn("ts", F.sum("c").over(wsrc).cast("bigint")).crossJoin(
+        F.broadcast(tot)
+    )
+    p = F.col("c").cast("double") / F.col("ts").cast("double")
+    crest = F.col("ctok") - F.col("c")
+    trest = F.col("tt") - F.col("ts")
+    q = crest.cast("double") / trest.cast("double")
+    m = (p + q) / 2
+    terms = rows.select(
+        "source",
+        "ts",
+        trest.alias("trest"),
+        F.when(trest > 0, p * F.log2(p / m))
+        .otherwise(F.lit(0.0))
+        .alias("pterm"),
+        F.when((trest > 0) & (crest > 0), q * F.log2(q / m))
+        .otherwise(F.lit(0.0))
+        .alias("qterm"),
+        F.when(trest > 0, q).otherwise(F.lit(0.0)).alias("q"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("ts").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.when(F.max("trest") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                0.5 * F.sum("pterm")
+                + 0.5 * (F.sum("qterm") + 1.0 - F.sum("q")),
+                4,
+            )
+        )
+        .alias("jsd_bits"),
+    )
+
+
+_JSD_SQL = f"""
+WITH st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({_DUCK_TOKENS}) AS token FROM documents) t
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM st),
+rows_ AS (
+  SELECT source, c,
+         CAST(sum(c) OVER (PARTITION BY token) AS BIGINT) AS ctok,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ts,
+         tt
+  FROM st CROSS JOIN tot
+), terms AS (
+  SELECT source, ts, tt - ts AS trest,
+         CASE WHEN tt - ts > 0 THEN
+           (CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+           * log2((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+                  / (((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+                      + (CAST(ctok - c AS DOUBLE)
+                         / CAST(tt - ts AS DOUBLE))) / 2))
+         ELSE 0.0 END AS pterm,
+         CASE WHEN tt - ts > 0 AND ctok - c > 0 THEN
+           (CAST(ctok - c AS DOUBLE) / CAST(tt - ts AS DOUBLE))
+           * log2((CAST(ctok - c AS DOUBLE) / CAST(tt - ts AS DOUBLE))
+                  / (((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+                      + (CAST(ctok - c AS DOUBLE)
+                         / CAST(tt - ts AS DOUBLE))) / 2))
+         ELSE 0.0 END AS qterm,
+         CASE WHEN tt - ts > 0 THEN
+           CAST(ctok - c AS DOUBLE) / CAST(tt - ts AS DOUBLE)
+         ELSE 0.0 END AS q
+  FROM rows_
+)
+SELECT source,
+       CAST(max(ts) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CASE WHEN max(trest) = 0 THEN NULL ELSE
+         round(0.5 * sum(pterm) + 0.5 * (sum(qterm) + 1.0 - sum(q)), 4)
+       END AS jsd_bits
+FROM terms GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "bpe_token_stats": q_bpe_token_stats,
@@ -1455,6 +1566,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "collocations": q_collocations,
     "wordcount": q_wordcount,
+    "jsd_sources": q_jsd_sources,
     "zipf_curve": q_zipf_curve,
     "heaps_curve": q_heaps_curve,
     "winnow_fp": q_winnow_fp,
@@ -1489,6 +1601,7 @@ ORACLE = {
     "bm25_search": _BM25_SQL,
     "collocations": _COLLOCATIONS_SQL,
     "wordcount": _WORDCOUNT_SQL,
+    "jsd_sources": _JSD_SQL,
     "zipf_curve": _ZIPF_SQL,
     "heaps_curve": _HEAPS_SQL,
     "winnow_fp": _WINNOW_SQL,

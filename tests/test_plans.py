@@ -412,6 +412,7 @@ _MAX_BNLJ = {
     "dedup_incremental_bloom": 2,  # ONE bitset attach, printed under both
                             # union branches (physically reused broadcast)
     "doc_tfidf": 1,         # 1-row corpus doc count
+    "jsd_sources": 1,       # 1-row corpus token total attach
     "drift_ks": 1,          # 1-row half-totals scalar (drift family shape)
     "drift_numeric": 1,     # 1-row half-totals scalar (drift_psi's twin)
     "drift_psi": 1,         # 1-row half-totals scalar
@@ -467,6 +468,8 @@ _MAX_SINGLE_PARTITION = {
     "heaps_curve": 1,  # the <=100-row cumulative window's exchange
     "heavy_domains": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
+    "jsd_sources": 1,  # the 1-row corpus token-total fold
+
     "ivfpq": 3, "ivfpq_rerank": 3, "kll_quantiles": 1,
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1,

@@ -434,3 +434,49 @@ def test_heaps_curve_planted_vocabulary(spark, tmp_path):
         for r in textops.q_heaps_curve(spark, str(tmp_path)).collect()
     }
     assert got == {0: (2, 2), 1: (1, 3)}
+
+
+def _jsd_docs(tmp_path, pairs):
+    """pairs: (source, text)."""
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(pairs))),
+            "text": [t for _, t in pairs],
+            "lang": "en",
+            "source": [s for s, _ in pairs],
+            "n_chars": [len(t) for _, t in pairs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+
+def test_jsd_sources_closed_forms(spark, tmp_path):
+    """Disjoint vocabularies -> JSD exactly 1 bit each way; identical
+    distributions -> 0; a single-source corpus has no rest -> NULL."""
+    from savio_training_dask_2019_spark.queries.textops import q_jsd_sources
+
+    d1 = tmp_path / "disjoint"
+    d1.mkdir()
+    _jsd_docs(d1, [("A", "x x"), ("B", "y")])
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["jsd_bits"])
+        for r in q_jsd_sources(spark, str(d1)).collect()
+    }
+    assert got == {"A": (2, 1, 1.0), "B": (1, 1, 1.0)}
+
+    d2 = tmp_path / "identical"
+    d2.mkdir()
+    _jsd_docs(d2, [("A", "w z"), ("B", "w z")])
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["jsd_bits"])
+        for r in q_jsd_sources(spark, str(d2)).collect()
+    }
+    assert got == {"A": (2, 2, 0.0), "B": (2, 2, 0.0)}
+
+    d3 = tmp_path / "single"
+    d3.mkdir()
+    _jsd_docs(d3, [("A", "hello world")])
+    got = [
+        (r["source"], r["n_tokens"], r["n_types"], r["jsd_bits"])
+        for r in q_jsd_sources(spark, str(d3)).collect()
+    ]
+    assert got == [("A", 2, 2, None)]
