@@ -2068,6 +2068,86 @@ FROM km
 """
 
 
+_EWMA_ALPHA = 0.3
+_EWMA_K = 30
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily value per event
+    type — the pandas/dask ``.ewm(alpha={a}, adjust=False)`` surface,
+    TRUNCATED to the trailing {k} days: the recursion restarts from the
+    oldest in-window day, which drops lag->infinity contributions whose
+    total weight is (1−α)^{k} ≈ 2e-5 — the truncation is part of the
+    declared semantics (both engines fold the same window), not an
+    approximation hazard, and it is what makes the operator stateless
+    per row and safe at any series length (an unbounded recursion would
+    need a sequential scan per key; a 100 TB daily grid is still just
+    calendar × types rows after the collapse).
+
+    Exactness: daily sums are exact BIGINT cents; the fold is the SAME
+    IEEE sequence in both engines — DuckDB's list_reduce seeds the
+    accumulator with the FIRST list element, so the Spark side seeds
+    aggregate() with xs[0] and folds slice(xs, 2, …) — bit-identical
+    before the final 4 dp dollar rounding.
+
+    Scale: one (type, day) map-side groupBy is the corpus shuffle; the
+    trailing-{k} collect_list window runs over the calendar-sized
+    frame, carrying ≤ {k} BIGINTs per row."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    xs = daily.select(
+        "event_type",
+        "day",
+        F.round(F.col("c").cast("double") / 100, 4).alias("raw_dollars"),
+        F.collect_list("c").over(w).alias("xs"),
+    )
+    fold = (
+        f"aggregate(slice(xs, 2, size(xs) - 1), cast(xs[0] as double),"
+        f" (acc, v) -> acc * {1 - _EWMA_ALPHA} +"
+        f" cast(v as double) * {_EWMA_ALPHA})"
+    )
+    return xs.select(
+        "event_type",
+        "day",
+        "raw_dollars",
+        F.round(F.expr(fold) / 100, 4).alias("ewma_dollars"),
+    )
+
+
+q_ewma_daily.__doc__ = q_ewma_daily.__doc__.format(a=_EWMA_ALPHA, k=_EWMA_K)
+
+_EWMA_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), xs AS (
+  SELECT event_type, day,
+         round(CAST(c AS DOUBLE) / 100, 4) AS raw_dollars,
+         list(CAST(c AS DOUBLE))
+           OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {_EWMA_K - 1} PRECEDING AND CURRENT ROW)
+           AS l
+  FROM daily
+)
+SELECT event_type, day, raw_dollars,
+       round(list_reduce(l, (acc, v) -> acc * {1 - _EWMA_ALPHA}
+                            + v * {_EWMA_ALPHA}) / 100, 4) AS ewma_dollars
+FROM xs
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2102,6 +2182,7 @@ QUERIES = {
     "seasonal_profile": q_seasonal_profile,
     "changepoint_cusum": q_changepoint_cusum,
     "survival_curve": q_survival_curve,
+    "ewma_daily": q_ewma_daily,
 }
 
 ORACLE = {
@@ -2138,4 +2219,5 @@ ORACLE = {
     "seasonal_profile": _SEASONAL_SQL,
     "changepoint_cusum": _CUSUM_SQL,
     "survival_curve": _SURVIVAL_SQL,
+    "ewma_daily": _EWMA_SQL,
 }

@@ -407,3 +407,32 @@ def test_survival_curve_hand_km(spark, tmp_path):
         (1, 3, 1, 0.5333),
         (4, 2, 1, 0.2667),
     ]
+
+
+def test_ewma_daily_hand_recursion(spark, tmp_path):
+    """alpha=0.3, seeded with the first in-window day: 1.00, then
+    0.7*100+0.3*200 = 130c, then 0.7*130+0.3*300 = 181c. A lone-day
+    series must return its raw value, and two events in one bucket sum
+    before smoothing."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 05:00", 1, "click", 0.40),
+            (2, "2024-01-01 06:00", 1, "click", 0.60),  # day 1: 100c
+            (3, "2024-01-02 05:00", 1, "click", 2.00),
+            (4, "2024-01-03 05:00", 1, "click", 3.00),
+            (5, "2024-01-05 05:00", 2, "view", 7.25),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_ewma_daily
+
+    got = {
+        (r["event_type"], str(r["day"])[:10]): (r["raw_dollars"], r["ewma_dollars"])
+        for r in q_ewma_daily(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("click", "2024-01-01"): (1.0, 1.0),
+        ("click", "2024-01-02"): (2.0, 1.3),
+        ("click", "2024-01-03"): (3.0, 1.81),
+        ("view", "2024-01-05"): (7.25, 7.25),
+    }
