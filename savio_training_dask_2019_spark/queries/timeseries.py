@@ -2148,6 +2148,119 @@ FROM xs
 """
 
 
+def q_cuped_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction per event type — the experimentation-
+    platform readout (Deng et al. 2013): how much of each metric's
+    between-user variance a pre-period covariate removes. The corpus
+    midpoint splits time into pre (X) and post (Y) halves per user;
+    θ = cov(X,Y)/var(X) is the adjustment coefficient and ρ² the
+    variance-reduction fraction CUPED achieves (chi2_abtest asks "did
+    the metric move"; THIS asks "how much cheaper can that answer get").
+
+    Exactness: all five moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    BIGINT whole-dollar sums per type; θ is ONE division of exact
+    integers rounded 4 dp; ρ² = (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    is formed from the SAME exact factors cast once to double —
+    IEEE-identical in both engines. Zero pre- or post-variance → NULL
+    (a constant covariate reduces nothing), not a throw.
+
+    Scale: the 1-row (min, max) fold defines the cutoff (documented
+    BNLJ attach); ONE (type, user) groupBy with conditional sums is the
+    corpus shuffle; the moment rollup is |types|-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    span = e.agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+    cut = e.crossJoin(F.broadcast(span)).withColumn(
+        "cutoff",
+        F.expr("date_add(min_d, cast(datediff(max_d, min_d) div 2 as int))"),
+    )
+    per_user = cut.groupBy("event_type", "user_id").agg(
+        F.expr(
+            "sum(case when d < cutoff then cents else 0 end) div 100"
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.expr(
+            "sum(case when d >= cutoff then cents else 0 end) div 100"
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    cov_n = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    varx_n = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    vary_n = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.when(varx_n == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(cov_n.cast("double") / varx_n.cast("double"), 4)
+        )
+        .alias("theta"),
+        F.when((varx_n == 0) | (vary_n == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (cov_n.cast("double") * cov_n.cast("double"))
+                / (varx_n.cast("double") * vary_n.cast("double")),
+                4,
+            )
+        )
+        .alias("var_reduction"),
+    )
+
+
+_CUPED_SQL = """
+WITH e AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), span AS (SELECT min(d) AS min_d, max(d) AS max_d FROM e),
+per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CASE WHEN d < min_d + (date_diff('day', min_d, max_d) // 2)
+                            * INTERVAL 1 DAY
+                       THEN cents ELSE 0 END) // 100 AS BIGINT) AS x,
+         CAST(sum(CASE WHEN d >= min_d + (date_diff('day', min_d, max_d) // 2)
+                             * INTERVAL 1 DAY
+                       THEN cents ELSE 0 END) // 100 AS BIGINT) AS y
+  FROM e CROSS JOIN span
+  GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY 1
+)
+SELECT event_type, n AS n_users,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS theta,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       ELSE
+         round((CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 4) END
+         AS var_reduction
+FROM m
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2183,6 +2296,7 @@ QUERIES = {
     "changepoint_cusum": q_changepoint_cusum,
     "survival_curve": q_survival_curve,
     "ewma_daily": q_ewma_daily,
+    "cuped_reduction": q_cuped_reduction,
 }
 
 ORACLE = {
@@ -2220,4 +2334,5 @@ ORACLE = {
     "changepoint_cusum": _CUSUM_SQL,
     "survival_curve": _SURVIVAL_SQL,
     "ewma_daily": _EWMA_SQL,
+    "cuped_reduction": _CUPED_SQL,
 }

@@ -417,6 +417,7 @@ _MAX_BNLJ = {
     "drift_numeric": 1,     # 1-row half-totals scalar (drift_psi's twin)
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
+    "cuped_reduction": 1,   # 1-row (min, max) cutoff attach
     "survival_curve": 1,    # 1-row censoring-horizon (global max date) attach
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
@@ -464,6 +465,7 @@ _MAX_SINGLE_PARTITION = {
     "drift_numeric": 1, "drift_psi": 1,
     "embedding_drift": 1,  # the 1-row centroid-moments aggregate
     "k_anonymity": 1,  # the 1-row audit summary over the class table
+    "cuped_reduction": 1,  # the 1-row corpus-span fold
     "dsir_weights": 4, "fanout_compute": 1, "funnel_stages": 1,
     "heaps_curve": 1,  # the <=100-row cumulative window's exchange
     "heavy_domains": 1,

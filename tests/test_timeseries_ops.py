@@ -436,3 +436,34 @@ def test_ewma_daily_hand_recursion(spark, tmp_path):
         ("click", "2024-01-03"): (3.0, 1.81),
         ("view", "2024-01-05"): (7.25, 7.25),
     }
+
+
+def test_cuped_reduction_perfect_and_degenerate(spark, tmp_path):
+    """Span 01-01..01-11 -> cutoff 01-06. 'click': three users with
+    Y = 2X exactly -> theta 2.0, variance reduction 1.0. 'view': both
+    users identical pre and no post -> zero variance -> NULL/NULL."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "click", 100.00),
+            (2, "2024-01-08 09:00", 1, "click", 200.00),
+            (3, "2024-01-03 09:00", 2, "click", 200.00),
+            (4, "2024-01-09 09:00", 2, "click", 400.00),
+            (5, "2024-01-04 09:00", 3, "click", 300.00),
+            (6, "2024-01-11 09:00", 3, "click", 600.00),
+            (7, "2024-01-02 09:00", 4, "view", 50.00),
+            (8, "2024-01-02 09:00", 5, "view", 50.00),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_cuped_reduction,
+    )
+
+    got = {
+        r["event_type"]: (r["n_users"], r["theta"], r["var_reduction"])
+        for r in q_cuped_reduction(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "click": (3, 2.0, 1.0),
+        "view": (2, None, None),
+    }
