@@ -2261,6 +2261,116 @@ FROM m
 """
 
 
+_ACF_LAGS = (1, 7)
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily value series per event type at lags
+    {lags} — the seasonality/persistence diagnostic that closes the TS
+    analysis loop (trend_slope: direction; seasonal_profile: calendar
+    shape; ewma_daily: smoothing; THIS: how much yesterday/last-week
+    predicts today, the number you read before believing any forecast).
+
+    CALENDAR-correct: pairs come from an equi-join on integer epoch-day
+    (cur.di − lag = prev.di), so a missing day produces NO pair — a
+    row-offset lag() would silently pair across gaps. Pearson r per
+    (type, lag) from five exact BIGINT whole-dollar moments over the
+    pair set; the only floats are one covariance/sqrt division rounded
+    4 dp (IEEE-identical operands). Zero variance on either side →
+    NULL. Int64 headroom: n·Σx² ≈ 6e15 at sf0.1 whole-dollars (rescale
+    units at ~100× this fixture, the market_hhi note).
+
+    Scale: one (type, day) map-side groupBy is the corpus shuffle; the
+    lag fan-out (explode ×{nl}) and self-join run on the calendar-sized
+    daily table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di")
+    ).agg(
+        F.expr("sum(cast(round(value * 100) as bigint)) div 100")
+        .cast("bigint")
+        .alias("x")
+    )
+    cur = daily.select(
+        "event_type",
+        "di",
+        F.col("x").alias("xc"),
+        F.explode(F.array(*[F.lit(k) for k in _ACF_LAGS])).alias("lag"),
+    )
+    prev = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("di").alias("dj"),
+        F.col("x").alias("xl"),
+    )
+    pairs = cur.join(
+        prev,
+        (cur["event_type"] == prev["et2"])
+        & (cur["di"] - cur["lag"] == prev["dj"]),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sc"),
+        F.sum("xl").cast("bigint").alias("sl"),
+        F.sum(F.col("xc") * F.col("xl")).cast("bigint").alias("scl"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("scc"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("sll"),
+    )
+    cov_n = m["n"] * m["scl"] - m["sc"] * m["sl"]
+    varc_n = m["n"] * m["scc"] - m["sc"] * m["sc"]
+    varl_n = m["n"] * m["sll"] - m["sl"] * m["sl"]
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when((varc_n == 0) | (varl_n == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                cov_n.cast("double")
+                / F.sqrt(varc_n.cast("double") * varl_n.cast("double")),
+                4,
+            )
+        )
+        .alias("acf"),
+    )
+
+
+q_acf_daily.__doc__ = q_acf_daily.__doc__.format(
+    lags=_ACF_LAGS, nl=len(_ACF_LAGS)
+)
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2
+), cur AS (
+  SELECT event_type, di, x AS xc, unnest([{", ".join(map(str, _ACF_LAGS))}])
+           AS lag
+  FROM daily
+), m AS (
+  SELECT c.event_type, c.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c.xc) AS BIGINT) AS sc,
+         CAST(sum(p.x) AS BIGINT) AS sl,
+         CAST(sum(c.xc * p.x) AS BIGINT) AS scl,
+         CAST(sum(c.xc * c.xc) AS BIGINT) AS scc,
+         CAST(sum(p.x * p.x) AS BIGINT) AS sll
+  FROM cur c JOIN daily p
+    ON c.event_type = p.event_type AND c.di - c.lag = p.di
+  GROUP BY 1, 2
+)
+SELECT event_type, lag, n AS n_pairs,
+       CASE WHEN n * scc - sc * sc = 0 OR n * sll - sl * sl = 0 THEN NULL
+       ELSE round(CAST(n * scl - sc * sl AS DOUBLE)
+                  / sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                         * CAST(n * sll - sl * sl AS DOUBLE)), 4) END
+         AS acf
+FROM m
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2297,6 +2407,7 @@ QUERIES = {
     "survival_curve": q_survival_curve,
     "ewma_daily": q_ewma_daily,
     "cuped_reduction": q_cuped_reduction,
+    "acf_daily": q_acf_daily,
 }
 
 ORACLE = {
@@ -2335,4 +2446,5 @@ ORACLE = {
     "survival_curve": _SURVIVAL_SQL,
     "ewma_daily": _EWMA_SQL,
     "cuped_reduction": _CUPED_SQL,
+    "acf_daily": _ACF_SQL,
 }

@@ -467,3 +467,42 @@ def test_cuped_reduction_perfect_and_degenerate(spark, tmp_path):
         "click": (3, 2.0, 1.0),
         "view": (2, None, None),
     }
+
+
+def test_acf_daily_closed_forms(spark, tmp_path):
+    """'lin' rises 100,200,...,900 daily -> every lag-k pair set is
+    perfectly linear: acf exactly 1.0 at lags 1 and 7. 'alt' alternates
+    0/100 over 9 days -> odd lags pair opposites: exactly -1.0 at both.
+    'flat' is constant -> zero variance -> NULL. A day GAP in 'lin'
+    (day 10 missing, day 11 present) must drop the crossing lag-1 pair,
+    not pair across it (calendar join, not row lag)."""
+    rows = []
+    eid = 0
+    for i in range(9):  # lin: days 1..9, value (i+1) dollars * 100
+        eid += 1
+        rows.append((eid, f"2024-01-{i + 1:02d} 09:00", 1, "lin", (i + 1) * 100.0))
+    eid += 1
+    rows.append((eid, "2024-01-11 09:00", 1, "lin", 1100.0))  # gap at day 10
+    for i in range(9):  # alt: 0, 100, 0, ...
+        eid += 1
+        rows.append((eid, f"2024-01-{i + 1:02d} 09:00", 2, "alt", (i % 2) * 100.0))
+    for i in range(9):
+        eid += 1
+        rows.append((eid, f"2024-01-{i + 1:02d} 09:00", 3, "flat", 50.0))
+    _write_events(tmp_path, rows)
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_acf_daily
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in q_acf_daily(spark, str(tmp_path)).collect()
+    }
+    # lin lag 1: pairs within 1..9 (8 pairs) — day 11's prev (day 10) is
+    # missing so it contributes NO pair; lag 7: (8,1),(9,2) + (11,4) = 3
+    # pairs, all on the same line -> 1.0
+    assert got[("lin", 1)] == (8, 1.0)
+    assert got[("lin", 7)] == (3, 1.0)
+    assert got[("alt", 1)] == (8, -1.0)
+    assert got[("alt", 7)] == (2, -1.0)
+    assert got[("flat", 1)] == (8, None)
+    assert got[("flat", 7)] == (2, None)
