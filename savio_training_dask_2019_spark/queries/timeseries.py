@@ -2371,6 +2371,177 @@ FROM m
 """
 
 
+def q_attribution_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch vs LINEAR multi-touch attribution, side
+    by side per channel — the model-comparison table a marketing team
+    reads before trusting any single attribution number
+    (sessionize_attribution ships last-touch; THIS shows how much the
+    answer MOVES across models — channels that look strong under
+    last-touch and weak under first-touch are closers, the reverse are
+    openers).
+
+    Semantics: same sessionization contract as sessionize_attribution
+    (30-min gap, strictly-preceding touches, event_id ties); linear
+    splits each purchase's cents EQUALLY over its preceding in-session
+    touches; a purchase with no prior touch is 'direct' under all three
+    models. first/last revenues stay exact BIGINT cents; linear credit
+    is EXACT INTEGER MICRO-CENTS — (cents·10⁶·cnt_c) div tot per
+    purchase, a floor division both engines truncate identically (a
+    float cents·cnt/tot sum landed EXACTLY on a half-cent at sf0.001
+    and the 2 dp rounding flipped between engines — the halfway
+    landmine the repo's float discipline exists for). The ≤1-microcent
+    truncation per (purchase, channel) is declared semantics.
+
+    Scale: ONE pass — two keyed window shuffles (island ids, then
+    first/last/per-channel running counts over one frame), a ×4 stack
+    fan-out on the purchase rows, ONE groupBy. No self-join (quadratic
+    in dense sessions), no per-model branch re-executing lineage."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("us") - prev >= _ATTR_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    s = e.withColumn(
+        "sess",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "sess")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_expr = F.when(
+        F.col("event_type").isin(*_ATTR_TOUCHES), F.col("event_type")
+    )
+    enriched = s.select(
+        "event_type",
+        "cents",
+        F.coalesce(
+            F.first(touch_expr, ignorenulls=True).over(w2), F.lit("direct")
+        ).alias("fc"),
+        F.coalesce(
+            F.last(touch_expr, ignorenulls=True).over(w2), F.lit("direct")
+        ).alias("lc"),
+        *[
+            F.coalesce(
+                F.sum((F.col("event_type") == c).cast("long")).over(w2),
+                F.lit(0),
+            ).alias(f"cnt_{c}")
+            for c in _ATTR_TOUCHES
+        ],
+    )
+    tot = " + ".join(f"cnt_{c}" for c in _ATTR_TOUCHES)
+    arms = ", ".join(f"'{c}', cnt_{c}" for c in _ATTR_TOUCHES)
+    fan = enriched.where(F.col("event_type") == "purchase").selectExpr(
+        "cents",
+        "fc",
+        "lc",
+        f"{tot} as tot",
+        f"stack({len(_ATTR_TOUCHES) + 1}, {arms}, 'direct',"
+        f" case when {tot} = 0 then cast(1 as bigint) else"
+        f" cast(0 as bigint) end) as (channel, cnt)",
+    ).where("cnt > 0 or fc = channel or lc = channel")
+    return fan.groupBy("channel").agg(
+        F.sum((F.col("lc") == F.col("channel")).cast("long"))
+        .cast("bigint")
+        .alias("n_last"),
+        F.sum(
+            F.when(F.col("lc") == F.col("channel"), F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("last_cents"),
+        F.sum((F.col("fc") == F.col("channel")).cast("long"))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(
+            F.when(F.col("fc") == F.col("channel"), F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("first_cents"),
+        F.expr("sum((cents * 1000000 * cnt) div greatest(tot, 1))")
+        .cast("bigint")
+        .alias("linear_microcents"),
+    )
+
+
+_ATTR_COMPARE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id)
+                      >= {_ATTR_GAP_US}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e
+), sid AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+  FROM s
+), t AS (
+  SELECT event_type, cents,
+         COALESCE(first_value(CASE WHEN event_type IN ('view', 'click',
+                                                       'signup')
+                                   THEN event_type END IGNORE NULLS)
+                    OVER w2, 'direct') AS fc,
+         COALESCE(last_value(CASE WHEN event_type IN ('view', 'click',
+                                                      'signup')
+                                  THEN event_type END IGNORE NULLS)
+                    OVER w2, 'direct') AS lc,
+         COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    OVER w2, 0) AS cnt_view,
+         COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    OVER w2, 0) AS cnt_click,
+         COALESCE(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    OVER w2, 0) AS cnt_signup
+  FROM sid
+  WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), p AS (
+  SELECT cents, fc, lc, cnt_view + cnt_click + cnt_signup AS tot,
+         cnt_view, cnt_click, cnt_signup
+  FROM t WHERE event_type = 'purchase'
+), fan AS (
+  SELECT cents, fc, lc, tot, 'view' AS channel, cnt_view AS cnt FROM p
+  UNION ALL
+  SELECT cents, fc, lc, tot, 'click', cnt_click FROM p
+  UNION ALL
+  SELECT cents, fc, lc, tot, 'signup', cnt_signup FROM p
+  UNION ALL
+  SELECT cents, fc, lc, tot, 'direct',
+         CASE WHEN tot = 0 THEN 1 ELSE 0 END FROM p
+)
+SELECT channel,
+       CAST(sum(CASE WHEN lc = channel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_last,
+       CAST(sum(CASE WHEN lc = channel THEN cents ELSE 0 END) AS BIGINT)
+         AS last_cents,
+       CAST(sum(CASE WHEN fc = channel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first,
+       CAST(sum(CASE WHEN fc = channel THEN cents ELSE 0 END) AS BIGINT)
+         AS first_cents,
+       CAST(sum((cents * 1000000 * cnt) // greatest(tot, 1)) AS BIGINT)
+         AS linear_microcents
+FROM fan
+WHERE cnt > 0 OR fc = channel OR lc = channel
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2408,6 +2579,7 @@ QUERIES = {
     "ewma_daily": q_ewma_daily,
     "cuped_reduction": q_cuped_reduction,
     "acf_daily": q_acf_daily,
+    "attribution_compare": q_attribution_compare,
 }
 
 ORACLE = {
@@ -2447,4 +2619,5 @@ ORACLE = {
     "ewma_daily": _EWMA_SQL,
     "cuped_reduction": _CUPED_SQL,
     "acf_daily": _ACF_SQL,
+    "attribution_compare": _ATTR_COMPARE_SQL,
 }

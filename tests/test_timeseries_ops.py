@@ -506,3 +506,43 @@ def test_acf_daily_closed_forms(spark, tmp_path):
     assert got[("alt", 7)] == (2, -1.0)
     assert got[("flat", 1)] == (8, None)
     assert got[("flat", 7)] == (2, None)
+
+
+def test_attribution_compare_hand_journeys(spark, tmp_path):
+    """Four journeys: view->click->purchase(500c) splits 250/250 and
+    diverges first (view) vs last (click); a bare purchase(1000c) is
+    'direct' under all three models; view->purchase(299c) agrees
+    everywhere; view->click->signup->purchase(100c) floor-divides into
+    3x 33,333,333 microcents."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "view", 0),
+            (2, "2024-01-01 09:05", 1, "click", 0),
+            (3, "2024-01-01 09:10", 1, "purchase", 5.00),
+            (4, "2024-01-01 10:00", 2, "purchase", 10.00),
+            (5, "2024-01-01 11:00", 3, "view", 0),
+            (6, "2024-01-01 11:10", 3, "purchase", 2.99),
+            (7, "2024-01-01 12:00", 4, "view", 0),
+            (8, "2024-01-01 12:05", 4, "click", 0),
+            (9, "2024-01-01 12:10", 4, "signup", 0),
+            (10, "2024-01-01 12:15", 4, "purchase", 1.00),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_attribution_compare,
+    )
+
+    got = {
+        r["channel"]: (
+            r["n_last"], r["last_cents"], r["n_first"], r["first_cents"],
+            r["linear_microcents"],
+        )
+        for r in q_attribution_compare(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (1, 299, 3, 899, 250_000_000 + 299_000_000 + 33_333_333),
+        "click": (1, 500, 0, 0, 250_000_000 + 33_333_333),
+        "signup": (1, 100, 0, 0, 33_333_333),
+        "direct": (1, 1000, 1, 1000, 1_000_000_000),
+    }
