@@ -2375,6 +2375,99 @@ FROM d GROUP BY split
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty per source — how much of each
+    source's 3-gram vocabulary did it INTRODUCE to the corpus (owner =
+    the minimum doc_id containing the shingle) vs inherit from
+    earlier-ingested documents? dup_ngram_ratio measures repetition
+    INSIDE a document and dedup_* families find near-equal pairs; THIS
+    is the corpus-marginal-value readout (a source whose shingles are
+    all owned elsewhere adds volume, not coverage — the
+    keep-or-drop-the-source question).
+
+    Exactness: ownership is min(doc_id) — set arithmetic on unique ids,
+    deterministic under any partitioning; counts exact BIGINT; the
+    novelty share is ONE fixed-order division rounded 4 dp.
+
+    Scale: docs fan out to DISTINCT in-doc shingles (array_distinct
+    in-row, so a spammy doc cannot multiply its vote), then ONE
+    map-side-combined groupBy(shingle) carrying (min struct, ≤|sources|
+    collect_set) — the single corpus shuffle; the per-source rollup is
+    |sources|-sized. The doc-count branch re-reads the dimension-cheap
+    documents table once (scan budget 2)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("tk")
+    )
+    sh = d.where(F.size("tk") >= 3).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_word_shingles(F.col("tk"), 3))).alias(
+            "g"
+        ),
+    )
+    per_g = sh.groupBy("g").agg(
+        F.min(F.struct("doc_id", "source"))["source"].alias("owner_src"),
+        F.collect_set("source").alias("srcs"),
+    )
+    per_src = (
+        per_g.select("owner_src", F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("types_present"),
+            F.sum((F.col("owner_src") == F.col("source")).cast("long"))
+            .cast("bigint")
+            .alias("types_owned"),
+        )
+    )
+    ndocs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return per_src.join(F.broadcast(ndocs), "source").select(
+        "source",
+        "n_docs",
+        "types_present",
+        "types_owned",
+        F.round(
+            F.col("types_owned").cast("double")
+            / F.col("types_present").cast("double"),
+            4,
+        ).alias("novelty_share"),
+    )
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH tk AS (SELECT doc_id, source, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(t) - 1, 1))]
+         )) AS g
+  FROM tk WHERE len(t) >= 3
+), per_g AS (
+  SELECT g,
+         arg_min(source, doc_id) AS owner_src,
+         list_distinct(list(source)) AS srcs
+  FROM sh GROUP BY g
+), per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS types_present,
+         CAST(sum(CASE WHEN owner_src = source THEN 1 ELSE 0 END)
+              AS BIGINT) AS types_owned
+  FROM (SELECT owner_src, unnest(srcs) AS source FROM per_g) x
+  GROUP BY 1
+), nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT per_src.source, n_docs, types_present, types_owned,
+       round(CAST(types_owned AS DOUBLE) / CAST(types_present AS DOUBLE), 4)
+         AS novelty_share
+FROM per_src JOIN nd ON per_src.source = nd.source
+"""
+
+
 QUERIES = {
     "decontam_check": q_decontam_check,
     "decontam_scrub": q_decontam_scrub,
@@ -2389,6 +2482,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "snapshot_diff": q_snapshot_diff,
     "dup_ngram_ratio": q_dup_ngram_ratio,
+    "ngram_novelty": q_ngram_novelty,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "passage_dedup": q_passage_dedup,
@@ -2425,6 +2519,7 @@ ORACLE = {
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "snapshot_diff": _SNAPSHOT_DIFF_SQL,
     "dup_ngram_ratio": _DUP_NGRAM_SQL,
+    "ngram_novelty": _NGRAM_NOVELTY_SQL,
     "repetition_stats": _REPETITION_SQL,
     "pii_redact": _PII_SQL,
     "passage_dedup": _PASSAGE_SQL,

@@ -685,3 +685,35 @@ def test_snapshot_diff_all_branches_fire_and_account(spark, sf_dir):
     ).count()
     assert tot["n_added"] + tot["n_changed"] + tot["n_unchanged"] == n_new
     assert tot["n_removed"] + tot["n_changed"] + tot["n_unchanged"] == n_old
+
+
+def test_ngram_novelty_planted_ownership(spark, tmp_path):
+    """doc1 (A) introduces both of its 3-grams; doc2 (B) inherits
+    'a b c' and introduces 'b c e'; doc3 (B) re-uses doc1's shingles
+    without changing ownership; a short doc contributes no shingles but
+    still counts in n_docs."""
+    import pandas as pd
+
+    texts = ["a b c d", "a b c e", "a b c d", "x y"]
+    srcs = ["A", "B", "B", "A"]
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": texts,
+            "lang": "en",
+            "source": srcs,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["types_present"], r["types_owned"],
+            r["novelty_share"],
+        )
+        for r in llmpipe.q_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (2, 2, 2, 1.0),
+        "B": (2, 3, 1, round(1 / 3, 4)),
+    }
