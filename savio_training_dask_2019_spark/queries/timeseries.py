@@ -2542,6 +2542,95 @@ GROUP BY 1
 """
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the MEDIAN of all
+    pairwise daily slopes (Theil 1950 / Sen 1968): trend_slope's OLS
+    line moves with a single outlier day; the median-of-slopes
+    estimator has a 29% breakdown point, so this pair is the
+    outlier-sensitivity check on any reported trend (read both; if
+    they disagree, find the outlier with rolling_anomaly).
+
+    Determinism: every pairwise slope (x_j−x_i)/(d_j−d_i) is ONE IEEE
+    division of exact whole-dollar/day integers — identical in both
+    engines — and the median is ELEMENT SELECTION, not averaging: rank
+    by (slope, d_i, d_j) and take row (m+1) div 2, so ties and equal
+    slopes resolve identically everywhere. Rounded 4 dp for display
+    only.
+
+    Scale: the corpus collapses to (type, day) first; the pair
+    self-join is quadratic ONLY in the calendar (≤ C(365,2) ≈ 66k
+    pairs/type/year — bounded by construction, the documented
+    spatial_pairs-style blow-up bound), shuffled once on the type key;
+    the rank window is type-partitioned."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+    ).agg(
+        F.expr("sum(cast(round(value * 100) as bigint)) div 100")
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.select(
+        "event_type", F.col("di").alias("d1"), F.col("x").alias("x1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("di").alias("d2"),
+        F.col("x").alias("x2"),
+    )
+    pairs = a.join(
+        b, (a["event_type"] == b["et2"]) & (a["d1"] < b["d2"])
+    ).select(
+        "event_type",
+        "d1",
+        "d2",
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("slope"),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("m"),
+        F.row_number()
+        .over(wt.orderBy("slope", "d1", "d2"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") == F.expr("(m + 1) div 2")).select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        F.round("slope", 4).alias("ts_slope_dollars"),
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // 100 AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.di AS d1, b.di AS d2,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.di - a.di AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.di < b.di
+), ranked AS (
+  SELECT event_type, slope,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope, d1, d2) AS BIGINT) AS rn
+  FROM pairs
+)
+SELECT event_type, m AS n_pairs, round(slope, 4) AS ts_slope_dollars
+FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2580,6 +2669,7 @@ QUERIES = {
     "cuped_reduction": q_cuped_reduction,
     "acf_daily": q_acf_daily,
     "attribution_compare": q_attribution_compare,
+    "theil_sen_trend": q_theil_sen_trend,
 }
 
 ORACLE = {
@@ -2620,4 +2710,5 @@ ORACLE = {
     "cuped_reduction": _CUPED_SQL,
     "acf_daily": _ACF_SQL,
     "attribution_compare": _ATTR_COMPARE_SQL,
+    "theil_sen_trend": _THEIL_SEN_SQL,
 }

@@ -1275,3 +1275,84 @@ def test_changepoint_cusum_matches_python(evs, spark, tmp_path_factory):
     assert row["n_days"] == n
     assert str(row["cp_date"])[:10] == f"2024-01-{best[1]:02d}"
     assert row["cusum_dollars"] == round(best[0] / (n * 100), 4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=60),   # first day offset
+            st.integers(min_value=0, max_value=120),  # lifetime days
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_survival_curve_matches_python_km(spans, spark, tmp_path_factory):
+    """q_survival_curve vs a direct python Kaplan-Meier over the same
+    lifetime weeks and 14-day censoring rule (float product compared
+    with 2e-4 tolerance against the 4-dp rounded output)."""
+    import math
+
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("km")
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for uid, (off, life) in enumerate(spans, start=1):
+        first = base + pd.Timedelta(days=off)
+        last = first + pd.Timedelta(days=life)
+        for ts in {first, last}:
+            eid += 1
+            rows.append((eid, ts, uid))
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": "view",
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_survival_curve,
+    )
+
+    got = {
+        r["week"]: (r["n_at_risk"], r["deaths"], r["survival"])
+        for r in q_survival_curve(spark, str(tmp)).collect()
+    }
+
+    # python KM over the same rule
+    max_last = max(off + life for off, life in spans)
+    users = []
+    for off, life in spans:
+        week = life // 7
+        death = (max_last - (off + life)) > 14
+        users.append((week, death))
+    weeks = sorted({w for w, _ in users})
+    s = 1.0
+    want = {}
+    for w in weeks:
+        n_at_risk = sum(1 for wk, _ in users if wk >= w)
+        deaths = sum(1 for wk, d in users if wk == w and d)
+        if deaths == 0:
+            continue
+        if deaths == n_at_risk:
+            s = 0.0
+        else:
+            s *= 1.0 - deaths / n_at_risk
+        want[w] = (n_at_risk, deaths, s)
+    assert set(got) == set(want)
+    for w, (n, d, sv) in want.items():
+        gn, gd, gs = got[w]
+        assert (gn, gd) == (n, d), w
+        assert abs(gs - sv) < 2e-4, (w, gs, sv)

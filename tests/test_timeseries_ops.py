@@ -546,3 +546,32 @@ def test_attribution_compare_hand_journeys(spark, tmp_path):
         "signup": (1, 100, 0, 0, 33_333_333),
         "direct": (1, 1000, 1, 1000, 1_000_000_000),
     }
+
+
+def test_theil_sen_trend_robust_to_outlier(spark, tmp_path):
+    """'lin' rises exactly 100/day -> every pairwise slope is 100. 'out'
+    rises 10/day with a huge final-day outlier: the slope multiset is
+    [10,10,10,330,490,970], lower median (rank 3 of 6) = 10 -- the
+    outlier moves OLS but not Theil-Sen. A single-day type has no pairs
+    and no row."""
+    rows = []
+    eid = 0
+    for i in range(5):
+        eid += 1
+        rows.append((eid, f"2024-01-{i + 1:02d} 09:00", 1, "lin", (i + 1) * 100.0))
+    for d, v in [(1, 10.0), (2, 20.0), (3, 30.0), (4, 1000.0)]:
+        eid += 1
+        rows.append((eid, f"2024-01-{d:02d} 09:00", 2, "out", v))
+    eid += 1
+    rows.append((eid, "2024-01-01 09:00", 3, "lone", 5.0))
+    _write_events(tmp_path, rows)
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_theil_sen_trend,
+    )
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["ts_slope_dollars"])
+        for r in q_theil_sen_trend(spark, str(tmp_path)).collect()
+    }
+    assert got == {"lin": (10, 100.0), "out": (6, 10.0)}
