@@ -1986,6 +1986,107 @@ FROM mi JOIN hy ON mi.feature = hy.feature
 """
 
 
+def q_monthly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active-customer growth accounting — per order month:
+    actives, NEW (first-ever month), RETAINED (also active the previous
+    calendar month), and CHURNED (active the previous month, absent
+    now) — the standard growth decomposition (retention_daily answers
+    next-day stickiness, cohort_ltv the vintage value matrix; THIS is
+    the month-over-month P&L of the customer base).
+
+    The closed form that avoids any anti-join: churned(m) =
+    active(m−1) − retained(m) — both already computed — and a calendar
+    GAP month (no previous row at m−1) correctly yields churned =
+    active(last seen month) only AT that gap row's own entry, with the
+    month after a gap getting retained = 0 by the exact mi−1 join (a
+    lag() over observed rows would silently treat the gap as adjacent).
+    All values are exact BIGINT distinct counts on integer month
+    indexes (year·12 + month).
+
+    Scale: one orders shuffle to the distinct (customer, month-index)
+    grid; first-month via a customer-partitioned window over that grid;
+    retained via ONE self-join on (customer, mi−1); the rollup and the
+    final months-table walk are span-months-sized (bounded-window
+    allowlist)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+    )
+    cm = o.distinct()
+    first = Window.partitionBy("o_custkey")
+    grid = cm.withColumn("first_mi", F.min("mi").over(first))
+    prev = cm.select(
+        F.col("o_custkey").alias("ck2"), (F.col("mi") + 1).alias("mi2")
+    )
+    marked = grid.join(
+        prev,
+        (grid["o_custkey"] == prev["ck2"]) & (grid["mi"] == prev["mi2"]),
+        "left",
+    )
+    months = marked.groupBy("mi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum((F.col("mi") == F.col("first_mi")).cast("long"))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.col("ck2").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_retained"),
+    )
+    wm = Window.orderBy("mi")
+    out = months.select(
+        "mi",
+        "n_active",
+        "n_new",
+        "n_retained",
+        F.lag("mi").over(wm).alias("prev_mi"),
+        F.lag("n_active").over(wm).alias("prev_active"),
+    )
+    churn = (
+        F.when(F.col("prev_mi").isNull(), F.lit(None).cast("bigint"))
+        .when(
+            F.col("prev_mi") == F.col("mi") - 1,
+            (F.col("prev_active") - F.col("n_retained")).cast("bigint"),
+        )
+        .otherwise(F.col("prev_active").cast("bigint"))
+    )
+    return out.select(
+        "mi", "n_active", "n_new", "n_retained", churn.alias("n_churned")
+    )
+
+
+_MONTHLY_CHURN_SQL = """
+WITH cm AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mi
+  FROM orders
+), grid AS (
+  SELECT o_custkey, mi,
+         min(mi) OVER (PARTITION BY o_custkey) AS first_mi
+  FROM cm
+), marked AS (
+  SELECT g.mi, g.first_mi, p.o_custkey AS ck2
+  FROM grid g LEFT JOIN cm p
+    ON g.o_custkey = p.o_custkey AND g.mi = p.mi + 1
+), months AS (
+  SELECT mi,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN mi = first_mi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN ck2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained
+  FROM marked GROUP BY 1
+)
+SELECT mi, n_active, n_new, n_retained,
+       CASE WHEN lag(mi) OVER (ORDER BY mi) IS NULL THEN NULL
+            WHEN lag(mi) OVER (ORDER BY mi) = mi - 1
+              THEN CAST(lag(n_active) OVER (ORDER BY mi) - n_retained
+                        AS BIGINT)
+            ELSE CAST(lag(n_active) OVER (ORDER BY mi) AS BIGINT) END
+         AS n_churned
+FROM months
+"""
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3622,6 +3723,7 @@ QUERIES = {
     "gini_by_segment": q_gini_by_segment,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
+    "monthly_churn": q_monthly_churn,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3693,6 +3795,7 @@ ORACLE = {
     "gini_by_segment": _GINI_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
+    "monthly_churn": _MONTHLY_CHURN_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

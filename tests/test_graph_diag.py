@@ -2412,3 +2412,43 @@ def test_feature_mi_perfect_and_independent(spark, tmp_path):
         "type": (1, 4, 0.0, 1.0, 0.0),
         "size_bucket": (1, 4, 0.0, 1.0, 0.0),
     }
+
+
+def test_monthly_churn_hand_ledger(spark, tmp_path):
+    """Four-month ledger with a returning-after-gap customer (c3: Feb
+    then Apr -> NOT retained in Apr) and a calendar gap (May empty, c5
+    in Jun -> everyone active in Apr churns at the Jun row)."""
+    import pandas as pd
+
+    rows = [
+        (1, "2024-01-05"), (2, "2024-01-09"),            # c1, c2
+        (1, "2024-02-05"), (3, "2024-02-07"),            # c1, c3
+        (1, "2024-03-05"),                                # c1
+        (3, "2024-04-02"), (4, "2024-04-09"),            # c3, c4
+        (5, "2024-06-15"),                                # c5 (gap at May)
+    ]
+    pd.DataFrame(
+        {
+            "o_custkey": [r[0] for r in rows],
+            "o_orderdate": pd.Series(
+                [pd.Timestamp(r[1]) for r in rows], dtype="datetime64[us]"
+            ),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_monthly_churn,
+    )
+
+    got = {
+        r["mi"] % 12: (r["n_active"], r["n_new"], r["n_retained"], r["n_churned"])
+        for r in q_monthly_churn(spark, str(tmp_path)).collect()
+    }
+    # mi = year*12 + month -> 2024*12 + m; key by m for readability
+    assert got == {
+        1: (2, 2, 0, None),   # Jan: first row
+        2: (2, 1, 1, 1),      # Feb: c2 churned
+        3: (1, 0, 1, 1),      # Mar: c3 churned
+        4: (2, 1, 0, 1),      # Apr: c1 churned; c3 returns but NOT retained
+        6: (1, 1, 0, 2),      # Jun after the May gap: both Apr actives churn
+    }

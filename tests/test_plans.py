@@ -282,6 +282,8 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     # two running walks (reverse at-risk sum + KM cumlog) over the
     # <=span/7-row lifetime-week table — calendar-bounded by construction
     "survival_curve": 2,
+    # one lag walk over the <=span-months rollup — calendar-bounded
+    "monthly_churn": 1,
 }
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
@@ -475,6 +477,7 @@ _MAX_SINGLE_PARTITION = {
     "ivfpq": 3, "ivfpq_rerank": 3, "kll_quantiles": 1,
     "knn_cells": 2,
     "mixture_weights": 1, "norm_dedup_stats": 1,
+    "monthly_churn": 1,  # the <=span-months lag window's exchange
     "null_profile": 1,  # the one-row wide profile aggregate
     "ref_integrity": 2,  # one scalar audit aggregate per chain
     "pq_adc": 1,
