@@ -2087,6 +2087,114 @@ FROM months
 """
 
 
+def q_info_gain_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split table — information gain (bits) of every
+    candidate threshold "discount ≤ t" against the returned flag: the
+    single-feature half of tree induction (feature_mi ranks whole
+    categorical features; THIS finds WHERE to cut a numeric one). The
+    FULL candidate table is returned rather than a float argmax — every
+    row's counts are exact and its gain independently rounded, so no
+    cross-engine float ORDERING ever decides the result (the max row is
+    pinned in pytest instead; at ~11 distinct discounts the table is
+    dimension-sized anyway).
+
+    Exactness: discount quantized to exact integer basis points; class
+    counts per candidate from ONE cumulative walk over the distinct-value
+    table; every entropy term's operands are integer ratios (0·log 0
+    guarded to 0 in both engines); gain rounded 5 dp.
+
+    Scale: one map-side groupBy collapses the corpus to the ≤|distinct
+    values| class-count table; the cumulative window and gain math run
+    on those ~11 rows (bounded-window allowlist)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("bp"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    vals = li.groupBy("bp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bp").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "bp",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("pos").over(w).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("pos").over(wall).cast("bigint").alias("pt"),
+    ).where(F.col("nl") < F.col("nt"))
+
+    def _h(p, n):
+        # binary entropy of p/n in bits, 0·log2(0) = 0 guarded
+        frac = p.cast("double") / n.cast("double")
+        term = lambda f: F.when(  # noqa: E731
+            (f > 0) & (f < 1), -f * F.log2(f)
+        ).otherwise(F.lit(0.0))
+        return term(frac) + term(1 - frac)
+
+    nr = F.col("nt") - F.col("nl")
+    pr = F.col("pt") - F.col("pl")
+    gain = (
+        _h(F.col("pt"), F.col("nt"))
+        - (F.col("nl").cast("double") / F.col("nt").cast("double"))
+        * _h(F.col("pl"), F.col("nl"))
+        - (nr.cast("double") / F.col("nt").cast("double")) * _h(pr, nr)
+    )
+    return cum.select(
+        F.col("bp").alias("threshold_bp"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        nr.alias("n_right"),
+        pr.alias("pos_right"),
+        F.round(gain, 5).alias("ig_bits"),
+    )
+
+
+_INFO_GAIN_SQL = """
+WITH base AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS bp,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), vals AS (
+  SELECT bp, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM base GROUP BY 1
+), cum AS (
+  SELECT bp,
+         CAST(sum(n) OVER (ORDER BY bp ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS nl,
+         CAST(sum(pos) OVER (ORDER BY bp ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS pl,
+         CAST(sum(n) OVER () AS BIGINT) AS nt,
+         CAST(sum(pos) OVER () AS BIGINT) AS pt
+  FROM vals
+)
+SELECT bp AS threshold_bp, nl AS n_left, pl AS pos_left,
+       nt - nl AS n_right, pt - pl AS pos_right,
+       round(
+         (CASE WHEN pt > 0 AND pt < nt THEN
+            -(CAST(pt AS DOUBLE) / nt) * log2(CAST(pt AS DOUBLE) / nt)
+            - (1 - CAST(pt AS DOUBLE) / nt)
+              * log2(1 - CAST(pt AS DOUBLE) / nt)
+          ELSE 0.0 END)
+         - (CAST(nl AS DOUBLE) / nt)
+           * (CASE WHEN pl > 0 AND pl < nl THEN
+                -(CAST(pl AS DOUBLE) / nl) * log2(CAST(pl AS DOUBLE) / nl)
+                - (1 - CAST(pl AS DOUBLE) / nl)
+                  * log2(1 - CAST(pl AS DOUBLE) / nl)
+              ELSE 0.0 END)
+         - (CAST(nt - nl AS DOUBLE) / nt)
+           * (CASE WHEN pt - pl > 0 AND pt - pl < nt - nl THEN
+                -(CAST(pt - pl AS DOUBLE) / (nt - nl))
+                  * log2(CAST(pt - pl AS DOUBLE) / (nt - nl))
+                - (1 - CAST(pt - pl AS DOUBLE) / (nt - nl))
+                  * log2(1 - CAST(pt - pl AS DOUBLE) / (nt - nl))
+              ELSE 0.0 END), 5) AS ig_bits
+FROM cum WHERE nl < nt
+"""
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3724,6 +3832,7 @@ QUERIES = {
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
+    "info_gain_splits": q_info_gain_splits,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3796,6 +3905,7 @@ ORACLE = {
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,
+    "info_gain_splits": _INFO_GAIN_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

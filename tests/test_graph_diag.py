@@ -2452,3 +2452,50 @@ def test_monthly_churn_hand_ledger(spark, tmp_path):
         4: (2, 1, 0, 1),      # Apr: c1 churned; c3 returns but NOT retained
         6: (1, 1, 0, 2),      # Jun after the May gap: both Apr actives churn
     }
+
+
+def test_info_gain_splits_pure_and_mixed(spark, tmp_path):
+    """Perfect split: all returns at 1bp, none at 5bp -> IG exactly 1.0
+    at threshold 1. With a mixed middle value the gains match a direct
+    python entropy computation and the max row is the pure cut."""
+    import math
+
+    import pandas as pd
+
+    def h(p, n):
+        if p == 0 or p == n:
+            return 0.0
+        f = p / n
+        return -f * math.log2(f) - (1 - f) * math.log2(1 - f)
+
+    def ig(pl, nl, pt, nt):
+        nr, pr = nt - nl, pt - pl
+        return round(
+            h(pt, nt) - (nl / nt) * h(pl, nl) - (nr / nt) * h(pr, nr), 5
+        )
+
+    rows = [(0.01, "R")] * 4 + [(0.03, "R"), (0.03, "N")] + [(0.05, "N")] * 4
+    pd.DataFrame(
+        {
+            "l_discount": [r[0] for r in rows],
+            "l_returnflag": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_info_gain_splits,
+    )
+
+    got = {
+        r["threshold_bp"]: (
+            r["n_left"], r["pos_left"], r["n_right"], r["pos_right"],
+            r["ig_bits"],
+        )
+        for r in q_info_gain_splits(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (4, 4, 6, 1, ig(4, 4, 5, 10)),
+        3: (6, 5, 4, 0, ig(5, 6, 5, 10)),
+    }
+    # the argmax row (pinned here instead of a float ORDER BY in-query)
+    assert max(got.items(), key=lambda kv: kv[1][4])[1][4] > 0.6

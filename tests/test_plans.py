@@ -284,6 +284,9 @@ _BOUNDED_WINDOW_ALLOWLIST = {
     "survival_curve": 2,
     # one lag walk over the <=span-months rollup — calendar-bounded
     "monthly_churn": 1,
+    # cumulative + total frames over the <=|distinct discounts| (~11)
+    # class-count table — value-domain-bounded by construction
+    "info_gain_splits": 1,
 }
 
 # Catalog-wide parquet-scan budget (default 2). Queries above 2 carry a
@@ -472,6 +475,7 @@ _MAX_SINGLE_PARTITION = {
     "heaps_curve": 1,  # the <=100-row cumulative window's exchange
     "heavy_domains": 1,
     "heavy_hitters": 1, "hll_sketch_union": 1, "ivf_balance": 2,
+    "info_gain_splits": 1,  # the ~11-row split-candidate window's exchange
     "jsd_sources": 1,  # the 1-row corpus token-total fold
 
     "ivfpq": 3, "ivfpq_rerank": 3, "kll_quantiles": 1,
