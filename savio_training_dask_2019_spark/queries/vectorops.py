@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import BoundedCache
-from ..functions.vectors import as_double, l2_norm
+from ..functions.vectors import as_double, dot as _sim_dot, l2_norm
 from ..operators.dedup import embedding_near_dup_pairs, semantic_dedup
 from ..operators.similarity import (
     IVFIndex,
@@ -1475,11 +1475,107 @@ SELECT (SELECT n FROM cnt WHERE half = 0) AS n_ref,
 FROM mom
 """
 
+
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked reciprocal nearest-neighbor pairs — (a, b) in the same
+    LABEL BLOCK where a's top-1 cosine neighbor (within the block) is b
+    AND b's is a: the entity-matching / bitext-mining staple (Artetxe &
+    Schwenk's margin-mining seed), run the way practice runs it — AFTER
+    blocking, because both the cost and the false-match surface live in
+    the cross-block pairs. knn_join ranks neighbors; THIS extracts the
+    mutually-confirmed matches.
+
+    Determinism: the top-1 is ranked by ROUNDED (5 dp) cosine with the
+    neighbor-id tie-break — the repo's knn convention, so no raw-float
+    ordering crosses engines; the mutual filter and a < b cut are pure
+    set arithmetic on ids.
+
+    Scale: blocking makes the pair join an EQUI-JOIN on the block key
+    (Σ block² pairs, never n²; the label column is the stand-in for an
+    IVF cell / LSH bucket at 100 TB — knn_cells produces exactly that
+    key); cosine is SYMMETRIC, so only a < b pairs pay the expensive
+    array fold (half the flops), the checkpointed scored frame is
+    mirrored by a cheap projection, and the top-1 rank is one
+    query-partitioned window. Hot blocks are AQE-splittable equi-join
+    keys."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    rhs = emb.select(
+        F.col("label").alias("blabel"),
+        F.col("vec_id").alias("bid"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = (
+        emb.join(rhs, emb["label"] == rhs["blabel"])
+        .where(F.col("vec_id") < F.col("bid"))
+        .select(
+            F.col("vec_id").alias("qa"),
+            F.col("bid").alias("qb"),
+            F.round(
+                _sim_dot(F.col("v"), F.col("bv"))
+                / (F.col("nrm") * F.col("bn")),
+                5,
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("qb").alias("qa"), F.col("qa").alias("qb"), "cosine"
+        )
+    )
+    w = Window.partitionBy("qa").orderBy(
+        F.col("cosine").desc(), F.col("qb").asc()
+    )
+    nn = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    a = nn.select(
+        F.col("qa").alias("id_a"), F.col("qb").alias("id_b"), "cosine"
+    )
+    b = nn.select(F.col("qa").alias("rb"), F.col("qb").alias("ra"))
+    return (
+        a.join(b, (a["id_a"] == b["ra"]) & (a["id_b"] == b["rb"]))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+_MUTUAL_NN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity({_DD.format(col='c.embedding')},
+                                      {_DD.format(col='q.embedding')}), 5)
+           AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id <> c.vec_id
+), nn AS (
+  SELECT query_id, corpus_id, cosine FROM (
+    SELECT query_id, corpus_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, corpus_id) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+)
+SELECT a.query_id AS id_a, a.corpus_id AS id_b, a.cosine
+FROM nn a JOIN nn b
+  ON a.query_id = b.corpus_id AND a.corpus_id = b.query_id
+WHERE a.query_id < a.corpus_id
+"""
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
+    "mutual_nn": q_mutual_nn,
     "hard_negatives": q_hard_negatives,
     "retrieval_eval": q_retrieval_eval,
     "rrf_hybrid": q_rrf_hybrid,
@@ -1508,6 +1604,7 @@ QUERIES = {
 ORACLE = {
     "knn_brute": _KNN_BRUTE_SQL,
     "knn_join": _KNN_JOIN_SQL,
+    "mutual_nn": _MUTUAL_NN_SQL,
     "hard_negatives": _HARD_NEGATIVES_SQL,
     "retrieval_eval": _RETRIEVAL_EVAL_SQL,
     "rrf_hybrid": _rrf_sql(),

@@ -2499,3 +2499,38 @@ def test_info_gain_splits_pure_and_mixed(spark, tmp_path):
     }
     # the argmax row (pinned here instead of a float ORDER BY in-query)
     assert max(got.items(), key=lambda kv: kv[1][4])[1][4] > 0.6
+
+
+def test_mutual_nn_blocked_reciprocity(spark, tmp_path):
+    """Block 0: v1 and v2 point the same way (mutual), v3's NN is v2 but
+    v2's is v1 -> v3 is one-sided and excluded. Block 1: an identical
+    pair is mutual at cosine 1.0, and its vectors are identical to v1
+    yet NEVER pair across the block boundary."""
+    import math
+
+    import pandas as pd
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),
+        (5, [1.0, 0.0], 1),
+    ]
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    from savio_training_dask_2019_spark.queries.vectorops import q_mutual_nn
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in q_mutual_nn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(1, 2), (4, 5)}
+    assert got[(4, 5)] == 1.0
+    assert got[(1, 2)] == round(0.9 / math.sqrt(0.82), 5)
