@@ -958,3 +958,74 @@ def test_label_propagation_1m_edges_stars_closed_form(spark):
         stars, 101, 101, stars,
     )
     assert elapsed < 180, f"lpa smoke took {elapsed:.0f}s"
+
+
+def test_gini_by_segment_1m_customers_closed_form(spark, tmp_path):
+    """1M equal-spend customers -> gini exactly 0.0 and the top decile
+    holds exactly 10% of spend; flipping to a single whale -> gini
+    (n-1)/n and share 1.0. The rank identity is exact at any n."""
+    import time
+
+    n = 1_000_000
+    equal_d, whale_d = tmp_path / "equal", tmp_path / "whale"
+    for d in (equal_d, whale_d):
+        d.mkdir()
+        spark.range(n).selectExpr(
+            "id as c_custkey", "'S' as c_mktsegment"
+        ).write.mode("overwrite").parquet(str(d / "customer.parquet"))
+    spark.range(n).selectExpr(
+        "id as o_custkey", "cast(1.0 as double) as o_totalprice"
+    ).write.mode("overwrite").parquet(str(equal_d / "orders.parquet"))
+    spark.range(n).selectExpr(
+        "id as o_custkey",
+        "cast(case when id = 0 then 1000000.0 else 0.0 end as double)"
+        " as o_totalprice",
+    ).write.mode("overwrite").parquet(str(whale_d / "orders.parquet"))
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_gini_by_segment,
+    )
+
+    t0 = time.perf_counter()
+    r = q_gini_by_segment(spark, str(equal_d)).collect()[0]
+    assert (r["n_customers"], r["total_rev"], r["gini"],
+            r["top_decile_share"]) == (n, n, 0.0, 0.1)
+    r = q_gini_by_segment(spark, str(whale_d)).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert (r["gini"], r["top_decile_share"]) == (round((n - 1) / n, 4), 1.0)
+    assert elapsed < 180, f"gini smoke took {elapsed:.0f}s"
+
+
+def test_monthly_churn_1m_customers_closed_form(spark, tmp_path):
+    """1M customers: even ids order in Jan only, odd ids in Jan and Feb
+    -> Feb reads exactly 500k active / 0 new / 500k retained / 500k
+    churned, at any scale."""
+    import time
+
+    n = 1_000_000
+    jan = spark.range(n).selectExpr(
+        "id as o_custkey", "to_timestamp('2024-01-15') as o_orderdate"
+    )
+    feb = spark.range(n).where("id % 2 = 1").selectExpr(
+        "id as o_custkey", "to_timestamp('2024-02-15') as o_orderdate"
+    )
+    jan.unionByName(feb).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_monthly_churn,
+    )
+
+    t0 = time.perf_counter()
+    got = {
+        r["mi"] % 12: (r["n_active"], r["n_new"], r["n_retained"],
+                       r["n_churned"])
+        for r in q_monthly_churn(spark, str(tmp_path)).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert got == {
+        1: (n, n, 0, None),
+        2: (n // 2, 0, n // 2, n // 2),
+    }
+    assert elapsed < 180, f"monthly_churn smoke took {elapsed:.0f}s"
