@@ -23,6 +23,7 @@ from .stateful import (
     DriftMonitor,
     NumericDriftMonitor,
     StreamingCountMin,
+    StreamingCusum,
     StreamingEmbeddingDrift,
     StreamingTwap,
     StreamingWeightedReservoir,
@@ -47,6 +48,7 @@ __all__ = [
     "DriftMonitor",
     "NumericDriftMonitor",
     "StreamingCountMin",
+    "StreamingCusum",
     "StreamingEmbeddingDrift",
     "StreamingTwap",
     "StreamingWeightedReservoir",

@@ -679,3 +679,73 @@ class StreamingEmbeddingDrift:
         )
         self.results.append((batch_id, n, batch_cos, run_cos))
         self._seen.add(batch_id)  # state mutation complete
+
+
+class StreamingCusum:
+    """Streaming CUSUM changepoint monitor — the foreachBatch twin of
+    ``queries.timeseries.q_changepoint_cusum``, completing the streaming
+    monitor family's time axis (DriftMonitor: categorical mix;
+    NumericDriftMonitor: value distribution; StreamingEmbeddingDrift:
+    vector centroid; THIS: WHEN did the level shift): as daily cells
+    accumulate, every batch re-reads the most-likely changepoint day per
+    event type from the stream-so-far.
+
+    EXACT-merge architecture (the family discipline): each batch
+    contributes exact BIGINT cents per (type, epoch-day) cell — computed
+    DISTRIBUTED (one map-side-combined groupBy; only O(types × days)
+    cell rows are collected) — and cells merge by integer addition, so
+    after any batch split the merged grid is BIT-IDENTICAL to one batch
+    over the union and the readout therefore EQUALS the batch query
+    over the concatenated stream (pytest-pinned). The argmax walk runs
+    driver-side in pure integers (n·P_d − d·T, the batch query's
+    denominator-cleared trick); the only float is the final dollar
+    division. Driver state: the (type, day) → cents dict — bounded by
+    calendar × types (the drift-monitor state-bound model), never rows.
+
+    Replay-idempotent via batch_id; an empty batch appends the unchanged
+    readout. ``results[i]`` is the post-batch-i readout: a sorted list
+    of (event_type, n_days, cp_epoch_day, cusum_dollars)."""
+
+    def __init__(self) -> None:
+        self.results: list[list[tuple]] = []
+        self._seen: set[int] = set()
+        self._cells: dict[tuple[str, int], int] = {}
+
+    def current(self) -> list[tuple]:
+        by_type: dict[str, dict[int, int]] = {}
+        for (et, di), c in self._cells.items():
+            by_type.setdefault(et, {})[di] = c
+        out = []
+        for et in sorted(by_type):
+            days = sorted(by_type[et])
+            n, t = len(days), sum(by_type[et].values())
+            p = 0
+            best_abs, best_day = -1, None
+            for idx, d in enumerate(days, start=1):
+                p += by_type[et][d]
+                a = abs(n * p - idx * t)
+                if a > best_abs:
+                    best_abs, best_day = a, d
+            out.append((et, n, best_day, round(best_abs / (n * 100), 4)))
+        return out
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # recovery replay — idempotent skip
+            return
+        rows = (
+            batch_df.groupBy(
+                "event_type",
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di"),
+            )
+            .agg(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("c")
+            )
+            .collect()
+        )
+        for r in rows:
+            key = (r["event_type"], int(r["di"]))
+            self._cells[key] = self._cells.get(key, 0) + int(r["c"])
+        self.results.append(self.current())
+        self._seen.add(batch_id)  # state mutation complete

@@ -1303,3 +1303,73 @@ def test_streaming_embedding_drift_matches_batch_query_discipline(spark, tmp_pat
     h(emb_cur.where(F.col("vec_id") % 4 == 3).select("embedding"), 1)
     [batch_row] = q_embedding_drift(spark, sf).collect()
     assert h.results[-1][3] == batch_row["centroid_cosine"]
+
+
+def test_streaming_cusum_equals_batch_query(spark, tmp_path):
+    """StreamingCusum: (1) the post-batch readout over ANY batch split
+    equals q_changepoint_cusum over the concatenated stream (integer
+    cell merge is associative); (2) a same-day cell arriving across two
+    batches must SUM, not overwrite; (3) replayed batch_ids and empty
+    batches are no-ops that still leave a correct readout."""
+    import pandas as pd
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_changepoint_cusum,
+    )
+    from savio_training_dask_2019_spark.streaming import StreamingCusum
+
+    def events(rows, start=0):
+        return spark.createDataFrame(
+            [
+                (start + i, pd.Timestamp(ts).to_pydatetime(), 1, et, float(v))
+                for i, (ts, et, v) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double",
+        )
+
+    b1 = [
+        ("2024-01-01 05:00", "click", 0.00),
+        ("2024-01-02 05:00", "click", 0.00),
+        ("2024-01-03 05:00", "click", 0.00),
+        ("2024-01-04 05:00", "click", 4.00),
+    ]
+    b2 = [
+        ("2024-01-04 06:00", "click", 6.00),  # same day as b1's last: SUM
+        ("2024-01-05 05:00", "click", 10.00),
+        ("2024-01-06 05:00", "click", 10.00),
+        ("2024-01-06 07:00", "view", 3.25),
+    ]
+
+    h = StreamingCusum()
+    h(events(b1), 0)
+    h(events(b2, start=100), 1)
+    h(events(b2, start=100), 1)  # replay: idempotent skip
+    h(events([], start=200), 2)  # empty batch: unchanged readout
+
+    # batch twin over the concatenated stream
+    pd.DataFrame(
+        {
+            "event_id": range(len(b1) + len(b2)),
+            "ts": [pd.Timestamp(ts) for ts, _, _ in b1 + b2],
+            "user_id": 1,
+            "event_type": [et for _, et, _ in b1 + b2],
+            "value": [float(v) for _, _, v in b1 + b2],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    want = sorted(
+        (
+            r["event_type"],
+            r["n_days"],
+            (pd.Timestamp(r["cp_date"]) - pd.Timestamp("1970-01-01")).days,
+            r["cusum_dollars"],
+        )
+        for r in q_changepoint_cusum(spark, str(tmp_path)).collect()
+    )
+    assert h.results[-1] == want
+    assert h.results[-1] == h.results[-2]  # empty batch changed nothing
+    assert len(h.results) == 3  # replayed id recorded nothing
+    # the planted shift lands on day 3 with max|S| = 15 dollars
+    click = [r for r in h.results[-1] if r[0] == "click"][0]
+    assert click[1] == 6 and click[3] == 15.0
