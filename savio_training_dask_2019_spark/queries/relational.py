@@ -2195,6 +2195,88 @@ FROM cum WHERE nl < nt
 """
 
 
+_WILSON_Z = 1.96  # 95% two-sided
+
+
+def q_supplier_return_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier return rate with the WILSON 95% interval — the
+    small-sample-honest quality ranking (a supplier with 1/1 returned
+    lines is NOT worse than one with 40/100: the raw rate says so, the
+    Wilson lower bound does not — the reason review sites don't sort by
+    raw average). chi2_abtest compares two fixed groups; THIS scores
+    every supplier against its own volume.
+
+    Exactness: n and k are exact BIGINT counts; the Wilson bounds are
+    the SAME closed-form expression evaluated from those integers in
+    both engines — identical operand trees (one sqrt, fixed-order
+    divisions), rounded 4 dp. n ≥ 1 always (group exists ⇒ has a line).
+
+    Scale: ONE map-side-combined groupBy(suppkey) is the corpus
+    shuffle; the math is per-row arithmetic on the supplier-sized
+    frame."""
+    z2 = _WILSON_Z * _WILSON_Z
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_returnflag") == "R").cast("long").alias("y")
+    )
+    g = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(_WILSON_Z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return g.select(
+        "l_suppkey",
+        "n",
+        "k",
+        F.round(p, 4).alias("rate"),
+        F.round(center - half, 4).alias("wilson_lo"),
+        F.round(center + half, 4).alias("wilson_hi"),
+    )
+
+
+_WILSON_SQL = f"""
+WITH g AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, n, k,
+       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 4) AS rate,
+       round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + {_WILSON_Z * _WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {_WILSON_Z * _WILSON_Z} / CAST(n AS DOUBLE))
+             - {_WILSON_Z}
+               * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + {_WILSON_Z * _WILSON_Z}
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {_WILSON_Z * _WILSON_Z} / CAST(n AS DOUBLE)), 4)
+         AS wilson_lo,
+       round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + {_WILSON_Z * _WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + {_WILSON_Z * _WILSON_Z} / CAST(n AS DOUBLE))
+             + {_WILSON_Z}
+               * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + {_WILSON_Z * _WILSON_Z}
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + {_WILSON_Z * _WILSON_Z} / CAST(n AS DOUBLE)), 4)
+         AS wilson_hi
+FROM g
+"""
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3833,6 +3915,7 @@ QUERIES = {
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
     "info_gain_splits": q_info_gain_splits,
+    "supplier_return_ci": q_supplier_return_ci,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3906,6 +3989,7 @@ ORACLE = {
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,
     "info_gain_splits": _INFO_GAIN_SQL,
+    "supplier_return_ci": _WILSON_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

@@ -2534,3 +2534,43 @@ def test_mutual_nn_blocked_reciprocity(spark, tmp_path):
     assert set(got) == {(1, 2), (4, 5)}
     assert got[(4, 5)] == 1.0
     assert got[(1, 2)] == round(0.9 / math.sqrt(0.82), 5)
+
+
+def test_supplier_return_ci_wilson_hand_values(spark, tmp_path):
+    """Wilson 95% bounds against a direct python evaluation: the 1/1
+    supplier's lower bound falls BELOW the 40/100 supplier's (the
+    small-sample honesty the raw rate gets backwards), and a 0/4
+    supplier keeps a lower bound of exactly 0."""
+    import math
+
+    import pandas as pd
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+        return round(center - half, 4), round(center + half, 4)
+
+    rows = [(1, "R")] * 1 + [(2, "R")] * 40 + [(2, "N")] * 60 + [(3, "N")] * 4
+    pd.DataFrame(
+        {
+            "l_suppkey": [r[0] for r in rows],
+            "l_returnflag": [r[1] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_supplier_return_ci,
+    )
+
+    got = {
+        r["l_suppkey"]: (r["n"], r["k"], r["rate"], r["wilson_lo"],
+                         r["wilson_hi"])
+        for r in q_supplier_return_ci(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, 1, 1.0, *wilson(1, 1))
+    assert got[2] == (100, 40, 0.4, *wilson(40, 100))
+    assert got[3] == (4, 0, 0.0, *wilson(0, 4))
+    assert got[1][3] < got[2][3]  # 1/1's lower bound below 40/100's
+    assert got[3][3] == 0.0
