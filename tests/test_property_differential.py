@@ -1356,3 +1356,93 @@ def test_survival_curve_matches_python_km(spans, spark, tmp_path_factory):
         gn, gd, gs = got[w]
         assert (gn, gd) == (n, d), w
         assert abs(gs - sv) < 2e-4, (w, gs, sv)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=300),    # minutes from base
+            st.integers(min_value=0, max_value=4),      # type index
+            st.integers(min_value=1, max_value=99),     # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_attribution_compare_matches_python(ev, spark, tmp_path_factory):
+    """q_attribution_compare vs a direct python walk of all three
+    models: per-purchase in-session strictly-preceding touch multiset,
+    first/last picks, and the micro-cent floor-division linear split."""
+    import datetime as dt
+
+    import pandas as pd
+
+    types = ["view", "click", "signup", "purchase", "error"]
+    touches = ("view", "click", "signup")
+    tmp = tmp_path_factory.mktemp("attrcmp")
+    base = dt.datetime(2024, 2, 1)
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": [pd.Timestamp(base + dt.timedelta(minutes=m)) for _, m, _, _ in ev],
+            "user_id": [u for u, _, _, _ in ev],
+            "event_type": [types[t] for _, _, t, _ in ev],
+            "value": [c / 100.0 for _, _, _, c in ev],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_attribution_compare,
+    )
+
+    got = {
+        r["channel"]: (
+            r["n_last"], r["last_cents"], r["n_first"], r["first_cents"],
+            r["linear_microcents"],
+        )
+        for r in q_attribution_compare(spark, str(tmp)).collect()
+    }
+
+    by_user = {}
+    for eid, (u, m, t, c) in enumerate(ev):
+        us = int((base + dt.timedelta(minutes=m)).timestamp()) * 1_000_000
+        by_user.setdefault(u, []).append((us, eid, types[t], c))
+    want: dict = {}
+
+    def bump(ch, field, v):
+        cur = list(want.get(ch, (0, 0, 0, 0, 0)))
+        cur[field] += v
+        want[ch] = tuple(cur)
+
+    gap = 1_800_000_000
+    for u, evs in by_user.items():
+        evs.sort()
+        prev_us, sess = None, []
+        for us, _eid, typ, c in evs:
+            if prev_us is None or us - prev_us >= gap:
+                sess = []  # new session
+            if typ == "purchase":
+                tot = len(sess)
+                fc = sess[0] if sess else "direct"
+                lc = sess[-1] if sess else "direct"
+                bump(lc, 0, 1)
+                bump(lc, 1, c)
+                bump(fc, 2, 1)
+                bump(fc, 3, c)
+                if tot == 0:
+                    bump("direct", 4, c * 1_000_000)
+                else:
+                    for ch in set(sess):
+                        bump(ch, 4, (c * 1_000_000 * sess.count(ch)) // tot)
+            elif typ in touches:
+                sess.append(typ)
+            prev_us = us
+    assert got == want
