@@ -104,6 +104,11 @@ HEADLINE = {
     # Bellman-Ford relaxation — the only row exercising the per-round
     # join+min-groupBy+checkpoint mechanism over a WEIGHTED graph
     "sssp_bounded": "sssp_bounded",
+    # r13 addition (frozen r13, same-session 4-run median): synchronous
+    # label propagation — the only row exercising the two-level
+    # argmax-agg label-Pregel mechanism (count-groupBy + struct-max per
+    # round, no per-node window)
+    "lpa_communities": "lpa_communities",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

@@ -222,6 +222,10 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     # checkpoint (the pagerank lineage-truncation posture), so the
     # static plan is exchange- and scan-free
     "sssp_bounded": (0, 0, 0, 0, (0, 0)),
+    # lpa_communities: the returned frame is the final labels checkpoint
+    # + one communities-rollup groupBy (the per-round join/agg lineage is
+    # truncated by the round checkpoints, the pagerank posture)
+    "lpa_communities": (0, 0, 0, 1, (0, 0)),
 }
 
 
