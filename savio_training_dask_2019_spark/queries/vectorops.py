@@ -1570,12 +1570,158 @@ FROM nn a JOIN nn b
 WHERE a.query_id < a.corpus_id
 """
 
+def q_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation — train on EVEN vec_ids
+    (per-label centroid), score the ODD held-out half, report per-label
+    accuracy: the langid_confusion of the embedding modality, and the
+    go/no-go check before trusting label-based blocking (mutual_nn) or
+    cluster-scoped dedup (semdedup) on this embedding space.
+
+    THE EXACTNESS TRICK (embedding_drift's quantization + a cosine
+    identity): cosine is SCALE-INVARIANT, so the centroid never needs
+    the /n division — score against the raw per-label SUM vector of
+    milli-quantized BIGINT components. Every dot product and squared
+    norm is then EXACT INTEGER arithmetic (≤ ~6e13 at sf0.1, ×100
+    headroom); the only float per (vector, centroid) pair is one
+    dot/sqrt division rounded 5 dp, and the argmax ranks (rounded
+    cosine, label) — the knn convention, no raw-float cross-engine
+    ordering. Counts and accuracy are exact BIGINTs + one division.
+
+    Scale: one train-half groupBy to |labels|·dim sums (map-side
+    combined), the centroid table broadcast back over the test half
+    (|labels| rows — a true dim table), one rank window partitioned by
+    test vector, one |labels|-sized rollup."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000)"
+            " as bigint))"
+        ).alias("mv"),
+    )
+    train = emb.where(F.col("vec_id") % 2 == 0)
+    cents = (
+        train.select("label", F.posexplode("mv").alias("p", "x"))
+        .groupBy("label", "p")
+        .agg(F.sum("x").cast("bigint").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("p", "s"))).alias("ps")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.expr("transform(ps, e -> e.s)").alias("cv"),
+        )
+        .withColumn(
+            "cn2",
+            F.aggregate(
+                F.expr("transform(cv, x -> x * x)"),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+        )
+    )
+    test = emb.where(F.col("vec_id") % 2 == 1).withColumn(
+        "vn2",
+        F.aggregate(
+            F.expr("transform(mv, x -> x * x)"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    scored = test.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("mv"), F.col("cv"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.sqrt((F.col("vn2") * F.col("cn2")).cast("double")),
+            5,
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("clabel").asc()
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return top.groupBy(F.col("label").alias("true_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((F.col("clabel") == F.col("label")).cast("long"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum((F.col("clabel") == F.col("label")).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+_CENTROID_EVAL_SQL = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                  AS BIGINT)) AS mv
+  FROM embeddings
+), cents AS (
+  SELECT label AS clabel, list(s ORDER BY p) AS cv
+  FROM (
+    SELECT label, p, CAST(sum(x) AS BIGINT) AS s
+    FROM (SELECT label, unnest(mv) AS x,
+                 generate_subscripts(mv, 1) AS p
+          FROM m WHERE vec_id % 2 = 0) t
+    GROUP BY 1, 2
+  ) g GROUP BY 1
+), cn AS (
+  SELECT clabel, cv,
+         list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)
+           AS cn2
+  FROM cents
+), test AS (
+  SELECT vec_id, label, mv,
+         list_reduce(list_transform(mv, x -> x * x), (a, b) -> a + b)
+           AS vn2
+  FROM m WHERE vec_id % 2 = 1
+), scored AS (
+  SELECT vec_id, label, clabel,
+         round(CAST(list_reduce(list_transform(
+                      list_zip(mv, cv),
+                      z -> z[1] * z[2]), (a, b) -> a + b) AS DOUBLE)
+               / sqrt(CAST(vn2 * cn2 AS DOUBLE)), 5) AS cosine
+  FROM test CROSS JOIN cn
+), top AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT vec_id, label, clabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, clabel) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+)
+SELECT label AS true_label,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+             / count(*), 4) AS accuracy
+FROM top GROUP BY 1
+"""
+
+
 QUERIES = {
 
     "knn_brute": q_knn_brute,
     "svd_embeddings": q_svd_embeddings,
     "knn_join": q_knn_join,
     "mutual_nn": q_mutual_nn,
+    "centroid_eval": q_centroid_eval,
     "hard_negatives": q_hard_negatives,
     "retrieval_eval": q_retrieval_eval,
     "rrf_hybrid": q_rrf_hybrid,
@@ -1605,6 +1751,7 @@ ORACLE = {
     "knn_brute": _KNN_BRUTE_SQL,
     "knn_join": _KNN_JOIN_SQL,
     "mutual_nn": _MUTUAL_NN_SQL,
+    "centroid_eval": _CENTROID_EVAL_SQL,
     "hard_negatives": _HARD_NEGATIVES_SQL,
     "retrieval_eval": _RETRIEVAL_EVAL_SQL,
     "rrf_hybrid": _rrf_sql(),

@@ -2574,3 +2574,34 @@ def test_supplier_return_ci_wilson_hand_values(spark, tmp_path):
     assert got[3] == (4, 0, 0.0, *wilson(0, 4))
     assert got[1][3] < got[2][3]  # 1/1's lower bound below 40/100's
     assert got[3][3] == 0.0
+
+
+def test_centroid_eval_hand_split(spark, tmp_path):
+    """Even ids train (label 0 -> sum [2000, 0]; label 1 -> [0, 1000]),
+    odd ids test: an on-axis vector scores 1.0 with its own centroid, a
+    cross-axis vector is misclassified -> accuracies 0.5 and 1.0."""
+    import pandas as pd
+
+    rows = [
+        (0, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (4, [0.0, 1.0], 1),  # train
+        (1, [0.9, 0.1], 0),   # -> label 0, correct
+        (3, [0.0, 1.0], 0),   # -> label 1, wrong
+        (5, [0.1, 0.9], 1),   # -> label 1, correct
+    ]
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    from savio_training_dask_2019_spark.queries.vectorops import (
+        q_centroid_eval,
+    )
+
+    got = {
+        r["true_label"]: (r["n_test"], r["n_correct"], r["accuracy"])
+        for r in q_centroid_eval(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (2, 1, 0.5), 1: (1, 1, 1.0)}
