@@ -2277,6 +2277,76 @@ FROM g
 """
 
 
+def q_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's correlated-subquery shape, decorrelated — lineitems
+    whose quantity falls below 20% of THEIR OWN PART's average quantity
+    (the small-order / trickle-demand slice), rolled up per brand: the
+    classic "scalar subquery per group → pre-aggregate + re-join"
+    rewrite Catalyst would have to derive from the correlated form,
+    written directly as the join so the plan is the one a 100 TB run
+    needs (one part-key shuffle for the per-part moments, one fact
+    re-join on the same key, broadcast brand dim).
+
+    Exactness trick: the threshold q < 0.2·(Σq/n) clears denominators
+    to 5·q·n < Σq — a PURE BIGINT predicate on quantity cents, so the
+    cut is partitioning- and engine-exact with no float ever computed;
+    revenue stays exact cents and the brand share is ONE division
+    rounded 4 dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qc").cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_q"),
+    )
+    j = li.join(per_part, "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    small = F.lit(5) * F.col("qc") * F.col("n_q") < F.col("sum_q")
+    return (
+        j.join(F.broadcast(p), j["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(small.cast("long")).cast("bigint").alias("n_small"),
+            F.sum(F.when(small, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("small_rev_cents"),
+            F.round(
+                F.sum(small.cast("long")) / F.count(F.lit(1)), 4
+            ).alias("small_share"),
+        )
+    )
+
+
+_BELOW_AVG_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), per_part AS (
+  SELECT l_partkey,
+         CAST(sum(qc) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n_q
+  FROM li GROUP BY 1
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN 5 * qc * n_q < sum_q THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_small,
+       CAST(sum(CASE WHEN 5 * qc * n_q < sum_q THEN cents ELSE 0 END)
+            AS BIGINT) AS small_rev_cents,
+       round(sum(CASE WHEN 5 * qc * n_q < sum_q THEN 1 ELSE 0 END)
+             / count(*), 4) AS small_share
+FROM li
+JOIN per_part USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3916,6 +3986,7 @@ QUERIES = {
     "monthly_churn": q_monthly_churn,
     "info_gain_splits": q_info_gain_splits,
     "supplier_return_ci": q_supplier_return_ci,
+    "below_avg_qty": q_below_avg_qty,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -3990,6 +4061,7 @@ ORACLE = {
     "monthly_churn": _MONTHLY_CHURN_SQL,
     "info_gain_splits": _INFO_GAIN_SQL,
     "supplier_return_ci": _WILSON_SQL,
+    "below_avg_qty": _BELOW_AVG_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

@@ -2605,3 +2605,40 @@ def test_centroid_eval_hand_split(spark, tmp_path):
         for r in q_centroid_eval(spark, str(tmp_path)).collect()
     }
     assert got == {0: (2, 1, 0.5), 1: (1, 1, 1.0)}
+
+
+def test_below_avg_qty_integer_threshold(spark, tmp_path):
+    """Part 1: quantities 1, 10, 10 (avg 7) -> only qty 1 is below 20%
+    of the average (1 < 1.4); the STRICT boundary is pinned by part 2
+    where qty 2 sits exactly AT 20% of avg 10 (5*200*3 = 3000 = sum_q)
+    and must NOT count."""
+    import pandas as pd
+
+    rows = [
+        (1, 1.0, 100.0), (1, 10.0, 100.0), (1, 10.0, 100.0),
+        (2, 2.0, 50.0), (2, 8.0, 50.0), (2, 20.0, 50.0),  # avg 10
+    ]
+    pd.DataFrame(
+        {
+            "l_partkey": [r[0] for r in rows],
+            "l_quantity": [r[1] for r in rows],
+            "l_extendedprice": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {"p_partkey": [1, 2], "p_brand": ["A", "B"]}
+    ).to_parquet(tmp_path / "part.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_below_avg_qty,
+    )
+
+    got = {
+        r["p_brand"]: (r["n_lines"], r["n_small"], r["small_rev_cents"],
+                       r["small_share"])
+        for r in q_below_avg_qty(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (3, 1, 10000, round(1 / 3, 4)),
+        "B": (3, 0, 0, 0.0),
+    }
