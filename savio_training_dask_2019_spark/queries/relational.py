@@ -2347,6 +2347,112 @@ GROUP BY 1
 """
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph — the Pearson correlation
+    of endpoint degrees over all (symmetric) edges (Newman 2002): do
+    high-degree suppliers trade with high-degree customers (assortative,
+    r > 0) or with the long tail (disassortative, r < 0)? Completes
+    degree_histogram's shape readout with the MIXING readout — the
+    number that predicts whether hot-key skew concentrates (hub-hub
+    edges) or spreads under an edges⋈nodes join.
+
+    Determinism: endpoint degrees are exact BIGINTs; the six moments
+    are exact BIGINT sums; the Pearson assembly casts each exact moment
+    ONCE to double and evaluates the identical expression tree in both
+    engines (n·Σxy can pass 2^53 at scale, so the double assembly is
+    the DETERMINISM contract, not an exactness claim — documented),
+    rounded 4 dp. Zero variance (regular graph) → NULL.
+
+    Scale: one distinct-pair shuffle, one degree groupBy, two
+    degree-attach hash joins on the endpoint keys (each O(edges) ⋈
+    O(nodes)), and ONE scalar moment fold (the documented 1-row
+    single-partition case)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("o_custkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    da = deg.select(F.col("src").alias("ka"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("kb"), F.col("d").alias("db"))
+    j = edges.join(da, edges["src"] == da["ka"]).join(
+        db, edges["dst"] == db["kb"]
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("da").cast("bigint").alias("sa"),
+        F.sum("db").cast("bigint").alias("sb"),
+        F.sum(F.col("da") * F.col("db")).cast("bigint").alias("sab"),
+        F.sum(F.col("da") * F.col("da")).cast("bigint").alias("saa"),
+        F.sum(F.col("db") * F.col("db")).cast("bigint").alias("sbb"),
+    )
+    n = m["n"].cast("double")
+    cov = n * m["sab"].cast("double") - m["sa"].cast("double") * m["sb"].cast(
+        "double"
+    )
+    va = n * m["saa"].cast("double") - m["sa"].cast("double") * m["sa"].cast(
+        "double"
+    )
+    vb = n * m["sbb"].cast("double") - m["sb"].cast("double") * m["sb"].cast(
+        "double"
+    )
+    return m.select(
+        m["n"].alias("n_edges"),
+        F.when((va == 0) | (vb == 0), F.lit(None).cast("double"))
+        .otherwise(F.round(cov / F.sqrt(va * vb), 4))
+        .alias("assortativity"),
+    )
+
+
+_ASSORT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+), j AS (
+  SELECT da.d AS da, db.d AS db
+  FROM edges e
+  JOIN deg da ON e.src = da.src
+  JOIN deg db ON e.dst = db.src
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(da) AS BIGINT) AS sa,
+         CAST(sum(db) AS BIGINT) AS sb,
+         CAST(sum(da * db) AS BIGINT) AS sab,
+         CAST(sum(da * da) AS BIGINT) AS saa,
+         CAST(sum(db * db) AS BIGINT) AS sbb
+  FROM j
+)
+SELECT n AS n_edges,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) = 0
+              OR CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) = 0
+            THEN NULL
+       ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 4)
+       END AS assortativity
+FROM m
+"""
+
+
 _SP_RADIUS = 150
 _SP_MOD = 10_000
 
@@ -3987,6 +4093,7 @@ QUERIES = {
     "info_gain_splits": q_info_gain_splits,
     "supplier_return_ci": q_supplier_return_ci,
     "below_avg_qty": q_below_avg_qty,
+    "degree_assortativity": q_degree_assortativity,
     "chi2_abtest": q_chi2_abtest,
     "null_profile": q_null_profile,
     "ref_integrity": q_ref_integrity,
@@ -4062,6 +4169,7 @@ ORACLE = {
     "info_gain_splits": _INFO_GAIN_SQL,
     "supplier_return_ci": _WILSON_SQL,
     "below_avg_qty": _BELOW_AVG_SQL,
+    "degree_assortativity": _ASSORT_SQL,
     "chi2_abtest": _CHI2_SQL,
     "null_profile": _NULL_PROFILE_SQL,
     "ref_integrity": _REF_INTEGRITY_SQL,

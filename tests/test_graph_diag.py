@@ -2642,3 +2642,38 @@ def test_below_avg_qty_integer_threshold(spark, tmp_path):
         "A": (3, 1, 10000, round(1 / 3, 4)),
         "B": (3, 0, 0, 0.0),
     }
+
+
+def test_degree_assortativity_star_and_regular(spark, tmp_path):
+    """A star (one supplier, three customers) is perfectly
+    disassortative: every edge joins degree 3 to degree 1 -> r = -1.
+    A complete 2x2 bipartite graph is 2-regular -> zero degree variance
+    -> NULL."""
+    import pandas as pd
+
+    star = tmp_path / "star"
+    star.mkdir()
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_custkey": [1, 2, 3]}
+    ).to_parquet(star / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3], "l_suppkey": [1, 1, 1]}
+    ).to_parquet(star / "lineitem.parquet")
+
+    reg = tmp_path / "reg"
+    reg.mkdir()
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 1, 2, 2]}
+    ).to_parquet(reg / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4], "l_suppkey": [1, 2, 1, 2]}
+    ).to_parquet(reg / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_degree_assortativity,
+    )
+
+    r = q_degree_assortativity(spark, str(star)).collect()[0]
+    assert (r["n_edges"], r["assortativity"]) == (6, -1.0)
+    r = q_degree_assortativity(spark, str(reg)).collect()[0]
+    assert (r["n_edges"], r["assortativity"]) == (8, None)

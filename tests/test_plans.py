@@ -463,6 +463,7 @@ _MAX_SINGLE_PARTITION = {
     "basket_pairs": 1,  # the one-row basket-total aggregate
     "benford_digits": 1,  # the bounded 9-row share window's exchange
     "dedup_eval": 1,  # the one-row metrics aggregate
+    "degree_assortativity": 1,  # the one-row moment fold
     "bigram_logprob": 1, "bm25_search": 1, "ccnet_bands": 2,
     "cms_counts": 2,  # 1-row table fold + the 20-probe global limit
     "collocations": 1, "corr_cov": 1, "decontam_bloom": 1,
