@@ -1446,3 +1446,134 @@ def test_attribution_compare_matches_python(ev, spark, tmp_path_factory):
                 sess.append(typ)
             prev_us = us
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=15),          # day of Jan
+            st.integers(min_value=-3_000, max_value=3_000),  # value cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_theil_sen_trend_matches_python(evs, spark, tmp_path_factory):
+    """q_theil_sen_trend's ranked element selection vs a direct python
+    median-of-pairwise-slopes with the identical (slope, d1, d2) order."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("tsen")
+    pd.DataFrame(
+        {
+            "event_id": list(range(len(evs))),
+            "ts": [pd.Timestamp(f"2024-01-{d:02d} 09:00") for d, _ in evs],
+            "user_id": 1,
+            "event_type": "click",
+            "value": [c / 100.0 for _, c in evs],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_theil_sen_trend,
+    )
+
+    rows = q_theil_sen_trend(spark, str(tmp)).collect()
+
+    daily = defaultdict(int)
+    base = pd.Timestamp("1970-01-01")
+    for d, c in evs:
+        di = (pd.Timestamp(f"2024-01-{d:02d}") - base).days
+        daily[di] += round((c / 100.0) * 100)
+    days = sorted(daily)
+    # Spark `div` and DuckDB `//` both TRUNCATE toward zero on integers;
+    # python // floors — mirror the engines' semantics exactly
+    dollars = {
+        d: (abs(daily[d]) // 100) * (1 if daily[d] >= 0 else -1)
+        for d in days
+    }
+    slopes = [
+        ((dollars[d2] - dollars[d1]) / (d2 - d1), d1, d2)
+        for i, d1 in enumerate(days)
+        for d2 in days[i + 1:]
+    ]
+    if not slopes:
+        assert rows == []
+        return
+    slopes.sort()
+    m = len(slopes)
+    want = round(slopes[(m + 1) // 2 - 1][0], 4)
+    assert len(rows) == 1
+    assert (rows[0]["n_pairs"], rows[0]["ts_slope_dollars"]) == (m, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    grid=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # custkey
+            st.integers(min_value=1, max_value=8),   # month of 2024
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_monthly_churn_matches_python(grid, spark, tmp_path_factory):
+    """q_monthly_churn vs a direct python set walk over the distinct
+    (customer, month) grid, including calendar-gap churn attribution."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("churn")
+    pd.DataFrame(
+        {
+            "o_custkey": [c for c, _ in grid],
+            "o_orderdate": pd.Series(
+                [pd.Timestamp(f"2024-{m:02d}-10") for _, m in grid],
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_monthly_churn,
+    )
+
+    got = {
+        r["mi"]: (r["n_active"], r["n_new"], r["n_retained"], r["n_churned"])
+        for r in q_monthly_churn(spark, str(tmp)).collect()
+    }
+
+    cm = {(c, 2024 * 12 + m) for c, m in grid}
+    months = sorted({mi for _, mi in cm})
+    first = {}
+    for c, mi in sorted(cm, key=lambda t: t[1]):
+        first.setdefault(c, mi)
+    want = {}
+    prev_mi, prev_active = None, None
+    for mi in months:
+        act = {c for c, m in cm if m == mi}
+        new = sum(1 for c in act if first[c] == mi)
+        ret = sum(1 for c in act if (c, mi - 1) in cm)
+        if prev_mi is None:
+            churn = None
+        elif prev_mi == mi - 1:
+            churn = prev_active - ret
+        else:
+            churn = prev_active
+        want[mi] = (len(act), new, ret, churn)
+        prev_mi, prev_active = mi, len(act)
+    assert got == want
