@@ -2291,17 +2291,23 @@ def q_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 5·q·n < Σq — a PURE BIGINT predicate on quantity cents, so the
     cut is partitioning- and engine-exact with no float ever computed;
     revenue stays exact cents and the brand share is ONE division
-    rounded 4 dp."""
+    rounded 4 dp. The per-part moments ride a PART-KEY WINDOW (whole-
+    partition frame) rather than a groupBy + re-join: same single
+    shuffle, but the fact is SCANNED ONCE (the scan-budget sweep caught
+    the two-scan draft)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.round(F.col("l_quantity") * 100).cast("bigint").alias("qc"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum("qc").cast("bigint").alias("sum_q"),
-        F.count(F.lit(1)).cast("bigint").alias("n_q"),
+    wp = Window.partitionBy("l_partkey")
+    j = li.select(
+        "l_partkey",
+        "qc",
+        "cents",
+        F.sum("qc").over(wp).cast("bigint").alias("sum_q"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_q"),
     )
-    j = li.join(per_part, "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     small = F.lit(5) * F.col("qc") * F.col("n_q") < F.col("sum_q")
     return (
@@ -2366,7 +2372,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one distinct-pair shuffle, one degree groupBy, two
     degree-attach hash joins on the endpoint keys (each O(edges) ⋈
     O(nodes)), and ONE scalar moment fold (the documented 1-row
-    single-partition case)."""
+    single-partition case). The symmetric edge list is CHECKPOINTED
+    once — it feeds the degree agg AND both join sides, so without the
+    checkpoint the pair lineage re-executes per consumer (the
+    triangle_count lesson; the scan-budget sweep caught the 12-scan
+    draft)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -2377,8 +2387,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     da = deg.select(F.col("src").alias("ka"), F.col("d").alias("da"))

@@ -2631,6 +2631,74 @@ FROM ranked WHERE rn = (m + 1) // 2
 """
 
 
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per current event type —
+    H(next | cur = c) in bits over the same first-order transitions
+    transition_matrix counts: the PREDICTABILITY readout on the
+    sequence layer (a type whose next step is near-deterministic is a
+    funnel edge; a high-entropy type is a branching hub — where to
+    spend UX or caching effort). Also reports the max possible entropy
+    log2(k) for that row's branching factor, so the ratio reads as
+    normalized unpredictability.
+
+    Exactness: transition counts are exact BIGINTs; every entropy term's
+    operands are the SAME integer ratio in both engines and the sum over
+    ≤ |types| terms is rounded 5 dp; the 0·log 0 case cannot arise
+    (grouped rows have n ≥ 1).
+
+    Scale: one user-partitioned lead window + one |types|²-group agg
+    (the transition_matrix plan); the entropy rollup runs on the
+    |types|²-row matrix."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    rows = trans.withColumn("tot", F.sum("n").over(wt).cast("bigint"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    return rows.groupBy("from_type").agg(
+        F.max("tot").cast("bigint").alias("n_trans"),
+        F.count(F.lit(1)).cast("bigint").alias("n_branches"),
+        F.round(F.sum(-p * F.log2(p)), 5).alias("entropy_bits"),
+        F.round(F.log2(F.count(F.lit(1)).cast("double")), 5).alias(
+            "max_entropy_bits"
+        ),
+    )
+
+
+_BEHAVIOR_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+), rows_ AS (
+  SELECT from_type, n,
+         CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS tot
+  FROM trans
+)
+SELECT from_type,
+       CAST(max(tot) AS BIGINT) AS n_trans,
+       CAST(count(*) AS BIGINT) AS n_branches,
+       round(sum(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 5)
+         AS entropy_bits,
+       round(log2(CAST(count(*) AS DOUBLE)), 5) AS max_entropy_bits
+FROM rows_ GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2670,6 +2738,7 @@ QUERIES = {
     "acf_daily": q_acf_daily,
     "attribution_compare": q_attribution_compare,
     "theil_sen_trend": q_theil_sen_trend,
+    "behavior_entropy": q_behavior_entropy,
 }
 
 ORACLE = {
@@ -2711,4 +2780,5 @@ ORACLE = {
     "acf_daily": _ACF_SQL,
     "attribution_compare": _ATTR_COMPARE_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
+    "behavior_entropy": _BEHAVIOR_ENTROPY_SQL,
 }

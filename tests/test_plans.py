@@ -414,6 +414,7 @@ _MAX_BNLJ = {
     "bm25_search": 1,       # 1-row corpus stats (N, avgdl)
     "ccnet_bands": 2,       # 1-row total ×2 (unigram fit + band thresholds)
     "collocations": 1,      # 1-row corpus totals
+    "centroid_eval": 1,     # |labels|-row broadcast centroid-table attach
     "cms_counts": 1,        # 1-row folded CMS table attach
     "cross_join": 1,        # the intentional 5×25-row cross-join demo
     "decontam_bloom": 1,    # 1-row Bloom bitset-map attach

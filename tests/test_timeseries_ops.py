@@ -4,6 +4,8 @@ carried value is known exactly."""
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 
@@ -575,3 +577,37 @@ def test_theil_sen_trend_robust_to_outlier(spark, tmp_path):
         for r in q_theil_sen_trend(spark, str(tmp_path)).collect()
     }
     assert got == {"lin": (10, 100.0), "out": (6, 10.0)}
+
+
+def test_behavior_entropy_closed_forms(spark, tmp_path):
+    """'view' branches 50/50 (entropy exactly 1 bit of a possible 1);
+    'click' always leads to 'view' (0 bits, 1 branch); the last event of
+    each user contributes no transition."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "view", 0),
+            (2, "2024-01-01 09:01", 1, "click", 0),
+            (3, "2024-01-01 09:02", 1, "view", 0),
+            (4, "2024-01-01 09:03", 1, "error", 0),   # view -> error
+            (5, "2024-01-01 09:04", 2, "view", 0),
+            (6, "2024-01-01 09:05", 2, "click", 0),
+            (7, "2024-01-01 09:06", 2, "view", 0),    # u2 ends on view
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_behavior_entropy,
+    )
+
+    got = {
+        r["from_type"]: (
+            r["n_trans"], r["n_branches"], r["entropy_bits"],
+            r["max_entropy_bits"],
+        )
+        for r in q_behavior_entropy(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (3, 2, round(-(2 / 3) * math.log2(2 / 3)
+                             - (1 / 3) * math.log2(1 / 3), 5), 1.0),
+        "click": (2, 1, 0.0, 0.0),
+    }
