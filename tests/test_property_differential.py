@@ -1577,3 +1577,75 @@ def test_monthly_churn_matches_python(grid, spark, tmp_path_factory):
         want[mi] = (len(act), new, ret, churn)
         prev_mi, prev_active = mi, len(act)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=100),  # minutes from base
+            st.integers(min_value=0, max_value=3),    # type index
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_behavior_entropy_matches_python(ev, spark, tmp_path_factory):
+    """q_behavior_entropy vs a direct python conditional-entropy walk
+    over the same (ts, event_id)-ordered per-user transitions."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    types = ["view", "click", "purchase", "error"]
+    tmp = tmp_path_factory.mktemp("bent")
+    base = dt.datetime(2024, 3, 1)
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": [pd.Timestamp(base + dt.timedelta(minutes=m)) for _, m, _ in ev],
+            "user_id": [u for u, _, _ in ev],
+            "event_type": [types[t] for _, _, t in ev],
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import Counter, defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_behavior_entropy,
+    )
+
+    got = {
+        r["from_type"]: (r["n_trans"], r["n_branches"], r["entropy_bits"],
+                         r["max_entropy_bits"])
+        for r in q_behavior_entropy(spark, str(tmp)).collect()
+    }
+
+    by_user = defaultdict(list)
+    for eid, (u, m, t) in enumerate(ev):
+        by_user[u].append((int((base + dt.timedelta(minutes=m)).timestamp()), eid, types[t]))
+    trans = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    want = {}
+    for ft in {a for a, _ in trans}:
+        row = {b: n for (a, b), n in trans.items() if a == ft}
+        tot = sum(row.values())
+        h = -sum((n / tot) * math.log2(n / tot) for n in row.values())
+        want[ft] = (tot, len(row), round(h, 5), round(math.log2(len(row)), 5))
+    assert set(got) == set(want)
+    for ft, (tot, k, h, mx) in want.items():
+        gt, gk, gh, gmx = got[ft]
+        assert (gt, gk, gmx) == (tot, k, mx), ft
+        assert abs(gh - h) < 2e-5, (ft, gh, h)

@@ -1029,3 +1029,39 @@ def test_monthly_churn_1m_customers_closed_form(spark, tmp_path):
         2: (n // 2, 0, n // 2, n // 2),
     }
     assert elapsed < 180, f"monthly_churn smoke took {elapsed:.0f}s"
+
+
+def test_mutual_nn_200k_vectors_closed_form(spark, tmp_path):
+    """mutual_nn at 200k vectors in 100k two-member blocks: each block
+    holds one pair of identical axis vectors (cosine exactly 1.0), so
+    the blocked equi-join yields exactly 100k mutual pairs and pair
+    count never approaches n^2."""
+    import time
+
+    blocks = 100_000
+    spark.range(2 * blocks).selectExpr(
+        "id as vec_id",
+        "cast(id div 2 as int) as label",
+        "array(cast(1.0 + (id div 2) % 7 as double), cast((id div 2) % 3"
+        " as double)) as embedding",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from savio_training_dask_2019_spark.queries.vectorops import q_mutual_nn
+
+    t0 = time.perf_counter()
+    agg = (
+        q_mutual_nn(spark, str(tmp_path))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cosine").alias("mn"),
+            F.max("cosine").alias("mx"),
+            F.sum((F.col("id_b") - F.col("id_a")).cast("long")).alias("gap"),
+        )
+        .first()
+    )
+    elapsed = time.perf_counter() - t0
+    # every pair is (2k, 2k+1): count, cosine 1.0 both ends, gap sum = n
+    assert (agg["n"], agg["mn"], agg["mx"], agg["gap"]) == (
+        blocks, 1.0, 1.0, blocks,
+    )
+    assert elapsed < 180, f"mutual_nn smoke took {elapsed:.0f}s"
