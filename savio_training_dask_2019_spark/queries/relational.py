@@ -4038,6 +4038,444 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (suppliers who kept orders waiting), decorrelated —
+    the classic EXISTS + NOT EXISTS pair on the same fact table: suppliers
+    whose line shipped >60 days after the order date, in multi-supplier
+    orders where NO OTHER supplier was late (so the blame is unambiguous).
+    The correlated form needs two more fact probes; this rewrite folds both
+    quantifiers into ONE per-order aggregate — n_supp ≥ 2 supplies the
+    EXISTS (another supplier), n_late_supp = 1 supplies the NOT EXISTS
+    (no other late supplier), and max(late suppkey) is then well-defined.
+
+    Exactness: pure timestamp comparison + BIGINT counts; no floats.
+
+    Scale: one orderkey shuffle join (both sides fact — no broadcast), one
+    per-order partial+final agg on the SAME key (AQE can reuse the
+    exchange), one supplier-count-bounded groupBy, broadcast supplier dim,
+    TakeOrderedAndProject top-20 (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    waits = (
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("late_supp").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(s), "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+_WAITING_SUPPLIERS_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY 1
+), waits AS (
+  SELECT late_supp AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+  FROM per_order WHERE n_supp >= 2 AND n_late_supp = 1
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, numwait
+FROM waits JOIN supplier USING (s_suppkey)
+ORDER BY numwait DESC, s_suppkey LIMIT 20
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape (promising-but-idle accounts): customers whose
+    balance sits STRICTLY above their market segment's average positive
+    balance, yet who placed no order on/after 2001-01-01 (the final seven
+    months of the fixture's 1995-2001 order span) — the outreach list,
+    rolled up per segment. The correlated scalar subquery (per-segment
+    average) is decorrelated into a segment window; the NOT EXISTS is a
+    left-anti join against the date-filtered orders.
+
+    Exactness: the above-average cut clears the denominator —
+    cents·n_pos > sum_pos is PURE BIGINT (no float average ever computed);
+    the reported avg_bal is ONE division rounded 2 dp.
+
+    Scale: customer scanned once (segment window — one shuffle over the
+    dimension), orders scan with the date predicate PUSHED DOWN feeding a
+    key-only anti join, one |segments|-group agg."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    pos = F.when(F.col("cents") > 0, F.col("cents")).otherwise(F.lit(0))
+    seg = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        F.sum(pos).over(wseg).cast("bigint").alias("sum_pos"),
+        F.sum((F.col("cents") > 0).cast("long")).over(wseg)
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = seg.where(
+        F.col("cents") * F.col("n_pos") > F.col("sum_pos")
+    ).join(recent, "c_custkey", "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.round(
+            F.sum("cents").cast("double") / (F.lit(100) * F.count(F.lit(1))), 2
+        ).alias("avg_bal"),
+    )
+
+
+_IDLE_CUSTOMERS_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), seg AS (
+  SELECT c_custkey, c_mktsegment, cents,
+         CAST(sum(CASE WHEN cents > 0 THEN cents ELSE 0 END)
+              OVER (PARTITION BY c_mktsegment) AS BIGINT) AS sum_pos,
+         CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_pos
+  FROM c
+), idle AS (
+  SELECT * FROM seg
+  WHERE cents * n_pos > sum_pos
+    AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(CAST(sum(cents) AS DOUBLE) / (100 * count(*)), 2) AS avg_bal
+FROM idle GROUP BY 1
+"""
+
+
+def q_auc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC per line status via the Mann-Whitney rank-sum identity
+    (Hanley & McNeil 1982): AUC = P(score_pos > score_neg) computed from
+    rank sums — label = returned line, score = extended price — the
+    standard "can this feature separate the classes?" readout a model-eval
+    pipeline runs per slice, WITHOUT materializing pos×neg pairs.
+
+    Exactness: average ranks for ties are handled in HALVES so everything
+    stays BIGINT — 2·avg_rank = 2·rank + tie_count − 1 (rank() is the
+    min rank of the tie group); the AUC is then ONE division
+    (2R − n_pos(n_pos+1)) / (2·n_pos·n_neg) rounded 6 dp.
+
+    Scale: two window passes over the SAME group partition key (one
+    shuffle, in-partition sorts) + one |groups|-row agg; no pair join —
+    the naive pairwise form is n_pos·n_neg per group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("g"),
+        (F.col("l_returnflag") == "R").cast("int").alias("pos"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("score"),
+    )
+    ranked = li.select(
+        "g",
+        "pos",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("score"))
+            + F.count(F.lit(1)).over(Window.partitionBy("g", "score"))
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("tar"),
+    )
+    n_pos = F.sum("pos")
+    n_neg = F.count(F.lit(1)) - F.sum("pos")
+    r2 = F.sum(F.when(F.col("pos") == 1, F.col("tar")).otherwise(F.lit(0)))
+    return ranked.groupBy(F.col("g").alias("l_linestatus")).agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(
+            (r2 - n_pos * (n_pos + F.lit(1))).cast("double")
+            / (F.lit(2) * n_pos * n_neg).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+_AUC_SQL = """
+WITH li AS (
+  SELECT l_linestatus AS g,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS score
+  FROM lineitem
+), ranked AS (
+  SELECT g, pos,
+         CAST(2 * rank() OVER (PARTITION BY g ORDER BY score)
+              + count(*) OVER (PARTITION BY g, score) - 1 AS BIGINT) AS tar
+  FROM li
+)
+SELECT g AS l_linestatus,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+       round(CAST(sum(CASE WHEN pos = 1 THEN tar ELSE 0 END)
+                  - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+             / CAST(2 * sum(pos) * (count(*) - sum(pos)) AS DOUBLE), 6) AS auc
+FROM ranked GROUP BY 1
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of each event type's value against
+    the COMPLEMENT (all other types), with the Welch-Satterthwaite degrees
+    of freedom — the slice-vs-rest screen an experimentation or data-drift
+    pipeline runs over every segment, from ONE corpus pass: per-type
+    (n, Σx, Σx²) moments plus the 1-row grand total give the complement's
+    moments by subtraction — no second scan, no self-join.
+
+    Exactness: moments are exact BIGINTs on cents (Σx² bounded — cents²
+    ≤ ~2.4e9 so the sum stays far under 2^63 through ~10^9 rows/group;
+    beyond that, span to DECIMAL); mean/variance/t/df assembly casts each
+    exact moment ONCE to double with the IDENTICAL expression tree in both
+    engines (the degree_assortativity determinism contract), t rounded
+    4 dp, df 2 dp.
+
+    Scale: one |types|-group partial+final agg, localCheckpoint-ed
+    (O(|types|) rows; its two consumers would otherwise re-scan the
+    corpus) + a 1-row total attached by the model-attach crossJoin
+    (allowlisted); output is |types| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    grp = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("q"),
+        )
+        # O(|types|) rows; two consumers (totals fold + the attach) would
+        # otherwise each re-execute the corpus scan
+        .localCheckpoint(eager=True)
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("s").cast("bigint").alias("ts_"),
+        F.sum("q").cast("bigint").alias("tq"),
+    )
+    j = grp.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        (F.col("tn") - F.col("n")).alias("n2"),
+        (F.col("ts_") - F.col("s")).alias("s2"),
+        (F.col("tq") - F.col("q")).alias("q2"),
+    )
+    m1 = F.col("s").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - F.lit(1))
+    v2 = (
+        F.col("q2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
+    ) / (F.col("n2") - F.lit(1))
+    se2 = v1 / F.col("n") + v2 / F.col("n2")
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m1 / 100, 4).alias("mean_val"),
+        F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_welch"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(v1 / F.col("n"), 2) / (F.col("n") - F.lit(1))
+                + F.pow(v2 / F.col("n2"), 2) / (F.col("n2") - F.lit(1))
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+_WELCH_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), grp AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS q
+  FROM ev GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts_,
+         CAST(sum(q) AS BIGINT) AS tq
+  FROM grp
+), j AS (
+  SELECT event_type, n, s, q, tn - n AS n2, ts_ - s AS s2, tq - q AS q2
+  FROM grp CROSS JOIN tot
+), v AS (
+  SELECT event_type, n, n2,
+         CAST(s AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (n - 1) AS v1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+           / (n2 - 1) AS v2
+  FROM j
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, round(m1 / 100, 4) AS mean_val,
+       -- + 0.0 normalizes IEEE negative zero: DuckDB round keeps the sign
+       -- of a tiny negative t (-0.0); Spark's BigDecimal round drops it
+       round((m1 - m2) / sqrt(v1 / n + v2 / n2), 4) + 0.0 AS t_welch,
+       round(pow(v1 / n + v2 / n2, 2)
+             / (pow(v1 / n, 2) / (n - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
+         AS df_welch
+FROM v
+"""
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Spearman rank correlation (quantity vs discount per return
+    flag) — the monotone-association readout that survives outliers and
+    nonlinearity where Pearson (corr_cov) does not: rank-transform both
+    variables within each group, then Pearson on the ranks.
+
+    Exactness: tie-averaged ranks are carried as 2·avg_rank = 2·rank +
+    tie_count − 1 (pure BIGINT — the auc_by_type half-rank trick; the
+    constant factor 2 cancels in the correlation); all five rank moments
+    are exact BIGINTs (Σ(2r)² ≤ 4n³ — fine under 2^63 to ~10^6 rows/group,
+    beyond that span to DECIMAL), and the rho assembly casts each exact
+    moment ONCE to double with the identical expression tree in both
+    engines, rounded 6 dp; a variable constant within its group (zero
+    variance → 0/0) yields NULL via the EXACT min-rank = max-rank test.
+
+    Scale: two rank windows + one tie-count window per variable over the
+    SAME group partition key (one shuffle, in-partition sorts) + one
+    |groups|-row moment agg; no pair joins (the definitional form is
+    n² concordance pairs)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("y"),
+    )
+    ranked = li.select(
+        "g",
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("x"))
+            + F.count(F.lit(1)).over(Window.partitionBy("g", "x"))
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("rx"),
+        (
+            F.lit(2) * F.rank().over(Window.partitionBy("g").orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("g", "y"))
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("ry"),
+    )
+    m = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        # zero-variance guard, EXACT: a variable is constant within the
+        # group iff its tie-averaged rank is (min == max) — no float test
+        F.min("rx").cast("bigint").alias("mnx"),
+        F.max("rx").cast("bigint").alias("mxx"),
+        F.min("ry").cast("bigint").alias("mny"),
+        F.max("ry").cast("bigint").alias("mxy"),
+    )
+    nd = F.col("n").cast("double")
+    degenerate = (F.col("mnx") == F.col("mxx")) | (F.col("mny") == F.col("mxy"))
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (nd * F.col("sxy").cast("double")
+                 - F.col("sx").cast("double") * F.col("sy").cast("double"))
+                / F.sqrt(
+                    (nd * F.col("sxx").cast("double")
+                     - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                    * (nd * F.col("syy").cast("double")
+                       - F.col("sy").cast("double") * F.col("sy").cast("double"))
+                ),
+                6,
+            )
+        )
+        .alias("rho_spearman"),
+    )
+
+
+_SPEARMAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_quantity * 100) AS BIGINT) AS x,
+         CAST(round(l_discount * 10000) AS BIGINT) AS y
+  FROM lineitem
+), ranked AS (
+  SELECT g,
+         CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+              + count(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+              + count(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS ry
+  FROM li
+), m AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(min(rx) AS BIGINT) AS mnx, CAST(max(rx) AS BIGINT) AS mxx,
+         CAST(min(ry) AS BIGINT) AS mny, CAST(max(ry) AS BIGINT) AS mxy
+  FROM ranked GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+       CASE WHEN mnx = mxx OR mny = mxy THEN NULL ELSE
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
+       END AS rho_spearman
+FROM m
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -4101,6 +4539,11 @@ QUERIES = {
     "part_family_rollup": q_part_family_rollup,
     "single_source_parts": q_single_source_parts,
     "gini_by_segment": q_gini_by_segment,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
+    "auc_by_type": q_auc_by_type,
+    "welch_ttest": q_welch_ttest,
+    "spearman_corr": q_spearman_corr,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
@@ -4177,6 +4620,11 @@ ORACLE = {
     "part_family_rollup": _PART_FAMILY_SQL,
     "single_source_parts": _SINGLE_SOURCE_SQL,
     "gini_by_segment": _GINI_SQL,
+    "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
+    "idle_customers": _IDLE_CUSTOMERS_SQL,
+    "auc_by_type": _AUC_SQL,
+    "welch_ttest": _WELCH_SQL,
+    "spearman_corr": _SPEARMAN_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,

@@ -2699,6 +2699,114 @@ FROM rows_ GROUP BY 1
 """
 
 
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the event-value series — the largest
+    peak-to-trough drop (running max minus current value) over each user's
+    time-ordered metric stream, the monitoring/finance readout for "how
+    far below its best has this series fallen": top-20 users by drawdown.
+
+    Exactness: values are cents BIGINTs; the running max and the drawdown
+    subtraction are pure integer ops — no floats anywhere; top-20 carries
+    the user_id tie-break.
+
+    Scale: ONE user-partitioned ordered window (running max, ROWS
+    UNBOUNDED PRECEDING — one shuffle, one in-partition sort) + one
+    per-user agg on the same key + TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = ev.select(
+        "user_id",
+        "cents",
+        F.max("cents").over(w).cast("bigint").alias("runmax"),
+    )
+    return (
+        walk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("runmax").cast("bigint").alias("peak_cents"),
+            F.max(F.col("runmax") - F.col("cents"))
+            .cast("bigint")
+            .alias("max_drawdown_cents"),
+        )
+        .orderBy(F.col("max_drawdown_cents").desc(), "user_id")
+        .limit(20)
+    )
+
+
+_MAX_DRAWDOWN_SQL = """
+WITH sv AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), walk AS (
+  SELECT user_id, cents,
+         CAST(max(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
+  FROM sv
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(runmax) AS BIGINT) AS peak_cents,
+       CAST(max(runmax - cents) AS BIGINT) AS max_drawdown_cents
+FROM walk GROUP BY 1
+ORDER BY max_drawdown_cents DESC, user_id LIMIT 20
+"""
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the product-analytics engagement
+    ratio (what fraction of the month's actives show up on an average
+    day), from ONE (day, user) dedup: within a month, Σ(daily actives)
+    equals the deduped row count, so avg_DAU/MAU needs no per-day
+    subaggregate join.
+
+    Exactness: all counts exact BIGINTs; stickiness is ONE division
+    user_days/(n_days·mau) rounded 4 dp; the month key is a yyyy-MM
+    STRING on both sides (engine date_trunc types differ).
+
+    Scale: one distinct over (day, user) — the only shuffle — then one
+    |months|-group agg with two distinct counts; output is month-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    return du.groupBy(
+        F.date_format("d", "yyyy-MM").alias("month")
+    ).agg(
+        F.countDistinct("d").cast("bigint").alias("n_days"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+        F.count(F.lit(1)).cast("bigint").alias("user_days"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / (F.countDistinct("d") * F.countDistinct("user_id")),
+            4,
+        ).alias("stickiness"),
+    )
+
+
+_STICKINESS_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+)
+SELECT strftime(d, '%Y-%m') AS month,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+       CAST(count(*) AS BIGINT) AS user_days,
+       round(CAST(count(*) AS DOUBLE)
+             / (count(DISTINCT d) * count(DISTINCT user_id)), 4) AS stickiness
+FROM du GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2739,6 +2847,8 @@ QUERIES = {
     "attribution_compare": q_attribution_compare,
     "theil_sen_trend": q_theil_sen_trend,
     "behavior_entropy": q_behavior_entropy,
+    "max_drawdown": q_max_drawdown,
+    "stickiness": q_stickiness,
 }
 
 ORACLE = {
@@ -2781,4 +2891,6 @@ ORACLE = {
     "attribution_compare": _ATTR_COMPARE_SQL,
     "theil_sen_trend": _THEIL_SEN_SQL,
     "behavior_entropy": _BEHAVIOR_ENTROPY_SQL,
+    "max_drawdown": _MAX_DRAWDOWN_SQL,
+    "stickiness": _STICKINESS_SQL,
 }

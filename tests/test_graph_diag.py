@@ -2677,3 +2677,192 @@ def test_degree_assortativity_star_and_regular(spark, tmp_path):
     assert (r["n_edges"], r["assortativity"]) == (6, -1.0)
     r = q_degree_assortativity(spark, str(reg)).collect()[0]
     assert (r["n_edges"], r["assortativity"]) == (8, None)
+
+
+def test_waiting_suppliers_blame_logic(spark, tmp_path):
+    """Q21 semantics on planted orders: credit only in multi-supplier
+    orders with EXACTLY ONE late supplier; single-supplier and
+    everyone-late orders are excluded, and day +60 exactly is NOT late
+    (strict >)."""
+    import pandas as pd
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5],
+            "o_orderdate": pd.Series(
+                [pd.Timestamp("2024-01-01")] * 5, dtype="datetime64[us]"
+            ),
+        }
+    )
+    # (orderkey, suppkey, shipdate): +60d boundary = 2024-03-01
+    lines = [
+        (1, 1, "2024-03-02"), (1, 2, "2024-01-10"),  # S1 late alone -> credit
+        (2, 1, "2024-03-02"), (2, 2, "2024-03-05"),  # both late -> excluded
+        (3, 3, "2024-03-02"),                        # single-supplier -> excluded
+        (4, 2, "2024-04-01"), (4, 3, "2024-01-05"),  # S2 late alone -> credit
+        (5, 3, "2024-03-01"), (5, 1, "2024-01-02"),  # boundary: NOT late
+    ]
+    orders.to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in lines],
+            "l_suppkey": [r[1] for r in lines],
+            "l_shipdate": pd.Series(
+                [pd.Timestamp(r[2]) for r in lines], dtype="datetime64[us]"
+            ),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["S1", "S2", "S3"]}
+    ).to_parquet(tmp_path / "supplier.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_waiting_suppliers,
+    )
+
+    got = [
+        (r["s_suppkey"], r["s_name"], r["numwait"])
+        for r in q_waiting_suppliers(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, "S1", 1), (2, "S2", 1)]  # tie broken by suppkey
+
+
+def test_idle_customers_strict_average_and_recency(spark, tmp_path):
+    """Segment A: avg positive balance 2000c — the 2000c customer sits AT
+    the average (strict > excludes), the 3000c customer is above but
+    ordered recently (anti-joined away) -> no A row. Segment B: the
+    300c customer is above the 200c average and last ordered in 2000 ->
+    the one idle row. Negative balances stay out of the average."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4, 5, 6],
+            "c_mktsegment": ["A", "A", "A", "A", "B", "B"],
+            "c_acctbal": [10.00, 20.00, 30.00, -5.00, 1.00, 3.00],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [3, 6],
+            "o_orderdate": pd.Series(
+                [
+                    pd.Timestamp("2001-02-01"),  # cust 3: recent -> excluded
+                    pd.Timestamp("2000-12-31"),  # cust 6: old -> still idle
+                ],
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_idle_customers,
+    )
+
+    got = [
+        (r["c_mktsegment"], r["n_custs"], r["total_cents"], r["avg_bal"])
+        for r in q_idle_customers(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("B", 1, 300, 3.0)]
+
+
+def test_auc_by_type_hand_pairs(spark, tmp_path):
+    """Group F: pos scores {30, 20}, neg {10, 20} -> pairwise wins
+    1 + 1 + 1 + 0.5 tie = 3.5 of 4 -> AUC 0.875 (the tie handled by
+    average ranks). Group O: perfect separation -> AUC 1.0."""
+    import pandas as pd
+
+    rows = [  # (linestatus, returnflag, extendedprice)
+        ("F", "R", 0.30), ("F", "R", 0.20), ("F", "N", 0.10), ("F", "N", 0.20),
+        ("O", "R", 1.00), ("O", "N", 0.01),
+    ]
+    pd.DataFrame(
+        {
+            "l_linestatus": [r[0] for r in rows],
+            "l_returnflag": [r[1] for r in rows],
+            "l_extendedprice": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_auc_by_type
+
+    got = {
+        r["l_linestatus"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in q_auc_by_type(spark, str(tmp_path)).collect()
+    }
+    assert got == {"F": (2, 2, 0.875), "O": (1, 1, 1.0)}
+
+
+def test_welch_ttest_python_reference(spark, tmp_path):
+    """Two event types with hand-set values; each row's t and df checked
+    against a direct python Welch computation on the same cents."""
+    import pandas as pd
+
+    a = [1.00, 2.00, 3.00, 4.00]
+    b = [2.00, 4.00, 6.00]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    def welch(xs, ys):
+        n1, n2 = len(xs), len(ys)
+        m1, m2 = sum(xs) / n1, sum(ys) / n2
+        v1 = sum((x - m1) ** 2 for x in xs) / (n1 - 1)
+        v2 = sum((y - m2) ** 2 for y in ys) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / se2**0.5
+        df = se2**2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+        return round(t, 4), round(df, 2)
+
+    ac = [v * 100 for v in a]
+    bc = [v * 100 for v in b]
+
+    from savio_training_dask_2019_spark.queries.relational import q_welch_ttest
+
+    got = {
+        r["event_type"]: (r["n"], r["mean_val"], r["t_welch"], r["df_welch"])
+        for r in q_welch_ttest(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (4, round(sum(a) / 4, 4), *welch(ac, bc)),
+        "B": (3, round(sum(b) / 3, 4), *welch(bc, ac)),
+    }
+
+
+def test_spearman_corr_monotone_and_degenerate(spark, tmp_path):
+    """y = x^2 (monotone, nonlinear) -> rho exactly 1; y = -x -> -1;
+    constant y -> NULL via the exact zero-variance guard (where Pearson
+    on ranks would hit 0/0)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(1, 6):
+        rows.append(("N", float(i), i * i / 10000.0))  # y = x^2
+        rows.append(("A", float(i), (10 - i) / 1000.0))  # y decreasing in x
+        rows.append(("R", float(i), 0.05))  # constant y
+    pd.DataFrame(
+        {
+            "l_returnflag": [r[0] for r in rows],
+            "l_quantity": [r[1] for r in rows],
+            "l_discount": [r[2] for r in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_spearman_corr,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["rho_spearman"])
+        for r in q_spearman_corr(spark, str(tmp_path)).collect()
+    }
+    assert got == {"N": (5, 1.0), "A": (5, -1.0), "R": (5, None)}

@@ -368,6 +368,8 @@ _MAX_PARQUET_SCANS = {
     # the two eval arms (banded signatures + exact inverted index) + the
     # lang dimension join — the dedup_eval two-pipelines-compared posture
     "grouped_minhash_sim": 3,
+    # three distinct tables: lineitem + orders fact join, supplier dim
+    "waiting_suppliers": 3,
 }
 
 
@@ -449,6 +451,7 @@ _MAX_BNLJ = {
     "rrf_hybrid": 1,        # the BM25 arm's 1-row (N, avgdl) stats attach
     "unigram_logprob": 2,   # 1-row corpus total ×2 (model + scoring)
     "vocab_coverage": 1,    # 1-row total token mass
+    "welch_ttest": 1,       # 1-row grand-total moment attach
 }
 
 
@@ -498,6 +501,7 @@ _MAX_SINGLE_PARTITION = {
     "skew_profile": 3,  # one scalar fold over each keyset's counts table
     "survival_curve": 2,  # the two <=span/7-row running windows' exchanges
     "unigram_logprob": 2, "vocab_coverage": 1,
+    "welch_ttest": 1,  # the 1-row grand-total moment fold
 }
 
 

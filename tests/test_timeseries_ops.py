@@ -611,3 +611,61 @@ def test_behavior_entropy_closed_forms(spark, tmp_path):
                              - (1 / 3) * math.log2(1 / 3), 5), 1.0),
         "click": (2, 1, 0.0, 0.0),
     }
+
+
+def test_max_drawdown_peak_to_trough(spark, tmp_path):
+    """User 1's series 5,3,8,2,6 peaks at 8 and troughs at 2 -> drawdown
+    600 cents (NOT the global max-min 6); monotone user 2 has drawdown 0;
+    the 0-drawdown tie between users 2 and 3 breaks by user_id."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "v", 5.00),
+            (2, "2024-01-01 09:01", 1, "v", 3.00),
+            (3, "2024-01-01 09:02", 1, "v", 8.00),
+            (4, "2024-01-01 09:03", 1, "v", 2.00),
+            (5, "2024-01-01 09:04", 1, "v", 6.00),
+            (6, "2024-01-01 09:00", 2, "v", 1.00),
+            (7, "2024-01-01 09:01", 2, "v", 2.00),
+            (8, "2024-01-01 09:00", 3, "v", 4.00),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_max_drawdown,
+    )
+
+    got = [
+        (r["user_id"], r["n_events"], r["peak_cents"],
+         r["max_drawdown_cents"])
+        for r in q_max_drawdown(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 5, 800, 600), (2, 2, 200, 0), (3, 1, 400, 0)]
+
+
+def test_stickiness_dau_mau_closed_form(spark, tmp_path):
+    """January: actives {1,2}, {1}, {1,2,3} over 3 days -> 6 user-days /
+    (3 days x 3 MAU) = 0.6667; February's lone single-user day -> 1.0;
+    a second event in the same (day, user) cell does not double-count."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "v", 0),
+            (2, "2024-01-01 10:00", 2, "v", 0),
+            (3, "2024-01-01 11:00", 2, "v", 0),  # dup (day, user) cell
+            (4, "2024-01-02 09:00", 1, "v", 0),
+            (5, "2024-01-03 09:00", 1, "v", 0),
+            (6, "2024-01-03 09:01", 2, "v", 0),
+            (7, "2024-01-03 09:02", 3, "v", 0),
+            (8, "2024-02-01 09:00", 5, "v", 0),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_stickiness
+
+    got = {
+        r["month"]: (r["n_days"], r["mau"], r["user_days"], r["stickiness"])
+        for r in q_stickiness(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01": (3, 3, 6, round(6 / 9, 4)),
+        "2024-02": (1, 1, 1, 1.0),
+    }
