@@ -4476,6 +4476,249 @@ FROM m
 """
 
 
+def q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the bipartite trade graph — supplier pairs
+    scored by their SHARED CUSTOMERS: common-neighbor count, Jaccard
+    overlap, and the Resource-Allocation index (Zhou-Lü-Zhang 2009 —
+    Adamic-Adar's stronger sibling that weights each shared neighbor by
+    1/degree, so promiscuous customers count for less). Top-30 candidate
+    pairs = the "suppliers who serve the same accounts" market-structure /
+    recommendation readout.
+
+    Exactness: RA is carried in EXACT micro-units — Σ floor(1e6 / deg_c)
+    is pure integer arithmetic (1/ln(deg) would ride each engine's libm);
+    Jaccard is ONE division rounded 5 dp; everything else BIGINT.
+
+    Scale: pair generation is blocked BY CUSTOMER — fan-out per customer
+    is (supplier-degree choose 2), never |edges|² (the triangle_count /
+    basket_pairs bound); the edge list is localCheckpoint-ed (four
+    consumers), supplier-degree attaches broadcast (supplier-dim-bounded),
+    customer-degree attach is a plain key join AQE can skew-split; a
+    promiscuous-customer cap (drop c with deg above a threshold) is the
+    standard lever when the hot-key fan-out bites — RA already discounts
+    those neighbors to ~0, so the cap loses almost nothing."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cdeg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
+    sdeg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s"))).select(
+        F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.c").alias("c")
+    )
+    scored = (
+        pairs.join(cdeg, "c")
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.floor(F.lit(1000000) / F.col("cd")))
+            .cast("bigint")
+            .alias("ra_micro"),
+        )
+    )
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("sd1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("sd").alias("sd2"))
+    return (
+        scored.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sd1") + F.col("sd2") - F.col("n_common")),
+                5,
+            ).alias("jaccard"),
+            "ra_micro",
+        )
+        .orderBy(F.col("n_common").desc(), "s1", "s2")
+        .limit(30)
+    )
+
+
+_RESOURCE_ALLOC_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cdeg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cd FROM e GROUP BY 1
+), sdeg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS sd FROM e GROUP BY 1
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, a.c AS c
+  FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+), scored AS (
+  SELECT s1, s2,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(1000000 // cd) AS BIGINT) AS ra_micro
+  FROM pairs JOIN cdeg USING (c)
+  GROUP BY 1, 2
+)
+SELECT s1, s2, n_common,
+       round(CAST(n_common AS DOUBLE) / (d1.sd + d2.sd - n_common), 5)
+         AS jaccard,
+       ra_micro
+FROM scored
+JOIN sdeg d1 ON s1 = d1.s
+JOIN sdeg d2 ON s2 = d2.s
+ORDER BY n_common DESC, s1, s2 LIMIT 30
+"""
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the bipartite trade graph — two
+    3-hop walks from every supplier (s→c→s→c), the DeepWalk / node2vec
+    CORPUS-PREP mechanism (Perozzi et al. KDD'14): walks become the
+    "sentences" a graph-embedding model trains on. Neighbor choice is a
+    pure integer hash of (current node, walk, step) mod degree over a
+    row_number-indexed adjacency list — fully deterministic, partition-
+    independent, and replayable (the seeded-hash sampling convention of
+    sample_mod/weighted_sample applied to graph steps).
+
+    Exactness: the LCG-style mix (node·1103515245 + walk·12345 +
+    step·2531011) mod 2^31 is PURE BIGINT in both engines; no RNG state.
+
+    Scale: per hop ONE hash join on the node key against the indexed
+    adjacency (deg-row fan-out filtered to the one picked neighbor — the
+    Pregel gather shape); the edge list is localCheckpoint-ed (both
+    adjacency directions + starts read it); walks×hops rows total, output
+    2·|suppliers|."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj_sc = e.select(
+        F.col("s").alias("node"),
+        F.col("c").alias("nbr"),
+        F.row_number()
+        .over(Window.partitionBy("s").orderBy("c"))
+        .cast("bigint")
+        .alias("idx"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("s"))
+        .cast("bigint")
+        .alias("deg"),
+    )
+    adj_cs = e.select(
+        F.col("c").alias("node"),
+        F.col("s").alias("nbr"),
+        F.row_number()
+        .over(Window.partitionBy("c").orderBy("s"))
+        .cast("bigint")
+        .alias("idx"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c"))
+        .cast("bigint")
+        .alias("deg"),
+    )
+    frontier = (
+        e.select("s")
+        .distinct()
+        .select(
+            F.col("s").alias("s0"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("w_int"),
+        )
+        .select("s0", F.col("w_int").cast("bigint").alias("w"))
+        .withColumn("cur", F.col("s0"))
+    )
+    hop_names: list[str] = []
+    for step, adj, hop_name in (
+        (1, adj_sc, "hop1_c"),
+        (2, adj_cs, "hop2_s"),
+        (3, adj_sc, "hop3_c"),
+    ):
+        a = adj.alias(f"a{step}")
+        h = F.pmod(
+            F.col("cur") * F.lit(1103515245)
+            + F.col("w") * F.lit(12345)
+            + F.lit(step) * F.lit(2531011),
+            F.lit(2147483648),
+        )
+        frontier = (
+            frontier.join(
+                a,
+                (F.col(f"a{step}.node") == F.col("cur"))
+                & (F.col(f"a{step}.idx") == F.pmod(h, F.col(f"a{step}.deg")) + 1),
+            )
+            .select(
+                "s0",
+                "w",
+                *hop_names,
+                F.col(f"a{step}.nbr").alias(hop_name),
+            )
+            .withColumn("cur", F.col(hop_name))
+        )
+        hop_names.append(hop_name)
+    return frontier.select(
+        F.col("s0").alias("start_s"),
+        F.col("w").alias("walk"),
+        "hop1_c",
+        "hop2_s",
+        "hop3_c",
+        F.concat_ws(
+            ">",
+            F.col("s0").cast("string"),
+            F.col("hop1_c").cast("string"),
+            F.col("hop2_s").cast("string"),
+            F.col("hop3_c").cast("string"),
+        ).alias("path"),
+    ).orderBy("start_s", "walk")
+
+
+_RANDOM_WALKS_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), adj_sc AS (
+  SELECT s, c,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY c) AS BIGINT) AS idx,
+         CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS deg
+  FROM e
+), adj_cs AS (
+  SELECT c, s,
+         CAST(row_number() OVER (PARTITION BY c ORDER BY s) AS BIGINT) AS idx,
+         CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS deg
+  FROM e
+), walks AS (
+  SELECT s AS s0, w
+  FROM (SELECT DISTINCT s FROM e) CROSS JOIN (VALUES (0), (1)) t(w)
+), st1 AS (
+  SELECT s0, w, a.c AS c1
+  FROM walks JOIN adj_sc a
+    ON a.s = s0
+   AND a.idx = ((s0 * 1103515245 + w * 12345 + 1 * 2531011)
+                % 2147483648) % a.deg + 1
+), st2 AS (
+  SELECT s0, w, c1, a.s AS s2
+  FROM st1 JOIN adj_cs a
+    ON a.c = c1
+   AND a.idx = ((c1 * 1103515245 + w * 12345 + 2 * 2531011)
+                % 2147483648) % a.deg + 1
+), st3 AS (
+  SELECT s0, w, c1, s2, a.c AS c3
+  FROM st2 JOIN adj_sc a
+    ON a.s = s2
+   AND a.idx = ((s2 * 1103515245 + w * 12345 + 3 * 2531011)
+                % 2147483648) % a.deg + 1
+)
+SELECT s0 AS start_s, CAST(w AS BIGINT) AS walk,
+       c1 AS hop1_c, s2 AS hop2_s, c3 AS hop3_c,
+       CAST(s0 AS VARCHAR) || '>' || CAST(c1 AS VARCHAR) || '>'
+         || CAST(s2 AS VARCHAR) || '>' || CAST(c3 AS VARCHAR) AS path
+FROM st3
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -4544,6 +4787,8 @@ QUERIES = {
     "auc_by_type": q_auc_by_type,
     "welch_ttest": q_welch_ttest,
     "spearman_corr": q_spearman_corr,
+    "resource_alloc": q_resource_alloc,
+    "random_walks": q_random_walks,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
@@ -4625,6 +4870,8 @@ ORACLE = {
     "auc_by_type": _AUC_SQL,
     "welch_ttest": _WELCH_SQL,
     "spearman_corr": _SPEARMAN_SQL,
+    "resource_alloc": _RESOURCE_ALLOC_SQL,
+    "random_walks": _RANDOM_WALKS_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,

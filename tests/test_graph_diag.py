@@ -2866,3 +2866,94 @@ def test_spearman_corr_monotone_and_degenerate(spark, tmp_path):
         for r in q_spearman_corr(spark, str(tmp_path)).collect()
     }
     assert got == {"N": (5, 1.0), "A": (5, -1.0), "R": (5, None)}
+
+
+def _write_trade_edges(tmp_path, edges):
+    """edges: (custkey, suppkey) pairs materialized as one order per edge."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(edges)),
+            "o_custkey": [c for c, _ in edges],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(edges)),
+            "l_suppkey": [s for _, s in edges],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+
+def test_resource_alloc_hand_scores(spark, tmp_path):
+    """Shared customers 10 (deg 2), 20 (deg 3), 30 (deg 2): pair (1,2)
+    scores 1e6//2 + 1e6//3, pair (2,3) the same sum from different
+    customers, pair (1,3) only the deg-3 customer; the degree-1
+    customer 40 contributes to NO pair; jaccard uses each side's own
+    degree."""
+    _write_trade_edges(
+        tmp_path,
+        [(10, 1), (10, 2), (20, 1), (20, 2), (20, 3), (30, 2), (30, 3),
+         (40, 1)],
+    )
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_resource_alloc,
+    )
+
+    got = [
+        (r["s1"], r["s2"], r["n_common"], r["jaccard"], r["ra_micro"])
+        for r in q_resource_alloc(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, 2, 2, 0.5, 500000 + 333333),
+        (2, 3, 2, round(2 / 3, 5), 333333 + 500000),
+        (1, 3, 1, 0.25, 333333),
+    ]
+
+
+def test_random_walks_matches_python_reference(spark, tmp_path):
+    """Every walk reproduced by a direct python implementation of the
+    same indexed-adjacency + LCG-mod pick; every hop must be a real
+    neighbor of the previous node."""
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randint(100, 109), rng.randint(1, 6))
+                    for _ in range(25)})
+    _write_trade_edges(tmp_path, edges)
+
+    sc, cs = {}, {}
+    for c, s in edges:
+        sc.setdefault(s, []).append(c)
+        cs.setdefault(c, []).append(s)
+    for v in sc.values():
+        v.sort()
+    for v in cs.values():
+        v.sort()
+
+    def pick(adj, node, walk, step):
+        nbrs = adj[node]
+        h = (node * 1103515245 + walk * 12345 + step * 2531011) % 2147483648
+        return nbrs[h % len(nbrs)]
+
+    want = {}
+    for s0 in sorted(sc):
+        for w in (0, 1):
+            c1 = pick(sc, s0, w, 1)
+            s2 = pick(cs, c1, w, 2)
+            c3 = pick(sc, s2, w, 3)
+            want[(s0, w)] = (c1, s2, c3, f"{s0}>{c1}>{s2}>{c3}")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_random_walks,
+    )
+
+    got = {
+        (r["start_s"], r["walk"]): (r["hop1_c"], r["hop2_s"], r["hop3_c"],
+                                    r["path"])
+        for r in q_random_walks(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    for (s0, _w), (c1, s2, c3, _p) in got.items():
+        assert c1 in sc[s0] and s2 in cs[c1] and c3 in sc[s2]
