@@ -4221,11 +4221,16 @@ def q_auc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy(F.col("g").alias("l_linestatus")).agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
-        F.round(
-            (r2 - n_pos * (n_pos + F.lit(1))).cast("double")
-            / (F.lit(2) * n_pos * n_neg).cast("double"),
-            6,
-        ).alias("auc"),
+        # single-class slice (no positives or no negatives) -> AUC undefined
+        F.when((n_pos == 0) | (n_neg == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (r2 - n_pos * (n_pos + F.lit(1))).cast("double")
+                / (F.lit(2) * n_pos * n_neg).cast("double"),
+                6,
+            )
+        )
+        .alias("auc"),
     )
 
 
@@ -4244,9 +4249,11 @@ WITH li AS (
 SELECT g AS l_linestatus,
        CAST(sum(pos) AS BIGINT) AS n_pos,
        CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+       CASE WHEN sum(pos) = 0 OR count(*) = sum(pos) THEN NULL ELSE
        round(CAST(sum(CASE WHEN pos = 1 THEN tar ELSE 0 END)
                   - sum(pos) * (sum(pos) + 1) AS DOUBLE)
-             / CAST(2 * sum(pos) * (count(*) - sum(pos)) AS DOUBLE), 6) AS auc
+             / CAST(2 * sum(pos) * (count(*) - sum(pos)) AS DOUBLE), 6)
+       END AS auc
 FROM ranked GROUP BY 1
 """
 
@@ -4719,6 +4726,101 @@ FROM st3
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location per return flag: the 10% TRIMMED mean (drop the
+    k = ⌊n/10⌋ lowest and highest prices) and the WINSORIZED mean (clamp
+    them to the surviving boundary values instead) — the outlier-resistant
+    averages a metrics pipeline reports when heavy tails make the plain
+    mean lie; reporting both shows how much mass the tails carried.
+
+    Exactness: selection is PURE INTEGER — row_number/count windows and
+    the rn ∈ (k, n−k] cut (equal-cents ties drop an arbitrary duplicate,
+    which cannot change the kept MULTISET, so no tie-break key is
+    needed); boundary clamps are exact cents; each mean is ONE division
+    rounded 4 dp.
+
+    Scale: one group-partitioned sort window (row_number + count + the
+    two boundary picks share the partition key — one shuffle) + one
+    |groups|-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    wg = Window.partitionBy("g")
+    ranked = li.select(
+        "g",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("cents"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n"),
+    ).withColumn("k", (F.col("n") / 10).cast("bigint"))
+    kept = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    agg = ranked.groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+        F.sum(F.when(kept, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_kept"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents")))
+        .cast("bigint")
+        .alias("lo_clamp"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents")))
+        .cast("bigint")
+        .alias("hi_clamp"),
+    )
+    n_kept = F.col("n") - F.lit(2) * F.col("k")
+    wsum = (
+        F.col("sum_kept")
+        + F.col("k") * F.col("lo_clamp")
+        + F.col("k") * F.col("hi_clamp")
+    )
+    return agg.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        F.col("k").alias("n_trimmed_each_side"),
+        F.round(F.col("sum_kept").cast("double") / (F.lit(100) * n_kept), 4)
+        .alias("trimmed_mean"),
+        F.round(wsum.cast("double") / (F.lit(100) * F.col("n")), 4)
+        .alias("winsorized_mean"),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), ranked AS (
+  SELECT g, cents,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY cents)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM li
+), cut AS (
+  SELECT g, cents, rn, n, n // 10 AS k FROM ranked
+), agg AS (
+  SELECT g,
+         CAST(max(n) AS BIGINT) AS n,
+         CAST(max(k) AS BIGINT) AS k,
+         CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN cents ELSE 0 END)
+              AS BIGINT) AS sum_kept,
+         CAST(max(CASE WHEN rn = k + 1 THEN cents END) AS BIGINT)
+           AS lo_clamp,
+         CAST(max(CASE WHEN rn = n - k THEN cents END) AS BIGINT)
+           AS hi_clamp
+  FROM cut GROUP BY 1
+)
+SELECT g AS l_returnflag, n, k AS n_trimmed_each_side,
+       round(CAST(sum_kept AS DOUBLE) / (100 * (n - 2 * k)), 4)
+         AS trimmed_mean,
+       round(CAST(sum_kept + k * lo_clamp + k * hi_clamp AS DOUBLE)
+             / (100 * n), 4) AS winsorized_mean
+FROM agg
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -4789,6 +4891,7 @@ QUERIES = {
     "spearman_corr": q_spearman_corr,
     "resource_alloc": q_resource_alloc,
     "random_walks": q_random_walks,
+    "trimmed_mean": q_trimmed_mean,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
@@ -4872,6 +4975,7 @@ ORACLE = {
     "spearman_corr": _SPEARMAN_SQL,
     "resource_alloc": _RESOURCE_ALLOC_SQL,
     "random_walks": _RANDOM_WALKS_SQL,
+    "trimmed_mean": _TRIMMED_MEAN_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,

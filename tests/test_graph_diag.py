@@ -2957,3 +2957,35 @@ def test_random_walks_matches_python_reference(spark, tmp_path):
     assert got == want
     for (s0, _w), (c1, s2, c3, _p) in got.items():
         assert c1 in sc[s0] and s2 in cs[c1] and c3 in sc[s2]
+
+
+def test_trimmed_mean_hand_values(spark, tmp_path):
+    """Ten values with one whale at each end: k = 1 drops 1 and 1000 ->
+    trimmed mean of the middle eight; winsorized clamps the whales to
+    2 and 9. A 9-value group has k = 0 -> both means collapse to the
+    plain mean."""
+    import pandas as pd
+
+    a = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]  # dollars
+    b = [1, 2, 3, 4, 5, 6, 7, 8, 100]      # n=9 -> k=0
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    pd.DataFrame(
+        {
+            "l_returnflag": [g for g, _ in rows],
+            "l_extendedprice": [float(v) for _, v in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_trimmed_mean
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["n_trimmed_each_side"],
+                            r["trimmed_mean"], r["winsorized_mean"])
+        for r in q_trimmed_mean(spark, str(tmp_path)).collect()
+    }
+    mid8 = sum([2, 3, 4, 5, 6, 7, 8, 9]) / 8
+    wins = (sum([2, 3, 4, 5, 6, 7, 8, 9]) + 2 + 9) / 10
+    assert got == {
+        "A": (10, 1, round(mid8, 4), round(wins, 4)),
+        "B": (9, 0, round(sum(b) / 9, 4), round(sum(b) / 9, 4)),
+    }

@@ -1649,3 +1649,185 @@ def test_behavior_entropy_matches_python(ev, spark, tmp_path_factory):
         gt, gk, gh, gmx = got[ft]
         assert (gt, gk, gmx) == (tot, k, mx), ft
         assert abs(gh - h) < 2e-5, (ft, gh, h)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["F", "O"]),              # group
+            st.booleans(),                            # positive label
+            st.integers(min_value=0, max_value=20),   # price cents (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_auc_by_type_matches_pairwise_python(rows, spark, tmp_path_factory):
+    """q_auc_by_type's rank-sum identity vs the DEFINITIONAL pairwise
+    count (win 1, tie 0.5) over the same scores; single-class groups
+    must yield NULL."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("auc")
+    pd.DataFrame(
+        {
+            "l_linestatus": [g for g, _, _ in rows],
+            "l_returnflag": ["R" if p else "N" for _, p, _ in rows],
+            "l_extendedprice": [c / 100.0 for _, _, c in rows],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_auc_by_type
+
+    got = {
+        r["l_linestatus"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in q_auc_by_type(spark, str(tmp)).collect()
+    }
+
+    for g in {g for g, _, _ in rows}:
+        pos = [c for gg, p, c in rows if gg == g and p]
+        neg = [c for gg, p, c in rows if gg == g and not p]
+        if not pos or not neg:
+            want_auc = None
+        else:
+            wins = sum(
+                1.0 if p > n else 0.5 if p == n else 0.0
+                for p in pos
+                for n in neg
+            )
+            want_auc = round(wins / (len(pos) * len(neg)), 6)
+        assert got[g] == (len(pos), len(neg), want_auc), g
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user
+            st.integers(min_value=0, max_value=500),   # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_max_drawdown_matches_python_walk(ev, spark, tmp_path_factory):
+    """q_max_drawdown vs a direct python running-max walk in event_id
+    order (equal timestamps force the event_id tie-break)."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("mdd")
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": pd.Timestamp("2024-03-01"),  # all equal: event_id decides
+            "user_id": [u for u, _ in ev],
+            "event_type": "v",
+            "value": [c / 100.0 for _, c in ev],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_max_drawdown,
+    )
+
+    series = defaultdict(list)
+    for eid, (u, c) in enumerate(ev):
+        series[u].append(c)
+    want = {}
+    for u, vals in series.items():
+        peak, dd = vals[0], 0
+        for v in vals:
+            peak = max(peak, v)
+            dd = max(dd, peak - v)
+        want[u] = (len(vals), peak, dd)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["peak_cents"],
+                       r["max_drawdown_cents"])
+        for r in q_max_drawdown(spark, str(tmp)).collect()
+    }
+    assert got == want
+    order = [r["user_id"] for r in q_max_drawdown(spark, str(tmp)).collect()]
+    assert order == sorted(want, key=lambda u: (-want[u][2], u))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # quantity (ties likely)
+            st.integers(min_value=0, max_value=8),   # discount bp bucket
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_spearman_corr_matches_python_ranks(rows, spark, tmp_path_factory):
+    """q_spearman_corr vs python tie-averaged ranks + the identical
+    float-assembly tree over exact integer moments; constant columns ->
+    NULL."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("sprm")
+    pd.DataFrame(
+        {
+            "l_returnflag": "N",
+            "l_quantity": [float(x) for x, _ in rows],
+            "l_discount": [y / 10000.0 for _, y in rows],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_spearman_corr,
+    )
+
+    def two_ranks(vals):
+        # 2*avg_rank = 2*min_rank + ties - 1, exactly as both engines
+        order = sorted(vals)
+        first = {}
+        from collections import Counter
+
+        cnt = Counter(vals)
+        for i, v in enumerate(order):
+            first.setdefault(v, i + 1)
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    rx, ry = two_ranks(xs), two_ranks(ys)
+    n = len(rows)
+    if min(rx) == max(rx) or min(ry) == max(ry):
+        want = None
+    else:
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = (
+            (float(n) * float(sxx) - float(sx) * float(sx))
+            * (float(n) * float(syy) - float(sy) * float(sy))
+        ) ** 0.5
+        want = round(num / den, 6)
+
+    [r] = q_spearman_corr(spark, str(tmp)).collect()
+    assert (r["n"], r["rho_spearman"]) == (n, want)

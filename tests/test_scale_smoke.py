@@ -1065,3 +1065,146 @@ def test_mutual_nn_200k_vectors_closed_form(spark, tmp_path):
         blocks, 1.0, 1.0, blocks,
     )
     assert elapsed < 180, f"mutual_nn smoke took {elapsed:.0f}s"
+
+
+def _write_biclique_trade(spark, d, n_blocks=1000, sups=10, custs=100):
+    """n_blocks disjoint bicliques: block b joins suppliers b*sups..+sups-1
+    to customers 1_000_000 + b*custs..+custs-1 — one edge per (s, c), so
+    n_blocks*sups*custs edges (1M at the defaults)."""
+    d.mkdir(exist_ok=True)
+    n = n_blocks * sups * custs
+    base = spark.range(n).selectExpr(
+        f"id as o_orderkey",
+        f"cast(1000000 + (id div {sups * custs}) * {custs} + id % {custs}"
+        f" as bigint) as o_custkey",
+    )
+    base.write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    spark.range(n).selectExpr(
+        "id as l_orderkey",
+        f"cast((id div {sups * custs}) * {sups}"
+        f" + (id div {custs}) % {sups} as bigint) as l_suppkey",
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+
+def test_resource_alloc_1m_edges_biclique_closed_form(spark, tmp_path):
+    """1M edges in 1000 disjoint 10x100 bicliques: every within-block
+    supplier pair shares exactly the block's 100 customers (jaccard 1.0,
+    RA = 100 * floor(1e6/10)), no cross-block pair exists, and the
+    all-tied top-30 resolves by the (s1, s2) tie-break to block 0's
+    lowest pairs. Pins the customer-blocked pair fan-out at scale."""
+    import time
+
+    d = tmp_path / "bic"
+    _write_biclique_trade(spark, d)
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_resource_alloc,
+    )
+
+    t0 = time.perf_counter()
+    rows = q_resource_alloc(spark, str(d)).collect()
+    elapsed = time.perf_counter() - t0
+
+    want_pairs = [
+        (s1, s2)
+        for s1 in range(10)
+        for s2 in range(s1 + 1, 10)
+    ][:30]
+    got = [(r["s1"], r["s2"], r["n_common"], r["jaccard"], r["ra_micro"])
+           for r in rows]
+    assert got == [(a, b, 100, 1.0, 100 * 100000) for a, b in want_pairs]
+    assert elapsed < 240, f"resource_alloc smoke took {elapsed:.0f}s"
+
+
+def test_random_walks_1m_edges_matches_python(spark, tmp_path):
+    """The same 1M-edge biclique graph: every one of the 20k walks
+    (10k suppliers x 2) reproduced by the closed-form python pick over
+    the block's sorted contiguous adjacency — the hash-mod-degree
+    mechanism is partition-independent at scale."""
+    import time
+
+    d = tmp_path / "bic"
+    _write_biclique_trade(spark, d)
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_random_walks,
+    )
+
+    def h(node, walk, step):
+        return (node * 1103515245 + walk * 12345 + step * 2531011) % 2147483648
+
+    def pick_c(s, w, step):  # customers of s: contiguous sorted 100
+        return 1_000_000 + (s // 10) * 100 + h(s, w, step) % 100
+
+    def pick_s(c, w, step):  # suppliers of c: contiguous sorted 10
+        return ((c - 1_000_000) // 100) * 10 + h(c, w, step) % 10
+
+    t0 = time.perf_counter()
+    rows = q_random_walks(spark, str(d)).collect()
+    elapsed = time.perf_counter() - t0
+
+    assert len(rows) == 20_000
+    for r in rows:
+        s0, w = r["start_s"], r["walk"]
+        c1 = pick_c(s0, w, 1)
+        s2 = pick_s(c1, w, 2)
+        c3 = pick_c(s2, w, 3)
+        assert (r["hop1_c"], r["hop2_s"], r["hop3_c"]) == (c1, s2, c3), s0
+    assert elapsed < 240, f"random_walks smoke took {elapsed:.0f}s"
+
+
+def test_auc_by_type_1m_rows_closed_form(spark, tmp_path):
+    """1M rows: a perfectly separable group scores AUC exactly 1.0 and an
+    all-tied group exactly 0.5 — the rank-sum identity's BIGINT
+    arithmetic is exact at scale."""
+    import time
+
+    n = 1_000_000
+    spark.range(n).selectExpr(
+        "case when id % 2 = 0 then 'O' else 'F' end as l_linestatus",
+        # O: positives are ids >= n/2 and every positive outscores every
+        # negative; F: every row has the same score (all ties)
+        f"case when id >= {n // 2} then 'R' else 'N' end as l_returnflag",
+        f"case when id % 2 = 0 then cast(id as double) / 100"
+        "  else 42.0 end as l_extendedprice",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from savio_training_dask_2019_spark.queries.relational import q_auc_by_type
+
+    t0 = time.perf_counter()
+    got = {
+        r["l_linestatus"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in q_auc_by_type(spark, str(tmp_path)).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert got == {
+        "O": (n // 4, n // 4, 1.0),
+        "F": (n // 4, n // 4, 0.5),
+    }
+    assert elapsed < 180, f"auc smoke took {elapsed:.0f}s"
+
+
+def test_trimmed_mean_1m_rows_closed_form(spark, tmp_path):
+    """Cents 1..1M in one group: k = n/10, the kept middle averages
+    exactly (n+1)/2 cents, and the winsorized clamp values are k+1 and
+    n-k — all pure integer selection at scale."""
+    import time
+
+    n = 1_000_000
+    k = n // 10
+    spark.range(n).selectExpr(
+        "'A' as l_returnflag",
+        "cast(id + 1 as double) / 100 as l_extendedprice",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from savio_training_dask_2019_spark.queries.relational import q_trimmed_mean
+
+    t0 = time.perf_counter()
+    [r] = q_trimmed_mean(spark, str(tmp_path)).collect()
+    elapsed = time.perf_counter() - t0
+    kept_sum = (n - 2 * k) * (n + 1) // 2  # arithmetic series k+1..n-k
+    wins_sum = kept_sum + k * (k + 1) + k * (n - k)
+    assert (r["n"], r["n_trimmed_each_side"]) == (n, k)
+    assert r["trimmed_mean"] == round(kept_sum / (100 * (n - 2 * k)), 4)
+    assert r["winsorized_mean"] == round(wins_sum / (100 * n), 4)
+    assert elapsed < 180, f"trimmed_mean smoke took {elapsed:.0f}s"
