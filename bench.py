@@ -109,6 +109,11 @@ HEADLINE = {
     # argmax-agg label-Pregel mechanism (count-groupBy + struct-max per
     # round, no per-node window)
     "lpa_communities": "lpa_communities",
+    # r13 addition (frozen r13, same-session 4-run median): bipartite
+    # link prediction — the only row exercising the block-keyed
+    # PAIR-GENERATION join (degree-choose-2 fan-out per customer) on a
+    # dense graph, with the RA index in exact integer micro-units
+    "resource_alloc": "resource_alloc",
 }
 
 _CHILD_ENV = "BENCH_QUERY"  # set in the child: which HEADLINE row to time

@@ -226,6 +226,12 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     # + one communities-rollup groupBy (the per-round join/agg lineage is
     # truncated by the round checkpoints, the pagerank posture)
     "lpa_communities": (0, 0, 0, 1, (0, 0)),
+    # r13: customer-blocked pair-generation join over the checkpointed
+    # edge list (0 static scans) — pairs + cdeg attach + the scored
+    # groupBy shuffle; the TWO broadcasts the design requires are the
+    # supplier-degree attaches (dim-bounded); AQE may additionally
+    # broadcast the customer-degree attach at toy SF (correct, allowed)
+    "resource_alloc": (0, 0, 0, 6, (2, 3)),
 }
 
 
