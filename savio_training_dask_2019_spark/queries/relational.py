@@ -4821,6 +4821,133 @@ FROM agg
 """
 
 
+def q_simpsons_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox diagnostic — the aggregation-bias screen every
+    metrics pipeline should run before trusting a pooled trend: the OLS
+    slope of price-on-discount WITHIN each return flag vs the slope over
+    the POOLED corpus, flagging groups whose within-slope sign
+    contradicts the pooled sign (the paradox case where segment mix, not
+    behavior, drives the headline number).
+
+    Exactness: all five regression moments are exact BIGINTs from one
+    pass; the pooled moments are the SUMS of the checkpointed group
+    moments (no second corpus scan — the welch_ttest posture); slope
+    assembly casts each exact moment ONCE to double with the identical
+    expression tree in both engines, rounded 6 dp; zero discount
+    variance → NULL slope via the exact min = max guard; the flag
+    compares SIGNS OF THE ROUNDED slopes (deterministic, never raw
+    floats).
+
+    Scale: one |groups|-row agg + the 1-row pooled-total crossJoin
+    attach (allowlisted); output is |groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    grp = (
+        li.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.min("x").cast("bigint").alias("mnx"),
+            F.max("x").cast("bigint").alias("mxx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").cast("bigint").alias("tsx"),
+        F.sum("sy").cast("bigint").alias("tsy"),
+        F.sum("sxy").cast("bigint").alias("tsxy"),
+        F.sum("sxx").cast("bigint").alias("tsxx"),
+        F.min("mnx").cast("bigint").alias("tmnx"),
+        F.max("mxx").cast("bigint").alias("tmxx"),
+    )
+
+    def slope(n, sx, sy, sxy, sxx):
+        nd = F.col(n).cast("double")
+        return F.round(
+            (nd * F.col(sxy).cast("double")
+             - F.col(sx).cast("double") * F.col(sy).cast("double"))
+            / (nd * F.col(sxx).cast("double")
+               - F.col(sx).cast("double") * F.col(sx).cast("double")),
+            6,
+        )
+
+    j = grp.crossJoin(F.broadcast(tot))
+    within = F.when(
+        F.col("mnx") == F.col("mxx"), F.lit(None).cast("double")
+    ).otherwise(slope("n", "sx", "sy", "sxy", "sxx"))
+    pooled = F.when(
+        F.col("tmnx") == F.col("tmxx"), F.lit(None).cast("double")
+    ).otherwise(slope("tn", "tsx", "tsy", "tsxy", "tsxx"))
+    out = j.select(
+        "g",
+        F.col("n").cast("bigint").alias("n"),
+        within.alias("slope_within"),
+        pooled.alias("slope_pooled"),
+    )
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        "slope_within",
+        "slope_pooled",
+        (
+            F.col("slope_within").isNotNull()
+            & F.col("slope_pooled").isNotNull()
+            & (F.signum("slope_within") * F.signum("slope_pooled") < 0)
+        ).alias("simpson_flag"),
+    )
+
+
+_SIMPSONS_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_discount * 10000) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), grp AS (
+  SELECT g,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(min(x) AS BIGINT) AS mnx, CAST(max(x) AS BIGINT) AS mxx
+  FROM li GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn,
+         CAST(sum(sx) AS BIGINT) AS tsx, CAST(sum(sy) AS BIGINT) AS tsy,
+         CAST(sum(sxy) AS BIGINT) AS tsxy,
+         CAST(sum(sxx) AS BIGINT) AS tsxx,
+         CAST(min(mnx) AS BIGINT) AS tmnx, CAST(max(mxx) AS BIGINT) AS tmxx
+  FROM grp
+), j AS (
+  SELECT g, n,
+         CASE WHEN mnx = mxx THEN NULL ELSE
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         END AS slope_within,
+         CASE WHEN tmnx = tmxx THEN NULL ELSE
+           round((CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE)
+                  - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+                 / (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+                    - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 6)
+         END AS slope_pooled
+  FROM grp CROSS JOIN tot
+)
+SELECT g AS l_returnflag, n, slope_within, slope_pooled,
+       (slope_within IS NOT NULL AND slope_pooled IS NOT NULL
+        AND sign(slope_within) * sign(slope_pooled) < 0) AS simpson_flag
+FROM j
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -4892,6 +5019,7 @@ QUERIES = {
     "resource_alloc": q_resource_alloc,
     "random_walks": q_random_walks,
     "trimmed_mean": q_trimmed_mean,
+    "simpsons_check": q_simpsons_check,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
@@ -4976,6 +5104,7 @@ ORACLE = {
     "resource_alloc": _RESOURCE_ALLOC_SQL,
     "random_walks": _RANDOM_WALKS_SQL,
     "trimmed_mean": _TRIMMED_MEAN_SQL,
+    "simpsons_check": _SIMPSONS_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,

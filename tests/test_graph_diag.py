@@ -2989,3 +2989,53 @@ def test_trimmed_mean_hand_values(spark, tmp_path):
         "A": (10, 1, round(mid8, 4), round(wins, 4)),
         "B": (9, 0, round(sum(b) / 9, 4), round(sum(b) / 9, 4)),
     }
+
+
+def test_simpsons_check_textbook_paradox(spark, tmp_path):
+    """Both groups trend UP within themselves (+1 cents/bp) while the
+    pooled cloud trends DOWN (group B sits at high x, low y) -> both
+    rows flag the paradox; a constant-x group gets NULL within-slope
+    and no flag."""
+    import pandas as pd
+
+    #        g    x(bp) y(cents)
+    rows = [("A", 0, 1000), ("A", 1, 1001),
+            ("B", 8, 0), ("B", 9, 1),
+            ("C", 5, 77), ("C", 5, 999)]  # constant x -> NULL
+    pd.DataFrame(
+        {
+            "l_returnflag": [g for g, _, _ in rows],
+            "l_discount": [x / 10000.0 for _, x, _ in rows],
+            "l_extendedprice": [y / 100.0 for _, _, y in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    def ols(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return round(
+            (float(n) * float(sxy) - float(sx) * float(sy))
+            / (float(n) * float(sxx) - float(sx) * float(sx)),
+            6,
+        )
+
+    pooled = ols([(x, y) for _, x, y in rows])
+    assert pooled < 0  # the paradox is real in the fixture
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_simpsons_check,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["n"], r["slope_within"], r["slope_pooled"],
+                            r["simpson_flag"])
+        for r in q_simpsons_check(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (2, 1.0, pooled, True),
+        "B": (2, 1.0, pooled, True),
+        "C": (2, None, pooled, False),
+    }

@@ -458,6 +458,7 @@ _MAX_BNLJ = {
     "unigram_logprob": 2,   # 1-row corpus total ×2 (model + scoring)
     "vocab_coverage": 1,    # 1-row total token mass
     "welch_ttest": 1,       # 1-row grand-total moment attach
+    "simpsons_check": 1,    # 1-row pooled-moment attach (welch posture)
 }
 
 
@@ -508,6 +509,7 @@ _MAX_SINGLE_PARTITION = {
     "survival_curve": 2,  # the two <=span/7-row running windows' exchanges
     "unigram_logprob": 2, "vocab_coverage": 1,
     "welch_ttest": 1,  # the 1-row grand-total moment fold
+    "simpsons_check": 1,  # the 1-row pooled-moment fold
 }
 
 
