@@ -4317,19 +4317,30 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2")
     ) / (F.col("n2") - F.lit(1))
     se2 = v1 / F.col("n") + v2 / F.col("n2")
+    # degenerate slices: a lone type (empty complement), a side too small
+    # for a sample variance, or BOTH sides exactly constant (se2 == 0.0 —
+    # deterministic: se2 is the identical double in both engines, and the
+    # divide-by-zero fallback differs between them: NULL here, Inf there)
+    undef = (F.col("n") < 2) | (F.col("n2") < 2) | (se2 == 0.0)
     return j.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
         F.round(m1 / 100, 4).alias("mean_val"),
-        F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_welch"),
-        F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(v1 / F.col("n"), 2) / (F.col("n") - F.lit(1))
-                + F.pow(v2 / F.col("n2"), 2) / (F.col("n2") - F.lit(1))
-            ),
-            2,
-        ).alias("df_welch"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(F.round((m1 - m2) / F.sqrt(se2), 4))
+        .alias("t_welch"),
+        F.when(undef, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(v1 / F.col("n"), 2) / (F.col("n") - F.lit(1))
+                    + F.pow(v2 / F.col("n2"), 2) / (F.col("n2") - F.lit(1))
+                ),
+                2,
+            )
+        )
+        .alias("df_welch"),
     )
 
 
@@ -4360,11 +4371,15 @@ WITH ev AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n, round(m1 / 100, 4) AS mean_val,
        -- + 0.0 normalizes IEEE negative zero: DuckDB round keeps the sign
-       -- of a tiny negative t (-0.0); Spark's BigDecimal round drops it
-       round((m1 - m2) / sqrt(v1 / n + v2 / n2), 4) + 0.0 AS t_welch,
+       -- of a tiny negative t (-0.0); Spark's BigDecimal round drops it.
+       -- NULL guards: lone type / too-small side / both sides constant
+       -- (se2 = 0.0 is the identical double in both engines)
+       CASE WHEN n < 2 OR n2 < 2 OR v1 / n + v2 / n2 = 0.0 THEN NULL ELSE
+       round((m1 - m2) / sqrt(v1 / n + v2 / n2), 4) + 0.0 END AS t_welch,
+       CASE WHEN n < 2 OR n2 < 2 OR v1 / n + v2 / n2 = 0.0 THEN NULL ELSE
        round(pow(v1 / n + v2 / n2, 2)
              / (pow(v1 / n, 2) / (n - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
-         AS df_welch
+       END AS df_welch
 FROM v
 """
 

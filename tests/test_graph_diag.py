@@ -3039,3 +3039,43 @@ def test_simpsons_check_textbook_paradox(spark, tmp_path):
         "B": (2, 1.0, pooled, True),
         "C": (2, None, pooled, False),
     }
+
+
+def test_welch_ttest_degenerate_slices_null(spark, tmp_path):
+    """A lone event type (empty complement), a 1-row side, and an
+    all-constant corpus must all yield NULL t/df instead of a
+    divide-by-zero artifact; the mean still reports."""
+    import pandas as pd
+
+    def write(d, rows):
+        d.mkdir(exist_ok=True)
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.Timestamp("2024-01-01"),
+                "user_id": 1,
+                "event_type": [t for t, _ in rows],
+                "value": [v for _, v in rows],
+                "props": "{}",
+            }
+        ).to_parquet(d / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_welch_ttest
+
+    lone = tmp_path / "lone"
+    write(lone, [("A", 1.0), ("A", 2.0), ("A", 3.0)])
+    [r] = q_welch_ttest(spark, str(lone)).collect()
+    assert (r["event_type"], r["n"], r["mean_val"], r["t_welch"],
+            r["df_welch"]) == ("A", 3, 2.0, None, None)
+
+    tiny = tmp_path / "tiny"
+    write(tiny, [("A", 1.0), ("A", 2.0), ("B", 5.0)])  # B side n=1
+    got = {r["event_type"]: (r["t_welch"], r["df_welch"])
+           for r in q_welch_ttest(spark, str(tiny)).collect()}
+    assert got == {"A": (None, None), "B": (None, None)}
+
+    const = tmp_path / "const"
+    write(const, [("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)])
+    got = {r["event_type"]: (r["t_welch"], r["df_welch"])
+           for r in q_welch_ttest(spark, str(const)).collect()}
+    assert got == {"A": (None, None), "B": (None, None)}
