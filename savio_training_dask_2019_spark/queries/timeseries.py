@@ -2807,6 +2807,62 @@ FROM du GROUP BY 1
 """
 
 
+def q_trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives (WAU) per observed day — the
+    rolling-engagement curve DAU can't show. Spark has no COUNT DISTINCT
+    over a RANGE window, and the naive per-day range join is a
+    nested-loop plan; instead each (day, user) activity row is EXPLODED
+    into the ≤7 future days it contributes to (a fixed ×7 fan-out) and
+    equi-joined back to the observed-day list — the banded-range-join
+    rewrite (range_join_banded's trick on the calendar axis).
+
+    Exactness: pure date arithmetic and BIGINT distinct counts; day keys
+    are yyyy-MM-dd STRINGS on both sides.
+
+    Scale: one (day, user) dedup shuffle + a ×7 narrow fan-out + one
+    day-keyed distinct agg; the observed-day list is calendar-bounded
+    and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    # observed days come from their own cheap day-only distinct over the
+    # scan — NOT from du, whose (day, user) dedup shuffle would re-run
+    days = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day_ts")).distinct()
+    )
+    contrib = du.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select(
+        F.expr("timestampadd(DAY, off, d)").alias("day_ts"), "user_id"
+    )
+    return (
+        contrib.join(F.broadcast(days), "day_ts")
+        .groupBy(F.date_format("day_ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("wau"),
+            F.count(F.lit(1)).cast("bigint").alias("user_days_in_window"),
+        )
+    )
+
+
+_TRAILING_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM du
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau,
+       CAST(count(*) AS BIGINT) AS user_days_in_window
+FROM days JOIN du
+  ON du.d > days.d - INTERVAL 7 DAY AND du.d <= days.d
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2849,6 +2905,7 @@ QUERIES = {
     "behavior_entropy": q_behavior_entropy,
     "max_drawdown": q_max_drawdown,
     "stickiness": q_stickiness,
+    "trailing_wau": q_trailing_wau,
 }
 
 ORACLE = {
@@ -2893,4 +2950,5 @@ ORACLE = {
     "behavior_entropy": _BEHAVIOR_ENTROPY_SQL,
     "max_drawdown": _MAX_DRAWDOWN_SQL,
     "stickiness": _STICKINESS_SQL,
+    "trailing_wau": _TRAILING_WAU_SQL,
 }

@@ -669,3 +669,32 @@ def test_stickiness_dau_mau_closed_form(spark, tmp_path):
         "2024-01": (3, 3, 6, round(6 / 9, 4)),
         "2024-02": (1, 1, 1, 1.0),
     }
+
+
+def test_trailing_wau_window_edges(spark, tmp_path):
+    """User 1 active on days 1 and 8, user 2 only day 1: day 7's window
+    still reaches day 1 (wau 2... actually both users), day 8's window
+    [2..8] has dropped day 1 entirely -> only user 1 counts; days with
+    no activity produce NO row (observed-day grain)."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "v", 0),
+            (2, "2024-01-01 10:00", 2, "v", 0),
+            (3, "2024-01-07 09:00", 3, "v", 0),
+            (4, "2024-01-08 09:00", 1, "v", 0),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_trailing_wau,
+    )
+
+    got = {
+        r["day"]: (r["wau"], r["user_days_in_window"])
+        for r in q_trailing_wau(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),      # users 1, 2
+        "2024-01-07": (3, 3),      # day 1 still inside [1..7]
+        "2024-01-08": (2, 2),      # day 1 dropped; users 1 (day 8), 3 (day 7)
+    }
