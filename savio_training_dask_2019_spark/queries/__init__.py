@@ -10,6 +10,11 @@ Conventions that make the driver's order-insensitive value-hash comparison
 deterministic across engines (SURVEY.md §5, FIXTURES.md gotchas):
 
 - every computed column is aliased identically on both sides;
+- Spark and DuckDB both round a double by its SHORTEST DECIMAL repr,
+  half-up (Spark via BigDecimal.valueOf; pinned cross-engine by every
+  oracle row and, on a .xxx75 knife edge, by the trimmed_mean
+  differential) — python's round() is half-EVEN on the binary value, so
+  python test references must quantize Decimal(repr(x)) instead;
 - floating aggregates are rounded on BOTH sides — sums to 2 decimals,
   averages/ratios to 4, correlations to 6, cosines to 5 — wide enough that
   cross-engine summation-order noise (~1e-12 relative) cannot flip a digit;

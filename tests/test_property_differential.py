@@ -1831,3 +1831,246 @@ def test_spearman_corr_matches_python_ranks(rows, spark, tmp_path_factory):
 
     [r] = q_spearman_corr(spark, str(tmp)).collect()
     assert (r["n"], r["rho_spearman"]) == (n, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # orderkey
+            st.integers(min_value=1, max_value=4),   # suppkey
+            st.booleans(),                           # late?
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_waiting_suppliers_matches_python(lines, spark, tmp_path_factory):
+    """q_waiting_suppliers vs a direct python evaluation of the Q21
+    blame rule over random multi-supplier order shapes."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("q21")
+    pd.DataFrame(
+        {
+            "o_orderkey": sorted({ok for ok, _, _ in lines}),
+            "o_orderdate": pd.Series(
+                [pd.Timestamp("2024-01-01")]
+                * len({ok for ok, _, _ in lines}),
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [ok for ok, _, _ in lines],
+            "l_suppkey": [sk for _, sk, _ in lines],
+            "l_shipdate": pd.Series(
+                [pd.Timestamp("2024-06-01" if late else "2024-01-05")
+                 for _, _, late in lines],
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+    sups = sorted({sk for _, sk, _ in lines})
+    pd.DataFrame(
+        {"s_suppkey": sups, "s_name": [f"S{k}" for k in sups]}
+    ).to_parquet(tmp / "supplier.parquet")
+
+    from collections import Counter, defaultdict
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_waiting_suppliers,
+    )
+
+    per_order = defaultdict(lambda: (set(), set()))
+    for ok, sk, late in lines:
+        alls, lates = per_order[ok]
+        alls.add(sk)
+        if late:
+            lates.add(sk)
+    waits = Counter()
+    for alls, lates in per_order.values():
+        if len(alls) >= 2 and len(lates) == 1:
+            waits[next(iter(lates))] += 1
+    want = sorted(
+        ((sk, f"S{sk}", n) for sk, n in waits.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+
+    got = [
+        (r["s_suppkey"], r["s_name"], r["numwait"])
+        for r in q_waiting_suppliers(spark, str(tmp)).collect()
+    ]
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=40
+    )
+)
+def test_trimmed_mean_matches_python_slice(cents, spark, tmp_path_factory):
+    """q_trimmed_mean vs python sorted-slice trimming and boundary-value
+    winsorizing on one random group."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("trim")
+    pd.DataFrame(
+        {
+            "l_returnflag": "A",
+            "l_extendedprice": [c / 100.0 for c in cents],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from savio_training_dask_2019_spark.queries.relational import q_trimmed_mean
+
+    def round4(x):
+        # both engines round the double's SHORTEST DECIMAL repr half-up
+        # (Spark BigDecimal.valueOf + HALF_UP; DuckDB agrees — oracle-equal
+        # at 3 SFs); python's round() is half-even on the binary value and
+        # disagrees on .xxx75 knife edges
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    s = sorted(cents)
+    n = len(s)
+    k = n // 10
+    keep = s[k: n - k]
+    wins = sum(keep) + k * s[k] + k * s[n - k - 1]
+
+    [r] = q_trimmed_mean(spark, str(tmp)).collect()
+    assert (r["n"], r["n_trimmed_each_side"]) == (n, k)
+    assert r["trimmed_mean"] == round4(sum(keep) / (100 * len(keep)))
+    assert r["winsorized_mean"] == round4(wins / (100 * n))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=100, max_value=106),  # customer
+            st.integers(min_value=1, max_value=5),      # supplier
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_resource_alloc_matches_python(edges, spark, tmp_path_factory):
+    """q_resource_alloc vs a direct python common-neighbor walk with
+    integer-floored RA weights over random bipartite graphs."""
+    import pandas as pd
+
+    e = sorted(edges)
+    tmp = tmp_path_factory.mktemp("ra")
+    pd.DataFrame(
+        {"o_orderkey": range(len(e)), "o_custkey": [c for c, _ in e]}
+    ).to_parquet(tmp / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": range(len(e)), "l_suppkey": [s for _, s in e]}
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_resource_alloc,
+    )
+
+    nbrs = defaultdict(set)   # supplier -> customers
+    cdeg = defaultdict(int)   # customer -> supplier count
+    for c, s in e:
+        nbrs[s].add(c)
+        cdeg[c] += 1
+    want = []
+    sups = sorted(nbrs)
+    for i, s1 in enumerate(sups):
+        for s2 in sups[i + 1:]:
+            common = nbrs[s1] & nbrs[s2]
+            if not common:
+                continue
+            ra = sum(1000000 // cdeg[c] for c in common)
+            jac = round(
+                len(common) / (len(nbrs[s1]) + len(nbrs[s2]) - len(common)),
+                5,
+            )
+            want.append((s1, s2, len(common), jac, ra))
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+
+    got = [
+        (r["s1"], r["s2"], r["n_common"], r["jaccard"], r["ra_micro"])
+        for r in q_resource_alloc(spark, str(tmp)).collect()
+    ]
+    assert got == want[:30]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # user
+            st.integers(min_value=1, max_value=20),   # day of Jan
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_trailing_wau_matches_python(ev, spark, tmp_path_factory):
+    """q_trailing_wau vs a direct python trailing-7-day distinct count
+    at observed-day grain."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("wau")
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": pd.Series(
+                [pd.Timestamp(f"2024-01-{d:02d} 12:00") for _, d in ev],
+                dtype="datetime64[us]",
+            ),
+            "user_id": [u for u, _ in ev],
+            "event_type": "v",
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_trailing_wau,
+    )
+
+    act = {(d, u) for u, d in ev}
+    days = sorted({d for d, _ in act})
+    want = {}
+    for d in days:
+        inwin = [(dd, u) for dd, u in act if d - 6 <= dd <= d]
+        want[f"2024-01-{d:02d}"] = (len({u for _, u in inwin}), len(inwin))
+
+    got = {
+        r["day"]: (r["wau"], r["user_days_in_window"])
+        for r in q_trailing_wau(spark, str(tmp)).collect()
+    }
+    assert got == want
