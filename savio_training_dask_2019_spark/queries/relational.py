@@ -4963,6 +4963,176 @@ FROM j
 """
 
 
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random walks — random_walks' production sibling: the
+    neighbor is drawn ∝ TRADE VOLUME (edge weight = total cents between
+    the customer and supplier), the node2vec-style sampler that makes
+    walk corpora reflect relationship strength instead of mere
+    adjacency. Deterministic CDF-indexed sampling: each node's neighbor
+    list carries exact cumulative-weight ranges [cum_lo, cum_hi) in
+    cents, and the pick is r = hash mod total_weight landed in its
+    range — replayable, partition-independent, no RNG state.
+
+    Exactness: weights, cumulative ranges, and the LCG mix (mod 2^61 —
+    wide enough that totals up to ~2.3e18 cents stay unbiased-by-
+    construction and EXACT; the mix products stay < 2^63) are pure
+    BIGINT in both engines.
+
+    Scale: per hop ONE node-key hash join against the indexed adjacency
+    (deg fan-out filtered to the landed range — the random_walks gather
+    shape); the weighted edge list is built by one (c, s) groupBy and
+    localCheckpoint-ed (both directions + starts read it)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    we = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.sum("cents").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+    def adjacency(src: str, dst: str) -> DataFrame:
+        wn = Window.partitionBy(src)
+        cum = (
+            F.sum("w")
+            .over(Window.partitionBy(src).orderBy(dst).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            ))
+            .cast("bigint")
+        )
+        return we.select(
+            F.col(src).alias("node"),
+            F.col(dst).alias("nbr"),
+            (cum - F.col("w")).alias("cum_lo"),
+            cum.alias("cum_hi"),
+            F.sum("w").over(wn).cast("bigint").alias("total"),
+        )
+
+    adj_sc = adjacency("s", "c")
+    adj_cs = adjacency("c", "s")
+    frontier = (
+        we.select("s")
+        .distinct()
+        .select(
+            F.col("s").alias("s0"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("w_int"),
+        )
+        .select("s0", F.col("w_int").cast("bigint").alias("wk"))
+        .withColumn("cur", F.col("s0"))
+    )
+    hop_names: list[str] = []
+    for step, adj, hop_name in (
+        (1, adj_sc, "hop1_c"),
+        (2, adj_cs, "hop2_s"),
+        (3, adj_sc, "hop3_c"),
+    ):
+        a = adj.alias(f"a{step}")
+        h = F.pmod(
+            F.col("cur") * F.lit(1103515245)
+            + F.col("wk") * F.lit(12345)
+            + F.lit(step) * F.lit(2531011),
+            F.lit(2305843009213693952),
+        )
+        r = F.pmod(h, F.col(f"a{step}.total"))
+        frontier = (
+            frontier.join(
+                a,
+                (F.col(f"a{step}.node") == F.col("cur"))
+                & (F.col(f"a{step}.cum_lo") <= r)
+                & (r < F.col(f"a{step}.cum_hi")),
+            )
+            .select(
+                "s0",
+                "wk",
+                *hop_names,
+                F.col(f"a{step}.nbr").alias(hop_name),
+            )
+            .withColumn("cur", F.col(hop_name))
+        )
+        hop_names.append(hop_name)
+    return frontier.select(
+        F.col("s0").alias("start_s"),
+        F.col("wk").alias("walk"),
+        "hop1_c",
+        "hop2_s",
+        "hop3_c",
+        F.concat_ws(
+            ">",
+            F.col("s0").cast("string"),
+            F.col("hop1_c").cast("string"),
+            F.col("hop2_s").cast("string"),
+            F.col("hop3_c").cast("string"),
+        ).alias("path"),
+    ).orderBy("start_s", "walk")
+
+
+_WEIGHTED_WALKS_SQL = """
+WITH we AS (
+  SELECT o_custkey AS c, l_suppkey AS s,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), adj_sc AS (
+  SELECT s, c, w,
+         CAST(sum(w) OVER (PARTITION BY s ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) - w AS BIGINT)
+           AS cum_lo,
+         CAST(sum(w) OVER (PARTITION BY s ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi,
+         CAST(sum(w) OVER (PARTITION BY s) AS BIGINT) AS total
+  FROM we
+), adj_cs AS (
+  SELECT c, s, w,
+         CAST(sum(w) OVER (PARTITION BY c ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) - w AS BIGINT)
+           AS cum_lo,
+         CAST(sum(w) OVER (PARTITION BY c ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hi,
+         CAST(sum(w) OVER (PARTITION BY c) AS BIGINT) AS total
+  FROM we
+), walks AS (
+  SELECT s AS s0, wk
+  FROM (SELECT DISTINCT s FROM we) CROSS JOIN (VALUES (0), (1)) t(wk)
+), st1 AS (
+  SELECT s0, wk, a.c AS c1
+  FROM walks JOIN adj_sc a
+    ON a.s = s0
+   AND ((s0 * 1103515245 + wk * 12345 + 1 * 2531011)
+        % 2305843009213693952) % a.total >= a.cum_lo
+   AND ((s0 * 1103515245 + wk * 12345 + 1 * 2531011)
+        % 2305843009213693952) % a.total < a.cum_hi
+), st2 AS (
+  SELECT s0, wk, c1, a.s AS s2
+  FROM st1 JOIN adj_cs a
+    ON a.c = c1
+   AND ((c1 * 1103515245 + wk * 12345 + 2 * 2531011)
+        % 2305843009213693952) % a.total >= a.cum_lo
+   AND ((c1 * 1103515245 + wk * 12345 + 2 * 2531011)
+        % 2305843009213693952) % a.total < a.cum_hi
+), st3 AS (
+  SELECT s0, wk, c1, s2, a.c AS c3
+  FROM st2 JOIN adj_sc a
+    ON a.s = s2
+   AND ((s2 * 1103515245 + wk * 12345 + 3 * 2531011)
+        % 2305843009213693952) % a.total >= a.cum_lo
+   AND ((s2 * 1103515245 + wk * 12345 + 3 * 2531011)
+        % 2305843009213693952) % a.total < a.cum_hi
+)
+SELECT s0 AS start_s, CAST(wk AS BIGINT) AS walk,
+       c1 AS hop1_c, s2 AS hop2_s, c3 AS hop3_c,
+       CAST(s0 AS VARCHAR) || '>' || CAST(c1 AS VARCHAR) || '>'
+         || CAST(s2 AS VARCHAR) || '>' || CAST(c3 AS VARCHAR) AS path
+FROM st3
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -5035,6 +5205,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "trimmed_mean": q_trimmed_mean,
     "simpsons_check": q_simpsons_check,
+    "weighted_walks": q_weighted_walks,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
@@ -5120,6 +5291,7 @@ ORACLE = {
     "random_walks": _RANDOM_WALKS_SQL,
     "trimmed_mean": _TRIMMED_MEAN_SQL,
     "simpsons_check": _SIMPSONS_SQL,
+    "weighted_walks": _WEIGHTED_WALKS_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,

@@ -2863,6 +2863,50 @@ GROUP BY 1
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys — the 20 most common 3-step event-type paths
+    (sequential pattern mining's counting core at order 3, one level up
+    from transition_matrix's single step): the "what do users actually
+    do" readout behind funnel design and UX triage.
+
+    Exactness: exact BIGINT counts; the path is a deterministic '>'
+    join; top-20 carries the lexicographic path tie-break.
+
+    Scale: ONE user-partitioned window pass (two leads share the sort)
+    + one ≤|types|³-group agg + TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+_TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t1,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2
+  FROM events
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2906,6 +2950,7 @@ QUERIES = {
     "max_drawdown": q_max_drawdown,
     "stickiness": q_stickiness,
     "trailing_wau": q_trailing_wau,
+    "top_paths": q_top_paths,
 }
 
 ORACLE = {
@@ -2951,4 +2996,5 @@ ORACLE = {
     "max_drawdown": _MAX_DRAWDOWN_SQL,
     "stickiness": _STICKINESS_SQL,
     "trailing_wau": _TRAILING_WAU_SQL,
+    "top_paths": _TOP_PATHS_SQL,
 }

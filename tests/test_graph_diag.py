@@ -3079,3 +3079,75 @@ def test_welch_ttest_degenerate_slices_null(spark, tmp_path):
     got = {r["event_type"]: (r["t_welch"], r["df_welch"])
            for r in q_welch_ttest(spark, str(const)).collect()}
     assert got == {"A": (None, None), "B": (None, None)}
+
+
+def test_weighted_walks_matches_python_reference(spark, tmp_path):
+    """Every weighted walk reproduced by a direct python CDF-range pick
+    over the same cumulative cents; a dominant-weight neighbor must win
+    both walks where a uniform pick would spread."""
+    import pandas as pd
+
+    # (custkey, suppkey, cents): supplier 1's edge to customer 200
+    # carries ~all its weight
+    edges = [
+        (100, 1, 1), (200, 1, 10_000), (300, 1, 1),
+        (100, 2, 500), (200, 2, 500),
+        (300, 3, 7), (100, 3, 3),
+    ]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(edges)),
+            "o_custkey": [c for c, _, _ in edges],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(edges)),
+            "l_suppkey": [s for _, s, _ in edges],
+            "l_extendedprice": [cents / 100.0 for _, _, cents in edges],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_weighted_walks,
+    )
+
+    sc = defaultdict(list)  # s -> [(c, w)] sorted by c
+    cs = defaultdict(list)
+    for c, s, w in edges:
+        sc[s].append((c, w))
+        cs[c].append((s, w))
+    for v in sc.values():
+        v.sort()
+    for v in cs.values():
+        v.sort()
+
+    M = 2305843009213693952
+
+    def pick(adj, node, wk, step):
+        h = (node * 1103515245 + wk * 12345 + step * 2531011) % M
+        r = h % sum(w for _, w in adj[node])
+        cum = 0
+        for nbr, w in adj[node]:
+            cum += w
+            if r < cum:
+                return nbr
+        raise AssertionError("r outside total")
+
+    want = {}
+    for s0 in sorted(sc):
+        for wk in (0, 1):
+            c1 = pick(sc, s0, wk, 1)
+            s2 = pick(cs, c1, wk, 2)
+            c3 = pick(sc, s2, wk, 3)
+            want[(s0, wk)] = (c1, s2, c3)
+
+    got = {
+        (r["start_s"], r["walk"]): (r["hop1_c"], r["hop2_s"], r["hop3_c"])
+        for r in q_weighted_walks(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the 10000/1/1 edge dominates: both of supplier 1's walks go to 200
+    assert got[(1, 0)][0] == 200 and got[(1, 1)][0] == 200

@@ -698,3 +698,25 @@ def test_trailing_wau_window_edges(spark, tmp_path):
         "2024-01-07": (3, 3),      # day 1 still inside [1..7]
         "2024-01-08": (2, 2),      # day 1 dropped; users 1 (day 8), 3 (day 7)
     }
+
+
+def test_top_paths_trigrams_and_user_boundary(spark, tmp_path):
+    """User 1's a,b,c,b,c yields trigrams a>b>c, b>c>b, c>b>c; user 2's
+    two events yield none (no cross-user trigram); the all-tied counts
+    resolve lexicographically."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "a", 0),
+            (2, "2024-01-01 09:01", 1, "b", 0),
+            (3, "2024-01-01 09:02", 1, "c", 0),
+            (4, "2024-01-01 09:03", 1, "b", 0),
+            (5, "2024-01-01 09:04", 1, "c", 0),
+            (6, "2024-01-01 09:05", 2, "x", 0),
+            (7, "2024-01-01 09:06", 2, "y", 0),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_top_paths
+
+    got = [(r["path"], r["n"]) for r in q_top_paths(spark, str(tmp_path)).collect()]
+    assert got == [("a>b>c", 1), ("b>c>b", 1), ("c>b>c", 1)]
