@@ -5133,6 +5133,85 @@ FROM st3
 """
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs on the bipartite trade graph (Kleinberg 1999) — two
+    exact power-iteration rounds: authority(c) = Σ hub(s) over c's
+    suppliers, hub(s) = Σ authority(c) over s's customers; the top-20
+    hub suppliers are the "connected to well-connected customers"
+    ranking pagerank's symmetrized damping blurs.
+
+    Exactness: per-round max-normalization is a MONOTONE uniform
+    scaling, so skipping it leaves the ranking and the score RATIOS
+    identical while keeping every score an exact BIGINT (two rounds
+    bound scores by n·max_deg² ≈ 6e16 at sf0.1 — far under 2^63; deeper
+    iterations or 100 TB degrees re-introduce the per-round floor-div
+    normalization, documented trade).
+
+    Scale: per half-round ONE node-key hash join (scores ⋈ edges) + one
+    map-side-combined groupBy — the Pregel gather shape on alternating
+    sides; the edge list is localCheckpoint-ed (read four times);
+    TakeOrderedAndProject top-20."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = e.select("s").distinct().withColumn(
+        "h", F.lit(1).cast("bigint")
+    )
+    for _round in range(2):
+        auth = (
+            e.join(hub, "s")
+            .groupBy("c")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        hub = (
+            e.join(auth, "c")
+            .groupBy("s")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+    deg = e.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    return (
+        hub.join(deg, "s")
+        .select(F.col("s").alias("s_suppkey"), F.col("h").alias("hub_score"),
+                "n_customers")
+        .orderBy(F.col("hub_score").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+_HITS_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h0 AS (
+  SELECT DISTINCT s, CAST(1 AS BIGINT) AS h FROM e
+), a1 AS (
+  SELECT c, CAST(sum(h) AS BIGINT) AS a
+  FROM e JOIN h0 USING (s) GROUP BY 1
+), h1 AS (
+  SELECT s, CAST(sum(a) AS BIGINT) AS h
+  FROM e JOIN a1 USING (c) GROUP BY 1
+), a2 AS (
+  SELECT c, CAST(sum(h) AS BIGINT) AS a
+  FROM e JOIN h1 USING (s) GROUP BY 1
+), h2 AS (
+  SELECT s, CAST(sum(a) AS BIGINT) AS h
+  FROM e JOIN a2 USING (c) GROUP BY 1
+), deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_customers FROM e GROUP BY 1
+)
+SELECT s AS s_suppkey, h AS hub_score, n_customers
+FROM h2 JOIN deg USING (s)
+ORDER BY hub_score DESC, s_suppkey LIMIT 20
+"""
+
+
 QUERIES = {
     "agg_groupby": q_agg_groupby,
     "select_filter": q_select_filter,
@@ -5206,6 +5285,7 @@ QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "simpsons_check": q_simpsons_check,
     "weighted_walks": q_weighted_walks,
+    "hits_scores": q_hits_scores,
     "lpa_communities": q_lpa_communities,
     "feature_mi": q_feature_mi,
     "monthly_churn": q_monthly_churn,
@@ -5292,6 +5372,7 @@ ORACLE = {
     "trimmed_mean": _TRIMMED_MEAN_SQL,
     "simpsons_check": _SIMPSONS_SQL,
     "weighted_walks": _WEIGHTED_WALKS_SQL,
+    "hits_scores": _HITS_SQL,
     "lpa_communities": _LPA_SQL,
     "feature_mi": _FEATURE_MI_SQL,
     "monthly_churn": _MONTHLY_CHURN_SQL,

@@ -3151,3 +3151,50 @@ def test_weighted_walks_matches_python_reference(spark, tmp_path):
     assert got == want
     # the 10000/1/1 edge dominates: both of supplier 1's walks go to 200
     assert got[(1, 0)][0] == 200 and got[(1, 1)][0] == 200
+
+
+def test_hits_scores_matches_python_power_iteration(spark, tmp_path):
+    """Two exact HITS rounds vs a python power iteration on a planted
+    bipartite graph; the hub attached to the shared (high-authority)
+    customers must outrank an equal-degree hub on exclusive customers."""
+    import random
+    from collections import defaultdict
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randint(100, 111), rng.randint(1, 5))
+                    for _ in range(30)})
+    # planted contrast: hubs 8 and 9 both have degree 2, but 8's
+    # customers are shared by everyone (high authority), 9's are private
+    edges += [(100, 8), (101, 8), (900, 9), (901, 9)]
+    edges = sorted(set(edges))
+    pd.DataFrame(
+        {"o_orderkey": range(len(edges)), "o_custkey": [c for c, _ in edges]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": range(len(edges)), "l_suppkey": [s for _, s in edges]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_hits_scores
+
+    sc = defaultdict(set)
+    cs = defaultdict(set)
+    for c, s in edges:
+        sc[s].add(c)
+        cs[c].add(s)
+    h = {s: 1 for s in sc}
+    for _ in range(2):
+        a = {c: sum(h[s] for s in cs[c]) for c in cs}
+        h = {s: sum(a[c] for c in sc[s]) for s in sc}
+    want = sorted(
+        ((s, h[s], len(sc[s])) for s in sc), key=lambda t: (-t[1], t[0])
+    )[:20]
+
+    got = [
+        (r["s_suppkey"], r["hub_score"], r["n_customers"])
+        for r in q_hits_scores(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    scores = dict((s, hv) for s, hv, _ in got)
+    assert scores[8] > scores[9]  # shared customers beat private ones
