@@ -2468,8 +2468,119 @@ FROM per_src JOIN nd ON per_src.source = nd.source
 """
 
 
+_CDC_W = 4          # token window width for the boundary hash
+_CDC_MASK = 64      # boundary when window hash % mask == 0 (~mask-token chunks)
+_CDC_M = 2147483648  # 2^31 — keeps every fold product < 2^63
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics — the LBFS/gear-hash family
+    (Muthitacharoen et al. SOSP'01): chunk boundaries land where a rolling
+    window hash of the content hits a mask, so an insertion early in a
+    document shifts ONE chunk instead of re-aligning every fixed-size
+    block — the property storage-level dedup and incremental corpus
+    sync need. Per language: docs, tokens, boundary/chunk counts, mean
+    chunk width.
+
+    Hash is a PURE-ARITHMETIC double fold both engines share bit-for-bit
+    (no xxhash64, unlike the rows-only rolling_fp): token value = char
+    codepoint polynomial (base 31 mod 2^31 — Spark `ascii`/`split('')`
+    ≡ DuckDB `unicode`/`string_split`), window value = base-1000003 fold
+    of _CDC_W consecutive token values. This is the position-independent
+    gear variant: no min/max chunk bounds (FastCDC's cut constraints
+    need a sequential scan — documented trade), so every boundary is
+    decidable locally and the whole computation is ONE NARROW MAP.
+
+    Scale: zero explodes, zero window functions — token hashes, window
+    hashes, and boundary counts are nested higher-order array ops inside
+    whole-stage codegen (one row per DOC, not per token — the
+    substring_dup window stream costs one row per position); one
+    |langs|-group agg after."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.aggregate(  # noqa: E731 — char-code polynomial
+        F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + c) % _CDC_M,
+    )
+    th = d.select(
+        "lang",
+        F.size(tokens("text")).alias("n"),
+        F.transform(tokens("text"), tok_hash).alias("h"),
+    )
+    win = lambda i: F.aggregate(  # noqa: E731 — rolling window fold
+        F.slice(F.col("h"), i, _CDC_W),
+        F.lit(0).cast("long"),
+        lambda a, b: (a * 1000003 + b) % _CDC_M,
+    )
+    wh = th.select(
+        "lang",
+        "n",
+        F.when(
+            F.col("n") >= _CDC_W,
+            F.transform(F.sequence(F.lit(1), F.col("n") - _CDC_W + 1), win),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("whs"),
+    )
+    per_doc = wh.select(
+        "lang",
+        "n",
+        F.size(F.filter("whs", lambda x: x % _CDC_MASK == 0)).alias("nb"),
+    )
+    chunks = F.when(F.col("n") == 0, F.lit(0)).otherwise(F.col("nb") + 1)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("n").cast("bigint").alias("tot_tokens"),
+        F.sum("nb").cast("bigint").alias("tot_boundaries"),
+        F.sum(chunks).cast("bigint").alias("tot_chunks"),
+        F.round(
+            F.sum("n").cast("double") / F.sum(chunks), 4
+        ).alias("avg_chunk_tokens"),
+    )
+
+
+_CDC_SQL = r"""
+WITH tk AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), th AS (
+  SELECT lang, len(toks) AS n,
+         [list_reduce([CAST(unicode(ch) AS BIGINT)
+                       for ch in string_split(t, '')],
+                      (a, c) -> (a * 31 + c) % 2147483648)
+          for t in toks] AS h
+  FROM tk
+), wh AS (
+  SELECT lang, n,
+         CASE WHEN n >= 4 THEN
+           [list_reduce(h[i : i + 3],
+                        (a, b) -> (a * 1000003 + b) % 2147483648)
+            for i in generate_series(1, n - 3)]
+         ELSE [] END AS whs
+  FROM th
+), per_doc AS (
+  SELECT lang, n,
+         len(list_filter(whs, x -> x % 64 = 0)) AS nb
+  FROM wh
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n) AS BIGINT) AS tot_tokens,
+       CAST(sum(nb) AS BIGINT) AS tot_boundaries,
+       CAST(sum(CASE WHEN n = 0 THEN 0 ELSE nb + 1 END) AS BIGINT)
+         AS tot_chunks,
+       round(CAST(sum(n) AS DOUBLE)
+             / sum(CASE WHEN n = 0 THEN 0 ELSE nb + 1 END), 4)
+         AS avg_chunk_tokens
+FROM per_doc GROUP BY 1
+"""
+
+
 QUERIES = {
     "decontam_check": q_decontam_check,
+    "cdc_chunks": q_cdc_chunks,
     "decontam_scrub": q_decontam_scrub,
     "decontam_bloom": q_decontam_bloom,
     "gopher_quality": q_gopher_quality,
@@ -2507,6 +2618,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_chunks": _CDC_SQL,
     "decontam_check": _DECONTAM_SQL,
     "decontam_scrub": _DECONTAM_SCRUB_SQL,
     "decontam_bloom": _DECONTAM_SQL,

@@ -717,3 +717,91 @@ def test_ngram_novelty_planted_ownership(spark, tmp_path):
         "A": (2, 2, 2, 1.0),
         "B": (2, 3, 1, round(1 / 3, 4)),
     }
+
+
+def _cdc_tok_hash(tok):
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % 2147483648
+    return h
+
+
+def _cdc_boundaries(toks, w=4, mask=64):
+    th = [_cdc_tok_hash(t) for t in toks]
+    out = []
+    for i in range(len(th) - w + 1):
+        h = 0
+        for v in th[i: i + w]:
+            h = (h * 1000003 + v) % 2147483648
+        if h % mask == 0:
+            out.append(i)
+    return out
+
+
+def test_cdc_chunks_matches_python_mirror(spark, tmp_path):
+    """q_cdc_chunks vs a python mirror of the identical double fold over
+    random small-alphabet docs (small alphabet makes boundary hits
+    frequent enough to exercise every output column)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 40))),
+         "en" if i % 2 == 0 else "de")
+        for i in range(60)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": "s",
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.llmpipe import q_cdc_chunks
+
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, toks, bounds, chunks
+    for _i, text, lang in docs:
+        toks = text.split()
+        nb = len(_cdc_boundaries(toks))
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += nb
+        a[3] += 0 if not toks else nb + 1
+
+    got = {
+        r["lang"]: (r["docs"], r["tot_tokens"], r["tot_boundaries"],
+                    r["tot_chunks"], r["avg_chunk_tokens"])
+        for r in q_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    want = {
+        lang: (d, t, b, c, round(t / c, 4)) for lang, (d, t, b, c) in agg.items()
+    }
+    assert got == want
+    assert any(b > 0 for _, _, b, _, _ in got.values())  # boundaries fired
+
+
+def test_cdc_boundaries_shift_resistant():
+    """THE content-defined property (vs fixed-size blocks): prepending a
+    token shifts every position by one but the boundary SET beyond the
+    first window is the same boundaries shifted — downstream chunks
+    re-align, which is exactly what makes CDC dedup insertion-proof."""
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"w{i}" for i in range(30)]
+    toks = rng.choices(vocab, k=400)
+    base = _cdc_boundaries(toks)
+    shifted = _cdc_boundaries(["NEW"] + toks)
+    # boundaries at i in the original reappear at i+1 after the insert,
+    # except inside the first window where the new token participates
+    assert {b + 1 for b in base if b >= 1}.issubset(set(shifted))
+    assert len(base) > 3  # the property was exercised on real boundaries
