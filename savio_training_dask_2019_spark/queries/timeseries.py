@@ -2907,6 +2907,49 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 20
 """
 
 
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) per event type — variance-to-mean ratio
+    of the DAILY arrival counts: ≈1 is Poisson-like traffic, >1 is
+    bursty (incident storms, campaigns), <1 is smoother-than-random
+    (rate-limited, scheduled) — the dispersion diagnostic behind
+    anomaly thresholds and capacity planning.
+
+    Exactness: daily counts and both moments are exact BIGINTs from two
+    stacked aggs; the Fano assembly n·Σc² − (Σc)² over n·Σc is pure
+    BIGINT until ONE division rounded 4 dp (population variance —
+    denominator-cleared: fano = (n·Σc² − S²) / (n·S)).
+
+    Scale: one (type, day) groupBy (map-side combined) + one |types|
+    agg over the calendar-bounded count table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = F.count(F.lit(1)).cast("bigint")
+    s = F.sum("c").cast("bigint")
+    q2 = F.sum(F.col("c") * F.col("c")).cast("bigint")
+    return daily.groupBy("event_type").agg(
+        n.alias("n_days"),
+        s.alias("n_events"),
+        F.round((n * q2 - s * s).cast("double") / (n * s), 4).alias("fano"),
+    )
+
+
+_BURSTINESS_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       round(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+             / (count(*) * sum(c)), 4) AS fano
+FROM daily GROUP BY 1
+"""
+
+
 QUERIES = {
     "time_bucket": q_time_bucket,
     "drift_psi": q_drift_psi,
@@ -2951,6 +2994,7 @@ QUERIES = {
     "stickiness": q_stickiness,
     "trailing_wau": q_trailing_wau,
     "top_paths": q_top_paths,
+    "burstiness": q_burstiness,
 }
 
 ORACLE = {
@@ -2997,4 +3041,5 @@ ORACLE = {
     "stickiness": _STICKINESS_SQL,
     "trailing_wau": _TRAILING_WAU_SQL,
     "top_paths": _TOP_PATHS_SQL,
+    "burstiness": _BURSTINESS_SQL,
 }

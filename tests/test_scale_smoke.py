@@ -1208,3 +1208,44 @@ def test_trimmed_mean_1m_rows_closed_form(spark, tmp_path):
     assert r["trimmed_mean"] == round(kept_sum / (100 * (n - 2 * k)), 4)
     assert r["winsorized_mean"] == round(wins_sum / (100 * n), 4)
     assert elapsed < 180, f"trimmed_mean smoke took {elapsed:.0f}s"
+
+
+def test_cdc_chunks_200k_docs_partition_independent(spark, tmp_path):
+    """200k synthetic ~20-token docs through the narrow-map CDC plan:
+    the boundary hash is per-row arithmetic, so results are identical
+    under any partitioning, chunks = boundaries + docs exactly (every
+    doc non-empty), and the mean chunk width stays in a sane band."""
+    import time
+
+    n = 200_000
+    # ~20 deterministic pseudo-tokens per doc from a 64-word vocabulary
+    spark.range(n).selectExpr(
+        "concat_ws(' ', transform(sequence(0, 19), "
+        " j -> concat('w', (id * 37 + j * 101) % 64))) as text",
+        "case when id % 2 = 0 then 'en' else 'de' end as lang",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from savio_training_dask_2019_spark.queries.llmpipe import q_cdc_chunks
+
+    t0 = time.perf_counter()
+    rows = {r["lang"]: r for r in q_cdc_chunks(spark, str(tmp_path)).collect()}
+    elapsed = time.perf_counter() - t0
+
+    for lang in ("en", "de"):
+        r = rows[lang]
+        assert r["docs"] == n // 2
+        assert r["tot_tokens"] == 20 * (n // 2)
+        assert r["tot_chunks"] == r["tot_boundaries"] + r["docs"]
+        assert 1.0 <= r["avg_chunk_tokens"] <= 20.0
+    # partition independence: same answer from a single partition, read
+    # out of a separate fixture dir (avoids the stale-file-listing cache
+    # an in-place rewrite triggers)
+    single = tmp_path / "single"
+    single.mkdir()
+    spark.read.parquet(str(tmp_path / "documents.parquet")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(single / "documents.parquet"))
+    again = {r["lang"]: r for r in q_cdc_chunks(spark, str(single)).collect()}
+    for lang in ("en", "de"):
+        assert tuple(again[lang]) == tuple(rows[lang])
+    assert elapsed < 240, f"cdc smoke took {elapsed:.0f}s"

@@ -720,3 +720,31 @@ def test_top_paths_trigrams_and_user_boundary(spark, tmp_path):
 
     got = [(r["path"], r["n"]) for r in q_top_paths(spark, str(tmp_path)).collect()]
     assert got == [("a>b>c", 1), ("b>c>b", 1), ("c>b>c", 1)]
+
+
+def test_burstiness_closed_forms(spark, tmp_path):
+    """Constant 2-per-day traffic -> variance 0 -> fano 0; an all-in-one-
+    day burst over two observed days (4, 0 impossible — only observed
+    days count, so plant 3 and 1) -> population var 1, mean 2 ->
+    fano 0.5."""
+    _write_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 09:00", 1, "flat", 0),
+            (2, "2024-01-01 10:00", 1, "flat", 0),
+            (3, "2024-01-02 09:00", 1, "flat", 0),
+            (4, "2024-01-02 10:00", 1, "flat", 0),
+            (5, "2024-01-01 09:00", 1, "bursty", 0),
+            (6, "2024-01-01 10:00", 1, "bursty", 0),
+            (7, "2024-01-01 11:00", 1, "bursty", 0),
+            (8, "2024-01-02 09:00", 1, "bursty", 0),
+        ],
+    )
+    from savio_training_dask_2019_spark.queries.timeseries import q_burstiness
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_events"], r["fano"])
+        for r in q_burstiness(spark, str(tmp_path)).collect()
+    }
+    # bursty: days (3, 1): mean 2, population var ((9+1)*2 - 16)/4 = 1
+    assert got == {"flat": (2, 4, 0.0), "bursty": (2, 4, 0.5)}
