@@ -51,11 +51,12 @@ if _MISSING:
 # The correctness driver records exactly the FIRST 50 keys of queries()
 # (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
 # dict insertion order decides which queries earn a driver-green row each
-# round.  The catalog (194 queries at r13 open; 169 oracle-backed, 25
-# rows-only) exceeds the window's 50, so the window rotates on a two-round
-# cadence; the FULL r2..r12 rotation history, per-round rationale, and the
-# per-addition ledger live in WINDOWS.md (VERDICT r11 #7 / r12 #4 — new
-# late-addition ledger entries are appended THERE as they land, not here).
+# round.  The catalog (194 queries at r13 open; 245 at r13 close — 219
+# oracle-backed, 26 rows-only) exceeds the window's 50, so the window
+# rotates on a two-round cadence; the FULL r2..r12 rotation history,
+# per-round rationale, and the per-addition ledger live in WINDOWS.md
+# (VERDICT r11 #7 / r12 #4 — new late-addition ledger entries are
+# appended THERE as they land, not here).
 # Rows of record entering r13: 50 r12 (CORRECTNESS_r12.json: 42 oracle-pass
 # + 8 rows-only, 0 failures) + 49 r11 + 49 r10 + 26 r9 + 20 never-witnessed
 # (the r12 late additions) = 194.
