@@ -2074,3 +2074,234 @@ def test_trailing_wau_matches_python(ev, spark, tmp_path_factory):
         for r in q_trailing_wau(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),                  # segment
+            st.integers(min_value=-500, max_value=1500),  # balance cents
+            st.booleans(),                                # ordered recently?
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_idle_customers_matches_python(custs, spark, tmp_path_factory):
+    """q_idle_customers vs a direct python evaluation of the strict
+    above-positive-average + no-recent-order rule."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("q22")
+    pd.DataFrame(
+        {
+            "c_custkey": range(len(custs)),
+            "c_mktsegment": [s for s, _, _ in custs],
+            "c_acctbal": [c / 100.0 for _, c, _ in custs],
+        }
+    ).to_parquet(tmp / "customer.parquet")
+    recent = [i for i, (_, _, r) in enumerate(custs) if r]
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(recent)),
+            "o_custkey": recent,
+            "o_orderdate": pd.Series(
+                [pd.Timestamp("2001-03-01")] * len(recent),
+                dtype="datetime64[us]",
+            ),
+        }
+    ).to_parquet(tmp / "orders.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_idle_customers,
+    )
+
+    seg_pos = defaultdict(lambda: [0, 0])  # sum_pos, n_pos
+    for s, c, _ in custs:
+        if c > 0:
+            seg_pos[s][0] += c
+            seg_pos[s][1] += 1
+    want = defaultdict(lambda: [0, 0])
+    for i, (s, c, r) in enumerate(custs):
+        sp, np_ = seg_pos[s]
+        if c * np_ > sp and not r:
+            want[s][0] += 1
+            want[s][1] += c
+    got = {
+        r["c_mktsegment"]: (r["n_custs"], r["total_cents"])
+        for r in q_idle_customers(spark, str(tmp)).collect()
+    }
+    assert got == {s: tuple(v) for s, v in want.items() if v[0] > 0}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # user
+            st.integers(min_value=1, max_value=59),   # day-of-span (2 months)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stickiness_matches_python(ev, spark, tmp_path_factory):
+    """q_stickiness vs a direct python DAU/MAU computation over random
+    two-month activity."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.date(2024, 1, 1)
+    tmp = tmp_path_factory.mktemp("stick")
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": pd.Series(
+                [pd.Timestamp(base + dt.timedelta(days=d - 1)) for _, d in ev],
+                dtype="datetime64[us]",
+            ),
+            "user_id": [u for u, _ in ev],
+            "event_type": "v",
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_stickiness
+
+    cells = {(base + dt.timedelta(days=d - 1), u) for u, d in ev}
+    bym = defaultdict(set)
+    for day, u in cells:
+        bym[day.strftime("%Y-%m")].add((day, u))
+    got = {
+        r["month"]: (r["n_days"], r["mau"], r["user_days"], r["stickiness"])
+        for r in q_stickiness(spark, str(tmp)).collect()
+    }
+    want = {}
+    for m, cs in bym.items():
+        nd = len({d for d, _ in cs})
+        mau = len({u for _, u in cs})
+        want[m] = (nd, mau, len(cs), round(len(cs) / (nd * mau), 4))
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=3),    # type index
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_top_paths_matches_python(ev, spark, tmp_path_factory):
+    """q_top_paths vs a python per-user trigram Counter in event_id
+    order (equal timestamps force the tie-break)."""
+    import pandas as pd
+
+    types = ["a", "b", "c", "d"]
+    tmp = tmp_path_factory.mktemp("paths")
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [u for u, _ in ev],
+            "event_type": [types[t] for _, t in ev],
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import Counter, defaultdict
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_top_paths
+
+    seqs = defaultdict(list)
+    for u, t in ev:
+        seqs[u].append(types[t])
+    cnt = Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            cnt[f"{s[i]}>{s[i + 1]}>{s[i + 2]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [(r["path"], r["n"]) for r in q_top_paths(spark, str(tmp)).collect()]
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # type index
+            st.integers(min_value=1, max_value=10),   # day
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_burstiness_matches_python(ev, spark, tmp_path_factory):
+    """q_burstiness vs a python population-variance Fano over random
+    daily arrivals."""
+    import pandas as pd
+
+    types = ["x", "y"]
+    tmp = tmp_path_factory.mktemp("fano")
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": pd.Series(
+                [pd.Timestamp(f"2024-01-{d:02d}") for _, d in ev],
+                dtype="datetime64[us]",
+            ),
+            "user_id": 1,
+            "event_type": [types[t] for t, _ in ev],
+            "value": 0.0,
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from collections import Counter
+
+    from savio_training_dask_2019_spark.queries.timeseries import q_burstiness
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_events"], r["fano"])
+        for r in q_burstiness(spark, str(tmp)).collect()
+    }
+    for ti, t in enumerate(types):
+        days = Counter(d for tt, d in ev if tt == ti)
+        if not days:
+            assert t not in got
+            continue
+        cs = list(days.values())
+        n, s, q2 = len(cs), sum(cs), sum(c * c for c in cs)
+        assert got[t] == (n, s, round(float(n * q2 - s * s) / (n * s), 4))

@@ -1249,3 +1249,109 @@ def test_cdc_chunks_200k_docs_partition_independent(spark, tmp_path):
     for lang in ("en", "de"):
         assert tuple(again[lang]) == tuple(rows[lang])
     assert elapsed < 240, f"cdc smoke took {elapsed:.0f}s"
+
+
+def test_trailing_wau_1m_cells_closed_form(spark, tmp_path):
+    """5k users x 200 days, everyone active daily (1M activity cells):
+    WAU is exactly 5k every day and the in-window user-day count ramps
+    5k*min(7, day_index+1) — the x7 fan-out join is exact at scale."""
+    import time
+
+    users, days = 5_000, 200
+    spark.range(users * days).selectExpr(
+        "id as event_id",
+        f"timestampadd(DAY, cast(id % {days} as int),"
+        " timestamp'2024-01-01') as ts",
+        f"cast(id div {days} as bigint) as user_id",
+        "'v' as event_type",
+        "cast(0.0 as double) as value",
+        "'{}' as props",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    from savio_training_dask_2019_spark.queries.timeseries import (
+        q_trailing_wau,
+    )
+
+    t0 = time.perf_counter()
+    rows = sorted(
+        (r["day"], r["wau"], r["user_days_in_window"])
+        for r in q_trailing_wau(spark, str(tmp_path)).collect()
+    )
+    elapsed = time.perf_counter() - t0
+    assert len(rows) == days
+    for i, (_day, wau, ud) in enumerate(rows):
+        assert wau == users
+        assert ud == users * min(7, i + 1)
+    assert elapsed < 240, f"trailing_wau smoke took {elapsed:.0f}s"
+
+
+def test_weighted_walks_1m_edges_matches_python(spark, tmp_path):
+    """1M weighted biclique edges (weight = 1 + edge_id % 5 cents):
+    all 20k walks reproduced by the closed-form python CDF pick over
+    the blocks' contiguous sorted adjacency — the cumulative-range
+    sampler is exact and partition-independent at scale."""
+    import time
+
+    n_blocks, sups, custs = 1000, 10, 100
+    n = n_blocks * sups * custs
+    spark.range(n).selectExpr(
+        "id as o_orderkey",
+        f"cast(1000000 + (id div {sups * custs}) * {custs} + id % {custs}"
+        " as bigint) as o_custkey",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.range(n).selectExpr(
+        "id as l_orderkey",
+        f"cast((id div {sups * custs}) * {sups}"
+        f" + (id div {custs}) % {sups} as bigint) as l_suppkey",
+        "cast((1 + id % 5) as double) / 100 as l_extendedprice",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_weighted_walks,
+    )
+
+    M = 2305843009213693952
+    bs = sups * custs
+
+    def edge_id(c, s):  # (customer, supplier) -> generating id
+        b = (c - 1_000_000) // custs
+        return b * bs + (s - b * sups) * custs + (c - 1_000_000) % custs
+
+    def w_of(c, s):
+        return 1 + edge_id(c, s) % 5
+
+    def pick_c(s, wk, step):
+        b = s // sups
+        ws = [w_of(1_000_000 + b * custs + k, s) for k in range(custs)]
+        h = (s * 1103515245 + wk * 12345 + step * 2531011) % M
+        r = h % sum(ws)
+        cum = 0
+        for k, w in enumerate(ws):
+            cum += w
+            if r < cum:
+                return 1_000_000 + b * custs + k
+        raise AssertionError
+
+    def pick_s(c, wk, step):
+        b = (c - 1_000_000) // custs
+        ws = [w_of(c, b * sups + j) for j in range(sups)]
+        h = (c * 1103515245 + wk * 12345 + step * 2531011) % M
+        r = h % sum(ws)
+        cum = 0
+        for j, w in enumerate(ws):
+            cum += w
+            if r < cum:
+                return b * sups + j
+        raise AssertionError
+
+    t0 = time.perf_counter()
+    rows = q_weighted_walks(spark, str(tmp_path)).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(rows) == 2 * n_blocks * sups
+    for r in rows:
+        s0, wk = r["start_s"], r["walk"]
+        c1 = pick_c(s0, wk, 1)
+        s2 = pick_s(c1, wk, 2)
+        c3 = pick_c(s2, wk, 3)
+        assert (r["hop1_c"], r["hop2_s"], r["hop3_c"]) == (c1, s2, c3), s0
+    assert elapsed < 300, f"weighted_walks smoke took {elapsed:.0f}s"
