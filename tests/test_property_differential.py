@@ -2305,3 +2305,145 @@ def test_burstiness_matches_python(ev, spark, tmp_path_factory):
         cs = list(days.values())
         n, s, q2 = len(cs), sum(cs), sum(c * c for c in cs)
         assert got[t] == (n, s, round(float(n * q2 - s * s) / (n * s), 4))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # type index
+            st.integers(min_value=0, max_value=400),  # cents
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_welch_ttest_matches_python(ev, spark, tmp_path_factory):
+    """q_welch_ttest vs a python Welch over random slices, including the
+    degenerate NULL cases (lone type / tiny side / zero pooled se)."""
+    import pandas as pd
+
+    types = ["a", "b", "c"]
+    tmp = tmp_path_factory.mktemp("welch")
+    pd.DataFrame(
+        {
+            "event_id": range(len(ev)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": [types[t] for t, _ in ev],
+            "value": [c / 100.0 for _, c in ev],
+            "props": "{}",
+        }
+    ).to_parquet(tmp / "events.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import q_welch_ttest
+
+    got = {
+        r["event_type"]: (r["n"], r["t_welch"], r["df_welch"])
+        for r in q_welch_ttest(spark, str(tmp)).collect()
+    }
+
+    for ti, t in enumerate(types):
+        xs = [c for tt, c in ev if tt == ti]
+        ys = [c for tt, c in ev if tt != ti]
+        if not xs:
+            assert t not in got
+            continue
+        n1, n2 = len(xs), len(ys)
+        if n1 < 2 or n2 < 2:
+            assert got[t] == (n1, None, None)
+            continue
+        m1, m2 = sum(xs) / n1, sum(ys) / n2
+        v1 = (sum(x * x for x in xs) - sum(xs) ** 2 / n1) / (n1 - 1)
+        v2 = (sum(y * y for y in ys) - sum(ys) ** 2 / n2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        if se2 == 0.0:
+            assert got[t] == (n1, None, None)
+            continue
+        tstat = round((m1 - m2) / se2**0.5, 4) + 0.0
+        df = round(
+            se2**2
+            / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)),
+            2,
+        )
+        gn, gt, gdf = got[t]
+        assert gn == n1
+        assert gt is not None and abs(gt - tstat) < 2e-4, t
+        assert gdf is not None and abs(gdf - df) < 2e-2, t
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),              # group
+            st.integers(min_value=0, max_value=9),    # discount bp
+            st.integers(min_value=0, max_value=200),  # price cents
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_simpsons_check_matches_python(rows, spark, tmp_path_factory):
+    """q_simpsons_check vs python OLS slopes assembled with the identical
+    float tree, including NULL zero-variance groups and the sign flag."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("simp")
+    pd.DataFrame(
+        {
+            "l_returnflag": [g for g, _, _ in rows],
+            "l_discount": [x / 10000.0 for _, x, _ in rows],
+            "l_extendedprice": [y / 100.0 for _, _, y in rows],
+        }
+    ).to_parquet(tmp / "lineitem.parquet")
+
+    from savio_training_dask_2019_spark.queries.relational import (
+        q_simpsons_check,
+    )
+
+    def slope(pts):
+        xs = [x for x, _ in pts]
+        if min(xs) == max(xs):
+            return None
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return round(
+            (float(n) * float(sxy) - float(sx) * float(sy))
+            / (float(n) * float(sxx) - float(sx) * float(sx)),
+            6,
+        )
+
+    pooled = slope([(x, y) for _, x, y in rows])
+    got = {
+        r["l_returnflag"]: (r["n"], r["slope_within"], r["slope_pooled"],
+                            r["simpson_flag"])
+        for r in q_simpsons_check(spark, str(tmp)).collect()
+    }
+    for g in {g for g, _, _ in rows}:
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        sw = slope(pts)
+        flag = (
+            sw is not None
+            and pooled is not None
+            and ((sw > 0) != (pooled > 0))
+            and sw != 0
+            and pooled != 0
+        )
+        gn, gsw, gsp, gflag = got[g]
+        assert gn == len(pts)
+        assert gsw == sw and gsp == pooled
+        assert gflag == flag, (g, sw, pooled)
