@@ -1355,3 +1355,27 @@ def test_weighted_walks_1m_edges_matches_python(spark, tmp_path):
         c3 = pick_c(s2, wk, 3)
         assert (r["hop1_c"], r["hop2_s"], r["hop3_c"]) == (c1, s2, c3), s0
     assert elapsed < 300, f"weighted_walks smoke took {elapsed:.0f}s"
+
+
+def test_hits_scores_1m_edges_biclique_closed_form(spark, tmp_path):
+    """1M edges in 1000 disjoint 10x100 bicliques: HITS is block-local
+    and symmetric, so after two rounds every hub scores exactly
+    (custs * sups)^2 / sups^... — concretely a1 = sups, h1 = custs*sups,
+    a2 = sups*custs*sups, h2 = custs^2 * sups^2 = 1,000,000 — and the
+    all-tied top-20 resolves to suppliers 0..19."""
+    import time
+
+    d = tmp_path / "bic"
+    _write_biclique_trade(spark, d)
+
+    from savio_training_dask_2019_spark.queries.relational import q_hits_scores
+
+    t0 = time.perf_counter()
+    rows = [
+        (r["s_suppkey"], r["hub_score"], r["n_customers"])
+        for r in q_hits_scores(spark, str(d)).collect()
+    ]
+    elapsed = time.perf_counter() - t0
+    want_score = 100 * 100 * 10 * 10  # custs^2 * sups^2
+    assert rows == [(s, want_score, 100) for s in range(20)]
+    assert elapsed < 240, f"hits smoke took {elapsed:.0f}s"
