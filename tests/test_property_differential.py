@@ -1295,7 +1295,8 @@ def test_changepoint_cusum_matches_python(evs, spark, tmp_path_factory):
 )
 def test_survival_curve_matches_python_km(spans, spark, tmp_path_factory):
     """q_survival_curve vs a direct python Kaplan-Meier over the same
-    lifetime weeks and 14-day censoring rule (float product compared
+    lifetime weeks and mean-last-day censoring rule (death = last event
+    strictly before the mean last-event day; float product compared
     with 2e-4 tolerance against the 4-dp rounded output)."""
     import math
 
@@ -1331,12 +1332,14 @@ def test_survival_curve_matches_python_km(spans, spark, tmp_path_factory):
         for r in q_survival_curve(spark, str(tmp)).collect()
     }
 
-    # python KM over the same rule
-    max_last = max(off + life for off, life in spans)
+    # python KM over the same rule (exact integer mean-last-day test:
+    # sum_last > n * last_u, the base offset cancels)
+    n_users = len(spans)
+    sum_last = sum(off + life for off, life in spans)
     users = []
     for off, life in spans:
         week = life // 7
-        death = (max_last - (off + life)) > 14
+        death = sum_last > n_users * (off + life)
         users.append((week, death))
     weeks = sorted({w for w, _ in users})
     s = 1.0

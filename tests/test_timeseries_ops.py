@@ -375,11 +375,13 @@ def test_changepoint_cusum_planted_shift(spark, tmp_path):
 
 
 def test_survival_curve_hand_km(spark, tmp_path):
-    """Five users, horizon 2024-06-30: deaths in weeks 0, 1, 4 and one
-    censored user in each of weeks 0 and 4. KM: S = 4/5, then 4/5*2/3 =
-    8/15, then 8/15*1/2 = 4/15 -> 0.8, 0.5333, 0.2667 at the exact
-    at-risk counts 5, 3, 2. u5 (last event ON the horizon) and u4
-    (1 day before) must be censored, not deaths."""
+    """Five users: deaths in weeks 0, 1, 4 and one censored user in
+    each of weeks 0 and 4. KM: S = 4/5, then 4/5*2/3 = 8/15, then
+    8/15*1/2 = 4/15 -> 0.8, 0.5333, 0.2667 at the exact at-risk counts
+    5, 3, 2. Under the mean-last-day rule (death = last event strictly
+    before the fleet mean last-event day; mean here is ~2024-03-20):
+    u1/u2/u3 (last events in January) die, u4 (Jun 29) and u5 (Jun 30)
+    are censored, not deaths."""
     _write_events(
         tmp_path,
         [
