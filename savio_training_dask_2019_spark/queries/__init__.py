@@ -57,86 +57,83 @@ if _MISSING:
 # per-round rationale, and the per-addition ledger live in WINDOWS.md
 # (VERDICT r11 #7 / r12 #4 — new late-addition ledger entries are
 # appended THERE as they land, not here).
-# Rows of record entering r13: 50 r12 (CORRECTNESS_r12.json: 42 oracle-pass
-# + 8 rows-only, 0 failures) + 49 r11 + 49 r10 + 26 r9 + 20 never-witnessed
-# (the r12 late additions) = 194.
+# Rows of record entering r14: 50 r13 (CORRECTNESS_r13.json: 41 oracle-pass
+# + 9 rows-only, 0 failures) + 49 r12 + 49 r11 + 46 r10 + 51 never-witnessed
+# (the r13 late additions) = 245.
 #
-# r13 (this window): 50 = flagship + 20 first rows + 26 r9-record riders
-# rotating back + 3 rolling representatives.
-#   - the flagship (agg_groupby);
-#   - 20 first driver rows (VERDICT r12 #1): every r12 late addition — the
-#     only catalog entries with no driver row; each was replica-checked at
-#     BOTH SFs + measured-once benched the day it landed, and the r12
-#     judge's own 194-query replica passed all 20 at both SFs;
-#   - the 26 r9-record riders rotate back as committed at the r12 note
-#     (four rounds old — the oldest rows of record; first in line per that
-#     note);
-#   - 3 rolling representatives from the r10-record set (three rounds old
-#     at r13 judging; the rest of that set rotates r14 with priority):
-#     topk (ordering), window_rank (windows), knn_brute (vector exact
-#     tier).
-# Queries BUILT this round are late additions on the standing precedent
-# (replica-checked at both SFs + measured-once benched the day they land;
-# first driver rows r14) — see the WINDOWS.md r13 ledger for each.
+# r14 (this window): 50 = flagship + 49 of the 51 r13 late additions —
+# their FIRST driver rows (VERDICT r13 #1: the only catalog entries with
+# no driver row; each was replica-checked at both SFs + measured-once
+# benched the day it landed, and the r13 judge's own replica passed all
+# 51). The r12 draft plan counted 47 late additions with two spare slots;
+# four more landed after the draft (behavior_entropy, below_avg_qty,
+# centroid_eval, degree_assortativity), so 51 + flagship = 52 > 50: the
+# two proposed r10-record representative slots are dropped and the two
+# overflow queries with the strongest standalone pytest differentials
+# (behavior_entropy — closed-form + hypothesis-differential pins;
+# below_avg_qty — planted integer-threshold pin) carry to the FRONT of the r15
+# window with priority (corrected arithmetic-checked r15 plan in
+# WINDOWS.md). survival_curve re-windows here WITH its r14 fix (the
+# mean-gap censoring rule — VERDICT r13 #2); welch_ttest and
+# simpsons_check likewise carry their r14 guard/normalization edits.
+# Queries whose code changes later in r14 re-window with priority.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- 20 first driver rows: every r12 late addition (the only catalog
-    #     entries with no driver row; judge replica r12: all 20 green at
-    #     both SFs) ---
-    "group_cms_counts",
-    "gap_fill",
-    "transition_matrix",
-    "basket_pairs",
-    "weighted_median",
-    "chi2_abtest",
-    "activity_streaks",
-    "null_profile",
-    "ref_integrity",
-    "conversion_lag",
-    "heaps_curve",
-    "session_stats",
-    "degree_histogram",
-    "sparse_cosine_pairs",
-    "cohort_ltv",
-    "abc_by_brand",
-    "wow_change",
-    "backlog_monthly",
-    "market_hhi",
-    "late_shipment_rate",
-    # --- the 26 r9-record riders rotate back (four rounds old — the
-    #     oldest rows of record, priority per the r12 note) ---
-    "semi_join",
-    "distinct_approx",
-    "json_extract",
-    "time_bucket",
-    "decontam_check",
-    "knn_cells",
-    "semdedup_clusters",
-    "hll_sketch_union",
-    "kll_quantiles",
-    "rolling_fp",
-    "svd_embeddings",
-    "multimodal_resize",
-    "multimodal_frames",
-    "bpe_apply",
-    "select_filter",
-    "derived_column",
-    "null_handling",
-    "sample_mod",
-    "sort_limit",
-    "cross_join",
-    "cumsum",
-    "lag_lead",
-    "tumbling_window",
-    "distinct",
-    "emb_near_dup",
-    "hard_negatives",
-    # --- 3 rolling representatives from the r10-record set (three rounds
-    #     old; the remainder rotates r14 with priority) ---
-    "topk",
-    "window_rank",
-    "knn_brute",
+    # --- 14 first-session r13 additions ---
+    "weighted_quantiles_binned",
+    "scd2_snapshot",
+    "sessionize_attribution",
+    "rfm_segments",
+    "sssp_bounded",
+    "dedup_survivorship",
+    "embedding_drift",
+    "langid_confusion",
+    "kcore_peel",
+    "k_anonymity",
+    "part_family_rollup",
+    "grouped_minhash_sim",
+    "seasonal_profile",
+    "single_source_parts",
+    # --- 16 second-session r13 additions ---
+    "gini_by_segment",
+    "changepoint_cusum",
+    "survival_curve",
+    "lpa_communities",
+    "feature_mi",
+    "jsd_sources",
+    "ewma_daily",
+    "cuped_reduction",
+    "acf_daily",
+    "attribution_compare",
+    "ngram_novelty",
+    "theil_sen_trend",
+    "monthly_churn",
+    "info_gain_splits",
+    "mutual_nn",
+    "supplier_return_ci",
+    # --- 17 third-session r13 additions (landing order) ---
+    "waiting_suppliers",
+    "idle_customers",
+    "auc_by_type",
+    "welch_ttest",
+    "spearman_corr",
+    "max_drawdown",
+    "stickiness",
+    "resource_alloc",
+    "random_walks",
+    "trimmed_mean",
+    "simpsons_check",
+    "trailing_wau",
+    "top_paths",
+    "weighted_walks",
+    "hits_scores",
+    "cdc_chunks",
+    "burstiness",
+    # --- 2 of the 4 post-draft r13 additions (the other two —
+    #     behavior_entropy, below_avg_qty — open the r15 window) ---
+    "centroid_eval",
+    "degree_assortativity",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

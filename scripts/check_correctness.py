@@ -8,6 +8,10 @@ Usage:
     PYTHONPATH=/root/repo python scripts/check_correctness.py [name ...]
 Env:
     SF_DIR (default /root/testdata/sf0.01)
+    REPLICA_OUT (optional) — also write the per-query summary as JSON
+        ({name: {status, rows, secs, detail}, ...} + a _meta block), the
+        round artifact VERDICT r13 #4 asks for (REPLICA_r{N}.json): the
+        judge diffs artifacts instead of re-running the whole catalog.
 """
 
 from __future__ import annotations
@@ -83,6 +87,7 @@ def main() -> int:
     names = [n for n in qs if not only or n in only]
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    report: dict[str, dict] = {}
 
     for name in names:
         # per-query cache hygiene, mirroring bench.py: caches a query
@@ -102,10 +107,23 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
             failures.append(name)
             n_fail += 1
+            report[name] = {
+                "status": "failed",
+                "rows": None,
+                "secs": round(time.time() - t0, 1),
+                "detail": f"spark error: {type(exc).__name__}: {exc}",
+            }
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows (rows-only, {time.time()-t0:.1f}s)")
+            secs = round(time.time() - t0, 1)
+            print(f"rows  {name}: {len(sdf)} rows (rows-only, {secs}s)")
             n_rows_only += 1
+            report[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "secs": secs,
+                "detail": None,
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -113,6 +131,12 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error: {type(exc).__name__}: {exc}")
             failures.append(name)
             n_fail += 1
+            report[name] = {
+                "status": "failed",
+                "rows": len(sdf),
+                "secs": round(time.time() - t0, 1),
+                "detail": f"oracle error: {type(exc).__name__}: {exc}",
+            }
             continue
 
         problems = []
@@ -132,17 +156,49 @@ def main() -> int:
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ; first diffs {diff}")
+        secs = round(time.time() - t0, 1)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
             n_fail += 1
+            report[name] = {
+                "status": "failed",
+                "rows": len(sdf),
+                "secs": secs,
+                "detail": "; ".join(problems),
+            }
         else:
-            print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"ok    {name}: {len(sdf)} rows ({secs}s)")
             n_pass += 1
+            report[name] = {
+                "status": "ok",
+                "rows": len(sdf),
+                "secs": secs,
+                "detail": None,
+            }
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED of {len(names)}")
     if failures:
         print("failed:", " ".join(failures))
+
+    out_path = os.environ.get("REPLICA_OUT")
+    if out_path:
+        import json
+
+        payload = {
+            "_meta": {
+                "sf_dir": sf_dir,
+                "queries": len(names),
+                "ok": n_pass,
+                "rows_only": n_rows_only,
+                "failed": n_fail,
+            }
+        }
+        payload.update(report)
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=False)
+            fh.write("\n")
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
