@@ -12,23 +12,28 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed — the 20 r12 late additions take first rows
-    # r13 (the only catalog entries with no driver row; judge replica r12
-    # passed all 20 at both SFs — VERDICT r12 #1)
-    "group_cms_counts", "gap_fill", "transition_matrix", "basket_pairs",
-    "weighted_median", "chi2_abtest", "activity_streaks", "null_profile",
-    "ref_integrity", "conversion_lag", "heaps_curve", "session_stats",
-    "degree_histogram", "sparse_cosine_pairs", "cohort_ltv", "abc_by_brand",
-    "wow_change", "backlog_monthly", "market_hhi", "late_shipment_rate",
-    # the 26 r9-record riders — four rounds old, the oldest rows of
-    # record, committed "first in line r13" at the r12 window note
-    "semi_join", "distinct_approx", "json_extract", "time_bucket",
-    "decontam_check", "knn_cells", "semdedup_clusters", "hll_sketch_union",
-    "kll_quantiles", "rolling_fp", "svd_embeddings", "multimodal_resize",
-    "multimodal_frames", "bpe_apply", "select_filter", "derived_column",
-    "null_handling", "sample_mod", "sort_limit", "cross_join", "cumsum",
-    "lag_lead", "tumbling_window", "distinct", "emb_near_dup",
-    "hard_negatives",
+    # never driver-witnessed — 49 of the 51 r13 late additions take first
+    # rows r14 (VERDICT r13 #1; judge replica r13 passed all 51; the two
+    # overflow carries behavior_entropy / below_avg_qty open the r15
+    # window per the corrected WINDOWS.md plan)
+    "weighted_quantiles_binned", "scd2_snapshot", "sessionize_attribution",
+    "rfm_segments", "sssp_bounded", "dedup_survivorship", "embedding_drift",
+    "langid_confusion", "kcore_peel", "k_anonymity", "part_family_rollup",
+    "grouped_minhash_sim", "seasonal_profile", "single_source_parts",
+    "gini_by_segment", "changepoint_cusum", "survival_curve",
+    "lpa_communities", "feature_mi", "jsd_sources", "ewma_daily",
+    "cuped_reduction", "acf_daily", "attribution_compare", "ngram_novelty",
+    "theil_sen_trend", "monthly_churn", "info_gain_splits", "mutual_nn",
+    "supplier_return_ci", "waiting_suppliers", "idle_customers",
+    "auc_by_type", "welch_ttest", "spearman_corr", "max_drawdown",
+    "stickiness", "resource_alloc", "random_walks", "trimmed_mean",
+    "simpsons_check", "trailing_wau", "top_paths", "weighted_walks",
+    "hits_scores", "cdc_chunks", "burstiness", "centroid_eval",
+    "degree_assortativity",
+    # code changed this round (the re-window-with-priority rule):
+    # survival_curve (mean-gap censoring fix), welch_ttest (exact
+    # constant-side guard), simpsons_check (slope -0.0 normalization) —
+    # all three already in the late-addition set above.
 }
 
 
@@ -36,6 +41,41 @@ def test_driver_window_holds_required_queries():
     first50 = set(list(QUERIES)[:50])
     missing = MUST_BE_DRIVER_CHECKED - first50
     assert not missing, f"required queries fell past the driver's 50-cap: {missing}"
+
+
+# Queries with no driver row that are NOT in the current window, each with a
+# named slot at the FRONT of the next round's window (WINDOWS.md r15 plan).
+# This list is the machine-checked version of the ledger's "carried" prose —
+# the r13->r14 lesson was a window plan that silently went stale by four
+# queries; now an unscheduled query fails here the day it lands.
+CARRIED_TO_NEXT_WINDOW = {"behavior_entropy", "below_avg_qty"}
+
+
+def test_every_query_driver_witnessed_or_scheduled():
+    """Window-arithmetic invariant (VERDICT r13 #1): every catalog entry
+    either already has a driver row of record (appears in some
+    CORRECTNESS_r*.json), sits in the current 50-slot window, or is on the
+    explicit carried-forward list for the next window."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    witnessed: set[str] = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            witnessed |= set(json.load(fh))
+    first50 = set(list(QUERIES)[:50])
+    unscheduled = set(QUERIES) - witnessed - first50 - CARRIED_TO_NEXT_WINDOW
+    assert not unscheduled, (
+        "queries with no driver row, no window slot, and no carried-forward "
+        f"entry — schedule them before shipping: {sorted(unscheduled)}"
+    )
+    # the carried set must actually need carrying, and must fit beside the
+    # flagship in the next window
+    already = CARRIED_TO_NEXT_WINDOW & (witnessed | first50)
+    assert not already, f"carried entries already scheduled/witnessed: {already}"
+    assert len(CARRIED_TO_NEXT_WINDOW) <= 49
 
 
 def test_oracle_keys_subset_of_queries_and_ordered_identically():
