@@ -436,7 +436,7 @@ _MAX_BNLJ = {
     "drift_psi": 1,         # 1-row half-totals scalar
     "drift_psi_windowed": 1,  # days×classes dense grid (tiny by construction)
     "cuped_reduction": 1,   # 1-row (min, max) cutoff attach
-    "survival_curve": 1,    # 1-row censoring-horizon (global max date) attach
+    "survival_curve": 1,    # 1-row censoring fold (n, sum last-day) attach
     "dsir_weights": 4,      # two LM fits × (1-row total + model attach)
     "emb_near_dup": 1,      # brute pairwise demo tier (documented oracle tier)
     "embedding_drift": 2,   # 1-row count attach ×2 (ref + cur scalars)
