@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Compute the next driver-window rotation from the artifacts of record.
+
+The correctness driver records exactly the first 50 ``queries()`` keys, so
+each round the window must rotate to (a) queries with NO driver row yet
+(late additions + carried overflow — they take priority), then (b) the
+returners with the OLDEST rows of record. The r13→r14 lesson: a plan
+drafted by hand before the round's last additions land goes stale; this
+script derives the list from CORRECTNESS_r*.json + the live catalog, so
+re-running it IS the arithmetic check.
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/window_plan.py [next_round_no]
+
+Prints: never-witnessed queries (must lead the window), the oldest-first
+returner list that fills the remaining slots, and the first-displaced
+overflow. The current round's window members are assumed to earn rows
+this round (the driver runs the first 50 keys).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from savio_training_dask_2019_spark import queries as cat  # noqa: E402
+
+WINDOW = 50
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows: dict[str, int] = {}
+    order: dict[str, tuple[int, int]] = {}
+    newest_round = 0
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        newest_round = max(newest_round, rnd)
+        for i, k in enumerate(json.load(open(p))):
+            if k not in rows or rnd > rows[k]:
+                rows[k] = rnd
+                order[k] = (rnd, i)
+
+    allq = list(cat.QUERIES)
+    # the CURRENT window earns rows when the driver closes this round
+    this_round = newest_round + 1
+    for i, q in enumerate(allq[:WINDOW]):
+        rows[q] = this_round
+        order[q] = (this_round, i)
+
+    never = [q for q in allq if q not in rows]
+    returners = sorted(
+        (q for q in allq if q in rows and rows[q] < this_round),
+        key=lambda q: order[q],
+    )
+    n_lead = 1 + len(never)  # flagship + never-witnessed
+    n_fill = WINDOW - n_lead
+    print(f"rounds seen: <= r{newest_round}; current window earns r{this_round} rows")
+    print(f"never-witnessed (lead the next window, after the flagship): {never}")
+    if n_fill < 0:
+        overflow = never[n_fill:]
+        print(
+            f"OVERFLOW: {len(never)} never-witnessed do not fit one window; "
+            f"carry to the round after: {overflow}"
+        )
+        n_fill = 0
+    print(f"returners filling the remaining {n_fill} slots (oldest rows first):")
+    for q in returners[:n_fill]:
+        print(f"  r{rows[q]:02d} {q}")
+    nxt = [f"r{rows[q]}:{q}" for q in returners[n_fill : n_fill + 5]]
+    print(f"first displaced if code changes re-window: {nxt}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
