@@ -2456,12 +2456,14 @@ SELECT n AS n_edges,
               OR CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) = 0
             THEN NULL
+       -- + 0.0: a tiny-negative assortativity must not round to -0.0
        ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
                    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
                   / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
                           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
                          * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
                             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 4)
+            + 0.0
        END AS assortativity
 FROM m
 """

@@ -2266,9 +2266,11 @@ per_user AS (
   FROM per_user GROUP BY 1
 )
 SELECT event_type, n AS n_users,
+       -- + 0.0 normalizes IEEE negative zero on a knife-edge slope
+       -- (DuckDB round keeps -0.0; Spark's BigDecimal round drops it)
        CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
          round(CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS theta,
+               / CAST(n * sxx - sx * sx AS DOUBLE), 4) + 0.0 END AS theta,
        CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
        ELSE
          round((CAST(n * sxy - sx * sy AS DOUBLE)
@@ -2381,10 +2383,11 @@ WITH daily AS (
   GROUP BY 1, 2
 )
 SELECT event_type, lag, n AS n_pairs,
+       -- + 0.0: a tiny-negative autocorrelation must not round to -0.0
        CASE WHEN n * scc - sc * sc = 0 OR n * sll - sl * sl = 0 THEN NULL
        ELSE round(CAST(n * scl - sc * sl AS DOUBLE)
                   / sqrt(CAST(n * scc - sc * sc AS DOUBLE)
-                         * CAST(n * sll - sl * sl AS DOUBLE)), 4) END
+                         * CAST(n * sll - sl * sl AS DOUBLE)), 4) + 0.0 END
          AS acf
 FROM m
 """
@@ -2645,7 +2648,9 @@ WITH daily AS (
                                  ORDER BY slope, d1, d2) AS BIGINT) AS rn
   FROM pairs
 )
-SELECT event_type, m AS n_pairs, round(slope, 4) AS ts_slope_dollars
+SELECT event_type, m AS n_pairs,
+       -- + 0.0: a tiny-negative median slope must not round to -0.0
+       round(slope, 4) + 0.0 AS ts_slope_dollars
 FROM ranked WHERE rn = (m + 1) // 2
 """
 

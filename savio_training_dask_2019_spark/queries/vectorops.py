@@ -1550,10 +1550,12 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MUTUAL_NN_SQL = f"""
 WITH scored AS (
+  -- + 0.0: a tiny-negative cosine must not round to -0.0 (DuckDB round
+  -- keeps the sign; Spark's BigDecimal round drops it)
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
          round(list_cosine_similarity({_DD.format(col='c.embedding')},
                                       {_DD.format(col='q.embedding')}), 5)
-           AS cosine
+           + 0.0 AS cosine
   FROM embeddings q JOIN embeddings c
     ON q.label = c.label AND q.vec_id <> c.vec_id
 ), nn AS (
