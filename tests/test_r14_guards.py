@@ -34,6 +34,28 @@ def test_survival_curve_nonvacuous_on_fixtures(spark, sf):
         assert 0.0 <= r["survival"] < 1.0  # a death week always steps S down
 
 
+def test_negative_zero_rounding_convention_pin(spark):
+    """Pins the engine behavior the oracle '+ 0.0' convention exists for:
+    DuckDB's round KEEPS the sign of a tiny negative (-0.0); Spark's
+    BigDecimal round DROPS it (+0.0); and '+ 0.0' normalizes DuckDB's to
+    match. If a DuckDB or Spark upgrade changes either side, this fails
+    before a knife-edge oracle row does."""
+    import duckdb
+
+    raw, fixed = duckdb.connect().execute(
+        "SELECT round(-1e-9, 6), round(-1e-9, 6) + 0.0"
+    ).fetchone()
+    assert math.copysign(1.0, raw) == -1.0, "DuckDB round no longer keeps -0.0"
+    assert math.copysign(1.0, fixed) == 1.0, "'+ 0.0' no longer normalizes"
+
+    from pyspark.sql import functions as F
+
+    [row] = spark.range(1).select(F.round(F.lit(-1e-9), 6).alias("v")).collect()
+    assert row["v"] == 0.0 and math.copysign(1.0, row["v"]) == 1.0, (
+        "Spark round now emits -0.0 — the oracle convention must be revisited"
+    )
+
+
 def _write_events(d, rows):
     d.mkdir(exist_ok=True)
     pd.DataFrame(
