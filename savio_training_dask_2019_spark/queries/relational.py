@@ -2367,7 +2367,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE to double and evaluates the identical expression tree in both
     engines (n·Σxy can pass 2^53 at scale, so the double assembly is
     the DETERMINISM contract, not an exactness claim — documented),
-    rounded 4 dp. Zero variance (regular graph) → NULL.
+    rounded 4 dp. Zero variance (regular graph) → NULL via the EXACT
+    moment identity n·Σd² = (Σd)² on DECIMAL(38,0)/HUGEINT (the welch
+    r14 posture: past 2^53 the double-assembled variance of a constant
+    side lands tiny-nonzero, so a double == 0 guard misses and
+    sqrt(negative) makes NaN; the identity is exact while n·saa stays
+    under 1e38 — beyond that, span the moments to DECIMAL), plus a
+    va/vb <= 0 fallback that NULLs FP cancellation noise.
 
     Scale: one distinct-pair shuffle, one degree groupBy, two
     degree-attach hash joins on the endpoint keys (each O(edges) ⋈
@@ -2418,9 +2424,19 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = n * m["sbb"].cast("double") - m["sb"].cast("double") * m["sb"].cast(
         "double"
     )
+    dec = "decimal(38,0)"
+    const_a = (
+        m["n"].cast(dec) * m["saa"].cast(dec)
+        == m["sa"].cast(dec) * m["sa"].cast(dec)
+    )
+    const_b = (
+        m["n"].cast(dec) * m["sbb"].cast(dec)
+        == m["sb"].cast(dec) * m["sb"].cast(dec)
+    )
     return m.select(
         m["n"].alias("n_edges"),
-        F.when((va == 0) | (vb == 0), F.lit(None).cast("double"))
+        F.when(const_a | const_b | (va <= 0) | (vb <= 0),
+               F.lit(None).cast("double"))
         .otherwise(F.round(cov / F.sqrt(va * vb), 4))
         .alias("assortativity"),
     )
@@ -2451,10 +2467,15 @@ WITH pairs AS (
   FROM j
 )
 SELECT n AS n_edges,
-       CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) = 0
+       -- NULL guards mirror the Spark side exactly: zero variance via the
+       -- EXACT HUGEINT moment identity (a double = 0 test misses a
+       -- constant side past 2^53), plus a <= 0 fallback for FP noise
+       CASE WHEN CAST(n AS HUGEINT) * saa = CAST(sa AS HUGEINT) * sa
+              OR CAST(n AS HUGEINT) * sbb = CAST(sb AS HUGEINT) * sb
+              OR CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) <= 0
               OR CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) = 0
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) <= 0
             THEN NULL
        -- + 0.0: a tiny-negative assortativity must not round to -0.0
        ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
