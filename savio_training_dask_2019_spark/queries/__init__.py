@@ -73,10 +73,14 @@ if _MISSING:
 # (behavior_entropy — closed-form + hypothesis-differential pins;
 # below_avg_qty — planted integer-threshold pin) carry to the FRONT of the r15
 # window with priority (corrected arithmetic-checked r15 plan in
-# WINDOWS.md). survival_curve re-windows here WITH its r14 fix (the
-# mean-gap censoring rule — VERDICT r13 #2); welch_ttest and
-# simpsons_check likewise carry their r14 guard/normalization edits.
-# Queries whose code changes later in r14 re-window with priority.
+# WINDOWS.md). Eight window members carry r14 code/oracle edits and so
+# re-window by construction: survival_curve (mean-gap censoring rule —
+# VERDICT r13 #2), welch_ttest + degree_assortativity (exact
+# constant-side guards on DECIMAL38/HUGEINT moments), and the -0.0
+# normalization sweep (simpsons_check, acf_daily, theil_sen_trend,
+# cuped_reduction, mutual_nn, degree_assortativity) — each
+# re-replica-checked at sf0.001 + sf0.01 the day it changed
+# (WINDOWS.md r14 session notes).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
