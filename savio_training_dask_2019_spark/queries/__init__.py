@@ -48,96 +48,73 @@ if _MISSING:
 
 # --- driver-window ordering -------------------------------------------------
 #
-# The correctness driver records exactly the FIRST 50 keys of queries()
-# (verified round 2: CORRECTNESS_r02.json keys == list(queries())[:50]), so
-# dict insertion order decides which queries earn a driver-green row each
-# round.  The catalog (194 queries at r13 open; 245 at r13 close — 219
-# oracle-backed, 26 rows-only) exceeds the window's 50, so the window
-# rotates on a two-round cadence; the FULL r2..r12 rotation history,
-# per-round rationale, and the per-addition ledger live in WINDOWS.md
-# (VERDICT r11 #7 / r12 #4 — new late-addition ledger entries are
-# appended THERE as they land, not here).
-# Rows of record entering r14: 50 r13 (CORRECTNESS_r13.json: 41 oracle-pass
-# + 9 rows-only, 0 failures) + 49 r12 + 49 r11 + 46 r10 + 51 never-witnessed
-# (the r13 late additions) = 245.
-#
-# r14 (this window): 50 = flagship + 49 of the 51 r13 late additions —
-# their FIRST driver rows (VERDICT r13 #1: the only catalog entries with
-# no driver row; each was replica-checked at both SFs + measured-once
-# benched the day it landed, and the r13 judge's own replica passed all
-# 51). The r12 draft plan counted 47 late additions with two spare slots;
-# four more landed after the draft (behavior_entropy, below_avg_qty,
-# centroid_eval, degree_assortativity), so 51 + flagship = 52 > 50: the
-# two proposed r10-record representative slots are dropped and the two
-# overflow queries with the strongest standalone pytest differentials
-# (behavior_entropy — closed-form + hypothesis-differential pins;
-# below_avg_qty — planted integer-threshold pin) carry to the FRONT of the r15
-# window with priority (corrected arithmetic-checked r15 plan in
-# WINDOWS.md). Eight window members carry r14 code/oracle edits and so
-# re-window by construction: survival_curve (mean-gap censoring rule —
-# VERDICT r13 #2), welch_ttest + degree_assortativity (exact
-# constant-side guards on DECIMAL38/HUGEINT moments), and the -0.0
-# normalization sweep (simpsons_check, acf_daily, theil_sen_trend,
-# cuped_reduction, mutual_nn, degree_assortativity) — each
-# re-replica-checked at sf0.001 + sf0.01 the day it changed
-# (WINDOWS.md r14 session notes).
+# Invariant: the correctness driver records exactly the FIRST 50 keys of
+# queries() (verified r2), so this tuple decides which queries earn a
+# driver-green row this round. Rotation rule: flagship + never-witnessed
+# first, then the oldest rows of record; queries whose code/oracle changed
+# this round re-window with priority, displacing from the BACK. The plan is
+# COMPUTED by `scripts/window_plan.py` (re-run after the round's last code
+# change); the full rotation history and per-addition ledger live in
+# WINDOWS.md — never hand-maintained here.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- 14 first-session r13 additions ---
-    "weighted_quantiles_binned",
-    "scd2_snapshot",
-    "sessionize_attribution",
-    "rfm_segments",
-    "sssp_bounded",
-    "dedup_survivorship",
-    "embedding_drift",
-    "langid_confusion",
-    "kcore_peel",
-    "k_anonymity",
-    "part_family_rollup",
-    "grouped_minhash_sim",
-    "seasonal_profile",
-    "single_source_parts",
-    # --- 16 second-session r13 additions ---
-    "gini_by_segment",
-    "changepoint_cusum",
-    "survival_curve",
-    "lpa_communities",
-    "feature_mi",
-    "jsd_sources",
-    "ewma_daily",
-    "cuped_reduction",
-    "acf_daily",
-    "attribution_compare",
-    "ngram_novelty",
-    "theil_sen_trend",
-    "monthly_churn",
-    "info_gain_splits",
-    "mutual_nn",
-    "supplier_return_ci",
-    # --- 17 third-session r13 additions (landing order) ---
-    "waiting_suppliers",
-    "idle_customers",
-    "auc_by_type",
-    "welch_ttest",
-    "spearman_corr",
-    "max_drawdown",
-    "stickiness",
-    "resource_alloc",
-    "random_walks",
-    "trimmed_mean",
-    "simpsons_check",
-    "trailing_wau",
-    "top_paths",
-    "weighted_walks",
-    "hits_scores",
-    "cdc_chunks",
-    "burstiness",
-    # --- 2 of the 4 post-draft r13 additions (the other two —
-    #     behavior_entropy, below_avg_qty — open the r15 window) ---
-    "centroid_eval",
+    # --- the two r14 overflow carries: the last never-witnessed queries ---
+    "behavior_entropy",
+    "below_avg_qty",
+    # --- 44 r10-record returners (CORRECTNESS_r10.json order; the two
+    #     back-of-list members doc_quality + gopher_quality are displaced
+    #     by this round's welch_ttest/degree_assortativity re-windows) ---
+    "drift_psi",
+    "winnow_fp",
+    "heavy_hitters",
+    "ivf_balance",
+    "pq_encode",
+    "pq_adc",
+    "ivfpq",
+    "pack_bfd",
+    "repetition_stats",
+    "drift_psi_windowed",
+    "heavy_domains",
+    "join_3way",
+    "passage_dedup",
+    "unigram_logprob",
+    "bigram_logprob",
+    "knn_lsh",
+    "knn_ivf",
+    "multimodal_audio",
+    "vector_stats",
+    "vector_arith",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_dims",
+    "map_in_pandas",
+    "map_in_arrow",
+    "udtf_tokens",
+    "fanout_compute",
+    "dup_ngram_ratio",
+    "shard_corpus",
+    "length_buckets",
+    "anti_join",
+    "join_outer",
+    "range_join",
+    "corr_cov",  # r15 oracle edit (-0.0 normalization) — keeps its slot
+    "cube_agg",
+    "percentiles",
+    "value_counts",
+    "ntile_percent",
+    "rolling_avg",
+    "sliding_window",
+    "dt_accessors",
+    "pivot_daily",
+    "retention_daily",
+    "asof_tolerance",
+    # --- oldest r11 returner; r15 oracle edit (-0.0) — keeps its slot ---
+    "ivfpq_rerank",
+    # --- r15 re-windows (ANSI-pinned DECIMAL guard coalesce; both
+    #     re-replica-checked oracle-equal at sf0.001 + sf0.01) ---
     "degree_assortativity",
+    "welch_ttest",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

@@ -880,9 +880,11 @@ def q_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORR_COV_SQL = """
-SELECT round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
-       round(corr(l_discount, l_tax), 6)                 AS corr_disc_tax
+-- + 0.0: corr/covar are negative-capable; a tiny-negative value must not
+-- round to -0.0 (DuckDB keeps the sign, Spark's BigDecimal drops it)
+SELECT round(corr(l_quantity, l_extendedprice), 6) + 0.0       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS cov_qty_price,
+       round(corr(l_discount, l_tax), 6) + 0.0                 AS corr_disc_tax
 FROM lineitem
 """
 
@@ -2425,13 +2427,22 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     dec = "decimal(38,0)"
-    const_a = (
+    # Past ~1e38 the DECIMAL(38,0) product overflows. Under ANSI mode
+    # (this repo's session default in Spark 4.x) it RAISES — the same
+    # deterministic hard error DuckDB's HUGEINT gives, so the engines'
+    # out-of-envelope failure modes are aligned. The coalesce(False) pins
+    # the non-ANSI configuration, where the product would instead be NULL
+    # and silently fall through F.when (ADVICE r14): overflow then takes
+    # the deterministic double path, never NULL-propagation.
+    const_a = F.coalesce(
         m["n"].cast(dec) * m["saa"].cast(dec)
-        == m["sa"].cast(dec) * m["sa"].cast(dec)
+        == m["sa"].cast(dec) * m["sa"].cast(dec),
+        F.lit(False),
     )
-    const_b = (
+    const_b = F.coalesce(
         m["n"].cast(dec) * m["sbb"].cast(dec)
-        == m["sb"].cast(dec) * m["sb"].cast(dec)
+        == m["sb"].cast(dec) * m["sb"].cast(dec),
+        F.lit(False),
     )
     return m.select(
         m["n"].alias("n_edges"),
@@ -4347,14 +4358,22 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # se2 of a constant side can land tiny-nonzero (even negative → NaN t);
     # the se2 <= 0.0 fallback additionally NULLs any cancellation-noise
     # non-positive se2 (identical expression tree in both engines)
+    # Past ~1e38 the DECIMAL(38,0) product overflows: ANSI mode (this
+    # repo's session default) RAISES, matching DuckDB's HUGEINT error.
+    # coalesce(False) pins the non-ANSI configuration, where the product
+    # would be NULL and silently fall through `undef` (ADVICE r14):
+    # overflow then takes the deterministic double path (usually caught
+    # by se2 <= 0.0), never NULL-propagation.
     dec = "decimal(38,0)"
-    const1 = (
+    const1 = F.coalesce(
         F.col("n").cast(dec) * F.col("q").cast(dec)
-        == F.col("s").cast(dec) * F.col("s").cast(dec)
+        == F.col("s").cast(dec) * F.col("s").cast(dec),
+        F.lit(False),
     )
-    const2 = (
+    const2 = F.coalesce(
         F.col("n2").cast(dec) * F.col("q2").cast(dec)
-        == F.col("s2").cast(dec) * F.col("s2").cast(dec)
+        == F.col("s2").cast(dec) * F.col("s2").cast(dec),
+        F.lit(False),
     )
     undef = (
         (F.col("n") < 2)

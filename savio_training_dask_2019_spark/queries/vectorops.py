@@ -1031,8 +1031,10 @@ cand AS (
   ORDER BY adc ASC, vec_id ASC LIMIT {_RERANK_K}
 )
 SELECT c.vec_id, c.cell, c.adc,
+       -- + 0.0: a tiny-negative cosine must not round to -0.0 (DuckDB
+       -- keeps the sign, Spark's BigDecimal round drops it)
        round(list_cosine_similarity({_DD.format(col='q.qe')},
-             {_DD.format(col='e.embedding')}), 5) AS cosine
+             {_DD.format(col='e.embedding')}), 5) + 0.0 AS cosine
 FROM cand c JOIN embeddings e USING (vec_id), q
 ORDER BY cosine DESC, c.vec_id ASC
 LIMIT 10

@@ -61,19 +61,32 @@ def main() -> int:
     n_lead = 1 + len(never)  # flagship + never-witnessed
     n_fill = WINDOW - n_lead
     print(f"rounds seen: <= r{newest_round}; current window earns r{this_round} rows")
-    print(f"never-witnessed (lead the next window, after the flagship): {never}")
     if n_fill < 0:
-        overflow = never[n_fill:]
+        # never-witnessed alone overflow the window: the fitting prefix
+        # (landing order) leads the next window, the rest carry over.
+        # Landing order is only the DEFAULT carry choice — the ledger rule
+        # (WINDOWS.md) lets the builder pick carries by judgment, e.g. by
+        # strongest standalone pytest differentials (the r14 decision).
+        fits, overflow = never[:WINDOW - 1], never[WINDOW - 1:]
+        print(f"never-witnessed (lead the next window, after the flagship): {fits}")
         print(
             f"OVERFLOW: {len(never)} never-witnessed do not fit one window; "
-            f"carry to the round after: {overflow}"
+            f"carry to the round after (default = landing order; a judgment "
+            f"call may swap members — record it in WINDOWS.md): {overflow}"
         )
-        n_fill = 0
+        print("returners filling the remaining 0 slots (oldest rows first):")
+        print("first displaced if code changes re-window: [] "
+              "(window is all never-witnessed; displacement hits the "
+              "overflow carries instead)")
+        return 0
+    print(f"never-witnessed (lead the next window, after the flagship): {never}")
     print(f"returners filling the remaining {n_fill} slots (oldest rows first):")
     for q in returners[:n_fill]:
         print(f"  r{rows[q]:02d} {q}")
+    displaced = [f"r{rows[q]}:{q}" for q in reversed(returners[:n_fill])][:5]
+    print(f"displaced first if code changes re-window (back of the list): {displaced}")
     nxt = [f"r{rows[q]}:{q}" for q in returners[n_fill : n_fill + 5]]
-    print(f"first displaced if code changes re-window: {nxt}")
+    print(f"next returners waiting beyond the window: {nxt}")
     return 0
 
 

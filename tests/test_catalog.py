@@ -12,28 +12,14 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed — 49 of the 51 r13 late additions take first
-    # rows r14 (VERDICT r13 #1; judge replica r13 passed all 51; the two
-    # overflow carries behavior_entropy / below_avg_qty open the r15
-    # window per the corrected WINDOWS.md plan)
-    "weighted_quantiles_binned", "scd2_snapshot", "sessionize_attribution",
-    "rfm_segments", "sssp_bounded", "dedup_survivorship", "embedding_drift",
-    "langid_confusion", "kcore_peel", "k_anonymity", "part_family_rollup",
-    "grouped_minhash_sim", "seasonal_profile", "single_source_parts",
-    "gini_by_segment", "changepoint_cusum", "survival_curve",
-    "lpa_communities", "feature_mi", "jsd_sources", "ewma_daily",
-    "cuped_reduction", "acf_daily", "attribution_compare", "ngram_novelty",
-    "theil_sen_trend", "monthly_churn", "info_gain_splits", "mutual_nn",
-    "supplier_return_ci", "waiting_suppliers", "idle_customers",
-    "auc_by_type", "welch_ttest", "spearman_corr", "max_drawdown",
-    "stickiness", "resource_alloc", "random_walks", "trimmed_mean",
-    "simpsons_check", "trailing_wau", "top_paths", "weighted_walks",
-    "hits_scores", "cdc_chunks", "burstiness", "centroid_eval",
-    "degree_assortativity",
-    # code changed this round (the re-window-with-priority rule):
-    # survival_curve (mean-gap censoring fix), welch_ttest (exact
-    # constant-side guard), simpsons_check (slope -0.0 normalization) —
-    # all three already in the late-addition set above.
+    # never driver-witnessed — the two r14 overflow carries take their
+    # FIRST driver rows this round (VERDICT r14 #1)
+    "behavior_entropy", "below_avg_qty",
+    # code/oracle changed this round (the re-window-with-priority rule):
+    # corr_cov + ivfpq_rerank (-0.0 oracle normalization, ADVICE r14 #1),
+    # degree_assortativity + welch_ttest (ANSI-pinned DECIMAL guard
+    # coalesce, ADVICE r14 #2)
+    "corr_cov", "ivfpq_rerank", "degree_assortativity", "welch_ttest",
 }
 
 
@@ -44,11 +30,13 @@ def test_driver_window_holds_required_queries():
 
 
 # Queries with no driver row that are NOT in the current window, each with a
-# named slot at the FRONT of the next round's window (WINDOWS.md r15 plan).
+# named slot at the FRONT of the next round's window (WINDOWS.md ledger).
 # This list is the machine-checked version of the ledger's "carried" prose —
 # the r13->r14 lesson was a window plan that silently went stale by four
-# queries; now an unscheduled query fails here the day it lands.
-CARRIED_TO_NEXT_WINDOW = {"behavior_entropy", "below_avg_qty"}
+# queries; now an unscheduled query fails here the day it lands. Empty at
+# r15: the r14 carries (behavior_entropy, below_avg_qty) hold window slots,
+# so every catalog entry is witnessed or in-window.
+CARRIED_TO_NEXT_WINDOW: set[str] = set()
 
 
 def test_every_query_driver_witnessed_or_scheduled():
