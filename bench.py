@@ -208,12 +208,37 @@ def _run_inproc_suite(sf_dir: str) -> dict[str, float]:
     }
 
 
+def _settle_host(threshold: float = 4.0, max_wait_sec: int = 900) -> tuple[float, int]:
+    """Quiet-host gate (VERDICT r14 #3): the r14 round-close suite started
+    within a minute of a 25-minute pytest + double-replica load and cost a
+    full per-row adjudication cycle. The 1-minute load average decays e-fold
+    per idle minute, so waiting it below `threshold` (32-CPU host; a quiet
+    host reads <1) makes any invocation — driver round-close included —
+    quiet-host BY CONSTRUCTION. Returns (load at start of suite, secs
+    waited); BENCH_NO_SETTLE=1 skips for interactive iteration."""
+    waited = 0
+    load = os.getloadavg()[0]
+    if os.environ.get("BENCH_NO_SETTLE"):
+        return load, 0
+    while load > threshold and waited < max_wait_sec:
+        print(
+            f"[bench] host not quiet (1-min load {load:.2f} > {threshold}); "
+            f"settling… ({waited}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+        load = os.getloadavg()[0]
+    return load, waited
+
+
 def main() -> None:
     child = os.environ.get(_CHILD_ENV)
     if child:
         _child_main(child)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_at_start, settle_wait = _settle_host()
     if os.environ.get("BENCH_INPROC"):
         per_query = _run_inproc_suite(sf_dir)
     else:
@@ -226,6 +251,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": _sf_of(sf_dir),
+                "load_at_start": round(load_at_start, 2),
+                "settle_wait_sec": settle_wait,
             }
         )
     )
