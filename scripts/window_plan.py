@@ -10,12 +10,20 @@ script derives the list from CORRECTNESS_r*.json + the live catalog, so
 re-running it IS the arithmetic check.
 
 Usage:
-    PYTHONPATH=/root/repo python scripts/window_plan.py [next_round_no]
+    PYTHONPATH=/root/repo python scripts/window_plan.py [--rewindow q ...]
 
 Prints: never-witnessed queries (must lead the window), the oldest-first
 returner list that fills the remaining slots, and the first-displaced
 overflow. The current round's window members are assumed to earn rows
 this round (the driver runs the first 50 keys).
+
+--rewindow: names whose code/oracle changes this round. The ledger rule
+(WINDOWS.md) says they re-window with priority, displacing returners
+from the BACK of the selected list; passing them here applies that
+displacement mechanically and prints the final ready-to-paste
+_DRIVER_WINDOW tuple, so the arithmetic is never done by hand (the
+r15 displacement of doc_quality/gopher_quality was the first manual
+application; this flag automates the next one).
 """
 
 from __future__ import annotations
@@ -80,13 +88,52 @@ def main() -> int:
               "overflow carries instead)")
         return 0
     print(f"never-witnessed (lead the next window, after the flagship): {never}")
-    print(f"returners filling the remaining {n_fill} slots (oldest rows first):")
-    for q in returners[:n_fill]:
+    fill = list(returners[:n_fill])
+
+    rewindow: list[str] = []
+    argv = sys.argv[1:]
+    if "--rewindow" in argv:
+        rewindow = argv[argv.index("--rewindow") + 1 :]
+    unknown = [q for q in rewindow if q not in cat.QUERIES]
+    if unknown:
+        print(f"ERROR: --rewindow names not in the catalog: {unknown}")
+        return 1
+    displaced: list[str] = []
+    for q in rewindow:
+        if q == allq[0] or q in never or q in fill:
+            continue  # flagship / never-witnessed / already selected
+        if rows.get(q) == this_round:
+            print(f"note: {q} is in the CURRENT window — it earns its row "
+                  f"this round, no slot needed next round")
+            continue
+        # the ledger displacement rule: drop the last non-rewindowed member
+        for j in range(len(fill) - 1, -1, -1):
+            if fill[j] not in rewindow:
+                displaced.append(fill.pop(j))
+                break
+        else:
+            print(f"ERROR: no displaceable slot left for {q}")
+            return 1
+        fill.append(q)
+
+    print(f"returners filling the remaining {len(fill)} slots (oldest rows "
+          f"first{'; re-windows appended' if rewindow else ''}):")
+    for q in fill:
         print(f"  r{rows[q]:02d} {q}")
-    displaced = [f"r{rows[q]}:{q}" for q in reversed(returners[:n_fill])][:5]
-    print(f"displaced first if code changes re-window (back of the list): {displaced}")
-    nxt = [f"r{rows[q]}:{q}" for q in returners[n_fill : n_fill + 5]]
+    if displaced:
+        print(f"displaced to the NEXT round's returner front by --rewindow: "
+              f"{displaced}")
+    nxt = [f"r{rows[q]}:{q}"
+           for q in returners if q not in fill][: 5 + len(displaced)]
     print(f"next returners waiting beyond the window: {nxt}")
+
+    final = [allq[0], *never, *fill]
+    assert len(final) == len(set(final)) and len(final) <= WINDOW
+    print("\nfinal _DRIVER_WINDOW tuple (paste into queries/__init__.py):")
+    print("_DRIVER_WINDOW: tuple[str, ...] = (")
+    for q in final:
+        print(f'    "{q}",')
+    print(")")
     return 0
 
 
