@@ -208,14 +208,16 @@ def _run_inproc_suite(sf_dir: str) -> dict[str, float]:
     }
 
 
-def _settle_host(threshold: float = 4.0, max_wait_sec: int = 900) -> tuple[float, int]:
+def _settle_host(threshold: float = 4.0, max_wait_sec: int = 300) -> tuple[float, int]:
     """Quiet-host gate (VERDICT r14 #3): the r14 round-close suite started
     within a minute of a 25-minute pytest + double-replica load and cost a
     full per-row adjudication cycle. The 1-minute load average decays e-fold
     per idle minute, so waiting it below `threshold` (32-CPU host; a quiet
     host reads <1) makes any invocation — driver round-close included —
-    quiet-host BY CONSTRUCTION. Returns (load at start of suite, secs
-    waited); BENCH_NO_SETTLE=1 skips for interactive iteration."""
+    quiet-host BY CONSTRUCTION. The cap stays small (5 min covers a decay
+    from load ~60) so a caller-side timeout can never starve the suite
+    itself. Returns (load at start of suite, secs waited);
+    BENCH_NO_SETTLE=1 skips for interactive iteration."""
     waited = 0
     load = os.getloadavg()[0]
     if os.environ.get("BENCH_NO_SETTLE"):
