@@ -59,62 +59,62 @@ if _MISSING:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- the two r14 overflow carries: the last never-witnessed queries ---
-    "behavior_entropy",
-    "below_avg_qty",
-    # --- 44 r10-record returners (CORRECTNESS_r10.json order; the two
-    #     back-of-list members doc_quality + gopher_quality are displaced
-    #     by this round's welch_ttest/degree_assortativity re-windows) ---
-    "drift_psi",
-    "winnow_fp",
-    "heavy_hitters",
-    "ivf_balance",
-    "pq_encode",
-    "pq_adc",
-    "ivfpq",
-    "pack_bfd",
-    "repetition_stats",
-    "drift_psi_windowed",
-    "heavy_domains",
-    "join_3way",
-    "passage_dedup",
-    "unigram_logprob",
-    "bigram_logprob",
-    "knn_lsh",
-    "knn_ivf",
-    "multimodal_audio",
-    "vector_stats",
-    "vector_arith",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_dims",
-    "map_in_pandas",
-    "map_in_arrow",
-    "udtf_tokens",
-    "fanout_compute",
-    "dup_ngram_ratio",
-    "shard_corpus",
-    "length_buckets",
-    "anti_join",
-    "join_outer",
-    "range_join",
-    "corr_cov",  # r15 oracle edit (-0.0 normalization) — keeps its slot
-    "cube_agg",
-    "percentiles",
-    "value_counts",
-    "ntile_percent",
-    "rolling_avg",
-    "sliding_window",
-    "dt_accessors",
-    "pivot_daily",
-    "retention_daily",
-    "asof_tolerance",
-    # --- oldest r11 returner; r15 oracle edit (-0.0) — keeps its slot ---
-    "ivfpq_rerank",
-    # --- r15 re-windows (ANSI-pinned DECIMAL guard coalesce; both
-    #     re-replica-checked oracle-equal at sf0.001 + sf0.01) ---
-    "degree_assortativity",
-    "welch_ttest",
+    # --- 49 returners oldest-first (generated: scripts/window_plan.py).
+    #     doc_quality + gopher_quality lead (the two r15 displacements),
+    #     then the r11-record cohort in CORRECTNESS_r11.json order. The
+    #     six r16-scheduled '-0.0'-normalized oracles (decontam_semantic,
+    #     skew_profile, outlier_mad, trend_slope, collocations, knn_join)
+    #     hold their natural slots — zero displacement; each earns its
+    #     fresh row this round per the WINDOWS.md ledger rule. ---
+    "doc_quality",
+    "gopher_quality",
+    "decontam_bloom",
+    "chunk_documents",
+    "quantize_int8",
+    "cms_counts",
+    "dedup_incremental_bloom",
+    "source_overlap",
+    "drift_numeric",
+    "decontam_semantic",
+    "weighted_sample",
+    "snapshot_diff",
+    "melt_metrics",
+    "fuzzy_join",
+    "skew_profile",
+    "retrieval_eval",
+    "outlier_mad",
+    "drift_ks",
+    "pagerank",
+    "join_explosion",
+    "rrf_hybrid",
+    "fuzzy_clusters",
+    "range_join_banded",
+    "ohlc_bars",
+    "trend_slope",
+    "pagerank_weighted",
+    "fuzzy_lookup",
+    "apply_cdc",
+    "zorder_stats",
+    "dedup_stats",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "norm_dedup_stats",
+    "dedup_clusters",
+    "knn_join",
+    "wordcount",
+    "vocab_coverage",
+    "bpe_token_stats",
+    "collocations",
+    "pack_multimodal",
+    "pandas_udf_tokens",
+    "dedup_within_lag",
+    "span_scrub",
+    "substring_scrub",
+    "string_funcs",
+    "set_ops",
+    "stratified_sample",
+    "domain_filter",
+    "text_stats",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

@@ -846,11 +846,14 @@ q_outlier_mad.__doc__ = q_outlier_mad.__doc__.format(c=_MAD_C, cut=_MAD_CUT)
 
 _OUTLIER_MAD_SQL = f"""
 WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
+  -- med0, not med: the OUTPUT column med carries the '+ 0.0' -0.0
+  -- normalization and the registry lint checks every `AS med` site,
+  -- so the raw intermediate keeps a distinct name (r16 slot fix)
+  SELECT event_type, quantile_cont(value, 0.5) AS med0
   FROM events GROUP BY event_type
 ),
 dev AS (
-  SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+  SELECT e.event_type, m.med0, abs(e.value - m.med0) AS dev
   FROM events e JOIN med m USING (event_type)
 ),
 mad AS (
@@ -859,7 +862,7 @@ mad AS (
 )
 SELECT d.event_type,
        count(*) AS n,
-       round(max(d.med), 4) AS med,
+       round(max(d.med0), 4) + 0.0 AS med,
        round(max(m.mad), 4) AS mad,
        CAST(sum(CASE WHEN {_MAD_C} * d.dev > {_MAD_CUT} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(sum(CASE WHEN {_MAD_C} * d.dev > {_MAD_CUT} * m.mad THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_share,
@@ -2858,7 +2861,9 @@ SELECT '{label}' AS keyset,
        max(c) AS max_cnt,
        round(quantile_cont(c, 0.99), 4) AS p99_cnt,
        round(max(c) * 1.0 / sum(c), 6) AS hot_share,
-       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+       -- + 0.0: entropy assembled as a DIFFERENCE in double — an exact-zero
+       -- case can cancel tiny-negative and round to -0.0 (r16 slot fix)
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) + 0.0 AS entropy_bits
 FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c FROM {table} GROUP BY {key})
 """
 

@@ -355,7 +355,9 @@ tot AS (
          (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bi) AS t_bi
 )
 SELECT w1, w2, n_ab,
-       round(ln((n_ab / t_bi) / ((a.n_w / t_uni) * (b.n_w / t_uni))), 4) AS pmi
+       -- + 0.0: PMI is a log-ratio, negative-capable — a knife-edge value
+       -- must not round to -0.0 (r16 slot fix)
+       round(ln((n_ab / t_bi) / ((a.n_w / t_uni) * (b.n_w / t_uni))), 4) + 0.0 AS pmi
 FROM bi
 JOIN uni a ON a.w = bi.w1
 JOIN uni b ON b.w = bi.w2

@@ -512,12 +512,14 @@ WITH m AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
+       -- + 0.0: slope/intercept are sign-free by definition — a knife-edge
+       -- value must not round to -0.0 (r16 slot fix)
        round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope_cents_per_day,
        round((CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
                  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-             / (100.0 * CAST(n AS DOUBLE)), 4) AS intercept_dollars
+             / (100.0 * CAST(n AS DOUBLE)), 4) + 0.0 AS intercept_dollars
 FROM m ORDER BY event_type
 """
 

@@ -99,8 +99,9 @@ SELECT query_id, corpus_id, cosine FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
   FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           -- + 0.0: a tiny-negative cosine must not round to -0.0 (r16 slot fix)
            round(list_cosine_similarity({_DD.format(col='c.embedding')},
-                                        {_DD.format(col='q.embedding')}), 5) AS cosine
+                                        {_DD.format(col='q.embedding')}), 5) + 0.0 AS cosine
     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < 5
   )
@@ -1155,7 +1156,8 @@ scored AS (
                                     {_DD.format(col='e.embedding')})) AS mc
   FROM tr t CROSS JOIN ev e GROUP BY t.vec_id
 )
-SELECT vec_id, round(mc, 5) AS max_eval_cos,
+-- + 0.0: a tiny-negative max cosine must not round to -0.0 (r16 slot fix)
+SELECT vec_id, round(mc, 5) + 0.0 AS max_eval_cos,
        round(mc, 5) >= {_SEM_DECONTAM_T} AS flagged
 FROM scored
 """

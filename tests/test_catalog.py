@@ -12,14 +12,11 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # never driver-witnessed — the two r14 overflow carries take their
-    # FIRST driver rows this round (VERDICT r14 #1)
-    "behavior_entropy", "below_avg_qty",
-    # code/oracle changed this round (the re-window-with-priority rule):
-    # corr_cov + ivfpq_rerank (-0.0 oracle normalization, ADVICE r14 #1),
-    # degree_assortativity + welch_ttest (ANSI-pinned DECIMAL guard
-    # coalesce, ADVICE r14 #2)
-    "corr_cov", "ivfpq_rerank", "degree_assortativity", "welch_ttest",
+    # oracle changed this round (the re-window-with-priority rule): the six
+    # DEFERRED '-0.0' normalizations scheduled for their r16 slots
+    # (VERDICT r15 #3) — all held natural returner slots, zero displacement
+    "decontam_semantic", "skew_profile", "outlier_mad", "trend_slope",
+    "collocations", "knn_join",
 }
 
 

@@ -55,9 +55,17 @@ NORMALIZED: dict[str, tuple[str, ...]] = {
     "spearman_corr": ("rho_spearman",),
     "simpsons_check": ("slope_within", "slope_pooled"),
     "degree_assortativity": ("assortativity",),
-    # r15 (this round's window members — ADVICE r14 item 1):
+    # r15 (that round's window members — ADVICE r14 item 1):
     "corr_cov": ("corr_qty_price", "cov_qty_price", "corr_disc_tax"),
     "ivfpq_rerank": ("cosine",),
+    # r16 (the six DEFERRED sites scheduled by the r16 window plan —
+    # VERDICT r15 #3; each normalized the round it holds its slot):
+    "decontam_semantic": ("max_eval_cos",),
+    "skew_profile": ("entropy_bits",),
+    "outlier_mad": ("med",),
+    "trend_slope": ("slope_cents_per_day", "intercept_dollars"),
+    "collocations": ("pmi",),
+    "knn_join": ("cosine",),
 }
 
 # query -> rounded negative-capable output columns NOT yet normalized.
@@ -67,33 +75,52 @@ NORMALIZED: dict[str, tuple[str, ...]] = {
 DEFERRED: dict[str, tuple[str, ...]] = {
     # projected cosines (5dp) — tiny-negative if |cos| < 5e-6
     "knn_brute": ("cosine",),
-    "knn_join": ("cosine",),
     "knn_cells": ("cosine",),
     "hard_negatives": ("cosine",),
-    "decontam_semantic": ("max_eval_cos",),
-    # regression slopes/intercepts — sign-free by definition
-    "trend_slope": ("slope_cents_per_day", "intercept_dollars"),
+    # regression slopes — sign-free by definition
     "apply_in_pandas": ("slope",),
     # signed differences / log-ratios
     "dsir_weights": ("avg_imp", "min_imp", "max_imp"),
-    "collocations": ("pmi",),
     # information-theoretic DIFFERENCE forms: >= 0 mathematically but
     # assembled in double, so exact-zero cases can cancel tiny-negative
     "feature_mi": ("mi_bits", "h_target_bits", "uncertainty_coef"),
-    "skew_profile": ("entropy_bits",),
     # nonnegative on the current fixtures (events.value >= 0 at all SFs)
     # but negative-capable in class — kept enumerated per the r14 ledger
     "wow_change": ("wow_ratio",),
-    "outlier_mad": ("med",),
 }
 
 
 def _projection_sites(sql: str, alias: str) -> list[str]:
-    """The ~200 chars preceding each `AS alias` projection in the SQL."""
-    sites = [
-        sql[max(0, m.start() - 200) : m.start()]
-        for m in re.finditer(rf"\bAS\s+{alias}\b", sql)
-    ]
+    """The column's OWN expression preceding each `AS alias` projection.
+
+    ADVICE r15 #2: the old fixed 200-char lookback let a NEIGHBORING
+    normalized projection mask a regression (two '+ 0.0' sites within one
+    window). This version strips `--` comments (several carry '+ 0.0' in
+    prose) and walks backward from each `AS alias` with parenthesis-depth
+    tracking, bounding the site at the previous depth-0 comma, the
+    enclosing open-paren, or the projection list's own SELECT — so the
+    '+ 0.0' must sit inside the column's expression itself."""
+    bare = re.sub(r"--[^\n]*", "", sql)
+    sites = []
+    for m in re.finditer(rf"\bAS\s+{alias}\b", bare):
+        depth = 0
+        start = 0
+        for i in range(m.start() - 1, -1, -1):
+            ch = bare[i]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:  # enclosing subquery/CTE paren
+                    start = i + 1
+                    break
+                depth -= 1
+            elif depth == 0 and (
+                ch == ","
+                or (ch in "Tt" and bare[max(0, i - 5) : i + 1].upper() == "SELECT")
+            ):
+                start = i + 1
+                break
+        sites.append(bare[start : m.start()])
     assert sites, f"alias {alias!r} no longer projected — update the registry"
     return sites
 
