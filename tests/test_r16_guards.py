@@ -1,0 +1,48 @@
+"""r16 protocol pins (VERDICT r15 #2, ADVICE r15 #3).
+
+The bench quiet-host gate's threshold is part of the measurement protocol:
+BASELINE.md's quiet line is 1-min load <1 on the 32-CPU protocol host, and
+the r15 artifact of record showed what a laxer gate costs (load-2.43 start,
+1.33x mean, one spurious sub-second breach on unchanged code). Pin the
+resolution rule so the gate can't silently drift back.
+"""
+
+from __future__ import annotations
+
+import os
+
+import bench
+
+
+def test_settle_threshold_is_quiet_line_on_protocol_host(monkeypatch):
+    monkeypatch.delenv("BENCH_SETTLE_LOAD", raising=False)
+    monkeypatch.setattr(os, "cpu_count", lambda: 32)
+    assert bench._settle_threshold() == 1.0
+
+
+def test_settle_threshold_scales_by_cpu(monkeypatch):
+    """ADVICE r15 #3: on a smaller machine a fixed 32-CPU value would
+    under-protect — load 1.0 on 8 CPUs is not quiet."""
+    monkeypatch.delenv("BENCH_SETTLE_LOAD", raising=False)
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    assert bench._settle_threshold() == 0.25
+
+
+def test_settle_threshold_env_override(monkeypatch):
+    monkeypatch.setenv("BENCH_SETTLE_LOAD", "2.5")
+    assert bench._settle_threshold() == 2.5
+
+
+def test_settle_gate_returns_immediately_below_threshold(monkeypatch):
+    """The gate must never sleep on an already-quiet host (and the suite
+    JSON records whatever load it launched at)."""
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.12, 0.3, 0.5))
+    load, waited = bench._settle_host(threshold=1.0)
+    assert load == 0.12 and waited == 0
+
+
+def test_settle_gate_skippable_for_iteration(monkeypatch):
+    monkeypatch.setenv("BENCH_NO_SETTLE", "1")
+    monkeypatch.setattr(os, "getloadavg", lambda: (9.9, 9.9, 9.9))
+    load, waited = bench._settle_host(threshold=1.0)
+    assert load == 9.9 and waited == 0
