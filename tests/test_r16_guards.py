@@ -15,17 +15,20 @@ import bench
 
 
 def test_settle_threshold_is_quiet_line_on_protocol_host(monkeypatch):
+    """0.25 on the 32-CPU host — the deep-settle line the r16 re-freeze
+    evidence motivated (starts at 0.75-0.92 read 1.2-1.4x the medians;
+    a deeply-idle start read 1.08x)."""
     monkeypatch.delenv("BENCH_SETTLE_LOAD", raising=False)
     monkeypatch.setattr(os, "cpu_count", lambda: 32)
-    assert bench._settle_threshold() == 1.0
+    assert bench._settle_threshold() == 0.25
 
 
 def test_settle_threshold_scales_by_cpu(monkeypatch):
     """ADVICE r15 #3: on a smaller machine a fixed 32-CPU value would
-    under-protect — load 1.0 on 8 CPUs is not quiet."""
+    under-protect — load 0.25 on 8 CPUs is not deeply settled."""
     monkeypatch.delenv("BENCH_SETTLE_LOAD", raising=False)
     monkeypatch.setattr(os, "cpu_count", lambda: 8)
-    assert bench._settle_threshold() == 0.25
+    assert bench._settle_threshold() == 0.0625
 
 
 def test_settle_threshold_env_override(monkeypatch):
