@@ -49,3 +49,52 @@ def test_settle_gate_skippable_for_iteration(monkeypatch):
     monkeypatch.setattr(os, "getloadavg", lambda: (9.9, 9.9, 9.9))
     load, waited = bench._settle_host(threshold=1.0)
     assert load == 9.9 and waited == 0
+
+
+def _write_suite(tmp_path, name, queries, load):
+    import json
+
+    p = tmp_path / name
+    p.write_text(json.dumps({"queries": queries, "load_at_start": load}))
+    return str(p)
+
+
+def _run_pool(args):
+    import subprocess
+    import sys
+
+    return subprocess.run(
+        [sys.executable, "scripts/pool_medians.py", *args],
+        capture_output=True, text=True,
+    )
+
+
+def test_pool_medians_refuses_non_quiet_inputs(tmp_path):
+    """The re-freeze arithmetic must not accept a contended suite — the
+    whole point of the r16 protocol is that targets come only from
+    quiet-gate invocations."""
+    a = _write_suite(tmp_path, "a.json", {"q": 0.1}, 0.2)
+    b = _write_suite(tmp_path, "b.json", {"q": 0.1}, 1.8)
+    r = _run_pool([a, b])
+    assert r.returncode == 1 and "REFUSING" in r.stderr
+    assert _run_pool([a, b, "--allow-load"]).returncode == 0
+
+
+def test_pool_medians_median_and_drift_flag(tmp_path):
+    import json
+
+    runs = [
+        _write_suite(tmp_path, f"s{i}.json", {"q": v, "r": 0.1}, 0.1)
+        for i, v in enumerate([0.40, 0.44, 0.46, 1.20])
+    ]
+    prior = tmp_path / "prior.json"
+    prior.write_text(json.dumps({"q": 300, "r": 100}))
+    r = _run_pool([*runs, "--prior", str(prior)])
+    assert r.returncode == 0
+    meds = json.loads(r.stdout.strip().splitlines()[-1])
+    # median of 400/440/460/1200 = 450 — the single 1.2 s outlier is damped
+    assert meds == {"q": 450, "r": 100}
+    # q moved 1.5x vs prior -> flagged; r moved 1.0x -> not flagged
+    table = r.stdout
+    assert "**CHECK**" in table
+    assert table.count("**CHECK**") == 1
