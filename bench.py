@@ -220,9 +220,8 @@ def _settle_threshold() -> float:
     started at 0.75 after a 120 s wait and still ran hot, which is why the
     frozen medians are pooled across start states rather than taken from
     one lucky run."""
-    return float(
-        os.environ.get("BENCH_SETTLE_LOAD", 0)
-    ) or 0.25 * (os.cpu_count() or 32) / 32.0
+    env = os.environ.get("BENCH_SETTLE_LOAD", "").strip()
+    return float(env) if env else 0.25 * (os.cpu_count() or 32) / 32.0
 
 
 def _settle_host(threshold: float | None = None, max_wait_sec: int = 300) -> tuple[float, int]:

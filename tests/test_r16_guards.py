@@ -36,6 +36,13 @@ def test_settle_threshold_env_override(monkeypatch):
     assert bench._settle_threshold() == 2.5
 
 
+def test_settle_threshold_ignores_empty_env(monkeypatch):
+    """A set-but-empty override must fall back, not crash float('')."""
+    monkeypatch.setenv("BENCH_SETTLE_LOAD", "")
+    monkeypatch.setattr(os, "cpu_count", lambda: 32)
+    assert bench._settle_threshold() == 0.25
+
+
 def test_settle_gate_returns_immediately_below_threshold(monkeypatch):
     """The gate must never sleep on an already-quiet host (and the suite
     JSON records whatever load it launched at)."""
