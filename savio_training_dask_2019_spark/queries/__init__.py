@@ -59,62 +59,65 @@ if _MISSING:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- 49 returners oldest-first (generated: scripts/window_plan.py).
-    #     doc_quality + gopher_quality lead (the two r15 displacements),
-    #     then the r11-record cohort in CORRECTNESS_r11.json order. The
-    #     six r16-scheduled '-0.0'-normalized oracles (decontam_semantic,
-    #     skew_profile, outlier_mad, trend_slope, collocations, knn_join)
-    #     hold their natural slots — zero displacement; each earns its
-    #     fresh row this round per the WINDOWS.md ledger rule. ---
-    "doc_quality",
-    "gopher_quality",
-    "decontam_bloom",
-    "chunk_documents",
-    "quantize_int8",
-    "cms_counts",
-    "dedup_incremental_bloom",
-    "source_overlap",
-    "drift_numeric",
-    "decontam_semantic",
-    "weighted_sample",
-    "snapshot_diff",
-    "melt_metrics",
-    "fuzzy_join",
-    "skew_profile",
-    "retrieval_eval",
-    "outlier_mad",
-    "drift_ks",
-    "pagerank",
-    "join_explosion",
-    "rrf_hybrid",
-    "fuzzy_clusters",
-    "range_join_banded",
-    "ohlc_bars",
-    "trend_slope",
-    "pagerank_weighted",
-    "fuzzy_lookup",
-    "apply_cdc",
-    "zorder_stats",
-    "dedup_stats",
-    "dedup_keep_first",
-    "doc_fingerprint",
-    "norm_dedup_stats",
-    "dedup_clusters",
-    "knn_join",
-    "wordcount",
-    "vocab_coverage",
-    "bpe_token_stats",
-    "collocations",
-    "pack_multimodal",
-    "pandas_udf_tokens",
-    "dedup_within_lag",
-    "span_scrub",
-    "substring_scrub",
-    "string_funcs",
-    "set_ops",
-    "stratified_sample",
-    "domain_filter",
-    "text_stats",
+    # --- 49 returners oldest-first (generated: scripts/window_plan.py
+    #     --rewindow knn_brute knn_cells hard_negatives feature_mi
+    #     wow_change — VERDICT r16 #1). minhash_pairs leads (oldest row
+    #     of record, r11), then the r12-record cohort in
+    #     CORRECTNESS_r12.json order. The two naturally-rotating
+    #     '-0.0'-normalized oracles (apply_in_pandas, dsir_weights) hold
+    #     their scheduled slots; the five --rewindow members (the last
+    #     DEFERRED '-0.0' sites, normalized this round) displace
+    #     dedup_incremental, mixture_weights, dedup_keep_best,
+    #     ccnet_bands, pii_redact to the r18 returner front. ---
+    "minhash_pairs",
+    "kmeans_train",
+    "triangle_count",
+    "group_kll_quantiles",
+    "interval_coverage",
+    "skyline_parts",
+    "twap",
+    "heavy_tokens_by_lang",
+    "benford_digits",
+    "ivm_agg",
+    "reachable_nodes",
+    "dedup_eval",
+    "spatial_pairs",
+    "mmr_rerank",
+    "funnel_window",
+    "rolling_anomaly",
+    "ann_recall",
+    "bm25_search",
+    "dsir_weights",
+    "emb_near_dup_lsh",
+    "ngram_jaccard",
+    "simhash_pairs",
+    "substring_dup_stats",
+    "substring_rebuild",
+    "bpe_train_merges",
+    "multimodal_imgstats",
+    "mixture_sample",
+    "agg_stats",
+    "nullsafe_join",
+    "grouping_sets",
+    "describe_summary",
+    "funnel_stages",
+    "session_window",
+    "asof_join",
+    "bpe_merges",
+    "token_entropy",
+    "lang_id",
+    "zipf_curve",
+    "doc_tfidf",
+    "grouped_agg_pandas",
+    "apply_in_pandas",
+    "cogroup_stats",
+    "decontam_scrub",
+    "pack_sequences",
+    "knn_brute",
+    "knn_cells",
+    "hard_negatives",
+    "feature_mi",
+    "wow_change",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

@@ -1617,11 +1617,13 @@ per_doc AS (
   GROUP BY doc_id, lang
 )
 SELECT lang, count(*) AS n_docs,
-       round(avg(imp), 4) AS avg_imp,
+       -- + 0.0 (x3): signed log-ratio importances must not round to -0.0
+       -- (r17 slot fix)
+       round(avg(imp), 4) + 0.0 AS avg_imp,
        CAST(sum(CASE WHEN imp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
        round(avg(CASE WHEN imp > 0 THEN 1.0 ELSE 0.0 END), 4) AS sel_rate,
-       round(min(imp), 4) AS min_imp,
-       round(max(imp), 4) AS max_imp
+       round(min(imp), 4) + 0.0 AS min_imp,
+       round(max(imp), 4) + 0.0 AS max_imp
 FROM per_doc GROUP BY lang ORDER BY lang
 """
 

@@ -87,7 +87,8 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _APPLY_IN_PANDAS_SQL = """
 SELECT o_orderpriority,
-       round(regr_slope(o_totalprice, epoch(o_orderdate) / 86400.0), 6) AS slope
+       -- + 0.0: a tiny-negative slope must not round to -0.0 (r17 slot fix)
+       round(regr_slope(o_totalprice, epoch(o_orderdate) / 86400.0), 6) + 0.0 AS slope
 FROM orders GROUP BY o_orderpriority
 """
 

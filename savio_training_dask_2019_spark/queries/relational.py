@@ -1966,9 +1966,12 @@ WITH j AS (
   SELECT feature,
          CAST(count(DISTINCT val) AS BIGINT) AS n_vals,
          CAST(max(n) AS BIGINT) AS n_rows,
+         -- + 0.0: MI is >= 0 mathematically but assembled as a double
+         -- DIFFERENCE form — exact-zero cases can cancel tiny-negative
+         -- and round to -0.0 (r17 slot fix)
          round(sum(CAST(cxy AS DOUBLE)
                    * log2(CAST(cxy * n AS DOUBLE)
-                          / CAST(cx * cy AS DOUBLE))) / max(n), 5)
+                          / CAST(cx * cy AS DOUBLE))) / max(n), 5) + 0.0
            AS mi_bits
   FROM enriched GROUP BY 1
 ), ym AS (
@@ -1976,17 +1979,19 @@ WITH j AS (
   FROM counts GROUP BY 1, 2
 ), hy AS (
   SELECT feature,
+         -- + 0.0: entropy via negated sum can round to -0.0 (r17 slot fix)
          round(-sum(CAST(cy AS DOUBLE)
                     * log2(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)))
-               / max(n), 5) AS h_target_bits
+               / max(n), 5) + 0.0 AS h_target_bits
   FROM (SELECT feature, y, cy,
                CAST(sum(cy) OVER (PARTITION BY feature) AS BIGINT) AS n
         FROM ym) t
   GROUP BY 1
 )
 SELECT mi.feature, n_vals, n_rows, mi_bits, h_target_bits,
+       -- + 0.0: ratio of two signed-zero-capable terms (r17 slot fix)
        CASE WHEN h_target_bits = 0 THEN NULL ELSE
-         round(mi_bits / h_target_bits, 4) END AS uncertainty_coef
+         round(mi_bits / h_target_bits, 4) + 0.0 END AS uncertainty_coef
 FROM mi JOIN hy ON mi.feature = hy.feature
 """
 

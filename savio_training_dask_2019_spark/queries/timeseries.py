@@ -1560,11 +1560,13 @@ WITH wk AS (
 SELECT event_type, week_start, cents,
        lag(cents) OVER (PARTITION BY event_type ORDER BY week_start)
          AS prev_cents,
+       -- + 0.0: nonnegative on current fixtures but negative-capable in
+       -- class — a tiny-negative ratio must not round to -0.0 (r17 slot fix)
        CASE WHEN lag(cents) OVER (PARTITION BY event_type
                                   ORDER BY week_start) > 0
             THEN round(cents / CAST(lag(cents) OVER (
                    PARTITION BY event_type ORDER BY week_start)
-                   AS DOUBLE), 4)
+                   AS DOUBLE), 4) + 0.0
        END AS wow_ratio
 FROM wk
 """

@@ -75,8 +75,9 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_BRUTE_SQL = f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id AS id,
+       -- + 0.0: a tiny-negative cosine must not round to -0.0 (r17 slot fix)
        round(list_cosine_similarity({_DD.format(col='embedding')},
-                                    {_DD.format(col='qe')}), 5) AS cosine
+                                    {_DD.format(col='qe')}), 5) + 0.0 AS cosine
 FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY cosine DESC, id LIMIT 10
@@ -127,8 +128,9 @@ SELECT query_id, corpus_id, cosine, neg_label FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
   FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           -- + 0.0: a tiny-negative cosine must not round to -0.0 (r17 slot fix)
            round(list_cosine_similarity({_DD.format(col='c.embedding')},
-                                        {_DD.format(col='q.embedding')}), 5) AS cosine,
+                                        {_DD.format(col='q.embedding')}), 5) + 0.0 AS cosine,
            c.label AS neg_label
     FROM embeddings q JOIN embeddings c ON q.label <> c.label
     WHERE q.vec_id < 8
@@ -403,8 +405,9 @@ probes AS (
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS corpus_id,
+         -- + 0.0: a tiny-negative cosine must not round to -0.0 (r17 slot fix)
          round(list_cosine_similarity({_DD.format(col='q.embedding')},
-                                      {_DD.format(col='x.embedding')}), 5) AS cosine
+                                      {_DD.format(col='x.embedding')}), 5) + 0.0 AS cosine
   FROM probes p
   JOIN assigned a USING (cell)
   JOIN embeddings q ON q.vec_id = p.query_id

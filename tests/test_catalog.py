@@ -12,11 +12,13 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # oracle changed this round (the re-window-with-priority rule): the six
-    # DEFERRED '-0.0' normalizations scheduled for their r16 slots
-    # (VERDICT r15 #3) — all held natural returner slots, zero displacement
-    "decontam_semantic", "skew_profile", "outlier_mad", "trend_slope",
-    "collocations", "knn_join",
+    # oracle changed this round (the re-window-with-priority rule): the
+    # final seven DEFERRED '-0.0' normalizations (VERDICT r16 #1) —
+    # apply_in_pandas + dsir_weights rotate in naturally, the other five
+    # were pulled in via `window_plan.py --rewindow` so DEFERRED empties
+    # in one round
+    "apply_in_pandas", "dsir_weights", "knn_brute", "knn_cells",
+    "hard_negatives", "feature_mi", "wow_change",
 }
 
 
