@@ -221,7 +221,20 @@ def _settle_threshold() -> float:
     frozen medians are pooled across start states rather than taken from
     one lucky run."""
     env = os.environ.get("BENCH_SETTLE_LOAD", "").strip()
-    return float(env) if env else 0.25 * (os.cpu_count() or 32) / 32.0
+    default = 0.25 * (os.cpu_count() or 32) / 32.0
+    if not env:
+        return default
+    try:
+        return float(env)
+    except ValueError:
+        # ADVICE r16 #2: a malformed override must not crash the suite
+        # before it runs — fall back loudly to the computed default.
+        print(
+            f"[bench] ignoring non-numeric BENCH_SETTLE_LOAD={env!r}; "
+            f"using default {default:.4g}",
+            file=sys.stderr,
+        )
+        return default
 
 
 def _settle_host(threshold: float | None = None, max_wait_sec: int = 300) -> tuple[float, int]:

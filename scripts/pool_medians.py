@@ -4,14 +4,25 @@
 The freeze protocol (BASELINE.md, Normative targets) re-derives every
 frozen median as the per-row median across N complete quiet-host suite
 invocations. This script is the arithmetic: it refuses non-quiet inputs
-(load_at_start must be under the gate line unless --allow-load), prints
-per-row runs / median / 2x target, and flags rows whose new median moves
-more than 25% from an optional prior-median JSON so a re-freeze can't
-silently absorb a real regression.
+(load_at_start must be at or under bench.py's own gate line,
+``_settle_threshold()`` — 0.25·cpu_count/32 by default — unless a higher
+``--max-load`` is given explicitly), requires every row to appear in
+EVERY suite (a truncated suite must never silently skew a frozen
+median), prints per-row runs / median / 2x target, and flags rows whose
+new median moves more than 25% from an optional prior-median JSON so a
+re-freeze can't silently absorb a real regression.
+
+History note: the r16 pool (scripts/frozen_medians_r16.json) was taken
+under the protocol's then-current <1.0 refusal line — three of its four
+suites started at loads 0.75-0.92, a deliberate pooling-across-start-
+states decision documented in BASELINE.md's r16 Numbers block. Since
+r17 (ADVICE r16 #1) the refusal tracks the deep-settle gate itself, so
+any FUTURE pool is quiet-by-construction unless --max-load says
+otherwise on the record.
 
 Usage:
-    python scripts/pool_medians.py run1.json run2.json ... \
-        [--prior prior_medians.json] [--allow-load]
+    PYTHONPATH=/root/repo python scripts/pool_medians.py run1.json run2.json ... \
+        [--prior prior_medians.json] [--max-load X]
 
 Output: a markdown-ready table plus a {"row": median_ms} JSON line.
 """
@@ -19,15 +30,26 @@ Output: a markdown-ready table plus a {"row": median_ms} JSON line.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _settle_threshold  # noqa: E402
 
 
 def main() -> int:
     argv = sys.argv[1:]
-    allow_load = "--allow-load" in argv
-    if allow_load:
-        argv.remove("--allow-load")
+    max_load = _settle_threshold()
+    if "--allow-load" in argv:
+        print("--allow-load was removed (ADVICE r16 #1): pass an explicit "
+              "--max-load X so the override is on the record", file=sys.stderr)
+        return 1
+    if "--max-load" in argv:
+        i = argv.index("--max-load")
+        max_load = float(argv[i + 1])
+        del argv[i : i + 2]
     prior: dict[str, float] = {}
     if "--prior" in argv:
         i = argv.index("--prior")
@@ -41,18 +63,32 @@ def main() -> int:
     for p in argv:
         d = json.load(open(p))
         load = d.get("load_at_start")
-        if not allow_load and (load is None or load >= 1.0):
+        if load is None or load > max_load:
             print(f"REFUSING {p}: load_at_start={load} is not quiet "
-                  f"(<1.0 required; --allow-load to override)", file=sys.stderr)
+                  f"(<= {max_load:.4g} required — bench.py's gate line; "
+                  f"--max-load to override explicitly)", file=sys.stderr)
             return 1
-        suites.append(d["queries"])
+        suites.append((p, d["queries"]))
 
-    rows = sorted(set().union(*suites))
+    rows = sorted(set().union(*(s for _, s in suites)))
+    # ADVICE r16 #3: the docstring requires COMPLETE suites — a row
+    # missing from any input would be pooled over fewer runs silently.
+    incomplete = {
+        q: [p for p, s in suites if q not in s]
+        for q in rows
+        if any(q not in s for _, s in suites)
+    }
+    if incomplete:
+        for q, missing in sorted(incomplete.items()):
+            print(f"INCOMPLETE row {q!r}: absent from {missing}", file=sys.stderr)
+        print("refusing to pool incomplete suites", file=sys.stderr)
+        return 1
+
     medians = {}
     print("| row | runs (ms) | median | target (2x) | vs prior |")
     print("| --- | --- | --- | --- | --- |")
     for q in rows:
-        runs = [round(s[q] * 1000) for s in suites if q in s]
+        runs = [round(s[q] * 1000) for _, s in suites]
         med = round(statistics.median(runs))
         medians[q] = med
         drift = ""

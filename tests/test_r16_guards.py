@@ -66,25 +66,46 @@ def _write_suite(tmp_path, name, queries, load):
     return str(p)
 
 
-def _run_pool(args):
+def _run_pool(args, settle_load="0.25"):
     import subprocess
     import sys
 
+    env = dict(os.environ, BENCH_SETTLE_LOAD=settle_load)
     return subprocess.run(
         [sys.executable, "scripts/pool_medians.py", *args],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
     )
 
 
 def test_pool_medians_refuses_non_quiet_inputs(tmp_path):
     """The re-freeze arithmetic must not accept a contended suite — the
     whole point of the r16 protocol is that targets come only from
-    quiet-gate invocations."""
+    quiet-gate invocations. Since r17 (ADVICE r16 #1) the refusal line IS
+    bench._settle_threshold() — the gate line — not the historical <1.0."""
     a = _write_suite(tmp_path, "a.json", {"q": 0.1}, 0.2)
     b = _write_suite(tmp_path, "b.json", {"q": 0.1}, 1.8)
     r = _run_pool([a, b])
     assert r.returncode == 1 and "REFUSING" in r.stderr
-    assert _run_pool([a, b, "--allow-load"]).returncode == 0
+    # load 0.8 was legal under the old hardcoded <1.0 but is NOT quiet
+    # under the gate line — the exact under-protection ADVICE r16 #1 named
+    c = _write_suite(tmp_path, "c.json", {"q": 0.1}, 0.8)
+    r = _run_pool([a, c])
+    assert r.returncode == 1 and "REFUSING" in r.stderr
+    # the override must be explicit and on the record (a named ceiling)
+    assert _run_pool([a, b, "--max-load", "2.0"]).returncode == 0
+    r = _run_pool([a, b, "--allow-load"])
+    assert r.returncode == 1 and "--max-load" in r.stderr
+    # the refusal threshold tracks BENCH_SETTLE_LOAD (i.e. the gate line)
+    assert _run_pool([a, c], settle_load="0.9").returncode == 0
+
+
+def test_pool_medians_refuses_incomplete_suites(tmp_path):
+    """ADVICE r16 #3: a row absent from one input would silently pool over
+    fewer runs — a truncated suite must be an error, not a quieter median."""
+    a = _write_suite(tmp_path, "a.json", {"q": 0.1, "r": 0.2}, 0.1)
+    b = _write_suite(tmp_path, "b.json", {"q": 0.1}, 0.1)
+    r = _run_pool([a, b])
+    assert r.returncode == 1 and "INCOMPLETE" in r.stderr and "'r'" in r.stderr
 
 
 def test_pool_medians_median_and_drift_flag(tmp_path):
@@ -105,3 +126,12 @@ def test_pool_medians_median_and_drift_flag(tmp_path):
     table = r.stdout
     assert "**CHECK**" in table
     assert table.count("**CHECK**") == 1
+
+
+def test_settle_threshold_non_numeric_env_falls_back(monkeypatch, capsys):
+    """ADVICE r16 #2: a malformed BENCH_SETTLE_LOAD must not crash the
+    suite before it runs — fall back loudly to the computed default."""
+    monkeypatch.setenv("BENCH_SETTLE_LOAD", "0.25x")
+    monkeypatch.setattr(os, "cpu_count", lambda: 32)
+    assert bench._settle_threshold() == 0.25
+    assert "BENCH_SETTLE_LOAD" in capsys.readouterr().err
