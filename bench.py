@@ -208,6 +208,9 @@ def _run_inproc_suite(sf_dir: str) -> dict[str, float]:
     }
 
 
+_WARNED_SETTLE_LOAD = False  # warn-once latch for the non-numeric override
+
+
 def _settle_threshold() -> float:
     """The quiet-host load line: BENCH_SETTLE_LOAD if set, else 0.25 scaled
     by cpu_count/32 (ADVICE r15 #3 — a fixed value silently under-protects
@@ -229,11 +232,17 @@ def _settle_threshold() -> float:
     except ValueError:
         # ADVICE r16 #2: a malformed override must not crash the suite
         # before it runs — fall back loudly to the computed default.
-        print(
-            f"[bench] ignoring non-numeric BENCH_SETTLE_LOAD={env!r}; "
-            f"using default {default:.4g}",
-            file=sys.stderr,
-        )
+        # ADVICE r17 #3: once per process — _settle_threshold() is called
+        # by every pool_medians refusal check and by each gate pass, and a
+        # long-lived process must not repeat the identical warning.
+        global _WARNED_SETTLE_LOAD
+        if not _WARNED_SETTLE_LOAD:
+            _WARNED_SETTLE_LOAD = True
+            print(
+                f"[bench] ignoring non-numeric BENCH_SETTLE_LOAD={env!r}; "
+                f"using default {default:.4g}",
+                file=sys.stderr,
+            )
         return default
 
 

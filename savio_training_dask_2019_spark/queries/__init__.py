@@ -59,65 +59,63 @@ if _MISSING:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "agg_groupby",
-    # --- 49 returners oldest-first (generated: scripts/window_plan.py
-    #     --rewindow knn_brute knn_cells hard_negatives feature_mi
-    #     wow_change — VERDICT r16 #1). minhash_pairs leads (oldest row
-    #     of record, r11), then the r12-record cohort in
-    #     CORRECTNESS_r12.json order. The two naturally-rotating
-    #     '-0.0'-normalized oracles (apply_in_pandas, dsir_weights) hold
-    #     their scheduled slots; the five --rewindow members (the last
-    #     DEFERRED '-0.0' sites, normalized this round) displace
-    #     dedup_incremental, mixture_weights, dedup_keep_best,
-    #     ccnet_bands, pii_redact to the r18 returner front. ---
-    "minhash_pairs",
-    "kmeans_train",
-    "triangle_count",
-    "group_kll_quantiles",
-    "interval_coverage",
-    "skyline_parts",
-    "twap",
-    "heavy_tokens_by_lang",
-    "benford_digits",
-    "ivm_agg",
-    "reachable_nodes",
-    "dedup_eval",
-    "spatial_pairs",
-    "mmr_rerank",
-    "funnel_window",
-    "rolling_anomaly",
-    "ann_recall",
-    "bm25_search",
-    "dsir_weights",
-    "emb_near_dup_lsh",
-    "ngram_jaccard",
-    "simhash_pairs",
-    "substring_dup_stats",
-    "substring_rebuild",
-    "bpe_train_merges",
-    "multimodal_imgstats",
-    "mixture_sample",
-    "agg_stats",
-    "nullsafe_join",
-    "grouping_sets",
-    "describe_summary",
-    "funnel_stages",
-    "session_window",
-    "asof_join",
-    "bpe_merges",
-    "token_entropy",
-    "lang_id",
-    "zipf_curve",
-    "doc_tfidf",
-    "grouped_agg_pandas",
-    "apply_in_pandas",
-    "cogroup_stats",
-    "decontam_scrub",
-    "pack_sequences",
-    "knn_brute",
-    "knn_cells",
-    "hard_negatives",
-    "feature_mi",
-    "wow_change",
+    # --- 49 returners oldest-first (generated: scripts/window_plan.py,
+    #     r18 — a pure rotation, no --rewindow members: DEFERRED emptied
+    #     in r17 and no oracle changed this round. The five r17
+    #     displacements lead (pii_redact, ccnet_bands, dedup_keep_best,
+    #     mixture_weights, dedup_incremental — r12 rows), then
+    #     split_leakage (r12) and the r13-record cohort in
+    #     CORRECTNESS_r13.json order. Displaced to the r19 returner
+    #     front: topk, window_rank (r13), then the r14 cohort. ---
+    "pii_redact",
+    "ccnet_bands",
+    "dedup_keep_best",
+    "mixture_weights",
+    "dedup_incremental",
+    "split_leakage",
+    "group_cms_counts",
+    "gap_fill",
+    "transition_matrix",
+    "basket_pairs",
+    "weighted_median",
+    "chi2_abtest",
+    "activity_streaks",
+    "null_profile",
+    "ref_integrity",
+    "conversion_lag",
+    "heaps_curve",
+    "session_stats",
+    "degree_histogram",
+    "sparse_cosine_pairs",
+    "cohort_ltv",
+    "abc_by_brand",
+    "backlog_monthly",
+    "market_hhi",
+    "late_shipment_rate",
+    "semi_join",
+    "distinct_approx",
+    "json_extract",
+    "time_bucket",
+    "decontam_check",
+    "semdedup_clusters",
+    "hll_sketch_union",
+    "kll_quantiles",
+    "rolling_fp",
+    "svd_embeddings",
+    "multimodal_resize",
+    "multimodal_frames",
+    "bpe_apply",
+    "select_filter",
+    "derived_column",
+    "null_handling",
+    "sample_mod",
+    "sort_limit",
+    "cross_join",
+    "cumsum",
+    "lag_lead",
+    "tumbling_window",
+    "distinct",
+    "emb_near_dup",
 )
 
 _UNKNOWN = set(_DRIVER_WINDOW) - QUERIES.keys()

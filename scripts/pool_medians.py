@@ -48,7 +48,15 @@ def main() -> int:
         return 1
     if "--max-load" in argv:
         i = argv.index("--max-load")
-        max_load = float(argv[i + 1])
+        try:
+            max_load = float(argv[i + 1])
+        except (IndexError, ValueError):
+            # ADVICE r17 #1: a trailing or non-numeric --max-load must be a
+            # one-line usage error, not a traceback (bench.py's env parsing
+            # was hardened the same way in r17).
+            got = argv[i + 1] if i + 1 < len(argv) else "<missing>"
+            print(f"usage: --max-load X (numeric); got {got!r}", file=sys.stderr)
+            return 1
         del argv[i : i + 2]
     prior: dict[str, float] = {}
     if "--prior" in argv:
@@ -63,7 +71,16 @@ def main() -> int:
     for p in argv:
         d = json.load(open(p))
         load = d.get("load_at_start")
-        if load is None or load > max_load:
+        if load is None:
+            # ADVICE r17 #2: a missing load_at_start is NEVER poolable — no
+            # --max-load value can attest a start state that was not
+            # recorded. Say so instead of pointing at an override that
+            # cannot apply.
+            print(f"REFUSING {p}: no load_at_start recorded — a suite "
+                  f"without a start-state reading is never poolable "
+                  f"(re-run it under the current bench.py)", file=sys.stderr)
+            return 1
+        if load > max_load:
             print(f"REFUSING {p}: load_at_start={load} is not quiet "
                   f"(<= {max_load:.4g} required — bench.py's gate line; "
                   f"--max-load to override explicitly)", file=sys.stderr)

@@ -12,13 +12,13 @@ from savio_training_dask_2019_spark.queries import ORACLE, QUERIES
 # implementation changed since its newest green row. Demotions past the cap
 # must never touch these.
 MUST_BE_DRIVER_CHECKED = {
-    # oracle changed this round (the re-window-with-priority rule): the
-    # final seven DEFERRED '-0.0' normalizations (VERDICT r16 #1) —
-    # apply_in_pandas + dsir_weights rotate in naturally, the other five
-    # were pulled in via `window_plan.py --rewindow` so DEFERRED empties
-    # in one round
-    "apply_in_pandas", "dsir_weights", "knn_brute", "knn_cells",
-    "hard_negatives", "feature_mi", "wow_change",
+    # r18 is a pure rotation (DEFERRED emptied r17; no oracle or query
+    # code changed this round), so no re-window-with-priority members.
+    # Pin the five r17 displacements instead: the ledger promised them
+    # the r18 returner front (WINDOWS.md r17 block), so them falling out
+    # of the window again would break the rotation contract.
+    "pii_redact", "ccnet_bands", "dedup_keep_best",
+    "mixture_weights", "dedup_incremental",
 }
 
 

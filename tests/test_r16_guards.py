@@ -133,5 +133,45 @@ def test_settle_threshold_non_numeric_env_falls_back(monkeypatch, capsys):
     suite before it runs — fall back loudly to the computed default."""
     monkeypatch.setenv("BENCH_SETTLE_LOAD", "0.25x")
     monkeypatch.setattr(os, "cpu_count", lambda: 32)
+    monkeypatch.setattr(bench, "_WARNED_SETTLE_LOAD", False)
     assert bench._settle_threshold() == 0.25
     assert "BENCH_SETTLE_LOAD" in capsys.readouterr().err
+
+
+def test_settle_threshold_non_numeric_warns_once_per_process(monkeypatch, capsys):
+    """ADVICE r17 #3: the fallback warning must not repeat on every
+    _settle_threshold() call — pool_medians calls it per refusal check and
+    a long-lived process would spam identical lines."""
+    monkeypatch.setenv("BENCH_SETTLE_LOAD", "oops")
+    monkeypatch.setattr(os, "cpu_count", lambda: 32)
+    monkeypatch.setattr(bench, "_WARNED_SETTLE_LOAD", False)
+    assert bench._settle_threshold() == 0.25
+    assert bench._settle_threshold() == 0.25
+    assert capsys.readouterr().err.count("BENCH_SETTLE_LOAD") == 1
+
+
+def test_pool_medians_max_load_usage_errors(tmp_path):
+    """ADVICE r17 #1: --max-load as the last argument or with a
+    non-numeric value is a one-line usage error (rc 1), not a traceback."""
+    a = _write_suite(tmp_path, "a.json", {"q": 0.1}, load=0.0)
+    b = _write_suite(tmp_path, "b.json", {"q": 0.1}, load=0.0)
+    for extra in (["--max-load"], ["--max-load", "fast"]):
+        r = _run_pool([a, b] + extra)
+        assert r.returncode == 1
+        assert "usage: --max-load" in r.stderr
+        assert "Traceback" not in r.stderr
+
+
+def test_pool_medians_missing_load_message_never_points_at_max_load(tmp_path):
+    """ADVICE r17 #2: a suite JSON with no load_at_start is refused with a
+    message saying it is never poolable — not one pointing at --max-load,
+    which cannot override an unrecorded start state."""
+    import json
+
+    a = _write_suite(tmp_path, "a.json", {"q": 0.1}, load=0.0)
+    nl = tmp_path / "noload.json"
+    nl.write_text(json.dumps({"queries": {"q": 0.1}}))
+    r = _run_pool([a, str(nl)])
+    assert r.returncode == 1
+    assert "never poolable" in r.stderr
+    assert "--max-load" not in r.stderr
