@@ -21,8 +21,11 @@ length ~``L/(k+1)`` are selective); each string contributes ``k+1``
 segments and ``O(k^2)`` candidate substrings, so the join is linear in
 rows times a small ``k``-polynomial — never all-pairs.  Hot segment
 values (shared prefixes) make hot blocks; AQE skew-join splitting applies
-because the join is a plain equi-join.  The exact verify runs only on
-deduplicated candidates.
+because the join is a plain equi-join.  The exact verify is BANDED
+(``levenshtein(a, b, k)`` — O(k·L) cells, Spark 3.5+) and runs map-side in
+the join stage, so only true pairs reach the pair-dedup exchange (r18:
+dedup-then-verify shuffled the whole candidate stream; on degenerate hot
+blocks that is O(block²) rows through one exchange).
 """
 
 from __future__ import annotations
@@ -46,7 +49,19 @@ def _seg_pos(i: str, length: str, k: int) -> str:
 
 
 def _prep(df: DataFrame, id_col: str, str_col: str, k: int) -> DataFrame:
-    return (
+    """Project to (id, s, L) and SPREAD to at least defaultParallelism
+    partitions. The spread matters because everything downstream —
+    substring generation (three nested explodes), the block join probe,
+    and the banded verify in the join stage — is narrow and inherits the
+    scan's partitioning: a single-row-group fixture file otherwise runs
+    the whole candidate pipeline on 1-2 tasks (measured r18: the sf0.1
+    block join + verify sat at 2 tasks, 12.5 s; spread, it uses every
+    core). At corpus scale the scan already has >= cores partitions and
+    the repartition is a no-op decision (the ensure_min_partitions
+    contract, sources/parquet.py)."""
+    from ..sources.parquet import ensure_min_partitions
+
+    return ensure_min_partitions(
         df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
         .filter(F.length("s") > k)
         .withColumn("L", F.length("s"))
@@ -178,6 +193,10 @@ def edit_distance_join(
     seg = _segments(s, k)
     sub = _substrings(s, k)
     if rejoin_by_id:
+        # candidates dedup to bare id pairs BEFORE the strings are fetched
+        # (that is this path's whole point), so the verify necessarily runs
+        # after the dedup — but banded (threshold=k) so each check costs
+        # O(k·L) cells instead of the full O(L²) matrix.
         strs = s.select("id", "s")
         cand = (
             _candidate_ids(seg, sub)
@@ -190,35 +209,45 @@ def edit_distance_join(
                 "id_b",
             )
         )
-    else:
-        cand = (
-            seg.alias("a")
-            .join(
-                sub.alias("b"),
-                (F.col("a.i") == F.col("b.i"))
-                & (F.col("a.La") == F.col("b.La"))
-                & (F.col("a.blk") == F.col("b.blk"))
-                & (F.col("a.id") != F.col("b.id")),
+        return (
+            cand.select(
+                "id_a",
+                "id_b",
+                F.levenshtein("s_a", "s_b", k).cast("int").alias("dist"),
             )
-            .select(
-                F.least("a.id", "b.id").alias("id_a"),
-                F.greatest("a.id", "b.id").alias("id_b"),
-                F.when(F.col("a.id") < F.col("b.id"), F.col("a.s"))
-                .otherwise(F.col("b.s"))
-                .alias("s_a"),
-                F.when(F.col("a.id") < F.col("b.id"), F.col("b.s"))
-                .otherwise(F.col("a.s"))
-                .alias("s_b"),
-            )
-            # one verify per unordered pair, however many blocks matched
-            .dropDuplicates(["id_a", "id_b"])
+            # threshold form returns -1 above k, the exact distance otherwise
+            .filter(F.col("dist") >= 0)
         )
-
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.levenshtein("s_a", "s_b").cast("int").alias("dist"),
-    ).filter(F.col("dist") <= k)
+    # Verify BEFORE the pair dedup (r18 optimization, guide §2.3/§2.4):
+    # degenerate hot blocks (shared prefixes — the fixture's adversarial
+    # case, and boilerplate at corpus scale) make the block join emit
+    # O(block²) candidate occurrences; shipping them all through the
+    # dropDuplicates exchange shuffles the whole candidate stream to save
+    # duplicate verifies. The banded levenshtein (threshold=k → O(k·L)
+    # cells, -1 above k) is cheaper than that exchange by orders of
+    # magnitude, so run it map-side in the join stage and shuffle only the
+    # TRUE pairs into the dedup. A pair matched through several blocks is
+    # verified once per block (bounded by the k+1 segments), but duplicate
+    # banded verifies cost less than one full-matrix verify did. Same exact
+    # result: dist is a pure function of the pair, so dedup-then-verify and
+    # verify-then-dedup agree row-for-row.
+    verified = (
+        seg.alias("a")
+        .join(
+            sub.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.La") == F.col("b.La"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s", k).cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    return verified.dropDuplicates(["id_a", "id_b"])
 
 
 def edit_distance_lookup(
@@ -247,7 +276,11 @@ def edit_distance_lookup(
     one shuffle on block keys, never |queries|×|canon|."""
     segc = _segments(_prep(canon, c_id, c_str, k), k)
     subq = _substrings(_prep(queries, q_id, q_str, k), k)
-    cand = (
+    # verify-before-dedup + banded levenshtein, exactly as in
+    # :func:`edit_distance_join` (r18): hot shared-prefix blocks otherwise
+    # shuffle O(block²) candidate occurrences through the pair dedup; the
+    # O(k·L) banded check map-side keeps only true matches on the exchange.
+    verified = (
         segc.alias("c")
         .join(
             subq.alias("q"),
@@ -258,13 +291,8 @@ def edit_distance_lookup(
         .select(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("canon_id"),
-            F.col("q.s").alias("s_q"),
-            F.col("c.s").alias("s_c"),
+            F.levenshtein("q.s", "c.s", k).cast("int").alias("dist"),
         )
-        .dropDuplicates(["query_id", "canon_id"])
+        .filter(F.col("dist") >= 0)
     )
-    return cand.select(
-        "query_id",
-        "canon_id",
-        F.levenshtein("s_q", "s_c").cast("int").alias("dist"),
-    ).filter(F.col("dist") <= k)
+    return verified.dropDuplicates(["query_id", "canon_id"])

@@ -208,7 +208,11 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     # bcast floor 0. pagerank: the returned frame reads the final
     # iteration's checkpoint — every per-round shuffle ran eagerly at
     # build (drift_psi precedent), so the static plan is exchange-free.
-    "fuzzy_join": (2, 0, 0, 2, (0, 1)),
+    # r18: +2 spread exchanges (ensure_min_partitions on each _prep side —
+    # toy-input-only round-robin of the slice, a no-op decision at scale;
+    # the banded verify now runs map-side in the join stage so the pair
+    # dedup exchange carries only true pairs, see operators/fuzzy.py)
+    "fuzzy_join": (2, 0, 0, 4, (0, 1)),
     "pagerank": (0, 0, 0, 0, (0, 0)),
     # r11: final-round groupBy(cluster, dim) over the checkpointed
     # quantized corpus — ONE shuffle, zero scans (lineage truncated),
