@@ -23,9 +23,12 @@ Determinism by construction:
   sum) nonnegative, where Spark's truncating ``div`` and DuckDB's
   flooring ``//`` agree. An empty cluster keeps its previous centroid.
 
-Scale: the corpus is scanned once per iteration (assignment is a narrow
-broadcast-literal fold, no join); the only shuffle per iteration is the
-map-side-combined ``groupBy(cluster, dim)`` partial-sum — k·dim rows out.
+Scale: the corpus is scanned once per iteration (assignment + per-batch
+partial sums are ONE ``mapInArrow`` numpy kernel — int64 matmul argmin and
+an ``np.add.at`` scatter per Arrow batch, no join; r18 — the previous
+interpreted HOF fold over k×dim per row plus a posexplode of n·dim rows
+was the round's dominant cost); the only shuffle per iteration is the
+``groupBy(cluster, dim)`` over the k·dim-per-batch partial rows.
 Driver state is the O(k·dim) centroid model per iteration (the PQ-codebook
 collect precedent, similarity.py:808) — bounded by the model, never the
 data. iters is fixed (an index build chooses its budget up front), so the
@@ -97,42 +100,74 @@ def kmeans_lloyd_exact(
                 " and truncating-div agree (see module docstring)"
             )
 
-    def assigned_under(model: dict[int, list[int]]) -> DataFrame:
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast("int").alias("cid"),
-                    F.array(*[F.lit(v).cast("bigint") for v in ce]).alias("ce"),
-                )
-                for cid, ce in sorted(model.items())
-            ]
-        )
-        # struct(dist, cid): array_min's lexicographic order = nearest
-        # centroid, ties to the smallest cid — the oracle's row_number
-        # ORDER BY dist, cid twin
-        scored = F.transform(
-            carr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("qv"), c["ce"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return q.select("id", "qv", F.array_min(scored)["cid"].alias("cluster"))
+    def round_sums(model: dict[int, list[int]]) -> DataFrame:
+        """Assignment + per-batch partial sums in ONE ``mapInArrow`` pass
+        (r18, guide §4.2): the former JVM form — a per-row interpreted
+        higher-order fold over k centroids × dim components, then a
+        posexplode into n·dim rows for the groupBy — spent the round in
+        interpreted expression evaluation (no codegen for HOF lambdas)
+        and shuffled the exploded token stream. Here each Arrow batch is
+        one int64 matmul (argmin via the ||x||²-free expansion
+        ``||c||² − 2·x·c`` — adding the per-row ||x||² cannot change the
+        argmin or its ties) plus one ``np.add.at`` scatter, and at most
+        k·dim partial rows leave the Python worker per batch, so the
+        groupBy shuffles O(k·dim·batches) rows instead of n·dim.
 
-    def round_sums(a: DataFrame) -> DataFrame:
-        # one narrow explode + map-side-combined agg; k·dim rows out
+        Exactness is unchanged BY CONSTRUCTION: every quantity is int64
+        (products bounded far below 2⁶³ by the quantization guard), integer
+        sums are order-independent, and np.argmin's first-minimum rule over
+        centroids sorted by cid IS the struct-min / ORDER BY dist, cid tie
+        rule the oracle replays."""
+        import numpy as np
+
+        items = sorted(model.items())
+        cids = np.array([cid for cid, _ in items], dtype=np.int64)
+        C = np.array([ce for _, ce in items], dtype=np.int64)
+        c2 = (C * C).sum(axis=1)  # int64, exact
+        dim = C.shape[1]
+
+        def partials(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                col = batch.column(0)
+                n = len(col)
+                if n == 0:
+                    continue
+                X = col.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+                X = np.ascontiguousarray(X, dtype=np.int64)
+                # argmin_c ||x-c||² == argmin_c (||c||² - 2 x·c), ints exact
+                cluster = np.argmin(c2[None, :] - 2 * (X @ C.T), axis=1)
+                counts = np.bincount(cluster, minlength=len(cids))
+                sums = np.zeros((len(cids), dim), dtype=np.int64)
+                np.add.at(sums, cluster, X)
+                nz = np.flatnonzero(counts)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.repeat(cids[nz], dim).astype(np.int32), pa.int32()
+                        ),
+                        pa.array(
+                            np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                            pa.int32(),
+                        ),
+                        pa.array(sums[nz].reshape(-1), pa.int64()),
+                        pa.array(
+                            np.repeat(counts[nz], dim).astype(np.int64), pa.int64()
+                        ),
+                    ],
+                    ["cluster", "d0", "s", "n"],
+                )
+
         return (
-            a.select("cluster", F.posexplode("qv").alias("d0", "v"))
+            q.select("qv")
+            .mapInArrow(partials, "cluster int, d0 int, s bigint, n bigint")
             .groupBy("cluster", "d0")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         )
 
     for _ in range(iters - 1):
-        sums = round_sums(assigned_under(cents)).collect()  # bounded O(k·dim)
+        sums = round_sums(cents).collect()  # bounded O(k·dim)
         by_cid: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
             by_cid.setdefault(r["cluster"], {})[r["d0"]] = (int(r["s"]), int(r["n"]))
@@ -145,7 +180,7 @@ def kmeans_lloyd_exact(
             for cid, ce in cents.items()
         }
 
-    final = round_sums(assigned_under(cents))
+    final = round_sums(cents)
     return final.select(
         F.col("cluster"),
         (F.col("d0") + 1).cast("int").alias("dim"),

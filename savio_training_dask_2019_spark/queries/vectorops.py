@@ -1179,9 +1179,10 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, dim) with the centroid component and member count —
     k·dim = 512 rows at any scale factor.
 
-    Scale: per iteration ONE narrow corpus scan (broadcast-literal argmin
-    fold, no join) + ONE map-side-combined groupBy(cluster, dim) whose
-    output is k·dim rows; driver state is the O(k·dim) centroid model
+    Scale: per iteration ONE narrow corpus scan (an Arrow-batch numpy
+    argmin + partial-sum kernel, no join — r18) + ONE groupBy(cluster,
+    dim) over k·dim-per-batch partial rows; driver state is the O(k·dim)
+    centroid model
     (bounded by the model, never the corpus — the PQ-codebook precedent).
     See operators/kmeans.py for the determinism argument."""
     from ..operators.kmeans import kmeans_lloyd_exact

@@ -158,3 +158,24 @@ def test_kmeans_catalog_query_shape(spark, sf_dir):
         by_dim[r["dim"]] = by_dim.get(r["dim"], 0) + r["n_members"]
     assert set(by_dim.values()) == {n_corpus}
     assert all(r["c_q"] >= 0 for r in rows)
+
+
+def test_kmeans_argmin_tie_breaks_to_smallest_cid(spark):
+    """r18 Arrow-kernel pin: two centroids EXACTLY equidistant from a point
+    must assign it to the smaller cluster id (np.argmin first-minimum over
+    cid-sorted centroids == the old struct-min / oracle ORDER BY dist, cid
+    rule). Seeds at quantized -1.0 and +1.0; every remaining point sits at
+    exactly 0.0 — equidistant — so all of them must join cluster 0."""
+    from savio_training_dask_2019_spark.operators.kmeans import kmeans_lloyd_exact
+
+    rows = [(0, [-1.0]), (1, [1.0])] + [(i, [0.0]) for i in range(2, 12)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = {
+        r["cluster"]: (r["c_q"], r["n_members"])
+        for r in kmeans_lloyd_exact(
+            df, "embedding", "vec_id", k=2, iters=1, quant=1000, offset=1.0
+        ).collect()
+    }
+    # cluster 0: the seed at -1.0 (q=0) plus ten ties at 0.0 (q=1000)
+    assert out[0] == ((0 + 10 * 1000) // 11, 11)
+    assert out[1] == (2000, 1)
