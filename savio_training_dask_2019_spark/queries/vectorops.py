@@ -21,7 +21,7 @@ from ..operators.similarity import (
     ivf_query,
     lsh_knn,
 )
-from ..sources import load_table
+from ..sources import load_table, load_table_spread
 
 # DuckDB: cast float32 list → double list before any math, mirroring as_double.
 _DD = "list_transform({col}, x -> CAST(x AS DOUBLE))"
@@ -362,7 +362,7 @@ def q_knn_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the margin check is the thing to re-run."""
     from ..operators.similarity import cell_knn_join
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
         F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
     )
@@ -439,7 +439,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, neighbor) + a per-query agg."""
     from ..operators.similarity import cell_knn_join
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
         F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
     )
@@ -566,7 +566,7 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-band rp tier at a REAL near-dup threshold (0.9). Each planted pair
     must come back (recall pytest-pinned ≥ 48/50); random pairs are pruned
     by the 8-bit AND bands before any cosine is computed."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
     planted = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
@@ -604,7 +604,7 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine to an earlier same-cluster vector is >= the threshold; report
     per-cluster retention. The pairwise term is confined to single clusters
     — the SemDeDup scaling argument — so cost is Σ|cluster|², never n²."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     kept = semantic_dedup(
         emb, "embedding", "vec_id", "label", min_cosine=_SEMDEDUP_COS
     )
@@ -673,7 +673,7 @@ def q_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing to a corpus×corpus join."""
     from ..operators.similarity import assign_cells
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     cents = emb.where((F.col("vec_id") % _CELL_MOD) == 0).select(
         F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("ce")
     )
