@@ -4599,26 +4599,39 @@ def q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     those neighbors to ~0, so the cap loses almost nothing."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r18 (guide §2.4): ONE exchange keyed on the blocking key feeds the
+    # whole pre-pair pipeline. hash(c) partitioning satisfies the (c, s)
+    # dedup's clustering, is preserved through the checkpoint, and is
+    # reused by the customer-degree agg, the degree attach AND both pair
+    # self-join sides — previously each of those planned its own shuffle.
+    # The explicit partition count (the cluster's shuffle knob) keeps AQE
+    # from coalescing the tiny toy input below the fan-out's parallelism.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .repartition(n_part, "c")
+        .dropDuplicates(["c", "s"])
         .localCheckpoint(eager=True)
     )
+    # RA term precomputed per CUSTOMER row (O(|customers|) floor-divs)
+    # instead of per candidate pair row (O(Σ deg²) of them) — same integer
+    # expression, so every summed value is identical
     cdeg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
     sdeg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("sd"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s"))).select(
-        F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.c").alias("c")
+    inv = cdeg.select("c", F.floor(F.lit(1000000) / F.col("cd")).alias("ra_c"))
+    a = e.join(inv, "c").alias("a")
+    pairs = a.join(
+        e.select("c", "s").alias("b"),
+        (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+    ).select(
+        F.col("a.s").alias("s1"), F.col("b.s").alias("s2"), F.col("a.ra_c").alias("ra_c")
     )
     scored = (
-        pairs.join(cdeg, "c")
-        .groupBy("s1", "s2")
+        pairs.groupBy("s1", "s2")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            F.sum(F.floor(F.lit(1000000) / F.col("cd")))
-            .cast("bigint")
-            .alias("ra_micro"),
+            F.sum("ra_c").cast("bigint").alias("ra_micro"),
         )
     )
     d1 = sdeg.select(F.col("s").alias("s1"), F.col("sd").alias("sd1"))
