@@ -31,7 +31,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from ..sources import load_table
+from ..sources import load_table, load_table_spread
 
 # DuckDB twin of functions.text.tokens()
 _DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
@@ -732,7 +732,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     center at hamming ≈12-14 (measured r3; the previous max_hamming=12 sat
     in the bulk of that distribution and returned a quadratic ~9 % of ALL
     pairs — 1.16M rows at sf0.1 — which is similarity search, not dedup)."""
-    d = load_table(spark, sf_dir, "documents")
+    # r18: spread — the 64-bit vote fold is ~tokens×64 interpreted HOF ops
+    # per doc and otherwise runs on the fixture scan's single partition
+    d = load_table_spread(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
