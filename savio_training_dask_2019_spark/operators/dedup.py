@@ -858,23 +858,25 @@ def connected_components(
             # first, which is why it stayed latent until the star variant's
             # differential tests ran propagation at max_iter=60.)
             before = _persistent_rdd_ids(sc)
+            # the convergence flag is computed IN the same select (the left
+            # join already holds both the old and the new label), so the
+            # fixpoint check below is a filter-count over the checkpointed
+            # round — r18: the previous new⋈old labels join re-shuffled the
+            # label table once per round purely to count changes
+            nxt = F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            )
             new_labels = (
                 labels.join(nbr, labels["id"] == nbr["a"], "left")
                 .select(
                     F.col("id"),
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
+                    nxt.alias("label"),
+                    (nxt != F.col("label")).alias("ch"),
                 )
                 .localCheckpoint(eager=True)
             )
             new_ids = _persistent_rdd_ids(sc) - before
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new_labels.filter("ch").count()
             # free the superseded round: Dataset-level unpersist for the
             # round-0 persist, RDD-registry release for checkpointed rounds
             if held:
