@@ -539,7 +539,9 @@ FROM embeddings
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact tier (oracle-checked)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r18: spread — the O(n²) pairwise scoring otherwise runs on the
+    # fixture scan's single partition (45 s single-task at sf0.1)
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "embedding", "vec_id", min_cosine=0.45, method="brute")
 
 

@@ -175,7 +175,9 @@ _HEADLINE_SHAPE: dict[str, tuple[int, int, int, int, tuple[int, int]]] = {
     "knn_ivf": (1, 0, 0, 0, (0, 0)),  # pure probe of the cached index
     "ngram_jaccard": (2, 0, 0, 4, (2, 2)),  # cached index; size tables broadcast
     "minhash_pairs": (1, 0, 0, 1, (3, 3)),  # ids-only pair exchange; sig/band joins broadcast
-    "simhash_pairs": (1, 0, 0, 1, (1, 1)),
+    # r18: +1 spread exchange (load_table_spread — the 64-bit vote fold
+    # otherwise runs on the fixture scan's single partition)
+    "simhash_pairs": (1, 0, 0, 2, (1, 1)),
     # r18: +2 spread exchanges (load_table_spread on the corpus scan, read
     # by both the base and the planted-copy branch — the band projection
     # otherwise runs on the fixture's single scan partition; no-op at scale)
