@@ -134,7 +134,20 @@ def kmeans_lloyd_exact(
                 n = len(col)
                 if n == 0:
                     continue
-                X = col.flatten().to_numpy(zero_copy_only=False).reshape(n, dim)
+                # ADVICE r18 #3: to_numpy(zero_copy_only=False) on an int64
+                # list array WITH NULLS yields float64 NaN, and the int64
+                # cast below would turn NaN into INT64_MIN — a silently
+                # corrupted assignment. Fail loudly instead, matching the
+                # quantization guard's posture (ragged rows already throw
+                # on the reshape).
+                flat = col.flatten()
+                if col.null_count or flat.null_count:
+                    raise ValueError(
+                        "kmeans Arrow kernel: null vector or null component "
+                        "in the quantized input — every row must carry a "
+                        f"complete {dim}-dim int64 vector"
+                    )
+                X = flat.to_numpy(zero_copy_only=False).reshape(n, dim)
                 X = np.ascontiguousarray(X, dtype=np.int64)
                 # argmin_c ||x-c||² == argmin_c (||c||² - 2 x·c), ints exact
                 cluster = np.argmin(c2[None, :] - 2 * (X @ C.T), axis=1)

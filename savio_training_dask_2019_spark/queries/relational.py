@@ -4606,7 +4606,13 @@ def q_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join sides — previously each of those planned its own shuffle.
     # The explicit partition count (the cluster's shuffle knob) keeps AQE
     # from coalescing the tiny toy input below the fan-out's parallelism.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ADVICE r18 #2: some vendor runtimes hold a non-numeric value (e.g.
+    # "auto") in this conf — fall back to defaultParallelism, never raise
+    # at plan time.
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = spark.sparkContext.defaultParallelism
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))

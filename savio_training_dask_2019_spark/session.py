@@ -27,18 +27,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
-    # AQE coalescing floor (r18, guide §2.2/§2.5): with parallelism-first
-    # coalescing the post-shuffle target size is max(totalBytes/parallelism,
-    # minPartitionSize), so the default 1 MB floor collapses any sub-
-    # (cores × 1 MB) exchange to 1-3 partitions — and when that exchange
-    # feeds a FAN-OUT join (pigeonhole candidate joins, cell joins, pair
-    # generation), the explosion runs on 1-3 tasks while the rest of the
-    # machine idles (measured: fuzzy_join verify stage 2 tasks / 11.5 s →
-    # 32 tasks / 2.3 s warm). 64k keeps genuinely-empty partitions merged
-    # but preserves parallelism for small-input-big-compute stages; at
-    # cluster scale totalBytes/parallelism dominates and this floor never
-    # binds, so behavior there is unchanged.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # r19: the r18 global AQE floor (coalescePartitions.minPartitionSize=64k)
+    # is GONE. It helped exactly one shape — a tiny exchange feeding a
+    # fan-out join (fuzzy verify) — but multiplied the task count of every
+    # small exchange by up to 16×, a cost that grows with core count: the
+    # r18 driver run regressed 25/41 headline rows at 32 cores (geomean
+    # 0.81, and the 8-core suite beat the 32-core one). The fan-out shapes
+    # that need post-shuffle parallelism now pin it LOCALLY with an explicit
+    # keyed repartition at the session's declared shuffle width
+    # (operators/fuzzy.py); every other exchange keeps AQE's default
+    # bytes-based coalescing.
     # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND isnotnull(arr)`
     # from every explode(), and predicate pushdown then drags the FULL array
     # expression below the nearest exchange — for this engine's text/array
@@ -74,9 +72,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # see RUNTIME_CONFS: keep parallelism when a tiny exchange feeds a
-        # fan-out join; never binds once shuffles exceed cores × 64k
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -94,21 +94,30 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     this is a NO-OP — the repartition only ever moves a toy-sized input, so
     the helper is safe to leave in the operator path.
 
-    NOTE: ``df.rdd.getNumPartitions()`` forces physical planning on every
-    call — fine for one-off use, but operator hot paths should go through
-    :func:`load_table_spread`, which memoizes the decision per table."""
+    ADVICE r18 #1: the ``df.rdd.getNumPartitions()`` probe forces physical
+    planning, so the decision is memoized per (session, semantic plan, n) —
+    an operator called repeatedly on the same input (fuzzy ``_prep``, both
+    sides of a lookup build) pays the probe once. ``semanticHash`` needs
+    only the analyzed plan (one cheap py4j call); a hash collision could at
+    worst mis-spread a different plan — a perf wobble, never a correctness
+    one, same blast radius as the table-keyed cache below."""
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), n)
+    needs = _SPREAD_CACHE.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < n
+        _SPREAD_CACHE.put(key, needs)
+    return df.repartition(n) if needs else df
 
 
 # Memoized spread decisions: probing a scan's partition count costs a
 # Python→JVM physical-plan materialization (~10s of ms), and the answer is a
-# pure function of (session, table files, target width) — so pay it once per
-# table, not once per operator call (9 catalog call sites hit this per run).
-_SPREAD_CACHE: BoundedCache[tuple[str, str, str, int], bool] = BoundedCache(capacity=64)
+# pure function of (session, plan, target width) — so pay it once per plan,
+# not once per operator call. Two key shapes share the cache (they can never
+# collide — different tuple arity): (appId, sf_dir, table, n) from
+# load_table_spread and (appId, semanticHash, n) from ensure_min_partitions.
+_SPREAD_CACHE: BoundedCache[tuple, bool] = BoundedCache(capacity=128)
 
 
 def load_table_spread(
