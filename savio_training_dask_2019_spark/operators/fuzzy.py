@@ -36,13 +36,10 @@ from pyspark.sql import functions as F
 
 def _fanout_width(df: DataFrame) -> int:
     """Partition count pinned onto the substring-dedup exchange — the
-    session's declared shuffle width (the user's scale knob), falling back
-    to defaultParallelism where the conf is non-numeric (vendor "auto")."""
-    spark = df.sparkSession
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        return spark.sparkContext.defaultParallelism
+    session's declared shuffle width (see session.shuffle_width)."""
+    from ..session import shuffle_width
+
+    return shuffle_width(df.sparkSession)
 
 
 def _seg_len(i: str, length: str, k: int) -> str:

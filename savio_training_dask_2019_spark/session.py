@@ -107,6 +107,24 @@ def get_spark(
     return spark
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's declared shuffle width (``spark.sql.shuffle.partitions``),
+    falling back to ``defaultParallelism`` when the conf is non-numeric
+    (vendor runtimes hold e.g. "auto" — ADVICE r18 #2).
+
+    Used by the fan-out operators (PassJoin verify, LSH candidate verify) to
+    PIN their pair-verify exchange: those exchanges carry a few MB of keys
+    but their read-side stage runs the join fan-out + per-pair verify — the
+    query's dominant compute, invisible to AQE's bytes-based coalescing,
+    which otherwise collapses the stage to 1-3 tasks. Pinning at the
+    declared shuffle width sizes with the deployment (the knob a cluster
+    operator already tunes) instead of with fixture bytes."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Pin the runtime-settable confs this engine relies on.
 
