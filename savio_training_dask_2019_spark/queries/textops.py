@@ -732,9 +732,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     center at hamming ≈12-14 (measured r3; the previous max_hamming=12 sat
     in the bulk of that distribution and returned a quadratic ~9 % of ALL
     pairs — 1.16M rows at sf0.1 — which is similarity search, not dedup)."""
-    # r18: spread — the 64-bit vote fold is ~tokens×64 interpreted HOF ops
-    # per doc and otherwise runs on the fixture scan's single partition
-    d = load_table_spread(spark, sf_dir, "documents")
+    # r19: the r18 spread REMOVED — the driver run regressed it 0.71× and a
+    # quiet-host A/B confirms (spread 1.59 s vs plain 1.11 s at 32 cores):
+    # the signature fold here is cheap enough that the round-robin exchange
+    # plus 32-task scheduling overhead exceeds the parallelism it buys
+    # (VERDICT r18 #2; contrast knn_cells, where the same A/B keeps the
+    # spread: 1.47 s spread vs 2.12 s plain).
+    d = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
